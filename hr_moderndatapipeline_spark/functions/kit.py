@@ -1,0 +1,50 @@
+"""Scalar-function kit (SURVEY.md §2.9).
+
+Small named combinators over ``pyspark.sql.functions`` for the
+reference's recurring expression shapes — all JVM-side/codegen'd, no
+Python UDFs:
+
+- null-safe ratio math: ``COALESCE(x / NULLIF(y,0), 0)`` from the
+  gold models (dbt/models/gold/gold_attrition_prototype.sql:19-24).
+- period-key derivation: ``year()``/``month()`` from
+  jobs/silver/silver_attrition_builder.py:99-100.
+- ``dec_sum`` — deterministic money aggregation: accumulate in
+  DECIMAL (exact, order-independent) and surface as DOUBLE. Summing
+  doubles directly is order-dependent, which breaks cross-engine
+  value-hash comparison and makes retried stages non-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def null_safe_ratio(num: Column, den: Column) -> Column:
+    """``COALESCE(num / NULLIF(den, 0), 0)`` as double."""
+    return F.coalesce(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0))
+
+
+def dec_sum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Exact decimal sum surfaced as double — deterministic under
+    any partitioning / aggregation order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def with_period_keys(df: DataFrame, date_col: str, year_col: str = "year", month_col: str = "month") -> DataFrame:
+    """Derive integer year/month period keys (F7)."""
+    return df.withColumn(year_col, F.year(date_col)).withColumn(
+        month_col, F.month(date_col)
+    )
+
+
+def tenure_days(start: Column, end: Column) -> Column:
+    """Tenure in days (F8, silver_attrition_builder.py:98)."""
+    return F.datediff(end, start)
+
+
+def month_bucket(col: Column | str) -> Column:
+    """Month-start bucketing (F9, silver_attrition_builder.py:121)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trunc(c, "MM")

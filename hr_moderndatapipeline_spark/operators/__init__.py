@@ -1,0 +1,18 @@
+from hr_moderndatapipeline_spark.operators.relational import (  # noqa: F401
+    change_pairs,
+    deterministic_sample,
+    duplicate_keys,
+    latest_per_key,
+    topk,
+    topk_per_group,
+)
+from hr_moderndatapipeline_spark.operators.cdc import (  # noqa: F401
+    classify_cdc_ops,
+    upsert_apply,
+)
+from hr_moderndatapipeline_spark.operators.scd2 import (  # noqa: F401
+    as_of_join,
+    scd2_apply,
+    scd2_from_history,
+    validate_scd2,
+)

@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all designed so
+the only shuffles are on dedup keys / LSH buckets, never all-pairs:
+
+- ``dedup_exact``        — hash-groupBy on content; one shuffle.
+- ``word_shingles``      — n-word shingle arrays, computed map-side.
+- ``minhash_signature``  — k minhashes per doc as JVM-side array
+  expressions (xxhash64 seeded per hash function); no Python, no
+  explode, no shuffle.
+- ``lsh_candidate_pairs``— banding: signature rows → (band, bucket)
+  keys → self-join within buckets. The join is on (band, bucket), so
+  work scales with bucket sizes, not corpus²; heavily duplicated
+  corpora produce hot buckets → cap or salt them (``max_bucket``).
+- ``simhash64``          — vectorized Arrow-batch Pandas UDF
+  (token-hash sign aggregation), deterministic via blake2b.
+- ``jaccard_pairs``      — exact word-set Jaccard over blocked
+  candidate pairs (array_intersect/array_union sizes).
+
+All hashing is content-derived and seed-stable: results are
+reproducible across runs, partitionings, and retries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dedup_exact(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content.
+    Returns content + ``keep_id`` + ``n_copies``."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text,
+    entirely as JVM array expressions (no UDF)."""
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for hash function i, min over shingles of
+    ``xxhash64(i, shingle)``. k independent permutations approximated
+    by k seeds — the standard one-pass construction. Null for empty
+    shingle sets (caller filters)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bucket_rows(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature into (band_idx, bucket) rows: bucket =
+    hash of the band's signature slice. Docs sharing any bucket are
+    near-dup candidates (prob ≈ 1-(1-j^r)^b for Jaccard j)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band_idx", "bb.bucket"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+    ``max_bucket`` drops degenerate hot buckets (e.g. the empty
+    document) — at 100 TB a single pathological bucket would
+    otherwise produce a quadratic join; dropped buckets are the
+    "everything is identical" case better handled by exact dedup
+    first."""
+    bucketed = lsh_bucket_rows(df, id_col, sig_col, bands, rows_per_band)
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        bucketed = (
+            bucketed.join(sizes, ["band_idx", "bucket"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = bucketed.toDF(f"{id_col}_a", "band_idx", "bucket")
+    b = bucketed.toDF(f"{id_col}_b", "band_idx", "bucket")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle → signature
+    → banded buckets → candidate pairs → exact shingle-Jaccard
+    verification ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    prepped = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    with_sig = prepped.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    cands = lsh_candidate_pairs(with_sig, id_col, "_sig", bands, rows_per_band)
+    a = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_sh").alias("_sh_a"))
+    b = prepped.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_sh").alias("_sh_b"))
+    verified = (
+        cands.join(a, f"{id_col}_a").join(b, f"{id_col}_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+            / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+    return verified
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text — Arrow-batched, numpy-vectorized per
+    batch, deterministic (blake2b token hashes, no process-seeded
+    Python ``hash``)."""
+    import hashlib
+
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            )
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        sig = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sig |= 1 << i
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        out[row] = sig
+    return pd.Series(out)
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash64_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup candidates: block on the top ``prefix_bits``
+    of the signature (docs within small Hamming distance usually
+    share a prefix block; multi-table permutation blocking is the
+    production extension), then verify Hamming ≤ ``max_hamming``
+    via bit_count(xor)."""
+    sig = simhash64(df.select(id_col, text_col), text_col)
+    blocked = sig.withColumn("_block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    a = blocked.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_sig_a"), "_block"
+    )
+    b = blocked.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col("simhash").alias("_sig_b"), "_block"
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("hamming", F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-set Jaccard over candidate pairs blocked by
+    ``block_col`` (e.g. source, length bucket, or an LSH bucket).
+    Blocking keeps the self-join linear in block sizes — never run
+    this unblocked at scale."""
+    d = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_words"),
+    )
+    a = d.toDF(f"{id_col}_a", "_blk", "_words_a")
+    b = d.toDF(f"{id_col}_b", "_blk", "_words_b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_words_a", "_words_b")).cast("double")
+            / F.size(F.array_union("_words_a", "_words_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )

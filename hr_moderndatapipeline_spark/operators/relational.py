@@ -1,0 +1,112 @@
+"""Named relational operators (pure ``DataFrame -> DataFrame``).
+
+These are the reference's recurring shapes lifted into reusable
+operators (SURVEY.md §2.6-§2.7):
+
+- ``latest_per_key`` — top-1-per-group dedup, the reference's
+  latest-compensation-per-employee window (tests/delta_reader_spark.py:59-65).
+- ``change_pairs`` — per-key previous/current comparison, the
+  reference's pandas before/after CDC classifier re-expressed as a
+  ``lag`` window (jobs/bronze/bronze_reader.py:105-122).
+- ``topk`` / ``topk_per_group`` — ORDER BY + LIMIT and its grouped
+  form; Catalyst plans global top-k as TakeOrderedAndProject (no
+  full sort at scale).
+- ``duplicate_keys`` — the DQ uniqueness test as a distributed
+  groupBy instead of pandas ``duplicated`` (data-quality/dq_checks.py:77-81).
+- ``deterministic_sample`` — seedless, content-addressed sampling
+  (key mod N) replacing the reference's PG-side ``ORDER BY random()``
+  (jobs/bronze/ingest_change_source.py:81) so results are
+  oracle-checkable and stable across engines/retries.
+
+Scale notes: every operator here shuffles at most once, on its
+grouping keys; windows with ``partitionBy`` avoid the single-partition
+global-window trap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the single latest row per key (W1). One shuffle on
+    ``keys``; row_number (not rank) guarantees exactly one row even
+    on order-key ties."""
+    ordering = [c.desc() if descending else c.asc() for c in _cols(order_by)]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def change_pairs(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    tracked: Sequence[str],
+) -> DataFrame:
+    """Per-key (previous, current) value pairs ordered by
+    ``order_by`` (W2): each tracked column ``c`` gains ``c_prev``
+    plus a ``has_change`` flag. Basis for CDC op classification.
+    Pass a unique tie-breaker in ``order_by`` for determinism."""
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    out = df
+    for c in tracked:
+        out = out.withColumn(f"{c}_prev", F.lag(c).over(w))
+    change = None
+    for c in tracked:
+        neq = ~F.col(c).eqNullSafe(F.col(f"{c}_prev"))
+        change = neq if change is None else (change | neq)
+    return out.withColumn("has_change", F.coalesce(change, F.lit(False)))
+
+
+def topk(df: DataFrame, order_by: Sequence[str | Column], k: int, descending: bool = True) -> DataFrame:
+    """Global top-k = orderBy + limit; Catalyst executes it as
+    per-partition top-k + merge (TakeOrderedAndProject), so no full
+    sort of 100 TB ever happens."""
+    ordering = [c.desc() if descending else c.asc() for c in _cols(order_by)]
+    return df.orderBy(*ordering).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    k: int,
+    descending: bool = True,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via row_number window (ties broken by
+    window order, deterministic if order_by is a total order)."""
+    ordering = [c.desc() if descending else c.asc() for c in _cols(order_by)]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def duplicate_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Keys appearing more than once (uniqueness violation set):
+    ``groupBy(cols).count().filter(n > 1)``. Partial aggregation
+    map-side, single shuffle."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int) -> DataFrame:
+    """Content-addressed sample: keep rows where ``key % modulus <
+    keep``. Deterministic across engines, retries, and partitionings
+    — unlike ``ORDER BY random()``. For non-numeric keys hash first."""
+    return df.filter(F.pmod(F.col(key), F.lit(modulus)) < keep)

@@ -1,0 +1,222 @@
+"""SCD2 (slowly-changing-dimension type-2) operators — the reference's
+core semantics, implemented correctly.
+
+The reference intends SCD2 via a single Delta MERGE
+(jobs/silver/silver_builder.py:103-132): stamp
+``effective_start_date = updated_at``, ``effective_end_date =
+2099-12-31``, ``is_current = true`` on incoming rows, close matched
+changed rows. **Its one-phase MERGE has a known semantic bug**
+(SURVEY.md §2.11.3): the new version of an existing key matches the
+merge condition, so ``whenNotMatchedInsertAll`` never fires — the old
+row is closed but no new current row lands. One-phase MERGE cannot do
+SCD2. This module implements the standard **two-phase** form, as pure
+DataFrame algebra (no Delta in this environment):
+
+- ``scd2_apply``   — incremental: close-and-insert against an existing dim.
+- ``scd2_from_history`` — full recompute from a versioned change log
+  (lead() windows); also the parquet-fallback path for rebuilds.
+- ``as_of_join``   — point-in-time dimension resolution over the
+  ``effective_start <= ts < effective_end`` ranges (idiomatic
+  completion of the SCD2 capability, flagged as an addition in
+  SURVEY.md §2.4).
+- ``validate_scd2`` — the non-negotiable invariants: exactly one
+  current row per live key, no overlapping ranges.
+
+Target column names follow the reference's landed Delta schema
+(`effective_start_date`/`effective_end_date`/`is_current`,
+silver_builder.py:103-108).
+
+Scale notes: ``scd2_from_history`` is one shuffle on the key;
+``scd2_apply`` joins changes×current-slice on the key (broadcast the
+change set when it is small — the common CDC case). ``as_of_join``
+with a dimension that fits in memory should pass ``broadcast=True``
+to avoid shuffling the 100 TB fact side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Open-ended end date used by the reference (silver_builder.py:106).
+OPEN_END = "2099-12-31 00:00:00"
+
+START, END, CURRENT = "effective_start_date", "effective_end_date", "is_current"
+
+
+def scd2_from_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    start_col: str = START,
+    end_col: str = END,
+    current_col: str = CURRENT,
+) -> DataFrame:
+    """Build the full SCD2 table from a versioned change log: each
+    version's validity runs from its own timestamp to the next
+    version's timestamp (open-ended for the latest). Single window
+    shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn(start_col, F.col(ts_col))
+        .withColumn(end_col, F.coalesce(nxt, F.lit(OPEN_END).cast("timestamp")))
+        .withColumn(current_col, nxt.isNull())
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    ts_col: str,
+    start_col: str = START,
+    end_col: str = END,
+    current_col: str = CURRENT,
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """Two-phase SCD2 apply (the corrected K3, SURVEY.md §2.11.3).
+
+    ``dim`` is an existing SCD2 table (with start/end/current
+    columns); ``changes`` carries the business columns + ``ts_col``.
+    Change detection is per tracked column, null-safe (the
+    reference's dynamically-built ``t.c <> s.c`` OR-chain,
+    silver_builder.py:115, misses NULL transitions — fixed here).
+
+    Behavior per change row:
+    - key not in dim            → insert as new current version
+    - key current, tracked diff → close current row at change ts +
+                                  insert new current version
+    - key current, no diff      → no-op
+
+    Multiple versions of one key inside a single batch are applied
+    in ``ts_col`` order via ``scd2_from_history`` over the winning
+    subset, so intra-batch history is preserved.
+    """
+    keys = list(keys)
+    biz_cols = [c for c in changes.columns if c != ts_col and c not in keys]
+    if not set(tracked) <= set(biz_cols):
+        raise ValueError(f"tracked columns {tracked} not all in change columns {biz_cols}")
+
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+
+    ch = changes
+    if broadcast_changes:
+        ch = F.broadcast(ch)
+
+    # Pair each change's FIRST batch version against the current dim
+    # row to decide "changed?"; later batch versions are changes by
+    # construction.
+    first_w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    ch_ranked = ch.withColumn("_batch_rn", F.row_number().over(first_w))
+
+    cur_k = cur.select(
+        *[F.col(k).alias(f"_t_{k}") for k in keys],
+        *[F.col(c).alias(f"_t_{c}") for c in tracked],
+        F.col(start_col).alias("_t_start"),
+    )
+    join_cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"_t_{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    paired = ch_ranked.join(cur_k, join_cond, "left")
+
+    diff = None
+    for c in tracked:
+        neq = ~F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+        diff = neq if diff is None else (diff | neq)
+    is_new_key = F.col(f"_t_{keys[0]}").isNull()
+    effective_change = (
+        (F.col("_batch_rn") > 1) | is_new_key | diff
+    )
+
+    applied = paired.filter(effective_change)
+    drop_aux = ["_batch_rn"] + [f"_t_{k}" for k in keys] + [f"_t_{c}" for c in tracked] + ["_t_start"]
+
+    # Phase A: close current rows whose key has an effective change.
+    closing_keys = (
+        applied.filter(F.col("_batch_rn") == 1)
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("_close_ts"))
+    )
+    closed = (
+        cur.join(closing_keys, keys, "inner")
+        .withColumn(end_col, F.col("_close_ts"))
+        .withColumn(current_col, F.lit(False))
+        .drop("_close_ts")
+    )
+    untouched_cur = cur.join(closing_keys.select(*keys), keys, "left_anti")
+
+    # Phase B: insert the applied change rows as SCD2 versions
+    # (chained within the batch).
+    inserts = scd2_from_history(
+        applied.drop(*drop_aux), keys, ts_col, start_col, end_col, current_col
+    )
+    # Align insert schema to dim's column order.
+    inserts = inserts.select(*dim.columns)
+
+    return hist.unionByName(closed).unionByName(untouched_cur).unionByName(inserts)
+
+
+def as_of_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    start_col: str = START,
+    end_col: str = END,
+    broadcast_dim: bool = True,
+    how: str = "left",
+) -> DataFrame:
+    """Resolve each fact row against the dimension version valid at
+    the fact's timestamp: equi-join on ``keys`` plus the range
+    residual ``start <= ts < end``. With a valid SCD2 dim (validated
+    invariants) at most one version matches, so no dedup pass is
+    needed. Broadcast the dim by default — the typical dimension is
+    tiny next to the fact stream."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    d = d.select(
+        *[F.col(k).alias(f"_d_{k}") for k in keys],
+        *[F.col(c) for c in dim.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = facts[k] == F.col(f"_d_{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col(start_col) <= facts[ts_col]) & (facts[ts_col] < F.col(end_col))
+    out = facts.join(d, cond, how)
+    return out.drop(*[f"_d_{k}" for k in keys])
+
+
+def validate_scd2(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str = START,
+    end_col: str = END,
+    current_col: str = CURRENT,
+) -> dict[str, int]:
+    """SCD2 invariants (SURVEY.md §5): (1) exactly one current row
+    per key; (2) effective ranges per key are non-overlapping and
+    contiguous; (3) start < end everywhere. Returns violation counts
+    (all zero ⇔ healthy)."""
+    one_current = (
+        df.groupBy(*keys)
+        .agg(F.sum(F.when(F.col(current_col), 1).otherwise(0)).alias("n_cur"))
+        .filter(F.col("n_cur") != 1)
+        .count()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col).asc())
+    with_next = df.withColumn("_next_start", F.lead(start_col).over(w))
+    overlap_or_gap = with_next.filter(
+        F.col("_next_start").isNotNull() & (F.col(end_col) != F.col("_next_start"))
+    ).count()
+    bad_range = df.filter(F.col(start_col) >= F.col(end_col)).count()
+    return {
+        "keys_without_exactly_one_current": one_current,
+        "non_contiguous_ranges": overlap_or_gap,
+        "inverted_ranges": bad_range,
+    }

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference capability (BASELINE.json north star). Two paths:
+
+- ``ann_bruteforce`` — exact cosine top-k: broadcast the (small)
+  query set against the corpus, score with JVM-side sequential-fold
+  expressions, rank per query. The corpus is scanned once, never
+  shuffled; this is the correctness baseline and is already the
+  right plan when queries ≪ corpus.
+- ``ann_lsh`` — random-hyperplane LSH: deterministic hyperplanes
+  (hash-derived), sign-bit signature per vector, candidate search
+  restricted to matching signature buckets (optionally multi-probe
+  by allowing ≤1 differing bit). The scale path: bucket join instead
+  of full cross product.
+
+Scoring math uses explicit element-order folds (``aggregate`` over
+``sequence``) rather than float-reduction built-ins so scores are
+bit-deterministic across engines and retries; ranking ties break on
+corpus id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column, dim: int) -> Column:
+    """Sequential-fold dot product: deterministic summation order."""
+    prods = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(a, i) * F.element_at(b, i),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column, dim: int) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+
+
+def ann_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector. Queries are
+    broadcast (they are the small side by construction); the corpus
+    streams through map-side scoring, and only the per-query top-k
+    shuffle (tiny) follows. Self-matches excluded.
+
+    Returns (q_id, c_id, cosine, rk)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from a
+    content-independent integer hash (no RNG state, reproducible
+    everywhere)."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.blake2b(f"plane:{p}:{d}".encode(), digest_size=4).digest(), "big"
+            )
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]], dim: int) -> Column:
+    """Sign-bit signature: bit p = 1 iff vec · plane_p > 0. Packed
+    into a long (supports up to 63 planes)."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(vec, plane_col, dim) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, p)
+    return sig
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 12,
+    multiprobe: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: restrict scoring to corpus vectors whose
+    hyperplane signature matches the query's (exactly, or within
+    Hamming distance 1 when ``multiprobe``). At scale this turns the
+    cross product into a bucket equi-join on the signature.
+
+    Returns (q_id, c_id, cosine, rk) — a subset of the brute-force
+    result with recall controlled by num_planes/multiprobe."""
+    planes = _hyperplanes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
+    ).withColumn("_csig", lsh_signature(F.col("_cv"), planes, dim))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qsig", lsh_signature(F.col("_qv"), planes, dim))
+    if multiprobe:
+        # Probe the exact bucket plus each 1-bit flip of the query signature.
+        probes = F.array(
+            F.col("_qsig"),
+            *[
+                F.col("_qsig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.withColumn("_probe", F.explode(probes))
+    else:
+        q = q.withColumn("_probe", F.col("_qsig"))
+    joined = c.join(F.broadcast(q), c["_csig"] == q["_probe"]).filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    scored = joined.withColumn(
+        "cosine", F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits)
+    ).select("q_id", "c_id", "cosine").distinct()
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+def neardup_pairs_by_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (e.g. a
+    cluster/label assignment): block equi-join, score, threshold.
+    Blocking bounds the pair count; unblocked all-pairs is never
+    acceptable at scale."""
+    d = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), as_double_vec(F.col(vec_col)).alias("_v")
+    )
+    a = d.toDF(f"{id_col}_a", "_blk", "_va")
+    b = d.toDF(f"{id_col}_b", "_blk", "_vb")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("_va"), F.col("_vb"), dim), round_digits)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "cosine")
+    )

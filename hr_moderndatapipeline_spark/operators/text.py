@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristics, and document
+fingerprinting — all as JVM-side expressions (regex / array algebra /
+sequential folds), no Python on the hot path, so they run inside
+whole-stage codegen over arbitrarily large corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit
+#: language heuristic. Real deployments plug fastText/CLD3 via a
+#: Pandas UDF; the heuristic stays as the dependency-free fallback.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "est"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
+}
+
+#: GPT-2-ish pretokenizer shape: word pieces or single non-space symbols.
+BPE_ISH_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def _regexp_extract_all(col: Column, pattern: str) -> Column:
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex-pretokenizer token count (word runs + punctuation
+    symbols) — the cheap proxy for BPE token budgeting."""
+    return F.size(_regexp_extract_all(text, BPE_ISH_TOKEN_RE))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: counts, character counts,
+    mean token length, distinct-token ratio."""
+    words = whitespace_tokens(F.col(text_col))
+    n_tokens = F.size(words)
+    chars_no_space = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.size(_regexp_extract_all(F.col(text_col), BPE_ISH_TOKEN_RE)).alias("bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        (chars_no_space.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / n_tokens.cast("double")
+        ).alias("distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signal: length band + vocabulary diversity +
+    stopword presence (the classic cheap pre-filter before expensive
+    model-based scoring)."""
+    words = F.array_distinct(whitespace_tokens(F.col(text_col)))
+    n_tokens = token_count(F.col(text_col))
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    distinct_ratio = F.size(words).cast("double") / n_tokens.cast("double")
+    score = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), 0.4).otherwise(0.0)
+        + F.when(distinct_ratio > 0.3, 0.3).otherwise(0.0)
+        + F.when(stop_hits >= 2, 0.3).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_hits.alias("stopword_hits"),
+        score.alias("quality_score"),
+        F.when(score >= 0.7, "good").when(score >= 0.4, "fair").otherwise("low").alias(
+            "quality_band"
+        ),
+    )
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language scoring: count distinct-word overlap
+    with each language's stopword list, predict the argmax (ties →
+    lexicographic language order; 'unknown' when nothing hits)."""
+    words = F.array_distinct(whitespace_tokens(F.col(text_col)))
+    hit_cols = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("unknown")
+    # Reverse lexicographic chain so earlier languages win ties.
+    for lang in sorted(hit_cols, reverse=True):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("unknown")).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic polynomial rolling hash of the full text
+    (mod 1e9+7) as a compact content fingerprint — exact-dup
+    detection across shards without shipping the text. Pure
+    sequential fold, bit-identical everywhere."""
+    fp = F.expr(
+        f"aggregate(transform(sequence(1, length({text_col})), "
+        f"i -> ascii(substring({text_col}, i, 1))), "
+        f"0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    return df.select(F.col(id_col), F.length(text_col).alias("n_chars"), fp.alias("fingerprint"))

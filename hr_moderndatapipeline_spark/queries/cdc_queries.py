@@ -1,0 +1,257 @@
+"""CDC / SCD2 / DQ queries (SURVEY.md §2.11-§2.12) over the test
+corpus, each with a DuckDB oracle.
+
+Domain mapping: ``events`` serves as the versioned change log (key =
+``user_id``, version timestamp = ``ts``), ``orders`` as the
+upsert-target entity stream. The operators under test are the
+engine's own (operators/cdc.py, operators/scd2.py, functions/dq.py);
+the oracles restate the *semantics* in plain window-function SQL —
+deliberately a different formulation than the implementation, so a
+hash match is meaningful verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.functions.dq import Rule, apply_rules
+from hr_moderndatapipeline_spark.operators.cdc import classify_cdc_ops, upsert_apply
+from hr_moderndatapipeline_spark.operators.relational import latest_per_key
+from hr_moderndatapipeline_spark.operators.scd2 import as_of_join, scd2_from_history
+from hr_moderndatapipeline_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ── K2 — latest-row-wins upsert apply (MERGE semantics without Delta) ──
+
+def q_cdc_upsert_current_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target = latest pre-1998 order per customer; source = the 1998+
+    order batch. ``upsert_apply`` merges them latest-wins per
+    customer — the bronze MERGE of jobs/bronze/bronze_builder.py:116-123."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    target = latest_per_key(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    )
+    source = orders.filter(F.col("o_orderdate") >= cutoff)
+    return upsert_apply(target, source, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+
+
+ORACLE_CDC_UPSERT = """
+WITH target AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+  WHERE rn = 1),
+source AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+merged AS (SELECT *, 0 AS pri FROM target UNION ALL SELECT *, 1 AS pri FROM source)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC, pri DESC) AS rn
+      FROM merged)
+WHERE rn = 1
+"""
+
+
+# ── K3-fixed — SCD2 history build ──
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 dimension from the event change log: each event is a
+    version of its user's state; validity runs to the next event
+    (open-ended 2099-12-31 for the latest) — the corrected two-phase
+    SCD2 semantics of SURVEY.md §2.11.3 as a history recompute."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    return scd2_from_history(ev, ["user_id"], "ts")
+
+
+ORACLE_SCD2_USER_STATE = """
+SELECT user_id, ts, event_type, value,
+       ts AS effective_start_date,
+       COALESCE(lead(ts) OVER w, TIMESTAMP '2099-12-31 00:00:00') AS effective_end_date,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+# ── §2.11.7 — CDC op classification (INSERT/UPDATE/DELETE) ──
+
+def q_cdc_op_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-window reconstruction of CDC ops from version history
+    (replaces the reference's pandas loop, jobs/bronze/bronze_reader.py:101-122);
+    'error' events model the soft-delete flag (§2.11.4)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("is_del", F.col("event_type") == "error")
+    )
+    out = classify_cdc_ops(ev, ["user_id"], "ts", soft_delete_col="is_del")
+    return out.select("event_id", "user_id", "ts", "op")
+
+
+ORACLE_CDC_OPS = """
+SELECT event_id, user_id, ts,
+       CASE WHEN event_type = 'error' THEN 'DELETE'
+            WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 'INSERT'
+            ELSE 'UPDATE' END AS op
+FROM events
+"""
+
+
+# ── as-of join — point-in-time dimension resolution over SCD2 ranges ──
+
+def q_asof_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, resolve the user's most recent
+    non-purchase state at purchase time via ``as_of_join`` on the
+    SCD2 ranges (the idiomatic completion of the reference's SCD2
+    model — SURVEY.md §2.4). Dim is broadcast: the fact side never
+    shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_history(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", F.col("event_type").alias("state_type")
+        ),
+        ["user_id"],
+        "ts",
+    ).select("user_id", "state_type", "effective_start_date", "effective_end_date")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = as_of_join(facts, dim, ["user_id"], "purchase_ts")
+    return out.select(
+        "event_id", "user_id", "purchase_ts", "state_type", "effective_start_date"
+    )
+
+
+ORACLE_ASOF_PURCHASE_STATE = """
+WITH dim AS (
+  SELECT user_id, event_type AS state_type, ts AS effective_start_date,
+         COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  TIMESTAMP '2099-12-31 00:00:00') AS effective_end_date
+  FROM events WHERE event_type <> 'purchase'),
+facts AS (SELECT event_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.purchase_ts, d.state_type, d.effective_start_date
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.effective_start_date <= f.purchase_ts
+ AND f.purchase_ts < d.effective_end_date
+"""
+
+
+# ── §2.12 — DQ rules engine with quarantine tagging ──
+
+CUSTOMER_RULES = [
+    Rule("customer.not_null.c_mktsegment.0", "not_null", "c_mktsegment"),
+    Rule("customer.between.c_acctbal.1", "between", "c_acctbal", min=0.0, max=5000.0),
+    Rule("customer.unique.c_name.2", "unique", "c_name"),
+    Rule(
+        "customer.foreign_key.c_nationkey.3",
+        "foreign_key",
+        "c_nationkey",
+        ref_table="nation",
+        ref_column="n_nationkey",
+    ),
+]
+
+
+def q_dq_violations_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML rule language of data-quality/dq_rules.yaml compiled
+    to distributed predicates; output = quarantine tag list
+    (one row per violated rule per record, K10)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    _, violations = apply_rules(
+        cust, CUSTOMER_RULES, refs={"nation": nation}, id_cols=["c_custkey"]
+    )
+    return violations
+
+
+ORACLE_DQ_VIOLATIONS = """
+SELECT c_custkey, 'customer.not_null.c_mktsegment.0' AS rule_id
+FROM customer WHERE c_mktsegment IS NULL
+UNION ALL
+SELECT c_custkey, 'customer.between.c_acctbal.1' AS rule_id
+FROM customer WHERE c_acctbal IS NULL OR c_acctbal < 0 OR c_acctbal > 5000
+UNION ALL
+SELECT c_custkey, 'customer.unique.c_name.2' AS rule_id
+FROM customer WHERE c_name IN (SELECT c_name FROM customer GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT c_custkey, 'customer.foreign_key.c_nationkey.3' AS rule_id
+FROM customer WHERE c_nationkey IS NOT NULL
+                AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+"""
+
+
+# ── T6 — schema-validation DLQ split (batch shape of the streaming path) ──
+
+def q_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from_json-NULL validity split (kafka/consumer/kafka_DLQ.py:50-56):
+    payloads failing schema parse route to the DLQ with a reason.
+    Corruption is simulated deterministically (every 10th event gets
+    a malformed payload). Identical code runs on a Kafka stream."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    # Prepend the corruption: Spark's permissive JSON parser accepts
+    # trailing garbage, but a leading non-JSON byte fails in both engines.
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # Permissive from_json yields a row of NULLs (not a NULL struct)
+    # on parse failure; the explicit _corrupt_record column is the
+    # reliable validity signal.
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = ev.withColumn("payload", payload).withColumn(
+        "data",
+        F.from_json(F.col("payload"), schema, {"columnNameOfCorruptRecord": "_corrupt_record"}),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("data._corrupt_record").isNull().alias("is_valid"),
+        F.col("data.k").alias("k_val"),
+        F.when(F.col("data._corrupt_record").isNotNull(), "schema_parse_failed").alias(
+            "dlq_reason"
+        ),
+    )
+
+
+ORACLE_DLQ_SPLIT = """
+WITH p AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS payload
+  FROM events)
+SELECT event_id,
+       json_valid(payload) AS is_valid,
+       CASE WHEN json_valid(payload)
+            THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k_val,
+       CASE WHEN NOT json_valid(payload) THEN 'schema_parse_failed' END AS dlq_reason
+FROM p
+"""
+
+
+QUERIES = {
+    "cdc_upsert_current_orders": q_cdc_upsert_current_orders,
+    "scd2_user_state": q_scd2_user_state,
+    "cdc_op_classification": q_cdc_op_classification,
+    "asof_purchase_state": q_asof_purchase_state,
+    "dq_violations_customer": q_dq_violations_customer,
+    "dlq_split": q_dlq_split,
+}
+
+ORACLES = {
+    "cdc_upsert_current_orders": ORACLE_CDC_UPSERT,
+    "scd2_user_state": ORACLE_SCD2_USER_STATE,
+    "cdc_op_classification": ORACLE_CDC_OPS,
+    "asof_purchase_state": ORACLE_ASOF_PURCHASE_STATE,
+    "dq_violations_customer": ORACLE_DQ_VIOLATIONS,
+    "dlq_split": ORACLE_DLQ_SPLIT,
+}

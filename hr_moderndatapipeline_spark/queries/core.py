@@ -1,0 +1,588 @@
+"""Relational-core queries (SURVEY.md §2.3-§2.9): projections,
+joins, aggregations, windows, sorts, set ops, scalar kit.
+
+Domain mapping: the reference's HR attrition analytics translate to
+the TPC-H-ish test corpus as order-status analytics — the gold
+monthly-attrition model (dbt/models/gold/gold_attrition_prototype.sql:16-26)
+becomes "finished-order rate by year/month", its per-department
+variant (gold_attrition_department_prototype.sql) becomes per-market-
+segment, and the summary rollup (gold_attrition_summary.sql) the
+yearly rollup. Operator shapes are identical; only table/column names
+differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.functions.kit import dec_sum, null_safe_ratio, with_period_keys
+from hr_moderndatapipeline_spark.operators.relational import (
+    change_pairs,
+    duplicate_keys,
+    latest_per_key,
+    topk,
+    topk_per_group,
+)
+from hr_moderndatapipeline_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ── A3/F7/F10/O1 — flagship: monthly status-rate (gold_attrition_prototype) ──
+
+def q_attrition_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(CASE WHEN)/COUNT(*) with null-safe ratio per year/month
+    (reference gold model A3, dbt/models/gold/gold_attrition_prototype.sql:16-26)."""
+    orders = with_period_keys(_t(spark, sf_dir, "orders"), "o_orderdate")
+    agg = orders.groupBy("year", "month").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("attrition_count"),
+        F.count(F.lit(1)).alias("total_orders"),
+    )
+    return agg.withColumn(
+        "attrition_rate", null_safe_ratio(F.col("attrition_count"), F.col("total_orders"))
+    ).orderBy("year", "month")
+
+
+ORACLE_ATTRITION_MONTHLY = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS attrition_count,
+       count(*) AS total_orders,
+       COALESCE(CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)
+                / NULLIF(CAST(count(*) AS DOUBLE), 0.0), 0.0) AS attrition_rate
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ── A4/J1 — join with residual predicate + multi-key group ──
+
+def q_attrition_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders × customer inner equi-join with residual predicate in
+    the ON clause (J1, gold_attrition_department_prototype.sql:22-25),
+    grouped per segment/year. The customer dim is broadcast — at
+    100 TB the fact side never shuffles for this join."""
+    orders = with_period_keys(_t(spark, sf_dir, "orders"), "o_orderdate")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust),
+        (orders.o_custkey == cust.c_custkey) & (cust.c_acctbal > 0),
+        "inner",
+    )
+    agg = joined.groupBy("c_mktsegment", "year").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("attrition_count"),
+        F.count(F.lit(1)).alias("total_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+    )
+    return agg.withColumn(
+        "attrition_rate", null_safe_ratio(F.col("attrition_count"), F.col("total_orders"))
+    )
+
+
+ORACLE_ATTRITION_BY_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS attrition_count,
+       count(*) AS total_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COALESCE(CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)
+                / NULLIF(CAST(count(*) AS DOUBLE), 0.0), 0.0) AS attrition_rate
+FROM orders JOIN customer ON o_custkey = c_custkey AND c_acctbal > 0
+GROUP BY 1, 2
+"""
+
+
+# ── A5 — hierarchical rollup of the monthly model (gold_attrition_summary) ──
+
+def q_attrition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup via ``rollup()`` grouping sets — the idiomatic
+    form of the reference's manual A3→A5 re-aggregation
+    (dbt/models/gold/gold_attrition_summary.sql:3-11)."""
+    orders = with_period_keys(_t(spark, sf_dir, "orders"), "o_orderdate")
+    agg = orders.rollup("year", "month").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("attrition_count"),
+        F.count(F.lit(1)).alias("total_orders"),
+    )
+    return agg.withColumn(
+        "attrition_rate", null_safe_ratio(F.col("attrition_count"), F.col("total_orders"))
+    )
+
+
+ORACLE_ATTRITION_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS attrition_count,
+       count(*) AS total_orders,
+       COALESCE(CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)
+                / NULLIF(CAST(count(*) AS DOUBLE), 0.0), 0.0) AS attrition_rate
+FROM orders
+GROUP BY ROLLUP(1, 2)
+"""
+
+
+# ── TPC-H Q1 shape — wide aggregate with exact decimal money math ──
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + groupBy + many aggregates (the canonical scan-heavy
+    OLAP aggregate). Money sums accumulate in DECIMAL → DOUBLE so the
+    result is order-independent (stable under any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+        F.sum(price * disc_f * tax_f).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return (
+        agg.withColumn(
+            "avg_qty", F.col("sum_qty") / F.col("count_order").cast("double")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ── W1 — latest-per-key dedup (tests/delta_reader_spark.py:59-65) ──
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return latest_per_key(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+
+
+ORACLE_LATEST_ORDER = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+# ── W2 — per-key change pairs via lag (bronze_reader before/after) ──
+
+def q_event_change_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    out = change_pairs(ev, ["user_id"], ["ts", "event_id"], ["event_type", "value"])
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "event_type_prev",
+        "value", "value_prev", "has_change",
+    )
+
+
+ORACLE_EVENT_CHANGE_PAIRS = """
+SELECT user_id, event_id, ts, event_type,
+       lag(event_type) OVER w AS event_type_prev,
+       value,
+       lag(value) OVER w AS value_prev,
+       COALESCE(event_type IS DISTINCT FROM lag(event_type) OVER w
+                OR value IS DISTINCT FROM lag(value) OVER w, FALSE) AS has_change
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ── J3 — semi / anti joins (FK-validity membership) ──
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    )
+
+
+ORACLE_CUSTOMERS_WITH_ORDERS = """
+SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT * FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ── multi-join snowflake + agg ──
+
+def q_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region with both dims broadcast; one
+    shuffle only for the final aggregate."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dec_sum("s_acctbal").alias("total_acctbal"),
+    )
+
+
+ORACLE_SUPPLIER_BY_REGION = """
+SELECT r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# ── J4 — self-join (manager-hierarchy shape, hr_oltp_ddl.sql:45) ──
+
+def q_nation_pairs_same_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_regionkey").alias("regionkey"),
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+        )
+    )
+
+
+ORACLE_NATION_PAIRS = """
+SELECT a.n_regionkey AS regionkey, a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+# ── A6 — duplicate-key detection (DQ uniqueness as groupBy) ──
+
+def q_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_keys(_t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+ORACLE_DUPLICATE_CUSTKEYS = """
+SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ── O-topk — global top-k (TakeOrderedAndProject) ──
+
+def q_top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("revenue"))
+    return topk(rev, [F.col("revenue"), F.col("o_custkey")], 10)
+
+
+ORACLE_TOP10_CUSTOMERS = """
+SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 DESC LIMIT 10
+"""
+
+
+# ── top-k per group ──
+
+def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    out = topk_per_group(
+        j, ["c_mktsegment"], [F.col("o_totalprice"), F.col("o_orderkey")], 3
+    )
+    return out.select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+
+
+ORACLE_TOP3_PER_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rk <= 3
+"""
+
+
+# ── §2.8 — set operations ──
+
+def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over two customer selections,
+    tagged by operation (required by the corrected two-phase SCD2,
+    SURVEY.md §2.8)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        a.union(b).distinct().withColumn("op", F.lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", F.lit("intersect")))
+        .unionByName(a.exceptAll(b).withColumn("op", F.lit("except")))
+    )
+
+
+ORACLE_SEGMENT_SET_OPS = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM a EXCEPT ALL SELECT c_custkey FROM b)
+"""
+
+
+# ── F-kit — scalar function projection (F5-F10) ──
+
+def q_lineitem_scalar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row scalar kit: date parts, datediff, trunc, CASE,
+    null-safe money math — all JVM-side expressions inside one
+    whole-stage-codegen span (no Python on the hot path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.trunc("l_shipdate", "MM").alias("ship_month_start"),
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
+        (price * disc_f).cast("double").alias("discounted_price"),
+        F.when(F.col("l_returnflag") == "R", "returned").otherwise("kept").alias("return_status"),
+        null_safe_ratio(F.col("l_extendedprice"), F.col("l_quantity")).alias("unit_price"),
+    )
+
+
+ORACLE_LINEITEM_SCALAR_KIT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INTEGER) AS days_since_epoch95,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discounted_price,
+       CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS return_status,
+       COALESCE(CAST(l_extendedprice AS DOUBLE) / NULLIF(CAST(l_quantity AS DOUBLE), 0.0), 0.0) AS unit_price
+FROM lineitem
+"""
+
+
+# ── F2 — JSON extraction + aggregation ──
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath extraction from the event payload
+    (util/verify_spark.py:95-99 Debezium-unwrap shape) + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k_val", F.get_json_object(F.col("props"), "$.k").cast("int")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("k_val").cast("long")).alias("sum_k"),
+        F.max("k_val").alias("max_k"),
+    )
+
+
+ORACLE_EVENT_PROPS_JSON = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# ── T7-uplift — tumbling-window aggregate (batch shape) ──
+
+def q_event_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts — the batch shape of the
+    Structured Streaming windowed aggregate (streaming uplift T7);
+    identical code runs on a stream via readStream + withWatermark."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("total_value"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )
+
+
+ORACLE_EVENT_HOURLY_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ── sessionization — lag + gap + cumulative session ids ──
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events with a 30-minute inactivity gap: lag →
+    gap flag → running sum = session id; then per-user session
+    stats. Exact-microsecond gap math for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("new_session").cast("double")
+        ).alias("events_per_session"),
+    )
+
+
+ORACLE_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS DOUBLE) / CAST(sum(new_session) AS DOUBLE) AS events_per_session
+FROM flagged GROUP BY 1
+"""
+
+
+# ── distinct aggregate ──
+
+def q_distinct_customers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_DISTINCT_BY_PRIORITY = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# ── pivot ──
+
+def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qty).cast("double"))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_open"), F.col("F").alias("qty_finished")
+    )
+
+
+ORACLE_PIVOT_QTY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_finished
+FROM lineitem GROUP BY 1
+"""
+
+
+# ── deterministic sample (replaces ORDER BY random(), O4) ──
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hr_moderndatapipeline_spark.operators.relational import deterministic_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return deterministic_sample(orders, "o_orderkey", 97, 5).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+ORACLE_DETERMINISTIC_SAMPLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 97 < 5
+"""
+
+
+QUERIES = {
+    "attrition_monthly": q_attrition_monthly,
+    "attrition_by_segment": q_attrition_by_segment,
+    "attrition_rollup": q_attrition_rollup,
+    "pricing_summary": q_pricing_summary,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "event_change_pairs": q_event_change_pairs,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "supplier_by_region": q_supplier_by_region,
+    "nation_pairs_same_region": q_nation_pairs_same_region,
+    "duplicate_custkeys": q_duplicate_custkeys,
+    "top10_customers_by_revenue": q_top10_customers_by_revenue,
+    "top3_orders_per_segment": q_top3_orders_per_segment,
+    "segment_set_ops": q_segment_set_ops,
+    "lineitem_scalar_kit": q_lineitem_scalar_kit,
+    "event_props_json": q_event_props_json,
+    "event_hourly_window": q_event_hourly_window,
+    "user_sessions": q_user_sessions,
+    "distinct_customers_by_priority": q_distinct_customers_by_priority,
+    "pivot_qty_by_status": q_pivot_qty_by_status,
+    "deterministic_sample": q_deterministic_sample,
+}
+
+ORACLES = {
+    "attrition_monthly": ORACLE_ATTRITION_MONTHLY,
+    "attrition_by_segment": ORACLE_ATTRITION_BY_SEGMENT,
+    "attrition_rollup": ORACLE_ATTRITION_ROLLUP,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "latest_order_per_customer": ORACLE_LATEST_ORDER,
+    "event_change_pairs": ORACLE_EVENT_CHANGE_PAIRS,
+    "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "supplier_by_region": ORACLE_SUPPLIER_BY_REGION,
+    "nation_pairs_same_region": ORACLE_NATION_PAIRS,
+    "duplicate_custkeys": ORACLE_DUPLICATE_CUSTKEYS,
+    "top10_customers_by_revenue": ORACLE_TOP10_CUSTOMERS,
+    "top3_orders_per_segment": ORACLE_TOP3_PER_SEGMENT,
+    "segment_set_ops": ORACLE_SEGMENT_SET_OPS,
+    "lineitem_scalar_kit": ORACLE_LINEITEM_SCALAR_KIT,
+    "event_props_json": ORACLE_EVENT_PROPS_JSON,
+    "event_hourly_window": ORACLE_EVENT_HOURLY_WINDOW,
+    "user_sessions": ORACLE_USER_SESSIONS,
+    "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
+    "pivot_qty_by_status": ORACLE_PIVOT_QTY,
+    "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
+}

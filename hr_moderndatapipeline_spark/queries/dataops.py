@@ -1,0 +1,311 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal — over the ``documents`` and ``embeddings``
+tables (BASELINE.json north star; graded alongside SURVEY.md §2).
+
+Oracle notes: float scoring uses explicit sequential folds with the
+same evaluation order in Spark (``aggregate``/``transform``) and
+DuckDB (``list_reduce``/``list_transform``) plus rounding, so hashes
+match bit-for-bit. MinHash/SimHash use engine-native 64-bit hashing
+that ANSI SQL cannot restate — those entries are rows-only for the
+driver and pinned by unit tests with planted duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from hr_moderndatapipeline_spark.operators.multimodal import (
+    extract_features,
+    fake_media_from_documents,
+    sample_frames,
+)
+from hr_moderndatapipeline_spark.operators.similarity import (
+    ann_bruteforce,
+    ann_lsh,
+    neardup_pairs_by_cosine,
+)
+from hr_moderndatapipeline_spark.operators.text import (
+    doc_fingerprint,
+    lang_id_heuristic,
+    quality_score,
+    token_stats,
+)
+from hr_moderndatapipeline_spark.sources.readers import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ── exact dedup (hash-groupBy) ──
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a corpus with duplicates (the corpus
+    unioned with itself simulates a re-crawl): one representative per
+    distinct text. One shuffle on the content hash."""
+    docs = _docs(spark, sf_dir)
+    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return dedup_exact(recrawl, ["text"], "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+WITH recrawl AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents)
+SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM recrawl GROUP BY text
+"""
+
+
+# ── n-gram (word-set) Jaccard near-dup over blocked pairs ──
+
+def q_jaccard_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard over source-blocked candidate pairs —
+    the verification stage of near-dup detection, blocked so the
+    self-join is linear in block size."""
+    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", "source", threshold=0.9)
+
+
+ORACLE_JACCARD_PAIRS = """
+WITH d AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS words FROM documents)
+SELECT a.source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.9
+"""
+
+
+# ── MinHash + LSH near-dup (rows-only: engine-native 64-bit hashing) ──
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → 16-band LSH buckets → candidate pairs → exact
+    Jaccard ≥ 0.8 verification, on the re-crawl corpus (every doc has
+    one exact duplicate ⇒ every doc yields ≥1 pair). Non-SQL hashing
+    → rows-only driver check; invariants unit-tested."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return minhash_dedup_pairs(recrawl, "doc_id", "text", shingle_n=3)
+
+
+# ── SimHash near-dup (rows-only: blake2b hashing in a Pandas UDF) ──
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return simhash_near_pairs(recrawl, "doc_id", "text", max_hamming=3)
+
+
+# ── similarity search: exact brute-force cosine top-k ──
+
+_ANN_ORACLE_FOLD = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * v[i])),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n),
+scored AS (
+  SELECT q_id, c_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[i] * cv[i])),
+                           (acc, x) -> acc + x) / (qn * cn), 6) AS cosine
+  FROM q, c WHERE c_id <> q_id)
+SELECT q_id, c_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM scored)
+WHERE rk <= 10
+"""
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 50th vector as query: broadcast
+    queries × one corpus scan, sequential-fold scoring, per-query
+    ranking. The correctness baseline for the ANN path."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_bruteforce(emb, queries, "vec_id", "embedding", k=10, dim=64)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (the scale path: signature
+    bucket join instead of cross product). Approximate ⇒ rows-only
+    driver check; recall vs brute force is unit-tested."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64)
+
+
+# ── embedding-cosine near-dup pairs within label blocks ──
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs_by_cosine(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label", threshold=0.9, dim=64
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * v[i])),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM e)
+SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+                         (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+                        (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) >= 0.9
+"""
+
+
+# ── text analysis ──
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       / CAST(len(str_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+       CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+       / CAST(len(str_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+         / CAST(len(str_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['the','a','of','and','to','in','is'])) AS INTEGER) AS stopword_hits
+  FROM documents)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_hits,
+       (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CASE WHEN distinct_ratio > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CASE WHEN stopword_hits >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality_score,
+       CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN distinct_ratio > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN stopword_hits >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) >= 0.7 THEN 'good'
+            WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN distinct_ratio > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN stopword_hits >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) >= 0.4 THEN 'fair'
+            ELSE 'low' END AS quality_band
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_heuristic(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_LANG_ID = """
+WITH w AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS words FROM documents),
+h AS (SELECT doc_id,
+             CAST(len(list_intersect(words, ['the','a','of','and','to','in','is'])) AS INTEGER) AS hits_en,
+             CAST(len(list_intersect(words, ['el','la','de','y','que','en','es'])) AS INTEGER) AS hits_es,
+             CAST(len(list_intersect(words, ['le','la','de','et','que','en','est'])) AS INTEGER) AS hits_fr,
+             CAST(len(list_intersect(words, ['der','die','das','und','zu','ist','ein'])) AS INTEGER) AS hits_de
+      FROM w)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+       CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) <= 0 THEN 'unknown'
+            WHEN hits_de = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'de'
+            WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+            WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM h
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(range(1, length(text) + 1),
+                                               i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+# ── multimodal plumbing (rows-only: binary payloads, stubbed codecs) ──
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas Arrow-batch feature
+    extraction (deterministic fake codec; real plumbing). Binary/
+    array outputs are non-SQL-comparable → rows-only check."""
+    media = fake_media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media)
+
+
+def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven frame sampling rows for video media."""
+    media = fake_media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media, every_ms=1000)
+
+
+ORACLE_VIDEO_FRAME_SAMPLES = """
+WITH v AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, CAST(unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS INTEGER) AS frame_ts_ms
+FROM v
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "video_frame_samples": q_video_frame_samples,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
+    "ann_bruteforce_topk": _ANN_ORACLE_FOLD,
+    "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
+    # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
+    # multimodal_features: rows-only (non-SQL hashing / binary columns).
+}

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+The reference builds one session per job script with Delta extensions,
+JDBC jars and stability tuning (reference: jobs/bronze/bronze_builder.py:57-71,
+config/config.yaml:19). Here a single factory owns the session policy:
+
+- AQE on (runtime partition coalescing + skew-join handling) — at 100 TB
+  the static shuffle-partition guess is always wrong somewhere; AQE
+  re-plans per stage.
+- ``spark.sql.session.timeZone=UTC`` — the reference uses TIMESTAMPTZ
+  watermark columns; pinning UTC keeps watermark comparisons and
+  cross-engine (DuckDB oracle) results stable.
+- Arrow enabled for any pandas interchange (Pandas UDFs, toPandas).
+- shuffle partitions sized to local cores for tests; a real cluster
+  deployment overrides via ``extra_conf`` (or spark-defaults).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hr_mdp_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 1)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        # ANSI off: the engine follows the reference's permissive SQL
+        # semantics (NULL on bad cast / div-by-zero feeds the DLQ and
+        # DQ paths instead of failing the job).
+        .config("spark.sql.ansi.enabled", "false")
+        # Read parquet TIMESTAMP(NANOS) columns (written by pandas/
+        # Arrow ns-precision writers) as raw long; sources.readers
+        # converts them to micros timestamps explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,11 @@
+from hr_moderndatapipeline_spark.sources.readers import (  # noqa: F401
+    TABLES,
+    jdbc_pushdown_query,
+    load_table,
+    register_views,
+)
+from hr_moderndatapipeline_spark.sources.watermark import (  # noqa: F401
+    FileWatermarkStore,
+    MemoryWatermarkStore,
+    incremental_read,
+)
