@@ -1,0 +1,82 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Results are written to a no-op sink (full plan execution, no driver
+materialization cost), matching how a production job would behave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hr_moderndatapipeline_spark import get_spark
+from hr_moderndatapipeline_spark import queries as qmod
+
+#: Headline set: one representative per operator family (full
+#: inventory correctness is the driver's t2 job; bench tracks the
+#: throughput-critical shapes).
+BENCH_QUERIES = [
+    "pricing_summary",            # scan-heavy multi-aggregate
+    "attrition_monthly",          # groupBy + conditional agg (flagship)
+    "attrition_by_segment",       # broadcast join + agg
+    "latest_order_per_customer",  # window dedup
+    "cdc_upsert_current_orders",  # merge/upsert
+    "scd2_user_state",            # SCD2 history build
+    "asof_purchase_state",        # as-of range join
+    "dq_violations_customer",     # DQ rules engine
+    "user_sessions",              # sessionization windows
+    "event_hourly_window",        # time-window agg
+    "dedup_exact",                # exact dedup
+    "minhash_dedup_pairs",        # MinHash+LSH near-dup
+    "jaccard_pairs_by_source",    # blocked Jaccard verify
+    "ann_bruteforce_topk",        # exact cosine top-k
+    "ann_lsh_topk",               # LSH ANN
+    "token_stats",                # text analysis
+    "doc_fingerprint",            # rolling-hash fingerprint
+    "multimodal_features",        # mapInPandas feature extraction
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    all_queries = qmod.queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once on the flagship so per-query numbers
+    # measure steady-state execution, not first-job startup.
+    all_queries["attrition_monthly"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name in BENCH_QUERIES:
+        fn = all_queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,12 @@ def word_shingles(text: Column, n: int) -> Column:
     )
 
 
+def _seeded_hash(seed: int):
+    # Single-arg lambda factory: a two-arg lambda would be treated by
+    # pyspark's transform() as (element, index) and silently drop the seed.
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for hash function i, min over shingles of
     ``xxhash64(i, shingle)``. k independent permutations approximated
@@ -58,7 +64,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     shingle sets (caller filters)."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
     )
@@ -102,9 +108,16 @@ def lsh_candidate_pairs(
     first."""
     bucketed = lsh_bucket_rows(df, id_col, sig_col, bands, rows_per_band)
     if max_bucket is not None:
-        sizes = bucketed.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        # Window count, not a groupBy+self-join: a join back onto the
+        # same lineage makes Spark dedup the join attributes into a
+        # degenerate condition (0 candidate pairs), and the window
+        # reuses the exact (band, bucket) hash partitioning the
+        # candidate self-join below shuffles on anyway.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "bucket")
         bucketed = (
-            bucketed.join(sizes, ["band_idx", "bucket"])
+            bucketed.withColumn("_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
