@@ -45,7 +45,11 @@ def word_shingles(text: Column, n: int) -> Column:
     """Distinct n-word shingles of a whitespace-tokenized text,
     entirely as JVM array expressions (no UDF)."""
     words = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    # Guard short texts: sequence(1, 0) is DESCENDING [1, 0] in Spark
+    # and slice(…, 0, n) throws — emit an empty shingle set instead.
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     )

@@ -85,10 +85,11 @@ def ann_bruteforce(
     )
 
 
-def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+def _hyperplanes(num_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes derived from a
     content-independent integer hash (no RNG state, reproducible
-    everywhere)."""
+    everywhere); ``seed`` derives independent plane sets per LSH
+    table."""
     import hashlib
 
     planes = []
@@ -96,7 +97,7 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
         row = []
         for d in range(dim):
             h = int.from_bytes(
-                hashlib.blake2b(f"plane:{p}:{d}".encode(), digest_size=4).digest(), "big"
+                hashlib.blake2b(f"plane:{seed}:{p}:{d}".encode(), digest_size=4).digest(), "big"
             )
             row.append((h % 2001 - 1000) / 1000.0)
         planes.append(row)
@@ -114,6 +115,21 @@ def lsh_signature(vec: Column, planes: list[list[float]], dim: int) -> Column:
     return sig
 
 
+def _table_signatures(vec: Column, tables: int, planes_per_table: int, dim: int) -> Column:
+    """Array of (table_idx, bucket) structs: one packed sign-bit
+    signature per hash table, planes seeded by table index."""
+    entries = []
+    for t in range(tables):
+        planes = _hyperplanes(planes_per_table, dim, seed=t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature(vec, planes, dim).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,42 +137,52 @@ def ann_lsh(
     vec_col: str,
     k: int = 10,
     dim: int = 64,
-    num_planes: int = 12,
-    multiprobe: bool = True,
+    tables: int = 10,
+    planes_per_table: int = 6,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: restrict scoring to corpus vectors whose
-    hyperplane signature matches the query's (exactly, or within
-    Hamming distance 1 when ``multiprobe``). At scale this turns the
-    cross product into a bucket equi-join on the signature.
+    """Approximate top-k via multi-table hyperplane LSH: ``tables``
+    independent signatures of ``planes_per_table`` sign bits each; a
+    corpus vector is a candidate for a query iff they collide in ≥1
+    table. Collision prob for angle θ is 1-(1-p^r)^L with
+    p = 1 - θ/π — few planes per table keeps per-table recall
+    workable, many tables amplifies it, and the (table, bucket)
+    equi-join replaces the cross product.
+
+    Candidates are built from bucket rows carrying ids only (the
+    vectors join in after dedup), so the exploded shuffle moves
+    (table, bucket, id) triples — not ``tables`` copies of every
+    embedding.
 
     Returns (q_id, c_id, cosine, rk) — a subset of the brute-force
-    result with recall controlled by num_planes/multiprobe."""
-    planes = _hyperplanes(num_planes, dim)
+    result; recall is tuned by (tables, planes_per_table)."""
     c = corpus.select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
-    ).withColumn("_csig", lsh_signature(F.col("_cv"), planes, dim))
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qsig", lsh_signature(F.col("_qv"), planes, dim))
-    if multiprobe:
-        # Probe the exact bucket plus each 1-bit flip of the query signature.
-        probes = F.array(
-            F.col("_qsig"),
-            *[
-                F.col("_qsig").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(num_planes)
-            ],
-        )
-        q = q.withColumn("_probe", F.explode(probes))
-    else:
-        q = q.withColumn("_probe", F.col("_qsig"))
-    joined = c.join(F.broadcast(q), c["_csig"] == q["_probe"]).filter(
-        F.col("c_id") != F.col("q_id")
     )
-    scored = joined.withColumn(
-        "cosine", F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits)
-    ).select("q_id", "c_id", "cosine").distinct()
+    sig = lambda v: _table_signatures(v, tables, planes_per_table, dim)  # noqa: E731
+    c_buckets = c.select("c_id", F.explode(sig(F.col("_cv"))).alias("_b")).select(
+        "c_id", "_b.tbl", "_b.bucket"
+    )
+    q_buckets = q.select("q_id", F.explode(sig(F.col("_qv"))).alias("_b")).select(
+        "q_id", "_b.tbl", "_b.bucket"
+    )
+    cands = (
+        c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn(
+            "cosine", F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits)
+        )
+        .select("q_id", "c_id", "cosine")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
