@@ -55,23 +55,44 @@ def word_shingles(text: Column, n: int) -> Column:
     )
 
 
-def _seeded_hash(seed: int):
-    # Single-arg lambda factory: a two-arg lambda would be treated by
-    # pyspark's transform() as (element, index) and silently drop the seed.
-    return lambda s: F.xxhash64(F.lit(seed), s)
+def _s64(x: int) -> int:
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficient pairs for the permutation
+    family h_i(x) = a_i*x + b_i over Java long arithmetic (overflow
+    wraps = mod 2^64); a_i odd so the map is a bijection."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.blake2b(f"minhash:{i}".encode(), digest_size=16).digest()
+        a = int.from_bytes(d[:8], "big") | 1
+        b = int.from_bytes(d[8:], "big")
+        out.append((_s64(a), _s64(b)))
+    return out
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for hash function i, min over shingles of
-    ``xxhash64(i, shingle)``. k independent permutations approximated
-    by k seeds — the standard one-pass construction. Null for empty
-    shingle sets (caller filters)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    """MinHash signature in ONE traversal of the shingle array: each
+    shingle is hashed once (xxhash64 → long), and the k permutations
+    are affine maps a_i*h+b_i over wrapping long arithmetic folded
+    into a running elementwise minimum (zip_with/least). All JVM
+    codegen arithmetic — strings are hashed exactly once, not k
+    times. Empty shingle sets yield the MAX_LONG init vector (caller
+    filters empties)."""
+    coeffs = _mh_coeffs(num_hashes)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    init = F.array(*[F.lit(_s64((1 << 63) - 1)).cast("long") for _ in range(num_hashes)])
+
+    def step(acc: Column, h: Column) -> Column:
+        cand = F.array(
+            *[F.lit(a).cast("long") * h + F.lit(b).cast("long") for a, b in coeffs]
+        )
+        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
+
+    return F.aggregate(hashes, init, step)
 
 
 def lsh_bucket_rows(
@@ -147,8 +168,10 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup detection: shingle → signature
     → banded buckets → candidate pairs → exact shingle-Jaccard
     verification ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
     rows_per_band = num_hashes // bands
-    prepped = df.select(
+    prepped = rebalance(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     ).filter(F.size("_sh") > 0)
     with_sig = prepped.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
@@ -200,7 +223,9 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, _simhash64_udf(F.col(text_col)))
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    return rebalance(df).withColumn(out_col, _simhash64_udf(F.col(text_col)))
 
 
 def simhash_near_pairs(
@@ -234,20 +259,32 @@ def jaccard_pairs(
     text_col: str,
     block_col: str,
     threshold: float = 0.8,
+    salt: int = 8,
 ) -> DataFrame:
     """Exact word-set Jaccard over candidate pairs blocked by
     ``block_col`` (e.g. source, length bucket, or an LSH bucket).
     Blocking keeps the self-join linear in block sizes — never run
-    this unblocked at scale."""
+    this unblocked at scale.
+
+    The block self-join is salted ``salt`` ways: with few large
+    blocks, an unsalted join funnels each block's O(n²) pair math
+    into one task. Side A gets a content-derived salt; side B is
+    replicated once per salt value — pair coverage is exact, and
+    each block's work spreads across ``salt`` tasks."""
     d = df.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("_words"),
     )
-    a = d.toDF(f"{id_col}_a", "_blk", "_words_a")
-    b = d.toDF(f"{id_col}_b", "_blk", "_words_b")
+    a = d.toDF(f"{id_col}_a", "_blk", "_words_a").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
+    )
+    b = (
+        d.toDF(f"{id_col}_b", "_blk", "_words_b")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    )
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_salt"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .withColumn(
             "jaccard",

@@ -126,7 +126,9 @@ def extract_features(media: DataFrame, batch_fake: bool = True) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_extract, schema=_FEATURE_SCHEMA)
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    return rebalance(media).mapInPandas(_extract, schema=_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -35,6 +35,19 @@ def _cols(cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cols]
 
 
+def rebalance(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — use before
+    CPU-heavy map stages (hashing, signature folds, Pandas UDFs).
+    A small/compacted parquet file scans as a handful of input
+    splits, which would serialize the expensive per-row compute on a
+    few cores; one cheap shuffle of the raw rows buys full-cluster
+    parallelism for everything downstream. No-op cost at real scale
+    (file splits already ≈ parallelism) and it also evens out
+    skewed splits."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * multiple)
+
+
 def latest_per_key(
     df: DataFrame,
     keys: Sequence[str],

@@ -61,12 +61,14 @@ def ann_bruteforce(
     shuffle (tiny) follows. Self-matches excluded.
 
     Returns (q_id, c_id, cosine, rk)."""
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
         )
     )
-    c = corpus.select(
+    c = rebalance(corpus).select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
     )
     scored = (
@@ -156,7 +158,9 @@ def ann_lsh(
 
     Returns (q_id, c_id, cosine, rk) — a subset of the brute-force
     result; recall is tuned by (tables, planes_per_table)."""
-    c = corpus.select(
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    c = rebalance(corpus).select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
     )
     q = queries.select(
@@ -199,18 +203,25 @@ def neardup_pairs_by_cosine(
     threshold: float = 0.9,
     dim: int = 64,
     round_digits: int = 6,
+    salt: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a
     cluster/label assignment): block equi-join, score, threshold.
     Blocking bounds the pair count; unblocked all-pairs is never
-    acceptable at scale."""
+    acceptable at scale. The self-join is salted ``salt`` ways so a
+    few large blocks don't serialize the O(n²) scoring into a few
+    tasks (side A content-salted, side B replicated per salt)."""
     d = df.select(
         F.col(id_col), F.col(block_col).alias("_blk"), as_double_vec(F.col(vec_col)).alias("_v")
     )
-    a = d.toDF(f"{id_col}_a", "_blk", "_va")
-    b = d.toDF(f"{id_col}_b", "_blk", "_vb")
+    a = d.toDF(f"{id_col}_a", "_blk", "_va").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
+    )
+    b = d.toDF(f"{id_col}_b", "_blk", "_vb").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_salt"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .withColumn(
             "cosine", F.round(cosine(F.col("_va"), F.col("_vb"), dim), round_digits)

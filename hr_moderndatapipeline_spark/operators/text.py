@@ -118,9 +118,13 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (mod 1e9+7) as a compact content fingerprint — exact-dup
     detection across shards without shipping the text. Pure
     sequential fold, bit-identical everywhere."""
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
     fp = F.expr(
         f"aggregate(transform(sequence(1, length({text_col})), "
         f"i -> ascii(substring({text_col}, i, 1))), "
         f"0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
     )
-    return df.select(F.col(id_col), F.length(text_col).alias("n_chars"), fp.alias("fingerprint"))
+    return rebalance(df).select(
+        F.col(id_col), F.length(text_col).alias("n_chars"), fp.alias("fingerprint")
+    )
