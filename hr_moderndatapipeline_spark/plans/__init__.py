@@ -1,0 +1,8 @@
+"""SQL model surface: dependency-ordered materialization of SQL
+models over registered views — the engine's replacement for the
+reference's dbt-on-session flow (SURVEY.md §3.3)."""
+
+from hr_moderndatapipeline_spark.plans.models import Model, ModelRunner
+from hr_moderndatapipeline_spark.plans.gold import GOLD_MODELS
+
+__all__ = ["Model", "ModelRunner", "GOLD_MODELS"]

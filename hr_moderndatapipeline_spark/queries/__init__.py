@@ -16,9 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hr_moderndatapipeline_spark.queries import cdc_queries, core, dataops
+from hr_moderndatapipeline_spark.queries import (
+    cdc_queries,
+    core,
+    dataops,
+    streaming_queries,
+)
 
-_MODULES = (core, cdc_queries, dataops)
+_MODULES = (core, cdc_queries, dataops, streaming_queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -539,8 +539,41 @@ SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 97 < 
 """
 
 
+# ── K9/S6 — SQL model surface: dependency-ordered gold models ──
+
+def q_gold_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-replacement path end-to-end (SURVEY.md §3.3): source
+    views registered by name, the three gold models materialized in
+    topological order (summary reads the monthly model's output),
+    summary returned. Pure Spark SQL → identical Catalyst plans to
+    the DataFrame surface."""
+    from hr_moderndatapipeline_spark.plans import GOLD_MODELS, ModelRunner
+    from hr_moderndatapipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    out = ModelRunner(spark, GOLD_MODELS).run()
+    return out["gold_status_summary"]
+
+
+ORACLE_GOLD_SUMMARY = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS attrition_count,
+         count(*) AS total_orders
+  FROM orders GROUP BY 1, 2)
+SELECT year,
+       CAST(sum(attrition_count) AS BIGINT) AS attrition_count,
+       CAST(sum(total_orders) AS BIGINT) AS total_orders,
+       COALESCE(CAST(sum(attrition_count) AS DOUBLE)
+                / NULLIF(CAST(sum(total_orders) AS DOUBLE), 0.0), 0.0) AS attrition_rate
+FROM monthly GROUP BY 1
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
+    "gold_summary_sql": q_gold_summary_sql,
     "attrition_by_segment": q_attrition_by_segment,
     "attrition_rollup": q_attrition_rollup,
     "pricing_summary": q_pricing_summary,
@@ -565,6 +598,7 @@ QUERIES = {
 
 ORACLES = {
     "attrition_monthly": ORACLE_ATTRITION_MONTHLY,
+    "gold_summary_sql": ORACLE_GOLD_SUMMARY,
     "attrition_by_segment": ORACLE_ATTRITION_BY_SEGMENT,
     "attrition_rollup": ORACLE_ATTRITION_ROLLUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

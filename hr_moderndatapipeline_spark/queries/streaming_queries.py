@@ -1,0 +1,139 @@
+"""Streaming-layer driver entries (SURVEY.md §2.13): each materializes
+the test corpus as a JSON-lines stream source, runs the REAL
+Structured Streaming path (file source → validation split →
+checkpointed sinks / foreachBatch merge) with an availableNow
+trigger, and returns the sunk result as a batch frame.
+
+Rows-only for the driver (streaming execution + engine-native
+checkpointing are not ANSI-SQL-expressible); invariants and
+exactly-once resume semantics are pinned by tests/test_streaming.py.
+Determinism: sources derive from the deterministic events table and
+sinks are re-created per run under a content-keyed temp dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hr_moderndatapipeline_spark.sources.readers import load_table
+from hr_moderndatapipeline_spark.streaming import (
+    file_json_stream,
+    foreach_batch_scd2,
+    parse_with_dlq,
+    start_append_sink,
+    start_json_dlq_sink,
+)
+from hr_moderndatapipeline_spark.streaming.sinks import read_snapshot
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _workdir(sf_dir: str, name: str) -> str:
+    """Fresh work dir per (run, query): stale state must never leak
+    into checkpoints or sinks."""
+    root = os.path.join(
+        tempfile.gettempdir(), "hr_mdp_stream", name, sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return root
+
+
+def _events_payloads(spark: SparkSession, sf_dir: str, corrupt_every: int | None) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value",
+    )
+    payload = F.to_json(F.struct(*[F.col(c) for c in ev.columns]))
+    if corrupt_every:
+        payload = F.when(
+            F.col("event_id") % corrupt_every == 0, F.concat(F.lit("x"), payload)
+        ).otherwise(payload)
+    return ev.select(payload.alias("value"))
+
+
+def q_streaming_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming DLQ path: events serialized to JSON-lines files
+    (every 10th payload corrupted) → file stream → from_json split →
+    valid rows to a checkpointed parquet append sink, invalid to a
+    JSON DLQ sink → both read back. Returns per-route counts."""
+    wd = _workdir(sf_dir, "dlq")
+    src, valid_out, dlq_out = f"{wd}/src", f"{wd}/valid", f"{wd}/dlq"
+    _events_payloads(spark, sf_dir, corrupt_every=10).coalesce(4).write.text(src)
+
+    raw = file_json_stream(spark, src)
+    valid, dlq = parse_with_dlq(raw, "value", PAYLOAD_SCHEMA)
+    q1 = start_append_sink(valid, valid_out, f"{wd}/cp_v", available_now=True)
+    q2 = start_json_dlq_sink(dlq, dlq_out, f"{wd}/cp_d", available_now=True)
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    v = spark.read.schema(
+        "event_id long, user_id int, event_type string, ts string, value double"
+    ).parquet(valid_out).select(
+        F.lit("valid").alias("route"), "event_id"
+    )
+    d = spark.read.json(dlq_out).select(F.lit("dlq").alias("route"), F.lit(None).cast("long").alias("event_id"))
+    return v.unionByName(d).groupBy("route").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 build: the first 200 users' events stream
+    through foreachBatch two-phase apply into a versioned snapshot;
+    returns per-user version/current counts (equals the batch
+    scd2_from_history on the same slice — asserted in tests)."""
+    wd = _workdir(sf_dir, "scd2")
+    src, target = f"{wd}/src", f"{wd}/target"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    payload = F.to_json(
+        F.struct(
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+    )
+    ev.select(payload.alias("value")).coalesce(2).write.text(src)
+
+    raw = file_json_stream(spark, src)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    valid, _ = parse_with_dlq(raw, "value", schema)
+    typed = valid.withColumn("ts", F.to_timestamp("ts"))
+    q = foreach_batch_scd2(
+        typed, target, f"{wd}/cp", ["user_id"], ["event_type"], "ts", available_now=True
+    )
+    q.awaitTermination(300)
+
+    snap = read_snapshot(spark, target)
+    return snap.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current"),
+    )
+
+
+QUERIES = {
+    "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
+    "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
+}
+
+#: Non-SQL-expressible (real streaming execution) — rows-only.
+ORACLES: dict[str, str] = {}

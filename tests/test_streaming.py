@@ -1,0 +1,243 @@
+"""Structured Streaming layer tests (SURVEY.md §2.13): DLQ split
+completeness on a real stream, checkpointed exactly-once resume,
+foreachBatch upsert/SCD2 snapshots, event-time windows, multi-sink
+fan-out — all on file streams with availableNow triggers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hr_moderndatapipeline_spark.operators.scd2 import validate_scd2
+from hr_moderndatapipeline_spark.streaming import (
+    file_json_stream,
+    foreach_batch_scd2,
+    foreach_batch_upsert,
+    parse_with_dlq,
+    progress_summary,
+    sessionized_counts,
+    start_append_sink,
+    start_json_dlq_sink,
+    windowed_agg,
+)
+from hr_moderndatapipeline_spark.streaming.sinks import read_snapshot
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def write_events(path: str, name: str, events: list[dict | str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write((e if isinstance(e, str) else json.dumps(e)) + "\n")
+
+
+GOOD = [{"user_id": i, "kind": "login", "ts": f"2024-01-01 0{i}:00:00"} for i in range(5)]
+BAD = ["not json at all", '{"user_id": "also-bad"']
+
+
+def test_dlq_split_stream_completeness(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_events(src, "b0.jsonl", GOOD + BAD)
+    raw = file_json_stream(spark, src)
+    assert raw.isStreaming
+    valid, dlq = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+
+    q1 = start_append_sink(
+        valid, str(tmp_path / "valid"), str(tmp_path / "cp_v"), available_now=True
+    )
+    q2 = start_json_dlq_sink(
+        dlq, str(tmp_path / "dlq"), str(tmp_path / "cp_d"), available_now=True
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    got_valid = spark.read.parquet(str(tmp_path / "valid"))
+    got_dlq = spark.read.json(str(tmp_path / "dlq"))
+    # valid ∪ dlq = input, disjoint by construction (SURVEY.md §5)
+    assert got_valid.count() == len(GOOD)
+    assert got_dlq.count() == len(BAD)
+    assert set(got_valid.columns) == {"user_id", "kind", "ts"}
+    one = json.loads(got_dlq.collect()[0]["value"])
+    assert one["reason"] == "schema_parse_failed"
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """T1: the checkpoint must make restarts process only NEW files."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    write_events(src, "b0.jsonl", GOOD)
+    raw = file_json_stream(spark, src)
+    valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+    q = start_append_sink(valid, out, cp, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 5
+
+    # restart with one new file: only its rows append
+    write_events(src, "b1.jsonl", GOOD[:2])
+    raw2 = file_json_stream(spark, src)
+    valid2, _ = parse_with_dlq(raw2, "value", EVENT_SCHEMA)
+    q2 = start_append_sink(valid2, out, cp, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 7  # 5 + 2, not 10 + 2
+
+
+def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    write_events(
+        src,
+        "b0.jsonl",
+        [
+            {"user_id": 1, "kind": "v1", "ts": "2024-01-01 00:00:00"},
+            {"user_id": 2, "kind": "v1", "ts": "2024-01-01 00:00:00"},
+        ],
+    )
+    def run():
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        q = foreach_batch_upsert(
+            typed, target, str(tmp_path / "cp"), ["user_id"], ["ts"], available_now=True
+        )
+        q.awaitTermination(120)
+
+    run()
+    snap1 = read_snapshot(spark, target)
+    assert {r["user_id"]: r["kind"] for r in snap1.collect()} == {1: "v1", 2: "v1"}
+
+    # second micro-batch: update key 1, insert key 3
+    write_events(
+        src,
+        "b1.jsonl",
+        [
+            {"user_id": 1, "kind": "v2", "ts": "2024-01-02 00:00:00"},
+            {"user_id": 3, "kind": "v1", "ts": "2024-01-02 00:00:00"},
+        ],
+    )
+    run()
+    snap2 = read_snapshot(spark, target)
+    assert {r["user_id"]: r["kind"] for r in snap2.collect()} == {1: "v2", 2: "v1", 3: "v1"}
+
+
+def test_foreach_batch_scd2_invariants(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "dim")
+    write_events(src, "b0.jsonl", [{"user_id": 1, "kind": "a", "ts": "2024-01-01 00:00:00"}])
+
+    def run():
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        q = foreach_batch_scd2(
+            typed, target, str(tmp_path / "cp"), ["user_id"], ["kind"], "ts",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    write_events(src, "b1.jsonl", [{"user_id": 1, "kind": "b", "ts": "2024-02-01 00:00:00"}])
+    run()
+    dim = read_snapshot(spark, target)
+    assert validate_scd2(dim, ["user_id"]) == {
+        "keys_without_exactly_one_current": 0,
+        "non_contiguous_ranges": 0,
+        "inverted_ranges": 0,
+    }
+    rows = {(r["kind"]): r for r in dim.collect()}
+    assert rows["a"]["is_current"] is False and rows["b"]["is_current"] is True
+    assert dim.count() == 2
+
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    events = [
+        {"user_id": 1, "kind": "x", "ts": "2024-01-01 00:10:00"},
+        {"user_id": 2, "kind": "x", "ts": "2024-01-01 00:50:00"},
+        {"user_id": 3, "kind": "x", "ts": "2024-01-01 01:10:00"},
+    ]
+    write_events(src, "b0.jsonl", events)
+
+    def run():
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        win = windowed_agg(
+            typed, "ts", "1 hour", {"n": F.count(F.lit(1))}, watermark="0 seconds"
+        )
+        q = start_append_sink(
+            win, str(tmp_path / "out"), str(tmp_path / "cp"), available_now=True
+        )
+        q.awaitTermination(120)
+
+    # Append mode emits a window only once the watermark passes its
+    # end: run 1 flushes the 00:00 window (watermark reaches 01:10);
+    # a later event in run 2 advances the watermark past 02:00 and
+    # flushes the 01:00 window.
+    run()
+    write_events(src, "b1.jsonl", [{"user_id": 9, "kind": "x", "ts": "2024-01-01 03:00:00"}])
+    run()
+    got = {
+        str(r["window_start"]): r["n"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {"2024-01-01 00:00:00": 2, "2024-01-01 01:00:00": 1}
+
+    # identical operator on the batch frame
+    batch = spark.createDataFrame(
+        [(e["user_id"], e["ts"]) for e in events], "user_id int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got_b = {
+        str(r["window_start"]): r["n"]
+        for r in windowed_agg(batch, "ts", "1 hour", {"n": F.count(F.lit(1))}).collect()
+    }
+    assert got_b == got
+
+
+def test_sessionized_counts_batch(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (gap 10m < 30m)
+        (1, "2024-01-01 02:00:00"),   # new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionized_counts(df, "ts", "30 minutes", ["user_id"])
+    got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_multi_sink_fanout_and_monitor(spark, tmp_path):
+    """T4/T5: two concurrent sinks off one source lineage + progress
+    snapshot shape."""
+    src = str(tmp_path / "src")
+    write_events(src, "b0.jsonl", GOOD + BAD)
+    raw = file_json_stream(spark, src)
+    valid, dlq = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+    q1 = start_append_sink(
+        valid, str(tmp_path / "v"), str(tmp_path / "cp1"),
+        available_now=True, query_name="valid_sink",
+    )
+    q2 = start_json_dlq_sink(dlq, str(tmp_path / "d"), str(tmp_path / "cp2"), available_now=True)
+    # both queries run concurrently off the same lineage
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    s = progress_summary(q1)
+    assert s["name"] == "valid_sink" and s["is_active"] is False
+    assert s["num_input_rows"] == len(GOOD) + len(BAD)
+    assert spark.read.parquet(str(tmp_path / "v")).count() == len(GOOD)
+    assert spark.read.json(str(tmp_path / "d")).count() == len(BAD)
