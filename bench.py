@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "jaccard_pairs_by_source",    # blocked Jaccard verify
     "ann_bruteforce_topk",        # exact cosine top-k
     "ann_lsh_topk",               # LSH ANN
+    "ann_ivf_topk",               # IVF ANN
+    "gold_summary_sql",           # SQL model DAG
+    "debezium_unwrap",            # CDC envelope handling
     "token_stats",                # text analysis
     "doc_fingerprint",            # rolling-hash fingerprint
     "multimodal_features",        # mapInPandas feature extraction

@@ -238,8 +238,55 @@ FROM p
 """
 
 
+# ── §2.11.6 — Debezium envelope unwrap ──
+
+def q_debezium_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side Debezium envelope handling: events are wrapped in
+    the ``{payload: {before, after, op, ts_ms}}`` CDC envelope, then
+    unwrapped via JSONPath extraction — the util/verify_spark.py:95-99
+    path (the server-side SMT unwrap is the same projection done by
+    Kafka Connect). Soft-deletes ('error' events) carry op='d' with a
+    null after-image, exercising the tombstone-free delete convention
+    (§2.11.4)."""
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    # ``after`` must stay a STRUCT so to_json nests it as a JSON
+    # object — pre-serializing it would embed an escaped string that
+    # JSONPath cannot descend into.
+    after = F.struct("user_id", "event_type", "value")
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.when(~is_del, after).alias("after"),
+                F.when(is_del, "d").otherwise("u").alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    wrapped = ev.select("event_id", envelope.alias("raw"))
+    return wrapped.select(
+        "event_id",
+        F.get_json_object("raw", "$.payload.op").alias("op"),
+        F.get_json_object("raw", "$.payload.ts_ms").cast("long").alias("ts_ms"),
+        F.get_json_object("raw", "$.payload.after.user_id").cast("int").alias("user_id"),
+        F.get_json_object("raw", "$.payload.after.event_type").alias("event_type"),
+    )
+
+
+ORACLE_DEBEZIUM_UNWRAP = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+       epoch_ms(ts) AS ts_ms,
+       CASE WHEN event_type <> 'error' THEN user_id END AS user_id,
+       CASE WHEN event_type <> 'error' THEN event_type END AS event_type
+FROM events
+"""
+
+
 QUERIES = {
     "cdc_upsert_current_orders": q_cdc_upsert_current_orders,
+    "debezium_unwrap": q_debezium_unwrap,
     "scd2_user_state": q_scd2_user_state,
     "cdc_op_classification": q_cdc_op_classification,
     "asof_purchase_state": q_asof_purchase_state,
@@ -249,6 +296,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_upsert_current_orders": ORACLE_CDC_UPSERT,
+    "debezium_unwrap": ORACLE_DEBEZIUM_UNWRAP,
     "scd2_user_state": ORACLE_SCD2_USER_STATE,
     "cdc_op_classification": ORACLE_CDC_OPS,
     "asof_purchase_state": ORACLE_ASOF_PURCHASE_STATE,

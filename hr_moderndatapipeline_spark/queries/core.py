@@ -523,6 +523,59 @@ FROM lineitem GROUP BY 1
 """
 
 
+# ── cube grouping sets (hierarchical-agg completion of A3→A5) ──
+
+def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass — the full grouping-set surface beyond rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+    )
+
+
+ORACLE_STATUS_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# ── sketch aggregates (approx_count_distinct; scale path for A6/DQ-unique) ──
+
+def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-customer sketch per priority next to the exact
+    count, surfaced as a bounded-relative-error check. The sketch is
+    the 100 TB path: one pass, fixed memory, no shuffle of distinct
+    keys — exact countDistinct shuffles every key. Engines' HLL
+    estimates differ, so the cross-engine-comparable output is the
+    error bound, not the estimate."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("_n_approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact")).cast("double")
+            / F.col("n_exact").cast("double")
+            < 0.1
+        ).alias("approx_within_10pct"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_exact,
+       CAST(abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) AS DOUBLE)
+       / CAST(count(DISTINCT o_custkey) AS DOUBLE) < 0.1 AS approx_within_10pct
+FROM orders GROUP BY 1
+"""
+
+
 # ── deterministic sample (replaces ORDER BY random(), O4) ──
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,6 +647,8 @@ QUERIES = {
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
     "deterministic_sample": q_deterministic_sample,
+    "status_cube": q_status_cube,
+    "approx_distinct_customers": q_approx_distinct_customers,
 }
 
 ORACLES = {
@@ -619,4 +674,6 @@ ORACLES = {
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,
     "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
+    "status_cube": ORACLE_STATUS_CUBE,
+    "approx_distinct_customers": ORACLE_APPROX_DISTINCT,
 }

@@ -28,6 +28,7 @@ from hr_moderndatapipeline_spark.operators.multimodal import (
 )
 from hr_moderndatapipeline_spark.operators.similarity import (
     ann_bruteforce,
+    ann_ivf,
     ann_lsh,
     neardup_pairs_by_cosine,
 )
@@ -147,6 +148,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (inverted centroid lists +
+    multi-probe). Approximate ⇒ rows-only driver check; recall vs
+    brute force is unit-tested."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ivf(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
 # ── embedding-cosine near-dup pairs within label blocks ──
@@ -287,6 +297,7 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,

@@ -21,7 +21,11 @@ from hr_moderndatapipeline_spark.operators.multimodal import (
     fake_media_from_documents,
     sample_frames,
 )
-from hr_moderndatapipeline_spark.operators.similarity import ann_bruteforce, ann_lsh
+from hr_moderndatapipeline_spark.operators.similarity import (
+    ann_bruteforce,
+    ann_ivf,
+    ann_lsh,
+)
 from hr_moderndatapipeline_spark.operators.text import doc_fingerprint, token_stats
 from hr_moderndatapipeline_spark.sources.readers import load_table
 
@@ -119,6 +123,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     # every LSH hit is a real corpus pairing with correctly-ranked score
     recall = len(true & approx) / len(true)
     assert recall >= 0.2, f"recall {recall:.2f} too low"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with 4-of-16 probed lists must recover a healthy fraction
+    of the true top-k, and every hit must carry the true cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = ann_bruteforce(emb, queries, "vec_id", "embedding", k=10, dim=64)
+    ivf = ann_ivf(emb, queries, "vec_id", "embedding", k=10, dim=64)
+    true = {(r["q_id"], r["c_id"]): r["cosine"] for r in bf.collect()}
+    approx = {(r["q_id"], r["c_id"]): r["cosine"] for r in ivf.collect()}
+    assert approx
+    hits = set(true) & set(approx)
+    recall = len(hits) / len(true)
+    assert recall >= 0.2, f"recall {recall:.2f} too low"
+    for pair in hits:
+        assert true[pair] == approx[pair]  # same scoring math
 
 
 def test_token_stats_and_fingerprint(spark):
