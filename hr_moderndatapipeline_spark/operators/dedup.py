@@ -275,17 +275,25 @@ def jaccard_pairs(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("_words"),
-    )
-    a = d.toDF(f"{id_col}_a", "_blk", "_words_a").withColumn(
+    ).withColumn("_n", F.size("_words"))
+    a = d.toDF(f"{id_col}_a", "_blk", "_words_a", "_n_a").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
     )
     b = (
-        d.toDF(f"{id_col}_b", "_blk", "_words_b")
+        d.toDF(f"{id_col}_b", "_blk", "_words_b", "_n_b")
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    )
+    # Size-ratio prefilter: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥
+    # max(|A|,|B|), so jaccard ≤ min/max — two-int compare culls
+    # most pairs before the O(|A|+|B|) intersect/union work.
+    size_ok = (
+        F.least("_n_a", "_n_b").cast("double")
+        / F.greatest("_n_a", "_n_b").cast("double")
+        >= threshold
     )
     return (
         a.join(b, ["_blk", "_salt"])
-        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .filter((F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & size_ok)
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("_words_a", "_words_b")).cast("double")

@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 
 from hr_moderndatapipeline_spark.functions.dq import Rule, apply_rules
 from hr_moderndatapipeline_spark.operators.cdc import classify_cdc_ops, upsert_apply
+from hr_moderndatapipeline_spark.operators.facts import (
+    attrition_events,
+    headcount_monthly,
+    register_feature_udfs,
+)
 from hr_moderndatapipeline_spark.operators.relational import latest_per_key
 from hr_moderndatapipeline_spark.operators.scd2 import as_of_join, scd2_from_history
 from hr_moderndatapipeline_spark.sources.readers import load_table
@@ -142,6 +147,81 @@ FROM facts f LEFT JOIN dim d
   ON f.user_id = d.user_id
  AND d.effective_start_date <= f.purchase_ts
  AND f.purchase_ts < d.effective_end_date
+"""
+
+
+# ── §2.11.4/U1/F12 — attrition fact with deterministic features ──
+
+def q_attrition_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver attrition-event fact end-to-end: SCD2 history from
+    the event log, soft-delete flag ('error' events), attrition =
+    deleted & !current (P5), period keys + tenure (F7/F8), and the
+    U1 feature UDFs invoked via SQL expr (F12) — deterministic
+    key-derived values replacing the reference's random() draws
+    (silver_attrition_builder.py:71-110)."""
+    register_feature_udfs(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", (F.col("event_type") == "error").alias("is_deleted")
+    )
+    hist = scd2_from_history(ev, ["user_id"], "ts")
+    fact = attrition_events(
+        hist, "user_id", "effective_start_date", "effective_end_date",
+        "is_deleted", "is_current",
+    )
+    return fact.select(
+        "user_id",
+        F.col("effective_end_date").alias("attrition_ts"),
+        "year", "month", "tenure_days",
+        F.expr("det_persona(user_id)").alias("persona"),
+        F.expr("det_travel(user_id)").alias("travel"),
+        F.expr("det_age_band(user_id)").alias("age_band"),
+    )
+
+
+ORACLE_ATTRITION_FACT = """
+WITH hist AS (
+  SELECT user_id, ts, event_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+  FROM events)
+SELECT user_id,
+       next_ts AS attrition_ts,
+       CAST(year(next_ts) AS INTEGER) AS year,
+       CAST(month(next_ts) AS INTEGER) AS month,
+       CAST(date_diff('day', CAST(ts AS DATE), CAST(next_ts AS DATE)) AS INTEGER) AS tenure_days,
+       ['explorer','builder','connector','analyst'][user_id % 4 + 1] AS persona,
+       ['rare','frequent','none'][(user_id + 1) % 3 + 1] AS travel,
+       CAST(user_id % 5 * 10 + 20 AS INTEGER) AS age_band
+FROM hist
+WHERE event_type = 'error' AND next_ts IS NOT NULL
+"""
+
+
+# ── headcount snapshot series (silver_attrition_builder.py:121) ──
+
+def q_headcount_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active-user headcount from the SCD2 validity ranges:
+    a user counts toward month m iff some version range covers m's
+    first instant. Map-side month explosion, one count shuffle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    hist = scd2_from_history(ev, ["user_id"], "ts")
+    return headcount_monthly(
+        hist, "user_id", "effective_start_date", "effective_end_date", "2024-12-31"
+    )
+
+
+ORACLE_HEADCOUNT_MONTHLY = """
+WITH hist AS (
+  SELECT user_id, ts AS f,
+         COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  TIMESTAMP '2099-12-31 00:00:00') AS t
+  FROM events),
+months AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-01',
+                                     INTERVAL 1 MONTH)) AS DATE) AS month)
+SELECT m.month, count(DISTINCT h.user_id) AS headcount
+FROM months m JOIN hist h
+  ON h.f <= CAST(m.month AS TIMESTAMP) AND CAST(m.month AS TIMESTAMP) < h.t
+GROUP BY 1
 """
 
 
@@ -287,6 +367,8 @@ FROM events
 QUERIES = {
     "cdc_upsert_current_orders": q_cdc_upsert_current_orders,
     "debezium_unwrap": q_debezium_unwrap,
+    "attrition_fact": q_attrition_fact,
+    "headcount_monthly": q_headcount_monthly,
     "scd2_user_state": q_scd2_user_state,
     "cdc_op_classification": q_cdc_op_classification,
     "asof_purchase_state": q_asof_purchase_state,
@@ -297,6 +379,8 @@ QUERIES = {
 ORACLES = {
     "cdc_upsert_current_orders": ORACLE_CDC_UPSERT,
     "debezium_unwrap": ORACLE_DEBEZIUM_UNWRAP,
+    "attrition_fact": ORACLE_ATTRITION_FACT,
+    "headcount_monthly": ORACLE_HEADCOUNT_MONTHLY,
     "scd2_user_state": ORACLE_SCD2_USER_STATE,
     "cdc_op_classification": ORACLE_CDC_OPS,
     "asof_purchase_state": ORACLE_ASOF_PURCHASE_STATE,

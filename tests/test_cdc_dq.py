@@ -116,6 +116,76 @@ def test_jdbc_pushdown_query_shapes():
     assert "WHERE updated_at > '2021-01-01 00:00:00'" in q and q.endswith("AS employees_cdc")
 
 
+# ── silver facts (§2.11.4) ──
+
+def test_attrition_events_filter_and_tenure(spark):
+    from hr_moderndatapipeline_spark.operators.facts import attrition_events
+
+    dim = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01"), ts("2020-03-01"), True, False),   # attrition
+            (2, ts("2020-01-01"), ts("2099-12-31"), True, True),    # deleted but current
+            (3, ts("2020-01-01"), ts("2020-02-01"), False, False),  # closed, not deleted
+        ],
+        "id int, effective_start_date timestamp, effective_end_date timestamp, "
+        "is_deleted boolean, is_current boolean",
+    )
+    out = attrition_events(
+        dim, "id", "effective_start_date", "effective_end_date", "is_deleted", "is_current"
+    ).collect()
+    assert [r["id"] for r in out] == [1]
+    assert out[0]["tenure_days"] == 60 and out[0]["year"] == 2020 and out[0]["month"] == 3
+
+
+def test_headcount_monthly_boundaries(spark):
+    from hr_moderndatapipeline_spark.operators.facts import headcount_monthly
+
+    dim = spark.createDataFrame(
+        [
+            # covers Feb 1 and Mar 1? to == Mar 1 midnight → half-open excludes Mar
+            (1, ts("2020-01-15"), ts("2020-03-01")),
+            # starts exactly at a month boundary → Feb 1 counts
+            (2, ts("2020-02-01"), ts("2020-02-20")),
+            # open-ended → capped at 2020-04
+            (3, ts("2020-03-10"), ts("2099-12-31")),
+        ],
+        "id int, effective_start_date timestamp, effective_end_date timestamp",
+    )
+    out = headcount_monthly(
+        dim, "id", "effective_start_date", "effective_end_date", "2020-04-30"
+    )
+    got = {str(r["month"]): r["headcount"] for r in out.collect()}
+    assert got == {"2020-02-01": 2, "2020-04-01": 1}
+
+
+def test_feature_udfs_match_columns(spark):
+    """The F.expr-invoked UDF surface (U1/F12) and the pure-column
+    variant must agree."""
+    from hr_moderndatapipeline_spark.operators.facts import (
+        feature_cols,
+        register_feature_udfs,
+    )
+    from pyspark.sql import functions as FF
+
+    register_feature_udfs(spark)
+    df = spark.range(20).select(FF.col("id").cast("int").alias("k"))
+    cols = feature_cols(FF.col("k"))
+    both = df.select(
+        "k",
+        cols["persona"].alias("p_col"),
+        FF.expr("det_persona(k)").alias("p_udf"),
+        cols["travel"].alias("t_col"),
+        FF.expr("det_travel(k)").alias("t_udf"),
+        cols["age_band"].alias("a_col"),
+        FF.expr("det_age_band(k)").alias("a_udf"),
+    )
+    assert both.filter(
+        (FF.col("p_col") != FF.col("p_udf"))
+        | (FF.col("t_col") != FF.col("t_udf"))
+        | (FF.col("a_col") != FF.col("a_udf"))
+    ).count() == 0
+
+
 # ── DQ rules engine (§2.12) ──
 
 def test_dq_rules_split_is_complete_partition(spark):
