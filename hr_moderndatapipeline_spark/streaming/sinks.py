@@ -81,7 +81,7 @@ def read_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target, version))
 
 
-def _publish(df: DataFrame, target: str, version: str) -> None:
+def publish_snapshot(df: DataFrame, target: str, version: str) -> None:
     out = os.path.join(target, version)
     df.write.mode("overwrite").parquet(out)
     tmp = os.path.join(target, f".{LATEST_MARKER}.tmp")
@@ -117,7 +117,7 @@ def foreach_batch_upsert(
 
         ob = [order_by] if isinstance(order_by, str) else list(order_by)
         merged = latest_per_key(merged, list(keys), ob)
-        _publish(merged, target, f"v{batch_id}")
+        publish_snapshot(merged, target, f"v{batch_id}")
 
     return _start_foreach_batch(stream, _apply, checkpoint, available_now)
 
@@ -143,7 +143,7 @@ def foreach_batch_scd2(
             merged = scd2_from_history(batch, keys, ts_col)
         else:
             merged = scd2_apply(current, batch, keys, tracked, ts_col)
-        _publish(merged, target, f"v{batch_id}")
+        publish_snapshot(merged, target, f"v{batch_id}")
 
     return _start_foreach_batch(stream, _apply, checkpoint, available_now)
 
