@@ -253,6 +253,71 @@ def simhash_near_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    assigns every id the minimum id reachable through pairs — the
+    cluster representative to KEEP; all other members are the
+    near-duplicates to drop. The step near-dup pipelines need after
+    pair detection (pairs alone don't say which doc survives when
+    A~B and B~C but A≁C).
+
+    Iterative min-label propagation: each round joins labels across
+    edges both ways and keeps the elementwise min; label count
+    strictly shrinks, converging in O(diameter) rounds (near-dup
+    clusters are shallow — chains longer than ~5 hops are rare).
+    Each round is two shuffles on the edge keys; ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1. Raises if not converged within ``max_iterations``.
+
+    Returns (member_id, cluster_id) for every id appearing in pairs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # undirected: propagate both directions
+    both = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # min neighbor label per node
+        neigh = (
+            both.join(labels, both["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .isEmpty()
+        )
+        labels = updated
+        if changed:
+            return labels.select(F.col("id").alias("member_id"), "cluster_id")
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

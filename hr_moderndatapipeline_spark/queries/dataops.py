@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hr_moderndatapipeline_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     jaccard_pairs,
     minhash_dedup_pairs,
@@ -87,6 +88,38 @@ SELECT a.source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.9
+"""
+
+
+# ── near-dup clustering: pairs → connected components ──
+
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the near-dup pair graph (source-blocked Jaccard ≥ 0.9)
+    into keep/drop groups via iterative min-label propagation — the
+    distributed connected-components step every dedup pipeline needs
+    between pair detection and actual row dropping. Oracle:
+    recursive-CTE transitive closure."""
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", "source", threshold=0.9
+    )
+    return dedup_clusters(pairs, "doc_id_a", "doc_id_b")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS words FROM documents),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.9),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -293,6 +326,7 @@ FROM v
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
+    "dedup_cluster_assign": q_dedup_cluster_assign,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -310,6 +344,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
+    "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "ann_bruteforce_topk": _ANN_ORACLE_FOLD,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,

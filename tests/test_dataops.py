@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hr_moderndatapipeline_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     jaccard_pairs,
     minhash_dedup_pairs,
@@ -93,6 +94,32 @@ def test_jaccard_pairs_blocked(spark):
     out = jaccard_pairs(df, "doc_id", "text", "source", threshold=0.9).collect()
     # only the same-block pair: (0,1); 2 is identical but blocked apart
     assert [(r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in out] == [(0, 1, 1.0)]
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B, B~C, D~E: two clusters with min-id representatives,
+    transitivity resolved without a direct A~C pair."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (8, 9), (9, 7), (7, 6)],
+        "doc_id_a long, doc_id_b long",
+    )
+    out = {r["member_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs, "doc_id_a", "doc_id_b").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+
+
+def test_dedup_clusters_end_to_end_minhash(spark, sf_dir):
+    """pairs → clusters over the planted re-crawl: every cluster is
+    exactly {doc, doc+1M} with the original as representative."""
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.unionByName(docs.withColumn("doc_id", FF.col("doc_id") + 1_000_000))
+    pairs = minhash_dedup_pairs(recrawl, "doc_id", "text").filter(FF.col("jaccard") == 1.0)
+    clusters = dedup_clusters(pairs, "doc_id_a", "doc_id_b")
+    reps = clusters.filter(FF.col("member_id") >= 1_000_000)
+    bad = reps.filter(FF.col("cluster_id") != FF.col("member_id") - 1_000_000)
+    assert bad.count() == 0
 
 
 def test_ann_bruteforce_exact_neighbors(spark):

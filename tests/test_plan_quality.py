@@ -1,0 +1,59 @@
+"""Physical-plan quality gates (SURVEY.md §4, BASELINE 100 TB
+posture): these assertions pin the *plan*, not the result — a
+regression that silently drops predicate pushdown, column pruning,
+or a broadcast would pass every value test and still be 100× slower
+at scale."""
+
+from __future__ import annotations
+
+from hr_moderndatapipeline_spark.queries import core
+from hr_moderndatapipeline_spark.queries import dataops
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
+    plan = plan_of(core.q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns reach the scan — not the 16-column table
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_broadcast_join_on_dimension(spark, sf_dir):
+    plan = plan_of(core.q_attrition_by_segment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle for the join
+
+
+def test_snowflake_joins_all_broadcast(spark, sf_dir):
+    plan = plan_of(core.q_supplier_by_region(spark, sf_dir))
+    # two broadcast joins in the tree (each appears twice in
+    # formatted output: tree + detail section)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = plan_of(core.q_top10_customers_by_revenue(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full global sort for ORDER BY+LIMIT
+
+
+def test_scalar_kit_stays_in_codegen(spark, sf_dir):
+    plan = plan_of(core.q_lineitem_scalar_kit(spark, sf_dir))
+    assert "codegen id" in plan  # whole-stage codegen spans present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_bruteforce_no_shuffle_of_corpus_scoring(spark, sf_dir):
+    """Queries broadcast; the only exchanges are the rebalance
+    round-robin and the tiny per-query top-k window."""
+    plan = plan_of(dataops.q_ann_bruteforce_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
