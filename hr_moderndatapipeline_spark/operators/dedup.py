@@ -276,10 +276,17 @@ def dedup_clusters(
 
     Returns (member_id, cluster_id) for every id appearing in pairs.
     """
+    # Materialize the edge list ONCE (eager localCheckpoint): every
+    # propagation round joins it (plus the convergence check), and
+    # without the cut each round would re-execute the entire upstream
+    # pair-detection pipeline — measured 10× wall on the LSH-verified
+    # pair graph. The edge list is pairs, not corpus: small by
+    # construction.
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # undirected: propagate both directions
     both = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
