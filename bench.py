@@ -59,6 +59,16 @@ def main() -> None:
     all_queries["attrition_monthly"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python/Arrow UDF worker pool with a trivial pandas_udf
+    # job (forking the daemon workers + first Arrow exchange costs
+    # seconds and would otherwise be billed entirely to whichever
+    # UDF-bearing query happens to run first).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(32, numPartitions=32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     for name in BENCH_QUERIES:
         fn = all_queries[name]
