@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hr_moderndatapipeline_spark import get_spark
@@ -35,6 +37,7 @@ BENCH_QUERIES = [
     "event_hourly_window",        # time-window agg
     "dedup_exact",                # exact dedup
     "minhash_dedup_pairs",        # MinHash+LSH near-dup
+    "simhash_near_pairs",         # SimHash near-dup (vectorized UDF)
     "jaccard_pairs_by_source",    # blocked Jaccard verify
     "ann_bruteforce_topk",        # exact cosine top-k
     "ann_lsh_topk",               # LSH ANN
@@ -65,7 +68,10 @@ def main() -> None:
     # UDF-bearing query happens to run first).
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    _warm = F.pandas_udf(lambda s: s, "long")
+    def _identity(s: pd.Series) -> pd.Series:
+        return s
+
+    _warm = F.pandas_udf(_identity, "long")
     spark.range(32, numPartitions=32).select(_warm("id")).write.format(
         "noop"
     ).mode("overwrite").save()
@@ -75,6 +81,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries are timed independently: drop any cache a query
+        # persisted so storage memory doesn't bleed into the next
+        # query's measurement.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

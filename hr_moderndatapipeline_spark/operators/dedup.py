@@ -74,16 +74,13 @@ def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature in ONE traversal of the shingle array: each
-    shingle is hashed once (xxhash64 → long), and the k permutations
-    are affine maps a_i*h+b_i over wrapping long arithmetic folded
-    into a running elementwise minimum (zip_with/least). All JVM
-    codegen arithmetic — strings are hashed exactly once, not k
-    times. Empty shingle sets yield the MAX_LONG init vector (caller
-    filters empties)."""
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from an ``array<long>`` of pre-hashed
+    shingles: the k permutations are affine maps a_i*h+b_i over
+    wrapping long arithmetic folded into a running elementwise
+    minimum (zip_with/least). All JVM codegen arithmetic. Empty
+    arrays yield the MAX_LONG init vector (caller filters empties)."""
     coeffs = _mh_coeffs(num_hashes)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     init = F.array(*[F.lit(_s64((1 << 63) - 1)).cast("long") for _ in range(num_hashes)])
 
     def step(acc: Column, h: Column) -> Column:
@@ -93,6 +90,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
         return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
 
     return F.aggregate(hashes, init, step)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature in ONE traversal of the shingle array: each
+    shingle is hashed once (xxhash64 → long) and fed to the affine
+    permutation fold — strings are hashed exactly once, not k
+    times."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
+    )
 
 
 def lsh_bucket_rows(
@@ -167,23 +174,49 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → signature
     → banded buckets → candidate pairs → exact shingle-Jaccard
-    verification ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    verification ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    Internal representation: each doc's shingle SET is reduced
+    map-side to an ``array<long>`` of xxhash64 values — the signature
+    fold consumes hashes anyway, and Jaccard over the hashed sets is
+    size-exact (64-bit collisions within one doc are negligible), so
+    the heavy string arrays never leave the scan stage: the cached/
+    shuffled verification payload is ~10× smaller, and the shingle
+    strings are computed exactly once."""
+    from pyspark import StorageLevel
+
     from hr_moderndatapipeline_spark.operators.relational import rebalance
 
     rows_per_band = num_hashes // bands
+    # (A zero-string-materialization variant — per-word xxhash64
+    # combined polynomially per shingle — measured ~2× SLOWER than
+    # hashing the shingle strings: higher-order-function element
+    # access is interpreted, while this whole projection stays in
+    # codegen. Measured, not assumed.)
     prepped = rebalance(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    with_sig = prepped.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("_shh"),
+    ).filter(F.size("_shh") > 0)
+    # The hashed-shingle frame feeds three branches (signatures, and
+    # both sides of the verification join); uncached, each branch
+    # would re-run the split+shingle+hash lineage. Long arrays cache
+    # columnar and small — unlike the string shingles, whose cache
+    # build cost more than the recompute it saved.
+    prepped = prepped.persist(StorageLevel.MEMORY_AND_DISK)
+    with_sig = prepped.withColumn(
+        "_sig", minhash_signature_from_hashes(F.col("_shh"), num_hashes)
+    )
     cands = lsh_candidate_pairs(with_sig, id_col, "_sig", bands, rows_per_band)
-    a = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_sh").alias("_sh_a"))
-    b = prepped.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_sh").alias("_sh_b"))
+    a = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_shh").alias("_shh_a"))
+    b = prepped.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_shh").alias("_shh_b"))
     verified = (
         cands.join(a, f"{id_col}_a").join(b, f"{id_col}_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-            / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+            F.size(F.array_intersect("_shh_a", "_shh_b")).cast("double")
+            / F.size(F.array_union("_shh_a", "_shh_b")).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
@@ -193,33 +226,45 @@ def minhash_dedup_pairs(
 
 @F.pandas_udf(T.LongType())
 def _simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text — Arrow-batched, numpy-vectorized per
-    batch, deterministic (blake2b token hashes, no process-seeded
-    Python ``hash``)."""
+    """64-bit SimHash per text — batch-level numpy vectorization:
+    tokens across the whole Arrow batch are flattened, each UNIQUE
+    token is blake2b-hashed once (dedup across rows — corpora repeat
+    tokens heavily), sign contributions are scatter-added per row,
+    and the sign bits are packed without any per-token Python loop.
+    Deterministic (no process-seeded Python ``hash``)."""
     import hashlib
 
     import numpy as np
 
+    n = len(texts)
+    token_lists = [t.split() if t else [] for t in texts.fillna("")]
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    if int(counts.sum()) == 0:
+        return pd.Series(out)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for tok in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(texts), dtype=np.int64)
-    for row, text in enumerate(texts):
-        if not text:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += 2 * bits - 1
-        sig = 0
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= 1 << i
-        if sig >= 1 << 63:
-            sig -= 1 << 64
-        out[row] = sig
-    return pd.Series(out)
+    # (n_unique, 64) sign matrix: +1 where the token hash bit is set
+    signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
+    # Tokens are laid out row-contiguous, so per-row sign sums are
+    # segment reductions (add.reduceat over row offsets) — far faster
+    # than element-wise scatter adds.
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nz = counts > 0
+    seg = np.add.reduceat(signs[inv], offsets[nz], axis=0)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    acc[nz] = seg
+    sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return pd.Series(sig.view(np.int64))
 
 
 def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
@@ -275,6 +320,13 @@ def dedup_clusters(
     1..N-1. Raises if not converged within ``max_iterations``.
 
     Returns (member_id, cluster_id) for every id appearing in pairs.
+
+    Side effect: the eager ``localCheckpoint`` executes the entire
+    upstream pair-detection pipeline at call time, and checkpointed
+    blocks live only on executors (no lineage fallback) — executor
+    loss recomputes nothing. Right for iterative local/batch use; on
+    a long-lived elastic cluster prefer a reliable ``checkpoint()``
+    directory for the edge list.
     """
     # Materialize the edge list ONCE (eager localCheckpoint): every
     # propagation round joins it (plus the convergence check), and

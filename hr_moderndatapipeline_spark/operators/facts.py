@@ -39,6 +39,8 @@ from hr_moderndatapipeline_spark.functions.kit import (
 #: size — stable across runs, retries, and engines.
 PERSONA_POOL = ("explorer", "builder", "connector", "analyst")
 TRAVEL_POOL = ("rare", "frequent", "none")
+MARITAL_POOL = ("single", "married")
+OVERTIME_POOL = ("yes", "no")
 
 
 def _pick(key: Column, pool: Sequence[str]) -> Column:
@@ -54,15 +56,20 @@ def feature_cols(key: Column) -> dict[str, Column]:
         "persona": _pick(key, PERSONA_POOL),
         "travel": _pick(key + 1, TRAVEL_POOL),
         "age_band": (F.pmod(key, F.lit(5)) * 10 + 20).cast("int"),
+        "marital": _pick(key + 2, MARITAL_POOL),
+        "overtime": _pick(key + 3, OVERTIME_POOL),
+        "appraisal": (F.pmod(key, F.lit(5)) + 1).cast("int"),
+        "years": F.pmod(key, F.lit(21)).cast("int"),
     }
 
 
 def register_feature_udfs(spark: SparkSession) -> None:
-    """U1 parity: scalar functions registered by name and invocable
-    from SQL / ``F.expr`` (reference registers via
-    ``spark.udf.register``, silver_attrition_builder.py:80-86).
-    Deterministic by key argument — ``.asNondeterministic()`` is
-    exactly what the engine refuses to need."""
+    """U1 parity — all 7 of the reference's feature generators
+    (rand_marital/persona/travel/age/overtime/appraisal/years,
+    silver_attrition_builder.py:71-86), registered by name and
+    invocable from SQL / ``F.expr``. Deterministic by key argument —
+    ``.asNondeterministic()`` is exactly what the engine refuses to
+    need: the reference's ``random()`` draws change on task retry."""
     spark.udf.register(
         "det_persona", lambda k: PERSONA_POOL[k % len(PERSONA_POOL)], "string"
     )
@@ -70,6 +77,14 @@ def register_feature_udfs(spark: SparkSession) -> None:
         "det_travel", lambda k: TRAVEL_POOL[(k + 1) % len(TRAVEL_POOL)], "string"
     )
     spark.udf.register("det_age_band", lambda k: k % 5 * 10 + 20, "int")
+    spark.udf.register(
+        "det_marital", lambda k: MARITAL_POOL[(k + 2) % len(MARITAL_POOL)], "string"
+    )
+    spark.udf.register(
+        "det_overtime", lambda k: OVERTIME_POOL[(k + 3) % len(OVERTIME_POOL)], "string"
+    )
+    spark.udf.register("det_appraisal", lambda k: k % 5 + 1, "int")
+    spark.udf.register("det_years", lambda k: k % 21, "int")
 
 
 def attrition_events(

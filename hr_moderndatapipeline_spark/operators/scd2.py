@@ -137,9 +137,14 @@ def scd2_apply(
     applied = paired.filter(effective_change)
     drop_aux = ["_batch_rn"] + [f"_t_{k}" for k in keys] + [f"_t_{c}" for c in tracked] + ["_t_start"]
 
-    # Phase A: close current rows whose key has an effective change.
+    # Phase A: close current rows for every existing key that has an
+    # applied (to-be-inserted) change row — not only keys whose FIRST
+    # batch row changed: a batch can open with a no-op version
+    # (dropped) followed by a real change, and the current row must
+    # still close at the first inserted version's timestamp or the
+    # key would end up with two current rows.
     closing_keys = (
-        applied.filter(F.col("_batch_rn") == 1)
+        applied.filter(~is_new_key)
         .groupBy(*keys)
         .agg(F.min(ts_col).alias("_close_ts"))
     )

@@ -75,31 +75,42 @@ class MedallionPipeline:
         upsert bronze, SCD2-apply silver, advance the watermark.
         Returns row metrics. The watermark read/advance moves one
         scalar through the driver — the single sanctioned collect."""
+        from pyspark import StorageLevel
+
         s = self.spec
         self._run += 1
         wm_key = s.name
         batch = incremental_read(source, s.watermark_col, self.store, wm_key, full_refresh)
-        if batch.isEmpty():
-            return {"extracted": 0, "skipped": True}
-        n = batch.count()
+        # ONE source scan per run: the extraction feeds the empty
+        # check, bronze upsert, silver apply, row metric, and the
+        # watermark advance — uncached each consumer re-runs it (the
+        # reference's double-count() anti-pattern, SURVEY.md §4,
+        # times five).
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if batch.isEmpty():
+                return {"extracted": 0, "skipped": True}
 
-        # bronze: latest-row-wins mirror (K2)
-        current = None if full_refresh else self.bronze()
-        bronze = batch if current is None else upsert_apply(
-            current, batch, s.keys, [s.watermark_col]
-        )
-        from hr_moderndatapipeline_spark.operators.relational import latest_per_key
+            # bronze: latest-row-wins mirror (K2)
+            current = None if full_refresh else self.bronze()
+            bronze = batch if current is None else upsert_apply(
+                current, batch, s.keys, [s.watermark_col]
+            )
+            from hr_moderndatapipeline_spark.operators.relational import latest_per_key
 
-        bronze = latest_per_key(bronze, list(s.keys), [s.watermark_col])
-        publish_snapshot(bronze, self._path("bronze"), f"v{self._run}")
+            bronze = latest_per_key(bronze, list(s.keys), [s.watermark_col])
+            publish_snapshot(bronze, self._path("bronze"), f"v{self._run}")
 
-        # silver: two-phase SCD2 apply (K3 fixed)
-        dim = None if full_refresh else self.silver()
-        if dim is None:
-            silver = scd2_from_history(batch, s.keys, s.watermark_col)
-        else:
-            silver = scd2_apply(dim, batch, s.keys, s.tracked, s.watermark_col)
-        publish_snapshot(silver, self._path("silver"), f"v{self._run}")
+            # silver: two-phase SCD2 apply (K3 fixed)
+            dim = None if full_refresh else self.silver()
+            if dim is None:
+                silver = scd2_from_history(batch, s.keys, s.watermark_col)
+            else:
+                silver = scd2_apply(dim, batch, s.keys, s.tracked, s.watermark_col)
+            publish_snapshot(silver, self._path("silver"), f"v{self._run}")
 
-        advance_watermark(batch, s.watermark_col, self.store, wm_key)
-        return {"extracted": n, "skipped": False}
+            advance_watermark(batch, s.watermark_col, self.store, wm_key)
+            n = batch.count()  # served from cache, no extra source scan
+            return {"extracted": n, "skipped": False}
+        finally:
+            batch.unpersist()

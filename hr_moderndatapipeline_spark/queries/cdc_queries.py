@@ -86,6 +86,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
+# ── K3 — incremental two-phase SCD2 apply, folded over 3 batches ──
+
+def q_scd2_apply_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual K3 semantics (close-and-insert MERGE,
+    jobs/silver/silver_builder.py:113-132, two-phase-corrected): the
+    event log split into three date-bounded batches, folded through
+    ``scd2_apply`` incrementally. Unlike the full recompute
+    (``scd2_user_state``), the apply path DROPS no-op versions — a
+    batch-leading row whose tracked values equal the current dim row
+    opens no new version — so the oracle restates that drop rule with
+    window SQL."""
+    from hr_moderndatapipeline_spark.operators.scd2 import scd2_apply
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    c1 = F.lit("2024-01-11").cast("timestamp")
+    c2 = F.lit("2024-01-21").cast("timestamp")
+    dim = scd2_from_history(ev.filter(F.col("ts") < c1), ["user_id"], "ts")
+    for batch in (
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ):
+        dim = scd2_apply(dim, batch, ["user_id"], ["event_type", "value"], "ts")
+    return dim
+
+
+ORACLE_SCD2_APPLY_FOLD = """
+WITH ev AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+              WHEN ts < TIMESTAMP '2024-01-21' THEN 2
+              ELSE 3 END AS batch
+  FROM events),
+marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, batch ORDER BY ts) AS brn,
+         lag(ts)         OVER w AS prev_ts,
+         lag(event_type) OVER w AS prev_et,
+         lag(value)      OVER w AS prev_v
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+-- a batch-leading row is dropped iff the user already exists and its
+-- tracked values (null-safe) equal the then-current version's — which
+-- are always the values of the user's latest prior event
+kept AS (
+  SELECT user_id, ts, event_type, value FROM marked
+  WHERE NOT (brn = 1 AND prev_ts IS NOT NULL
+             AND event_type IS NOT DISTINCT FROM prev_et
+             AND value IS NOT DISTINCT FROM prev_v))
+SELECT user_id, ts, event_type, value,
+       ts AS effective_start_date,
+       COALESCE(lead(ts) OVER k, TIMESTAMP '2099-12-31 00:00:00') AS effective_end_date,
+       (lead(ts) OVER k IS NULL) AS is_current
+FROM kept
+WINDOW k AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
 # ── §2.11.7 — CDC op classification (INSERT/UPDATE/DELETE) ──
 
 def q_cdc_op_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,9 +229,13 @@ def q_attrition_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("effective_end_date").alias("attrition_ts"),
         "year", "month", "tenure_days",
+        F.expr("det_marital(user_id)").alias("marital"),
         F.expr("det_persona(user_id)").alias("persona"),
         F.expr("det_travel(user_id)").alias("travel"),
         F.expr("det_age_band(user_id)").alias("age_band"),
+        F.expr("det_overtime(user_id)").alias("overtime"),
+        F.expr("det_appraisal(user_id)").alias("appraisal"),
+        F.expr("det_years(user_id)").alias("years"),
     )
 
 
@@ -188,9 +249,13 @@ SELECT user_id,
        CAST(year(next_ts) AS INTEGER) AS year,
        CAST(month(next_ts) AS INTEGER) AS month,
        CAST(date_diff('day', CAST(ts AS DATE), CAST(next_ts AS DATE)) AS INTEGER) AS tenure_days,
+       ['single','married'][(user_id + 2) % 2 + 1] AS marital,
        ['explorer','builder','connector','analyst'][user_id % 4 + 1] AS persona,
        ['rare','frequent','none'][(user_id + 1) % 3 + 1] AS travel,
-       CAST(user_id % 5 * 10 + 20 AS INTEGER) AS age_band
+       CAST(user_id % 5 * 10 + 20 AS INTEGER) AS age_band,
+       ['yes','no'][(user_id + 3) % 2 + 1] AS overtime,
+       CAST(user_id % 5 + 1 AS INTEGER) AS appraisal,
+       CAST(user_id % 21 AS INTEGER) AS years
 FROM hist
 WHERE event_type = 'error' AND next_ts IS NOT NULL
 """
@@ -345,12 +410,45 @@ def q_debezium_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wrapped = ev.select("event_id", envelope.alias("raw"))
-    return wrapped.select(
+    # ONE from_json against the fixed envelope StructType (the
+    # reference's fixed-schema style, kafka/consumer/kafka_DLQ.py:19-26)
+    # — a get_json_object per field would re-parse the JSON once per
+    # extraction, 4× the CPU of the single parse; at 100 TB the CDC
+    # envelope parse is the dominant cost of this path.
+    from pyspark.sql import types as T
+
+    env_schema = T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", T.StringType()),
+                        T.StructField(
+                            "after",
+                            T.StructType(
+                                [
+                                    T.StructField("user_id", T.IntegerType()),
+                                    T.StructField("event_type", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField("op", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    parsed = wrapped.select(
+        "event_id", F.from_json("raw", env_schema).getField("payload").alias("p")
+    )
+    return parsed.select(
         "event_id",
-        F.get_json_object("raw", "$.payload.op").alias("op"),
-        F.get_json_object("raw", "$.payload.ts_ms").cast("long").alias("ts_ms"),
-        F.get_json_object("raw", "$.payload.after.user_id").cast("int").alias("user_id"),
-        F.get_json_object("raw", "$.payload.after.event_type").alias("event_type"),
+        F.col("p.op").alias("op"),
+        F.col("p.ts_ms").alias("ts_ms"),
+        F.col("p.after.user_id").alias("user_id"),
+        F.col("p.after.event_type").alias("event_type"),
     )
 
 
@@ -370,6 +468,7 @@ QUERIES = {
     "attrition_fact": q_attrition_fact,
     "headcount_monthly": q_headcount_monthly,
     "scd2_user_state": q_scd2_user_state,
+    "scd2_apply_fold": q_scd2_apply_fold,
     "cdc_op_classification": q_cdc_op_classification,
     "asof_purchase_state": q_asof_purchase_state,
     "dq_violations_customer": q_dq_violations_customer,
@@ -382,6 +481,7 @@ ORACLES = {
     "attrition_fact": ORACLE_ATTRITION_FACT,
     "headcount_monthly": ORACLE_HEADCOUNT_MONTHLY,
     "scd2_user_state": ORACLE_SCD2_USER_STATE,
+    "scd2_apply_fold": ORACLE_SCD2_APPLY_FOLD,
     "cdc_op_classification": ORACLE_CDC_OPS,
     "asof_purchase_state": ORACLE_ASOF_PURCHASE_STATE,
     "dq_violations_customer": ORACLE_DQ_VIOLATIONS,

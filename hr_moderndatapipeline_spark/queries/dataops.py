@@ -298,14 +298,51 @@ FROM documents
 """
 
 
-# ── multimodal plumbing (rows-only: binary payloads, stubbed codecs) ──
+# ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas Arrow-batch feature
-    extraction (deterministic fake codec; real plumbing). Binary/
-    array outputs are non-SQL-comparable → rows-only check."""
+    extraction (deterministic fake codec; real plumbing). The
+    array<double> feature vector is projected to scalar columns
+    f0..f7 so the result is hashable and DuckDB-expressible: the
+    fake codec's features are the 8-bin byte histogram of the
+    payload (UTF-8 text bytes), each bin count / total."""
     media = fake_media_from_documents(_docs(spark, sf_dir))
-    return extract_features(media)
+    feats = extract_features(media)
+    from hr_moderndatapipeline_spark.operators.multimodal import FEATURE_DIM
+
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
+# Both engines compute each feature as int/int in IEEE double — a
+# single division, bit-exact on both sides, so no rounding is needed.
+# The corpus text is all-ASCII (verified per scale factor), so each
+# DuckDB character's ascii() equals the UTF-8 byte numpy histograms.
+ORACLE_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1)) // 32) AS bins
+  FROM documents)
+SELECT doc_id AS media_id,
+       ['image','audio','video'][doc_id % 3 + 1] AS media_type,
+       CAST(n AS INTEGER) AS n_bytes,
+       CAST(len(list_filter(bins, x -> x = 0)) AS DOUBLE) / n AS f0,
+       CAST(len(list_filter(bins, x -> x = 1)) AS DOUBLE) / n AS f1,
+       CAST(len(list_filter(bins, x -> x = 2)) AS DOUBLE) / n AS f2,
+       CAST(len(list_filter(bins, x -> x = 3)) AS DOUBLE) / n AS f3,
+       CAST(len(list_filter(bins, x -> x = 4)) AS DOUBLE) / n AS f4,
+       CAST(len(list_filter(bins, x -> x = 5)) AS DOUBLE) / n AS f5,
+       CAST(len(list_filter(bins, x -> x = 6)) AS DOUBLE) / n AS f6,
+       CAST(len(list_filter(bins, x -> x = 7)) AS DOUBLE) / n AS f7
+FROM b
+"""
 
 
 def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +388,8 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
-    # multimodal_features: rows-only (non-SQL hashing / binary columns).
+    # ann_ivf_topk: rows-only (non-SQL engine-native hashing).
 }

@@ -106,6 +106,35 @@ def test_scd2_apply_intra_batch_versions_chain(spark):
     assert rows[(1, ts("2022-05-01"))]["is_current"] is True
 
 
+def test_scd2_apply_noop_then_change_in_one_batch(spark):
+    """A batch whose FIRST row for a key is a no-op (tracked values
+    equal the current version) followed by a real change: the no-op
+    version is dropped, but the current row must still close at the
+    inserted version's timestamp — the naive 'close only keys whose
+    first batch row changed' form leaves two current rows here."""
+    dim = _dim(spark)
+    changes = _changes(
+        spark,
+        [(1, "sales", ts("2022-03-01")), (1, "ops", ts("2022-05-01"))],
+    )
+    out = scd2_apply(dim, changes, ["id"], ["dept"], "updated_at")
+    assert validate_scd2(out, ["id"]) == {
+        "keys_without_exactly_one_current": 0,
+        "non_contiguous_ranges": 0,
+        "inverted_ranges": 0,
+    }
+    rows = collect_map(out)
+    # the no-op (sales@2022-03-01) row is NOT inserted...
+    assert (1, ts("2022-03-01")) not in rows
+    # ...the old current row closes at the real change's timestamp...
+    closed = rows[(1, ts("2021-01-01"))]
+    assert closed["effective_end_date"] == ts("2022-05-01")
+    assert closed["is_current"] is False
+    # ...and the change lands as the one current version.
+    assert rows[(1, ts("2022-05-01"))]["dept"] == "ops"
+    assert rows[(1, ts("2022-05-01"))]["is_current"] is True
+
+
 def test_scd2_apply_null_transition_detected(spark):
     """The reference's ``t.c <> s.c`` change predicate misses
     value→NULL transitions (silver_builder.py:115); the null-safe
