@@ -462,8 +462,55 @@ FROM events
 """
 
 
+# ── Avro envelope path (producer_training_events.py / §1.3) ──
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Avro flavor end-to-end: event rows serialized
+    to Avro binary (the AvroProducer side,
+    kafka/producer/producer_training_events.py:12-30) and parsed back
+    to typed columns (the consumer/from_avro side). Runs on native
+    ``to_avro``/``from_avro`` where the spark-avro jar is loaded; in
+    this container it exercises the engine's spec-conformant binary
+    codec (zigzag varints, length-prefixed utf8, IEEE doubles,
+    nullable unions) through Arrow-batched UDFs. The oracle is the
+    identity — a lossless codec must hash-match the source rows."""
+    import json as _json
+
+    from hr_moderndatapipeline_spark.functions.avro_codec import (
+        parse_avro,
+        serialize_avro,
+    )
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    enc = serialize_avro(ev, ["user_id", "event_type", "value"], schema)
+    dec = parse_avro(enc.select("event_id", "avro"), "avro", schema)
+    return dec.select(
+        "event_id",
+        F.col("data.user_id").alias("user_id"),
+        F.col("data.event_type").alias("event_type"),
+        F.col("data.value").alias("value"),
+    )
+
+
+ORACLE_AVRO_ROUNDTRIP = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 QUERIES = {
     "cdc_upsert_current_orders": q_cdc_upsert_current_orders,
+    "avro_roundtrip": q_avro_roundtrip,
     "debezium_unwrap": q_debezium_unwrap,
     "attrition_fact": q_attrition_fact,
     "headcount_monthly": q_headcount_monthly,
@@ -477,6 +524,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_upsert_current_orders": ORACLE_CDC_UPSERT,
+    "avro_roundtrip": ORACLE_AVRO_ROUNDTRIP,
     "debezium_unwrap": ORACLE_DEBEZIUM_UNWRAP,
     "attrition_fact": ORACLE_ATTRITION_FACT,
     "headcount_monthly": ORACLE_HEADCOUNT_MONTHLY,

@@ -9,10 +9,14 @@ identically on a batch frame (tests, backfills) and a stream.
 
 from hr_moderndatapipeline_spark.streaming.validate import parse_with_dlq
 from hr_moderndatapipeline_spark.streaming.sinks import (
+    build_kafka_dlq_writer,
+    dlq_kafka_payload,
     foreach_batch_scd2,
     foreach_batch_upsert,
     start_append_sink,
+    start_console_sink,
     start_json_dlq_sink,
+    start_kafka_dlq_sink,
 )
 from hr_moderndatapipeline_spark.streaming.sources import file_json_stream, kafka_stream
 from hr_moderndatapipeline_spark.streaming.windows import (
@@ -23,10 +27,14 @@ from hr_moderndatapipeline_spark.streaming.monitor import progress_summary
 
 __all__ = [
     "parse_with_dlq",
+    "build_kafka_dlq_writer",
+    "dlq_kafka_payload",
     "foreach_batch_scd2",
     "foreach_batch_upsert",
     "start_append_sink",
+    "start_console_sink",
     "start_json_dlq_sink",
+    "start_kafka_dlq_sink",
     "file_json_stream",
     "kafka_stream",
     "windowed_agg",

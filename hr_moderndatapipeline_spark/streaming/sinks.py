@@ -65,14 +65,116 @@ def start_json_dlq_sink(
     )
 
 
+def dlq_kafka_payload(
+    dlq: DataFrame,
+    key_col: str = "key",
+    reason: str = "schema_parse_failed",
+    payload_cols: Sequence[str] = ("value", "kafka_ts"),
+) -> DataFrame:
+    """The DLQ re-serialization projection (K5's message shape,
+    kafka/consumer/kafka_consumer_contract_signing_events_DLQ.py:116-119):
+    original payload columns + a failure reason folded into one JSON
+    ``value``, original key as string. Pure batch-or-stream
+    projection — unit-testable without a broker."""
+    from pyspark.sql import functions as F
+
+    return dlq.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in payload_cols], F.lit(reason).alias("reason"))
+        ).alias("value"),
+    )
+
+
+def build_kafka_dlq_writer(
+    dlq: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "key",
+    reason: str = "schema_parse_failed",
+    payload_cols: Sequence[str] = ("value", "kafka_ts"),
+):
+    """Streaming Kafka DLQ sink (K5, kafka/consumer/kafka_DLQ.py:66-79):
+    invalid rows re-published to a DLQ *topic* as JSON with the
+    original key and a reason. Returns the configured
+    ``DataStreamWriter`` — callers ``.start()`` it; kept separate so
+    the full option surface is constructible (and testable) in
+    environments without a Kafka broker or the kafka-sql jars."""
+    msg = dlq_kafka_payload(dlq, key_col, reason, payload_cols)
+    return (
+        msg.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def start_kafka_dlq_sink(
+    dlq: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    **kwargs,
+) -> StreamingQuery:
+    """K5 started (requires a broker + spark-sql-kafka in the
+    deployment; see ``build_kafka_dlq_writer``)."""
+    return build_kafka_dlq_writer(
+        dlq, bootstrap_servers, topic, checkpoint, **kwargs
+    ).start()
+
+
+def start_console_sink(
+    df: DataFrame, num_rows: int = 10, truncate: bool = False
+) -> StreamingQuery:
+    """Console debug sink (K7,
+    kafka/consumer/kafka_consumer_contract_signing_events_DLQ.py:99-103):
+    prints each micro-batch to stdout — the reference's ad-hoc stream
+    inspection tool, usually fanned out alongside a durable sink (T4)."""
+    return (
+        df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .start()
+    )
+
+
 # ── versioned-snapshot target for foreachBatch merges ──
 
 LATEST_MARKER = "_LATEST"
 
+_DELTA_AVAILABLE: dict[str, bool] = {}
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake python package AND jars are loadable
+    in this session (the reference's storage layer,
+    jobs/bronze/bronze_builder.py:57-71). Checked once per
+    application; this container ships neither, so the parquet
+    snapshot protocol below is what CI exercises."""
+    key = spark.sparkContext.applicationId
+    if key not in _DELTA_AVAILABLE:
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+
+            spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+            _DELTA_AVAILABLE[key] = True
+        except Exception:
+            _DELTA_AVAILABLE[key] = False
+    return _DELTA_AVAILABLE[key]
+
+
+def _is_delta_table(target: str) -> bool:
+    return os.path.isdir(os.path.join(target, "_delta_log"))
+
 
 def read_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
-    """Current published version of a versioned-snapshot table, or
-    None before the first publish."""
+    """Current published version of a snapshot table, or None before
+    the first publish. Reads Delta natively when the table is Delta
+    and the jars are present; otherwise the versioned-parquet
+    marker protocol."""
+    if delta_available(spark) and _is_delta_table(target):
+        return spark.read.format("delta").load(target)
     marker = os.path.join(target, LATEST_MARKER)
     if not os.path.exists(marker):
         return None
@@ -82,6 +184,25 @@ def read_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
 
 
 def publish_snapshot(df: DataFrame, target: str, version: str) -> None:
+    """Publish the next version of a snapshot table.
+
+    With Delta available this is a transactional ``overwrite`` —
+    the transaction log carries the version history natively (time
+    travel via ``versionAsOf``), so ``version`` becomes a commit
+    metadata tag. Without Delta (this container), the fallback is
+    the versioned-directory protocol: write ``target/v{n}``, then
+    atomically swing the ``_LATEST`` pointer — idempotent under
+    micro-batch replay because the batch id is folded into the
+    version path."""
+    if delta_available(df.sparkSession):
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("overwriteSchema", "true")
+            .option("userMetadata", version)
+            .save(target)
+        )
+        return
     out = os.path.join(target, version)
     df.write.mode("overwrite").parquet(out)
     tmp = os.path.join(target, f".{LATEST_MARKER}.tmp")
@@ -89,6 +210,16 @@ def publish_snapshot(df: DataFrame, target: str, version: str) -> None:
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, os.path.join(target, LATEST_MARKER))  # atomic publish
+
+
+def read_snapshot_version(spark: SparkSession, target: str, version: int) -> DataFrame:
+    """Time travel: read a historical snapshot version. Delta uses
+    the native transaction log (``versionAsOf``); the parquet
+    protocol keeps every published ``v{n}`` directory, so history
+    stays addressable in both modes."""
+    if delta_available(spark) and _is_delta_table(target):
+        return spark.read.format("delta").option("versionAsOf", version).load(target)
+    return spark.read.parquet(os.path.join(target, f"v{version}"))
 
 
 def foreach_batch_upsert(
@@ -102,11 +233,32 @@ def foreach_batch_upsert(
     """Streaming latest-row-wins upsert: every micro-batch merges
     into the published snapshot with the batch upsert operator and
     publishes the next version (K8 corrected; outputMode update
-    semantics via explicit merge)."""
+    semantics via explicit merge). When Delta is loaded and the
+    target is a Delta table, the merge is a native ``DeltaTable
+    .merge`` (the reference's bronze MERGE,
+    jobs/bronze/bronze_builder.py:116-123); otherwise the engine's
+    batch upsert + snapshot publish."""
     from hr_moderndatapipeline_spark.operators.cdc import upsert_apply
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if delta_available(spark) and _is_delta_table(target):
+            from delta.tables import DeltaTable
+
+            from hr_moderndatapipeline_spark.operators.relational import latest_per_key
+
+            ob = [order_by] if isinstance(order_by, str) else list(order_by)
+            latest = latest_per_key(batch, list(keys), ob)
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            (
+                DeltaTable.forPath(spark, target)
+                .alias("t")
+                .merge(latest.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
         current = read_snapshot(spark, target)
         merged = batch if current is None else upsert_apply(
             current, batch, keys, order_by
