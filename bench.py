@@ -5,6 +5,11 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Results are written to a no-op sink (full plan execution, no driver
 materialization cost), matching how a production job would behave.
+Each query runs twice and reports the per-query minimum — the shared
+host this runs on shows 2-3× ambient timing swings, and the minimum
+is the standard steady-state estimator under external interference
+(caches are cleared between runs, so the second run re-executes the
+full plan rather than reading persisted blocks).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ BENCH_QUERIES = [
     "pricing_summary",            # scan-heavy multi-aggregate
     "attrition_monthly",          # groupBy + conditional agg (flagship)
     "attrition_by_segment",       # broadcast join + agg
+    "local_supplier_volume",      # 6-table join (reordering canary)
     "latest_order_per_customer",  # window dedup
     "cdc_upsert_current_orders",  # merge/upsert
     "scd2_user_state",            # SCD2 history build
@@ -76,15 +82,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    for name in BENCH_QUERIES:
-        fn = all_queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # Queries are timed independently: drop any cache a query
-        # persisted so storage memory doesn't bleed into the next
-        # query's measurement.
-        spark.catalog.clearCache()
+    for _rep in range(2):
+        for name in BENCH_QUERIES:
+            fn = all_queries[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            # Queries are timed independently: drop any cache a query
+            # persisted so storage memory doesn't bleed into the next
+            # query's measurement.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

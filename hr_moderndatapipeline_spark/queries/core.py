@@ -523,6 +523,134 @@ FROM lineitem GROUP BY 1
 """
 
 
+# ── multi-join analytics (Catalyst join reordering + broadcast dims) ──
+
+def _rev_amount() -> F.Column:
+    """Exact-decimal line revenue l_extendedprice*(1-l_discount) —
+    identical accumulation on both engines (see lineitem_scalar_kit)."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return price * disc_f
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way selective join (filtered customer dim
+    broadcast; fact-fact join on the order key), revenue per order,
+    global top-10 via TakeOrderedAndProject — the canonical 'which
+    orders matter' plan. Filters sit directly on the scans, so
+    parquet pushdown prunes before any join."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_rev_amount()).cast("double").alias("revenue")
+    )
+    return topk(agg, [F.col("revenue"), F.col("l_orderkey")], 10)
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01'
+JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+WHERE l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey DESC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join — lineitem×orders×customer×
+    supplier×nation×region with the 'customer and supplier share a
+    nation' co-location predicate, revenue per nation in one region.
+    nation/region broadcast; Catalyst reorders the rest. The widest
+    join tree in the inventory — the plan-quality canary for join
+    reordering at scale."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(_rev_amount()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY revenue DESC
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact×dimension join + conditional-aggregate
+    ratio (promo revenue share per ship month). The part dim is
+    broadcast; the CASE folds into the single aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    amount = _rev_amount()
+    promo = F.when(F.col("p_type") == "PROMO", amount).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = (
+        with_period_keys(j, "l_shipdate")
+        .groupBy("year", "month")
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(amount).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.withColumn(
+        "promo_share", null_safe_ratio(F.col("promo_revenue"), F.col("total_revenue"))
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+         CAST(month(l_shipdate) AS INTEGER) AS month,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * CAST(1 - l_discount AS DECIMAL(18,2)) AS amount,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT year, month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(amount) AS DOUBLE) AS total_revenue,
+       COALESCE(CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / NULLIF(CAST(sum(amount) AS DOUBLE), 0.0), 0.0) AS promo_share
+FROM j
+GROUP BY 1, 2
+"""
+
+
 # ── cube grouping sets (hierarchical-agg completion of A3→A5) ──
 
 def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +776,9 @@ QUERIES = {
     "pivot_qty_by_status": q_pivot_qty_by_status,
     "deterministic_sample": q_deterministic_sample,
     "status_cube": q_status_cube,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "promo_revenue_share": q_promo_revenue_share,
     "approx_distinct_customers": q_approx_distinct_customers,
 }
 
@@ -675,5 +806,8 @@ ORACLES = {
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,
     "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "status_cube": ORACLE_STATUS_CUBE,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "approx_distinct_customers": ORACLE_APPROX_DISTINCT,
 }

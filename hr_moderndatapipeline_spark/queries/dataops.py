@@ -123,6 +123,47 @@ SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+# ── end-to-end near-dup removal: pairs → clusters → surviving corpus ──
+
+def q_dedup_drop_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup story: detect near-dup pairs (source-blocked
+    Jaccard ≥ 0.9), cluster them, drop every non-representative
+    member, return the surviving corpus — the frame a training run
+    would actually consume. The drop is a broadcast anti-join of the
+    (tiny) dropped-id list against the corpus: the 100 TB side never
+    shuffles."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.9)
+    clusters = dedup_clusters(pairs, "doc_id_a", "doc_id_b")
+    dropped = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+ORACLE_DEDUP_DROP = """
+WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS words FROM documents),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.9),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+assign AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT member_id FROM assign WHERE member_id <> cluster_id)
+"""
+
+
 # ── MinHash + LSH near-dup (rows-only: engine-native 64-bit hashing) ──
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,6 +405,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
+    "dedup_drop_survivors": q_dedup_drop_survivors,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -382,6 +424,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
+    "dedup_drop_survivors": ORACLE_DEDUP_DROP,
     "ann_bruteforce_topk": _ANN_ORACLE_FOLD,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,

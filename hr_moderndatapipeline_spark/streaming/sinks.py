@@ -183,7 +183,9 @@ def read_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target, version))
 
 
-def publish_snapshot(df: DataFrame, target: str, version: str) -> None:
+def publish_snapshot(
+    df: DataFrame, target: str, version: str, partition_by: Sequence[str] | None = None
+) -> None:
     """Publish the next version of a snapshot table.
 
     With Delta available this is a transactional ``overwrite`` —
@@ -193,18 +195,27 @@ def publish_snapshot(df: DataFrame, target: str, version: str) -> None:
     the versioned-directory protocol: write ``target/v{n}``, then
     atomically swing the ``_LATEST`` pointer — idempotent under
     micro-batch replay because the batch id is folded into the
-    version path."""
+    version path.
+
+    ``partition_by`` partitions the physical layout (e.g. by date
+    key) so downstream reads prune partitions — the uplift SURVEY.md
+    §4 flags over the reference's unpartitioned writes."""
     if delta_available(df.sparkSession):
-        (
+        w = (
             df.write.format("delta")
             .mode("overwrite")
             .option("overwriteSchema", "true")
             .option("userMetadata", version)
-            .save(target)
         )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(target)
         return
     out = os.path.join(target, version)
-    df.write.mode("overwrite").parquet(out)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
     tmp = os.path.join(target, f".{LATEST_MARKER}.tmp")
     os.makedirs(target, exist_ok=True)
     with open(tmp, "w") as f:

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(capability uplift over SURVEY.md §2.13 T7 — the reference has no
+stateful processing at all; a credible streaming engine needs
+arbitrary per-key state the built-in windows can't express).
+
+``running_totals`` maintains per-key running aggregates (event count,
+value sum, last-seen timestamp) across micro-batches: state lives in
+the state store, survives restarts through the checkpoint, and is
+keyed exactly like the shuffle — each task owns its keys' state, no
+cross-task coordination. This is the shape production dedup-on-stream,
+per-entity rate limiting, and running-feature extraction all reduce
+to.
+
+State values are kept as primitive longs/doubles (epoch millis, not
+timestamps) — state-store encodings are version-sensitive, primitives
+are not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def _output_schema(key_cols: Sequence[tuple[str, str]]) -> T.StructType:
+    fields = [T.StructField(n, getattr(T, t)(), True) for n, t in key_cols]
+    return T.StructType(
+        fields
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+            T.StructField("last_ts_ms", T.LongType()),
+        ]
+    )
+
+
+def running_totals(
+    stream: DataFrame,
+    key_cols: Sequence[tuple[str, str]],
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key running (count, sum, last event time) over a stream.
+
+    ``key_cols`` is [(name, SparkTypeClassName)], e.g.
+    ``[("user_id", "IntegerType")]`` — the output schema must be
+    declared, not inferred. Emits one updated row per key per
+    micro-batch (outputMode update semantics)."""
+    names = [n for n, _ in key_cols]
+    out_schema = _output_schema(key_cols)
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, vsum, last_ms = state.get
+        else:
+            n, vsum, last_ms = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf[value_col].fillna(0.0).sum())
+            if len(pdf):
+                batch_max = pdf[ts_col].max()
+                last_ms = max(last_ms, int(batch_max.value // 1_000_000))
+        state.update((n, vsum, last_ms))
+        row = dict(zip(names, key))
+        row.update({"n_events": n, "value_sum": vsum, "last_ts_ms": last_ms})
+        yield pd.DataFrame([row])
+
+    return stream.groupBy(*names).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

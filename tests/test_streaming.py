@@ -221,6 +221,84 @@ def test_sessionized_counts_batch(spark):
     assert got == [(1, 1), (1, 2), (2, 1)]
 
 
+def test_running_totals_state_survives_restart(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key
+    running totals must accumulate ACROSS restarts — the state store
+    checkpoint carries (count, sum, last_ts) between runs."""
+    from hr_moderndatapipeline_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    write_events(
+        src,
+        "b0.jsonl",
+        [
+            {"user_id": 1, "kind": "a", "ts": "2024-01-01 00:00:00"},
+            {"user_id": 1, "kind": "b", "ts": "2024-01-01 01:00:00"},
+            {"user_id": 2, "kind": "a", "ts": "2024-01-01 02:00:00"},
+        ],
+    )
+
+    def run():
+        # foreachBatch, not the memory sink: memory-sink queries
+        # cannot recover from a checkpoint, and recovery is exactly
+        # what this test exercises.
+        emitted: list = []
+
+        def sink(batch, _bid):
+            emitted.extend(batch.collect())
+
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+        typed = valid.withColumn("ts", F.to_timestamp("ts")).withColumn(
+            "v", F.lit(1.5)
+        )
+        out = running_totals(typed, [("user_id", "IntegerType")], "v", "ts")
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["user_id"]: r for r in emitted}
+
+    got1 = run()
+    assert got1[1]["n_events"] == 2 and got1[1]["value_sum"] == 3.0
+    assert got1[2]["n_events"] == 1
+
+    # restart with one new file: state accumulates, not resets
+    write_events(src, "b1.jsonl", [{"user_id": 1, "kind": "c", "ts": "2024-01-01 03:00:00"}])
+    got2 = run()
+    assert got2[1]["n_events"] == 3 and got2[1]["value_sum"] == 4.5
+    assert 2 not in got2  # unchanged keys emit nothing on restart
+    ts_ms = got2[1]["last_ts_ms"]
+    import datetime as dt
+
+    assert dt.datetime.utcfromtimestamp(ts_ms / 1000).hour == 3
+
+
+def test_publish_snapshot_partitioned(spark, tmp_path):
+    """partition_by lays out the snapshot as partition directories so
+    reads prune (SURVEY.md §4 uplift over unpartitioned writes)."""
+    import os as _os
+
+    from hr_moderndatapipeline_spark.streaming.sinks import publish_snapshot, read_snapshot
+
+    df = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-02", "b")], "id int, month string, v string"
+    )
+    target = str(tmp_path / "snap")
+    publish_snapshot(df, target, "v1", partition_by=["month"])
+    assert _os.path.isdir(_os.path.join(target, "v1", "month=2024-01"))
+    got = read_snapshot(spark, target)
+    assert got.count() == 2
+    # partition filter prunes to one directory
+    plan = got.filter(F.col("month") == "2024-01")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
+
+
 def test_multi_sink_fanout_and_monitor(spark, tmp_path):
     """T4/T5: two concurrent sinks off one source lineage + progress
     snapshot shape."""
