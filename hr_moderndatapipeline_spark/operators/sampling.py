@@ -1,0 +1,84 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines (beyond-reference capability, alongside operators/text.py).
+
+Training corpora are MIXED, not dumped: each source gets a sampling
+weight (upsample books, downsample web), and documents are packed
+into fixed token budgets for efficient sequence batching. Both
+operators here are deterministic by construction — content/key-
+derived, no ``rand()`` — so a retried task, a re-run, and the DuckDB
+oracle all select the exact same rows (the same property the engine's
+O4 ``deterministic_sample`` and the U1 feature UDFs enforce; the
+reference's ``random()``-based sampling,
+jobs/bronze/ingest_change_source.py:81, breaks under retry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative constant — a cheap integer mixer available
+#: as plain arithmetic in ANY engine (unlike xxhash64/murmur, which
+#: differ across engines and would make cross-engine checks
+#: impossible). Quality is ample for percentage bucketing.
+_KNUTH = 2654435761
+
+
+def det_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, buckets) from an
+    integer key: (key * 2654435761 mod 2^32) mod buckets. Pure
+    64-bit-safe integer arithmetic, restatable in ANSI SQL."""
+    return F.pmod((key * F.lit(_KNUTH)) % F.lit(4294967296), F.lit(buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    default: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (data mixing): keep a row
+    iff its key bucket falls under the stratum's percentage. Pure
+    filter — no shuffle, no state, exact same selection on every
+    run/engine. Fractions are percents rounded to 1% granularity."""
+    default_pct = F.lit(int(round(default * 100)))
+    if not fractions:
+        pct = default_pct
+    else:
+        pct = reduce(
+            lambda acc, kv: acc.when(
+                F.col(stratum_col) == kv[0], F.lit(int(round(kv[1] * 100)))
+            ),
+            fractions.items(),
+            F,
+        ).otherwise(default_pct)
+    return df.filter(det_bucket(F.col(key_col)) < pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Contiguous sequence packing: within each group (shard), order
+    documents by id, accumulate token counts, and assign pack_id =
+    floor(running_start / budget) — the streaming-friendly
+    approximation of bin packing every pretraining data loader uses.
+    The window partitions by ``group_col`` (the shard key), so no
+    global single-partition window exists: at 100 TB the shards ARE
+    the parallelism."""
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    toks = token_count_col
+    cum = F.sum(toks).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        toks.cast("int").alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(budget)).cast("int").alias("pack_id"),
+    )

@@ -113,6 +113,52 @@ def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out
 
 
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace
+    runs, trim. Pure JVM regexp expressions — one codegen span, no
+    Python."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def doc_chunks(df: DataFrame, id_col: str, text_col: str, max_words: int = 32) -> DataFrame:
+    """Split documents into fixed-budget word chunks with stable
+    indices — the chunking step every training/RAG pipeline runs
+    before tokenization or embedding. Map-side explode over a
+    generated chunk-index sequence + array slice; rows scale with
+    total words / max_words, never materializing more than one
+    chunk per output row."""
+    d = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+        .withColumn("_n", F.size("_words"))
+        .filter(F.col("_n") > 0)
+    )
+    last_idx = ((F.col("_n") - 1) / max_words).cast("int")
+    d = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), last_idx)))
+    start = F.col("chunk_idx") * max_words + 1
+    return d.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.concat_ws(" ", F.slice(F.col("_words"), start, F.lit(max_words))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(max_words), F.col("_n") - F.col("chunk_idx") * max_words)
+        .cast("int")
+        .alias("n_words"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic polynomial rolling hash of the full text
     (mod 1e9+7) as a compact content fingerprint — exact-dup

@@ -339,6 +339,92 @@ FROM documents
 """
 
 
+# ── text preprocessing: normalize / chunk ──
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hr_moderndatapipeline_spark.operators.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS n_chars_norm FROM n
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hr_moderndatapipeline_spark.operators.text import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir), "doc_id", "text", max_words=32)
+
+
+ORACLE_DOC_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS words, len(str_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, words, n,
+         CAST(unnest(range(0, (n - 1) // 32 + 1)) AS INTEGER) AS chunk_idx
+  FROM d WHERE n > 0)
+SELECT doc_id, chunk_idx,
+       array_to_string(list_slice(words, chunk_idx * 32 + 1,
+                                  least((chunk_idx + 1) * 32, n)), ' ') AS chunk_text,
+       CAST(least(32, n - chunk_idx * 32) AS INTEGER) AS n_words
+FROM c
+"""
+
+
+# ── data mixing: deterministic stratified sampling + packing ──
+
+def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixing: per-source sampling weights applied as
+    a deterministic key-bucket filter (src0 down to 25%, src1 to 50%,
+    src2 dropped, everything else kept). No shuffle, no randomness —
+    identical selection on every run, retry, and engine."""
+    from hr_moderndatapipeline_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 0.25, "src1": 0.5, "src2": 0.0},
+        default=1.0,
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100
+      < CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50 WHEN 'src2' THEN 0 ELSE 100 END
+"""
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source shards, docs in id order, packed
+    into 2000-token budgets by running token count — the pretraining
+    batch-assembly step, with the shard key as the parallelism unit."""
+    from hr_moderndatapipeline_spark.operators.sampling import pack_sequences
+    from hr_moderndatapipeline_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, "doc_id", "source", token_count(F.col("text")), 2000)
+
+
+ORACLE_TOKEN_PACKING = """
+WITH t AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens FROM documents)
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)
+                  / 2000.0) AS INTEGER) AS pack_id
+FROM t
+"""
+
+
 # ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +502,10 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_normalize": q_text_normalize,
+    "doc_chunks": q_doc_chunks,
+    "stratified_sample_mix": q_stratified_sample_mix,
+    "token_packing": q_token_packing,
     "multimodal_features": q_multimodal_features,
     "video_frame_samples": q_video_frame_samples,
 }
@@ -431,6 +521,10 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "stratified_sample_mix": ORACLE_STRATIFIED_SAMPLE,
+    "token_packing": ORACLE_TOKEN_PACKING,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /

@@ -19,7 +19,7 @@ from hr_moderndatapipeline_spark.streaming.sinks import (
     start_kafka_dlq_sink,
 )
 from hr_moderndatapipeline_spark.streaming.sources import file_json_stream, kafka_stream
-from hr_moderndatapipeline_spark.streaming.stateful import running_totals
+from hr_moderndatapipeline_spark.streaming.stateful import dedup_stream, running_totals
 from hr_moderndatapipeline_spark.streaming.windows import (
     sessionized_counts,
     windowed_agg,
@@ -38,6 +38,7 @@ __all__ = [
     "start_kafka_dlq_sink",
     "file_json_stream",
     "kafka_stream",
+    "dedup_stream",
     "running_totals",
     "windowed_agg",
     "sessionized_counts",

@@ -26,6 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def dedup_stream(
+    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving
+    within ``watermark`` of the first occurrence are dropped, and the
+    event-time watermark lets the state store evict old keys —
+    ``dropDuplicates`` alone on a stream accumulates every key ever
+    seen and is the classic streaming OOM. The streaming face of the
+    batch ``dedup_exact`` operator."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -279,6 +279,37 @@ def test_running_totals_state_survives_restart(spark, tmp_path):
     assert dt.datetime.utcfromtimestamp(ts_ms / 1000).hour == 3
 
 
+def test_dedup_stream_drops_duplicates_with_bounded_state(spark, tmp_path):
+    """Streaming dedup: duplicate (user_id, kind) events within the
+    watermark window are dropped across micro-batches; state is
+    watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from hr_moderndatapipeline_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "src")
+    write_events(
+        src,
+        "b0.jsonl",
+        [
+            {"user_id": 1, "kind": "a", "ts": "2024-01-01 00:00:00"},
+            {"user_id": 1, "kind": "a", "ts": "2024-01-01 00:05:00"},  # dup
+            {"user_id": 1, "kind": "b", "ts": "2024-01-01 00:06:00"},
+            {"user_id": 2, "kind": "a", "ts": "2024-01-01 00:07:00"},
+        ],
+    )
+    raw = file_json_stream(spark, src)
+    valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+    typed = valid.withColumn("ts", F.to_timestamp("ts"))
+    deduped = dedup_stream(typed, ["user_id", "kind"], "ts", watermark="1 hour")
+    q = start_append_sink(
+        deduped, str(tmp_path / "out"), str(tmp_path / "cp"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["kind"]) for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(1, "a"), (1, "b"), (2, "a")]
+
+
 def test_publish_snapshot_partitioned(spark, tmp_path):
     """partition_by lays out the snapshot as partition directories so
     reads prune (SURVEY.md §4 uplift over unpartitioned writes)."""
