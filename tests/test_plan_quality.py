@@ -51,6 +51,57 @@ def test_scalar_kit_stays_in_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_shipping_priority_plan(spark, sf_dir):
+    """Q3 shape: the filtered customer dim must broadcast, the date
+    filters must reach the scans, and the global top-10 must plan as
+    TakeOrderedAndProject (no full sort of the aggregate)."""
+    plan = plan_of(core.q_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+
+
+def test_local_supplier_volume_broadcasts_small_dims(spark, sf_dir):
+    """Q5 shape: nation and region must broadcast; the region filter
+    must reach its scan. Fact-fact joins may shuffle — that's their
+    honest cost — but never the small dims."""
+    plan = plan_of(core.q_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_promo_share_single_agg_pass(spark, sf_dir):
+    """Q14 shape: part dim broadcast; both conditional aggregates fold
+    into ONE aggregation pass (one pair of HashAggregates), not a
+    self-join of two aggregations."""
+    plan = plan_of(core.q_promo_revenue_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_chunks_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(dataops.q_doc_chunks(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # explode, map-side
+
+
+def test_stratified_sample_is_pure_pushable_filter(spark, sf_dir):
+    """Data mixing must stay a scan-side filter: no shuffle, no
+    Python, no join."""
+    plan = plan_of(dataops.q_stratified_sample_mix(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_packing_shuffles_only_on_shard_key(spark, sf_dir):
+    plan = plan_of(dataops.q_token_packing(spark, sf_dir))
+    # exactly one exchange: hashpartitioning on the shard key for the window
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan  # never a global window
+
+
 def test_ann_bruteforce_no_shuffle_of_corpus_scoring(spark, sf_dir):
     """Queries broadcast; the only exchanges are the rebalance
     round-robin and the tiny per-query top-k window."""
