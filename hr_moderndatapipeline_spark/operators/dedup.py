@@ -102,6 +102,35 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, hashes_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """(id, _sig) per doc via explode + k codegen min-aggregates —
+    value-identical to ``minhash_signature_from_hashes`` (same affine
+    family, same elementwise minimum) but an order of magnitude
+    faster: the ``F.aggregate`` fold is interpreted per element and
+    allocates a k-wide array per shingle (measured ~1.6s for 260k
+    shingles at k=64), while min() aggregates stay in whole-stage
+    codegen with map-side partial aggregation, so the extra exchange
+    carries one row per document. Rows with empty hash arrays drop
+    out (explode of []) — callers filter empties anyway."""
+    coeffs = _mh_coeffs(num_hashes)
+    h = F.col("_mh_h")
+    aggs = [
+        F.min(F.lit(a).cast("long") * h + F.lit(b).cast("long")).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        df.select(id_col, F.explode(F.col(hashes_col)).alias("_mh_h"))
+        .groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+        )
+    )
+
+
 def lsh_bucket_rows(
     df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -205,9 +234,7 @@ def minhash_dedup_pairs(
     # columnar and small — unlike the string shingles, whose cache
     # build cost more than the recompute it saved.
     prepped = prepped.persist(StorageLevel.MEMORY_AND_DISK)
-    with_sig = prepped.withColumn(
-        "_sig", minhash_signature_from_hashes(F.col("_shh"), num_hashes)
-    )
+    with_sig = minhash_signatures(prepped, id_col, "_shh", num_hashes)
     cands = lsh_candidate_pairs(with_sig, id_col, "_sig", bands, rows_per_band)
     a = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_shh").alias("_shh_a"))
     b = prepped.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_shh").alias("_shh_b"))
