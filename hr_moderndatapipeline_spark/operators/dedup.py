@@ -13,8 +13,8 @@ the only shuffles are on dedup keys / LSH buckets, never all-pairs:
   keys → self-join within buckets. The join is on (band, bucket), so
   work scales with bucket sizes, not corpus²; heavily duplicated
   corpora produce hot buckets → cap or salt them (``max_bucket``).
-- ``simhash64``          — vectorized Arrow-batch Pandas UDF
-  (token-hash sign aggregation), deterministic via blake2b.
+- ``simhash64``          — JVM-side term-frequency SimHash: exploded
+  xxhash64 tokens → 64 codegen sign-sum aggregates → packed bits.
 - ``jaccard_pairs``      — exact word-set Jaccard over blocked
   candidate pairs (array_intersect/array_union sizes).
 
@@ -26,11 +26,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def dedup_exact(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
@@ -251,53 +248,46 @@ def minhash_dedup_pairs(
     return verified
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text — batch-level numpy vectorization:
-    tokens across the whole Arrow batch are flattened, each UNIQUE
-    token is blake2b-hashed once (dedup across rows — corpora repeat
-    tokens heavily), sign contributions are scatter-added per row,
-    and the sign bits are packed without any per-token Python loop.
-    Deterministic (no process-seeded Python ``hash``)."""
-    import hashlib
-
-    import numpy as np
-
-    n = len(texts)
-    token_lists = [t.split() if t else [] for t in texts.fillna("")]
-    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
-    out = np.zeros(n, dtype=np.int64)
-    if int(counts.sum()) == 0:
-        return pd.Series(out)
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
-    uniq, inv = np.unique(flat, return_inverse=True)
-    h = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            for tok in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash) — 64-bit term-frequency-weighted SimHash,
+    entirely JVM-side: tokens exploded with multiplicity, xxhash64
+    per token, the 64 per-bit sign sums as codegen SUM aggregates
+    (map-side combined to one row per doc), sign bits packed by a
+    64-term disjoint-bit sum. No Python anywhere — an earlier
+    Arrow-batched pandas UDF (numpy reduceat over flattened token
+    arrays) was itself fast, but paid worker startup and ran once
+    per side of the blocked self-join; the aggregate form shares one
+    shuffle and stays in whole-stage codegen. Docs with no tokens
+    get signature 0 (restored via left join — explode drops them)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t")
+    ).filter(F.col("_t") != "")
+    h = F.xxhash64("_t")
+    aggs = [
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    # Bit 63 of a signed long is the sign bit: its "set" contribution
+    # is -2^63 in two's complement; all 64 contributions are disjoint
+    # bits, so + is |.
+    packed = sum(
+        [
+            F.when(
+                F.col(f"_b{i}") > 0,
+                F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+        start=F.lit(0).cast("long"),
     )
-    shifts = np.arange(64, dtype=np.uint64)
-    # (n_unique, 64) sign matrix: +1 where the token hash bit is set
-    signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
-    # Tokens are laid out row-contiguous, so per-row sign sums are
-    # segment reductions (add.reduceat over row offsets) — far faster
-    # than element-wise scatter adds.
-    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    nz = counts > 0
-    seg = np.add.reduceat(signs[inv], offsets[nz], axis=0)
-    acc = np.zeros((n, 64), dtype=np.int64)
-    acc[nz] = seg
-    sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-    return pd.Series(sig.view(np.int64))
-
-
-def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    from hr_moderndatapipeline_spark.operators.relational import rebalance
-
-    return rebalance(df).withColumn(out_col, _simhash64_udf(F.col(text_col)))
+    sums = toks.groupBy(id_col).agg(*aggs).select(F.col(id_col), packed.alias(out_col))
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")))
+    )
 
 
 def simhash_near_pairs(
@@ -308,7 +298,7 @@ def simhash_near_pairs(
     share a prefix block; multi-table permutation blocking is the
     production extension), then verify Hamming ≤ ``max_hamming``
     via bit_count(xor)."""
-    sig = simhash64(df.select(id_col, text_col), text_col)
+    sig = simhash64(df.select(id_col, text_col), id_col, text_col)
     blocked = sig.withColumn("_block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
     a = blocked.select(
         F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_sig_a"), "_block"
