@@ -159,6 +159,154 @@ def doc_chunks(df: DataFrame, id_col: str, text_col: str, max_words: int = 32) -
     )
 
 
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style repeated
+    n-gram filter): fraction of word n-gram OCCURRENCES that are
+    duplicates of an earlier occurrence. Pure array algebra — the
+    n-gram list with multiplicity vs its distinct form — computed
+    map-side in one codegen span."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(words) >= ngram, F.sequence(F.lit(1), F.size(words) - (ngram - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, ngram)))
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        F.when(n_total > 0, (n_total - n_distinct).cast("double") / n_total)
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_ratio"),
+    )
+
+
+#: Redaction patterns applied IN ORDER (each on the previous result);
+#: syntax restricted to the Java-regex ∩ RE2 subset so the same
+#: pattern strings run on Spark and any RE2-based engine (DuckDB).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing before training: sequential regex redaction of
+    emails, phone numbers, and IPv4 addresses, with per-kind match
+    counts. All JVM regexp expressions; counts are taken on the text
+    as each pattern sees it (post prior redactions), matching the
+    sequential-composition semantics of the replace chain."""
+    redacted = F.col(text_col)
+    count_cols = []
+    for name, pattern, token in PII_PATTERNS:
+        count_cols.append(F.regexp_count(redacted, F.lit(pattern)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pattern, token)
+    out = df.select(F.col(id_col), *count_cols, redacted.alias("redacted_text"))
+    total = sum(
+        [F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        start=F.lit(0),
+    )
+    return out.withColumn("n_redactions", total)
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    share of its distinct word n-grams that appear anywhere in the
+    evaluation set. Eval sets are small by construction, so the
+    distinct eval-gram table is BROADCAST — the corpus is scanned
+    once, map-side, with no corpus-sized shuffle of text; only the
+    (doc, matched-gram) pairs reach the per-doc count aggregate."""
+    def grams_of(df: DataFrame, *cols: str) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        idx = F.when(
+            F.size(words) >= ngram, F.sequence(F.lit(1), F.size(words) - (ngram - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, ngram)))
+        )
+        return df.select(*cols, F.explode(g).alias("_gram"))
+
+    eval_grams = grams_of(eval_set).distinct()
+    corpus_grams = grams_of(corpus, id_col)
+    shared = (
+        corpus_grams.join(F.broadcast(eval_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(shared, id_col, "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)).cast("long"))
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_grams"))
+            .alias("contamination"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·(N/df) weight —
+    the classic keyword-extraction pass. The score is one integer
+    product and one IEEE division (no transcendentals), so it is
+    bit-identical across engines; ties break on the term string.
+    Dataflow: explode → (doc, term) counts → term document
+    frequencies (partial-aggregated) → join on term → per-doc top-k
+    window. Every shuffle is on an aggregation key."""
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Corpus size as a broadcast 1-row frame keeps the whole plan
+    # lazy (no driver-side count action at build time).
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", (F.col("tf") * F.col("_n_docs")).cast("double") / F.col("df")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def vocab_top_terms(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: global top-k tokens by occurrence
+    count (ties → lexicographic), the first step of building a
+    tokenizer vocab. Map-side-combined count then
+    TakeOrderedAndProject — no global sort materializes."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic polynomial rolling hash of the full text
     (mod 1e9+7) as a compact content fingerprint — exact-dup

@@ -425,6 +425,165 @@ FROM t
 """
 
 
+# ── text hygiene: repetition / PII / contamination / tf-idf / vocab ──
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hr_moderndatapipeline_spark.operators.text import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir), "doc_id", "text", ngram=3)
+
+
+ORACLE_REPETITION_SCORE = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(str_split(text, ' ')) >= 3
+              THEN list_transform(range(1, len(str_split(text, ' ')) - 1),
+                                  i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))
+              ELSE [] END AS grams
+  FROM documents)
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_gram_ratio
+FROM g
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing demo over the corpus with deterministically
+    planted PII (the synthetic corpus contains none): every 5th doc
+    gains an email, every 5th+1 a phone number, every 5th+2 an IPv4
+    — then the redaction operator scrubs them all."""
+    from hr_moderndatapipeline_spark.operators.text import pii_redact
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.lit(" call 415-555-"), F.lpad(F.col("doc_id") % 10000, 4, "0")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(F.lit(" from host 10.0."), F.col("doc_id") % 256, F.lit(".7")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(docs, "doc_id", "text")
+
+
+ORACLE_PII_REDACT = """
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com'
+           WHEN doc_id % 5 = 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN doc_id % 5 = 2 THEN ' from host 10.0.' || (doc_id % 256) || '.7'
+           ELSE '' END AS text
+  FROM documents),
+r1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+  FROM planted),
+r2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INTEGER) AS n_phone,
+         regexp_replace(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS text
+  FROM r1),
+r3 AS (
+  SELECT doc_id, n_email, n_phone,
+         CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ip,
+         regexp_replace(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text
+  FROM r2)
+SELECT doc_id, n_email, n_phone, n_ip, text AS redacted_text,
+       n_email + n_phone + n_ip AS n_redactions
+FROM r3
+"""
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: every 20th document acts as the
+    held-out eval set; each corpus doc reports the share of its
+    distinct 8-grams that appear in the eval set (1.0 for the eval
+    docs themselves — the planted positive control)."""
+    from hr_moderndatapipeline_spark.operators.text import contamination_overlap
+
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_overlap(docs, eval_set, "doc_id", "text", ngram=8)
+
+
+ORACLE_CONTAMINATION = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(str_split(text, ' ')) >= 8
+              THEN list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 6),
+                                  i -> array_to_string(list_slice(str_split(text, ' '), i, i + 7), ' ')))
+              ELSE [] END AS grams
+  FROM documents),
+corpus_grams AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+eval_grams AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus_grams GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM corpus_grams c JOIN eval_grams e ON c.gram = e.gram
+  GROUP BY c.doc_id)
+SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS contamination
+FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hr_moderndatapipeline_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                                     tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 3
+"""
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hr_moderndatapipeline_spark.operators.text import vocab_top_terms
+
+    return vocab_top_terms(_docs(spark, sf_dir), "text", k=100)
+
+
+ORACLE_VOCAB = """
+SELECT term, count(*) AS n_occurrences
+FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 100
+"""
+
+
 # ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +665,11 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "stratified_sample_mix": q_stratified_sample_mix,
     "token_packing": q_token_packing,
+    "repetition_score": q_repetition_score,
+    "pii_redact": q_pii_redact,
+    "contamination_overlap": q_contamination_overlap,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "vocab_top_terms": q_vocab_top_terms,
     "multimodal_features": q_multimodal_features,
     "video_frame_samples": q_video_frame_samples,
 }
@@ -525,6 +689,11 @@ ORACLES = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample_mix": ORACLE_STRATIFIED_SAMPLE,
     "token_packing": ORACLE_TOKEN_PACKING,
+    "repetition_score": ORACLE_REPETITION_SCORE,
+    "pii_redact": ORACLE_PII_REDACT,
+    "contamination_overlap": ORACLE_CONTAMINATION,
+    "tfidf_top_terms": ORACLE_TFIDF,
+    "vocab_top_terms": ORACLE_VOCAB,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /

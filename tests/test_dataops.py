@@ -201,3 +201,79 @@ def test_decode_media_stub_is_explicit():
         decode_media(b"xx", "image", fake=False)
     out = decode_media(b"\x01\x03", "image", fake=True)
     assert out == {"n_bytes": 2, "mean": 2.0}
+
+
+def test_repetition_score_planted(spark):
+    from hr_moderndatapipeline_spark.operators.text import repetition_score
+
+    rows = [
+        (0, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+        (1, "one two three four"),  # 2 trigrams, all distinct
+        (2, "x y"),                 # too short: 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_score(df, "doc_id", "text").collect()}
+    assert out[0]["n_grams"] == 7 and out[0]["n_distinct_grams"] == 3
+    assert out[0]["dup_gram_ratio"] == pytest.approx(4 / 7)
+    assert out[1]["dup_gram_ratio"] == 0.0
+    assert out[2]["n_grams"] == 0 and out[2]["dup_gram_ratio"] == 0.0
+
+
+def test_pii_redact_planted(spark):
+    from hr_moderndatapipeline_spark.operators.text import pii_redact
+
+    rows = [
+        (0, "mail me at bob@corp.example.org or call 415-555-1234 from 10.0.0.7"),
+        (1, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1 and out[0]["n_ip"] == 1
+    assert out[0]["n_redactions"] == 3
+    assert out[0]["redacted_text"] == "mail me at <EMAIL> or call <PHONE> from <IP>"
+    assert out[1]["n_redactions"] == 0 and out[1]["redacted_text"] == rows[1][1]
+
+
+def test_contamination_overlap_planted(spark):
+    from hr_moderndatapipeline_spark.operators.text import contamination_overlap
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, base),                          # eval member: fully contaminated
+        (1, base.replace("w10", "zz")),     # shares 2 of 3 8-grams
+        (2, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.filter(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: r
+        for r in contamination_overlap(df, ev, "doc_id", "text", ngram=8).collect()
+    }
+    assert out[0]["contamination"] == 1.0
+    assert out[1]["n_grams"] == 3 and out[1]["n_shared"] == 2
+    assert out[2]["n_shared"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_tfidf_and_vocab(spark):
+    from hr_moderndatapipeline_spark.operators.text import tfidf_top_terms, vocab_top_terms
+
+    rows = [
+        (0, "apple apple banana shared"),
+        (1, "cherry shared shared date"),
+        (2, "apple elderberry shared fig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    # doc 0: apple tf=2 df=2 → 3.0; banana tf=1 df=1 → 3.0; tie → term asc
+    assert top[(0, 1)]["term"] == "apple" and top[(0, 1)]["score"] == 3.0
+    assert top[(0, 2)]["term"] == "banana"
+    # doc 1: shared tf=2 df=3 → 2.0 beats cherry/date tf=1 df=1 → 3.0? no:
+    # cherry 3.0 > shared 2.0 → cherry first, then date (term asc among 3.0)
+    assert top[(1, 1)]["term"] == "cherry" and top[(1, 2)]["term"] == "date"
+    vocab = vocab_top_terms(df, "text", k=3).collect()
+    assert [(r["term"], r["n_occurrences"]) for r in vocab] == [
+        ("shared", 4), ("apple", 3), ("banana", 1)
+    ]

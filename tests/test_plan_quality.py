@@ -108,3 +108,22 @@ def test_ann_bruteforce_no_shuffle_of_corpus_scoring(spark, sf_dir):
     plan = plan_of(dataops.q_ann_bruteforce_topk(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set gram table must broadcast: the corpus is scanned
+    once map-side with no corpus-sized shuffle of gram strings before
+    the per-doc count aggregate."""
+    plan = plan_of(dataops.q_contamination_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_top_terms_take_ordered(spark, sf_dir):
+    plan = plan_of(dataops.q_vocab_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(dataops.q_simhash_near_pairs(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
