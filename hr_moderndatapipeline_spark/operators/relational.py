@@ -123,3 +123,44 @@ def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int) -> Da
     keep``. Deterministic across engines, retries, and partitionings
     — unlike ``ORDER BY random()``. For non-numeric keys hash first."""
     return df.filter(F.pmod(F.col(key), F.lit(modulus)) < keep)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts < end``) as a bucketized
+    EQUI-join — the operator Spark lacks natively: a naive range-only
+    join plans as BroadcastNestedLoopJoin/cartesian, which is O(n·m)
+    and unrunnable at scale. Here each interval explodes into the
+    fixed-width time buckets it spans while each point maps to exactly
+    ONE bucket, so the hash join on (keys…, bucket) emits every
+    matching pair exactly once (no post-join dedup) and work scales
+    with matches per bucket, not points × intervals. Pick
+    ``bucket_seconds`` near the typical interval length: shorter
+    buckets explode intervals into more rows, longer ones widen the
+    per-bucket candidate sets. Caller aliases any colliding
+    non-key column names."""
+    us = bucket_seconds * 1_000_000
+    p = points.withColumn("_bkt", F.floor(F.unix_micros(F.col(point_ts)) / us))
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / us),
+                F.floor(F.unix_micros(F.col(end_col)) / us),
+            )
+        ),
+    )
+    return (
+        p.join(i, [*keys, "_bkt"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

@@ -484,6 +484,52 @@ FROM flagged GROUP BY 1
 """
 
 
+# ── interval join — bucketized point-in-range equi-join ──
+
+def q_error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click landing inside a same-user 10-minute error window
+    (incident-correlation shape). Runs through the bucketized
+    interval_join operator: intervals explode into 10-minute buckets,
+    points hash-join on (user_id, bucket) — never a nested-loop range
+    join — then the exact half-open range filter applies."""
+    from hr_moderndatapipeline_spark.operators.relational import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        clicks, errors, "click_ts", "w_start", "w_end",
+        keys=["user_id"], bucket_seconds=600,
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("w_start"))).alias(
+            "delay_us"
+        ),
+    )
+
+
+ORACLE_ERROR_WINDOW_CLICKS = """
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS delay_us
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+"""
+
+
 # ── distinct aggregate ──
 
 def q_distinct_customers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +817,7 @@ QUERIES = {
     "lineitem_scalar_kit": q_lineitem_scalar_kit,
     "event_props_json": q_event_props_json,
     "event_hourly_window": q_event_hourly_window,
+    "error_window_clicks": q_error_window_clicks,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
@@ -801,6 +848,7 @@ ORACLES = {
     "lineitem_scalar_kit": ORACLE_LINEITEM_SCALAR_KIT,
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "event_hourly_window": ORACLE_EVENT_HOURLY_WINDOW,
+    "error_window_clicks": ORACLE_ERROR_WINDOW_CLICKS,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,

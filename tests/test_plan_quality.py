@@ -127,3 +127,12 @@ def test_vocab_top_terms_take_ordered(spark, sf_dir):
 def test_simhash_stays_jvm_side(spark, sf_dir):
     plan = plan_of(dataops.q_simhash_near_pairs(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_join_never_nested_loop(spark, sf_dir):
+    """The bucketized interval join must plan as a hash/merge
+    EQUI-join on (user_id, bucket) — a range-only join would fall
+    back to BroadcastNestedLoopJoin, O(points x intervals)."""
+    plan = plan_of(core.q_error_window_clicks(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
