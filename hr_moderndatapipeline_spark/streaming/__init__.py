@@ -18,6 +18,7 @@ from hr_moderndatapipeline_spark.streaming.sinks import (
     start_json_dlq_sink,
     start_kafka_dlq_sink,
 )
+from hr_moderndatapipeline_spark.streaming.joins import enrich_stream, stream_stream_join
 from hr_moderndatapipeline_spark.streaming.sources import file_json_stream, kafka_stream
 from hr_moderndatapipeline_spark.streaming.stateful import dedup_stream, running_totals
 from hr_moderndatapipeline_spark.streaming.windows import (
@@ -36,6 +37,8 @@ __all__ = [
     "start_console_sink",
     "start_json_dlq_sink",
     "start_kafka_dlq_sink",
+    "enrich_stream",
+    "stream_stream_join",
     "file_json_stream",
     "kafka_stream",
     "dedup_stream",

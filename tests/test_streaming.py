@@ -350,3 +350,62 @@ def test_multi_sink_fanout_and_monitor(spark, tmp_path):
     assert s["num_input_rows"] == len(GOOD) + len(BAD)
     assert spark.read.parquet(str(tmp_path / "v")).count() == len(GOOD)
     assert spark.read.json(str(tmp_path / "d")).count() == len(BAD)
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: micro-batches pick up dimension
+    attributes; unmatched stream rows survive a left join."""
+    from hr_moderndatapipeline_spark.streaming import enrich_stream
+
+    src = str(tmp_path / "src")
+    write_events(src, "b0.jsonl", GOOD)  # user_id 0..4
+    raw = file_json_stream(spark, src)
+    valid, _ = parse_with_dlq(raw, "value", EVENT_SCHEMA)
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "gold")], "user_id int, tier string"
+    )
+    enriched = enrich_stream(valid, dim, ["user_id"], how="left")
+    q = start_append_sink(
+        enriched, str(tmp_path / "out"), str(tmp_path / "cp"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["tier"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got[0] == "gold" and got[1] == "silver"
+    assert got[3] is None and got[4] is None  # left join keeps unmatched
+
+
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    """Watermarked stream-stream join: pairs only within the event-
+    time bound, across micro-batch boundaries (join state carries
+    the left row until the right arrives)."""
+    from hr_moderndatapipeline_spark.streaming import stream_stream_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    write_events(lsrc, "b0.jsonl", [
+        {"user_id": 1, "kind": "error", "ts": "2024-01-01 10:00:00"},
+        {"user_id": 2, "kind": "error", "ts": "2024-01-01 12:00:00"},
+    ])
+    write_events(rsrc, "b0.jsonl", [
+        {"user_id": 1, "kind": "click", "ts": "2024-01-01 10:05:00"},  # within
+        {"user_id": 1, "kind": "click", "ts": "2024-01-01 10:20:00"},  # beyond 10m
+        {"user_id": 2, "kind": "click", "ts": "2024-01-01 11:59:00"},  # before window
+    ])
+    lraw = file_json_stream(spark, lsrc)
+    rraw = file_json_stream(spark, rsrc)
+    lval, _ = parse_with_dlq(lraw, "value", EVENT_SCHEMA)
+    rval, _ = parse_with_dlq(rraw, "value", EVENT_SCHEMA)
+    left = lval.select("user_id", F.col("ts").cast("timestamp").alias("error_ts"))
+    right = rval.select("user_id", F.col("ts").cast("timestamp").alias("click_ts"))
+    joined = stream_stream_join(
+        left, right, ["user_id"], "error_ts", "click_ts",
+        within="10 minutes", watermark="1 hour",
+    )
+    q = start_append_sink(
+        joined, str(tmp_path / "out"), str(tmp_path / "cp"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], str(r["click_ts"]))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert got == [(1, "2024-01-01 10:05:00")]
