@@ -49,6 +49,15 @@ def cosine(a: Column, b: Column, dim: int) -> Column:
     return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column, dim: int) -> Column:
+    """Cosine with the two L2 norms precomputed as per-ROW columns
+    before the pair join: bit-identical to ``cosine`` (same fold,
+    same operand doubles, same multiply/divide order) but the
+    interpreted norm folds run once per row instead of once per
+    pair — 2/3 less fold work on every pairwise scorer."""
+    return dot(a, b, dim) / (na * nb)
+
+
 def ann_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,17 +78,22 @@ def ann_bruteforce(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
-        )
+        ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     )
     c = rebalance(corpus).select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     scored = (
         c.crossJoin(q)
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits),
+            F.round(
+                cosine_prenormed(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -176,10 +190,10 @@ def ann_lsh(
 
     c = rebalance(corpus).select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     buckets = _table_buckets_udf(tables, planes_per_table, dim)
     c_buckets = c.select(
         "c_id", F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket")
@@ -197,7 +211,13 @@ def ann_lsh(
         cands.join(c, "c_id")
         .join(F.broadcast(q), "q_id")
         .withColumn(
-            "cosine", F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits)
+            "cosine",
+            F.round(
+                cosine_prenormed(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
+                ),
+                round_digits,
+            ),
         )
         .select("q_id", "c_id", "cosine")
     )
@@ -263,18 +283,31 @@ def ann_ivf(
 
         return _assign
 
-    c = rebalance(corpus).select(
-        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
-    ).withColumn("cid", _assign_factory(1)(F.col("_cv"))[0])
-    q = queries.select(
-        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
-    ).withColumn("cid", F.explode(_assign_factory(n_probe)(F.col("_qv"))))
+    c = (
+        rebalance(corpus)
+        .select(F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", l2_norm(F.col("_cv"), dim))
+        .withColumn("cid", _assign_factory(1)(F.col("_cv"))[0])
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        .withColumn("cid", F.explode(_assign_factory(n_probe)(F.col("_qv"))))
+    )
 
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("_qv"), F.col("_cv"), dim), round_digits)
+            "cosine",
+            F.round(
+                cosine_prenormed(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
+                ),
+                round_digits,
+            ),
         )
         .select("q_id", "c_id", "cosine")
     )
@@ -304,18 +337,24 @@ def neardup_pairs_by_cosine(
     tasks (side A content-salted, side B replicated per salt)."""
     d = df.select(
         F.col(id_col), F.col(block_col).alias("_blk"), as_double_vec(F.col(vec_col)).alias("_v")
-    )
-    a = d.toDF(f"{id_col}_a", "_blk", "_va").withColumn(
+    ).withColumn("_nrm", l2_norm(F.col("_v"), dim))
+    a = d.toDF(f"{id_col}_a", "_blk", "_va", "_na").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
     )
-    b = d.toDF(f"{id_col}_b", "_blk", "_vb").withColumn(
+    b = d.toDF(f"{id_col}_b", "_blk", "_vb", "_nb").withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return (
         a.join(b, ["_blk", "_salt"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("_va"), F.col("_vb"), dim), round_digits)
+            "cosine",
+            F.round(
+                cosine_prenormed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "cosine")
