@@ -56,6 +56,13 @@ def get_spark(
         # Arrow ns-precision writers) as raw long; sources.readers
         # converts them to micros timestamps explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The generated-class cache defaults to 100 entries; a session
+        # running many distinct wide plans (the 60-query driver sweep,
+        # bench) evicts and re-compiles large generated classes on
+        # every revisit — the wide dedup aggregates re-pay multi-second
+        # Janino+JIT warmup each time. Cache is global and classes are
+        # small; 1000 entries removes the churn.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
