@@ -59,6 +59,27 @@ def stratified_sample(
     return df.filter(det_bucket(F.col(key_col)) < pct)
 
 
+def training_shuffle(
+    df: DataFrame, key_col: str, num_shards: int = 32
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos) address — shard from the key's multiplicative-hash
+    bucket, pos by hash order within the shard. Reading shards
+    round-robin yields a reproducible pseudo-random global order
+    (same on every run, retry, and engine — no ``rand()``), while the
+    per-shard window keeps the sort distributed: there is never a
+    single-partition global ordering, the shards ARE the parallelism
+    at 100 TB."""
+    hv = (F.col(key_col) * F.lit(_KNUTH)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy(F.col("_hv").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_hv", hv)
+        .withColumn("shard", F.pmod(F.col("_hv"), F.lit(num_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1))
+        .drop("_hv")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -319,6 +319,39 @@ def ann_ivf(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    step before shipping embeddings to an ANN index: q_i =
+    floor(v_i·127/max|v| + 0.5), scale = max|v|/127 (dequantize:
+    q·scale). Exploded to (id, pos, q, scale) rows. All arithmetic is
+    IEEE mult/div/floor on doubles — deterministic and bit-identical
+    in any engine (no transcendentals, no round-half modes). Zero
+    vectors quantize to all-zero with scale 0."""
+    v = as_double_vec(F.col(vec_col))
+    d = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_maxabs", F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    )
+    q = F.when(
+        F.col("_maxabs") > 0,
+        F.floor(F.col("_x") * 127.0 / F.col("_maxabs") + 0.5).cast("int"),
+    ).otherwise(F.lit(0))
+    return (
+        d.select(
+            F.col(id_col),
+            F.posexplode(F.col("_v")).alias("pos", "_x"),
+            F.col("_maxabs"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            q.alias("q"),
+            (F.col("_maxabs") / 127.0).alias("scale"),
+        )
+    )
+
+
 def neardup_pairs_by_cosine(
     df: DataFrame,
     id_col: str,

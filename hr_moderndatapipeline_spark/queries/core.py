@@ -484,6 +484,43 @@ FROM flagged GROUP BY 1
 """
 
 
+# ── column profiling — the "profile before rules" DQ pass ──
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: row/null/distinct counts, value and
+    date ranges, exact decimal totals. Map-side partial aggregation
+    reduces everything to one row — the profile is O(1) output
+    regardless of table size."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias(
+            "null_status"
+        ),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        dec_sum("o_totalprice").alias("total_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+ORACLE_ORDERS_PROFILE = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+"""
+
+
 # ── interval join — bucketized point-in-range equi-join ──
 
 def q_error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,6 +855,7 @@ QUERIES = {
     "event_props_json": q_event_props_json,
     "event_hourly_window": q_event_hourly_window,
     "error_window_clicks": q_error_window_clicks,
+    "orders_profile": q_orders_profile,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
@@ -849,6 +887,7 @@ ORACLES = {
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "event_hourly_window": ORACLE_EVENT_HOURLY_WINDOW,
     "error_window_clicks": ORACLE_ERROR_WINDOW_CLICKS,
+    "orders_profile": ORACLE_ORDERS_PROFILE,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,

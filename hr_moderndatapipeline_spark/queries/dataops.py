@@ -425,6 +425,54 @@ FROM t
 """
 
 
+# ── training order + embedding storage ──
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: (shard, pos)
+    addresses from multiplicative hashing — reproducible on every
+    run/engine, never a single-partition global sort."""
+    from hr_moderndatapipeline_spark.operators.sampling import training_shuffle
+
+    return training_shuffle(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id", num_shards=32
+    )
+
+
+ORACLE_TRAINING_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS hv
+  FROM documents)
+SELECT doc_id, source,
+       CAST(hv % 32 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding
+    corpus, exploded to (vec_id, pos, q, scale) rows."""
+    from hr_moderndatapipeline_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir), "vec_id", "embedding", dim=64)
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings)
+SELECT vec_id,
+       CAST(u.r AS INTEGER) AS pos,
+       CASE WHEN maxabs > 0
+            THEN CAST(floor(e[u.r + 1] * 127.0 / maxabs + 0.5) AS INTEGER)
+            ELSE 0 END AS q,
+       maxabs / 127.0 AS scale
+FROM v, unnest(range(0, len(e))) AS u(r)
+"""
+
+
 # ── text hygiene: repetition / PII / contamination / tf-idf / vocab ──
 
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,6 +713,8 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "stratified_sample_mix": q_stratified_sample_mix,
     "token_packing": q_token_packing,
+    "training_shuffle": q_training_shuffle,
+    "embedding_quantize": q_embedding_quantize,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -689,6 +739,8 @@ ORACLES = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample_mix": ORACLE_STRATIFIED_SAMPLE,
     "token_packing": ORACLE_TOKEN_PACKING,
+    "training_shuffle": ORACLE_TRAINING_SHUFFLE,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,

@@ -72,6 +72,20 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def load_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read of a parquet directory whose files were
+    written under DIFFERENT schema versions (columns added over
+    time): ``mergeSchema`` unions the file footers into one schema,
+    older files surface NULL for columns they predate. This is the
+    batch counterpart of Delta's additive schema evolution — use it
+    on append-style landing zones where producers upgrade
+    independently. (Footer merging is a driver-side metadata pass;
+    at scale pin a table schema instead and let new columns arrive
+    via the catalog.)"""
+    ensure_engine_confs(spark)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def jdbc_pushdown_query(
     schema: str, table: str, watermark_col: str | None = None, watermark: str | None = None
 ) -> str:

@@ -223,6 +223,54 @@ def publish_snapshot(
     os.replace(tmp, os.path.join(target, LATEST_MARKER))  # atomic publish
 
 
+def compact_snapshot(
+    spark: SparkSession, target: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction — the OPTIMIZE/bin-packing maintenance
+    pass every lakehouse table needs after many small incremental
+    publishes: rewrite the CURRENT snapshot into
+    ``ceil(bytes / target_file_bytes)`` files as a NEW version.
+    Readers never observe a half-compacted table: the rewrite goes
+    through the same atomic publish (pointer swing, or Delta
+    transactional overwrite), and prior versions stay addressable
+    for time travel. Returns the output file count.
+
+    Sizing uses the current version's on-disk bytes (already
+    compressed), so the target is a real file-size target, not an
+    in-memory estimate."""
+    import math
+
+    def _parquet_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(root, name))
+            for root, _, names in os.walk(path)
+            for name in names
+            if name.endswith(".parquet")
+        )
+
+    cur = read_snapshot(spark, target)
+    if cur is None:
+        raise FileNotFoundError(f"no published snapshot at {target}")
+    if delta_available(spark) and _is_delta_table(target):
+        n_files = max(1, math.ceil(_parquet_bytes(target) / target_file_bytes))
+        publish_snapshot(cur.repartition(n_files), target, "compaction")
+        return n_files
+    marker = os.path.join(target, LATEST_MARKER)
+    with open(marker) as f:
+        version = f.read().strip()
+    n_files = max(
+        1, math.ceil(_parquet_bytes(os.path.join(target, version)) / target_file_bytes)
+    )
+    numbers = [
+        int(d[1:])
+        for d in os.listdir(target)
+        if d.startswith("v") and d[1:].isdigit() and os.path.isdir(os.path.join(target, d))
+    ]
+    next_n = (max(numbers) + 1) if numbers else 0
+    publish_snapshot(cur.repartition(n_files), target, f"v{next_n}")
+    return n_files
+
+
 def read_snapshot_version(spark: SparkSession, target: str, version: int) -> DataFrame:
     """Time travel: read a historical snapshot version. Delta uses
     the native transaction log (``versionAsOf``); the parquet

@@ -179,3 +179,51 @@ def test_delta_unavailable_and_parquet_fallback(spark, tmp_path):
     # time travel through the versioned-directory protocol
     assert read_snapshot_version(spark, target, 1).collect()[0]["v"] == "a"
     assert read_snapshot_version(spark, target, 2).collect()[0]["v"] == "b"
+
+
+def test_compact_snapshot_reduces_files(spark, tmp_path):
+    """Many tiny incremental publishes → one compaction pass →
+    same rows, one file, a NEW addressable version (old versions
+    keep serving time travel)."""
+    import glob
+
+    from hr_moderndatapipeline_spark.streaming.sinks import (
+        compact_snapshot,
+        publish_snapshot,
+        read_snapshot,
+        read_snapshot_version,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).toDF("k").repartition(64)  # 64 tiny files
+    publish_snapshot(df, target, "v0")
+    n_before = len(glob.glob(f"{target}/v0/*.parquet"))
+    assert n_before > 30
+
+    n_files = compact_snapshot(spark, target, target_file_bytes=512 * 1024 * 1024)
+    assert n_files == 1
+    cur = read_snapshot(spark, target)
+    assert cur.count() == 10_000
+    assert len(glob.glob(f"{target}/v1/*.parquet")) == 1
+    # old version still addressable
+    assert read_snapshot_version(spark, target, 0).count() == 10_000
+
+
+def test_load_evolving_merges_schemas(spark, tmp_path):
+    from hr_moderndatapipeline_spark.sources.readers import load_evolving
+
+    p = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p + "/d1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/d2")
+    # move files into one dir (append-style landing zone)
+    import shutil, glob, os
+
+    os.makedirs(p + "/all", exist_ok=True)
+    for i, f in enumerate(glob.glob(p + "/d*/part-*.parquet")):
+        shutil.copy(f, p + f"/all/part-{i:05d}.parquet")
+    out = load_evolving(spark, p + "/all")
+    assert set(out.columns) == {"id", "name", "score"}
+    got = {r["id"]: (r["name"], r["score"]) for r in out.collect()}
+    assert got[1] == ("a", None) and got[2] == ("b", 9.5)

@@ -26,3 +26,37 @@ def test_interval_join_semantics(spark):
         points, intervals, "t", "s", "e", keys=["user"], bucket_seconds=600
     ).collect()}
     assert out == {("p1", "A"), ("p1", "B"), ("p2", "B")}
+
+
+def test_training_shuffle_deterministic_and_dense(spark):
+    from hr_moderndatapipeline_spark.operators.sampling import training_shuffle
+
+    df = spark.range(0, 1000).toDF("doc_id")
+    a = training_shuffle(df, "doc_id", num_shards=8).collect()
+    b = training_shuffle(df, "doc_id", num_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    # the order is actually shuffled, not id order
+    shard0 = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos"])) if r["shard"] == 0]
+    assert shard0 != sorted(shard0)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from hr_moderndatapipeline_spark.operators.similarity import quantize_embeddings
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["vec_id"], r["pos"]): r for r in
+           quantize_embeddings(df, "vec_id", "embedding", dim=4).collect()}
+    assert out[(1, 0)]["q"] == 127 and out[(1, 1)]["q"] == -63  # floor(-63.5)=-64? no: floor(-0.5*127+0.5)=floor(-63.0)=-63
+    assert out[(1, 3)]["q"] == 0
+    # dequantized error bounded by scale/2 + 1ulp
+    for (vid, pos), r in out.items():
+        orig = rows[vid - 1][1][pos]
+        assert abs(r["q"] * r["scale"] - orig) <= r["scale"] * 0.5 + 1e-12
+    assert out[(2, 0)]["q"] == 0 and out[(2, 0)]["scale"] == 0.0
