@@ -63,12 +63,13 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality signal: length band + vocabulary diversity +
-    stopword presence (the classic cheap pre-filter before expensive
-    model-based scoring)."""
-    words = F.array_distinct(whitespace_tokens(F.col(text_col)))
-    n_tokens = token_count(F.col(text_col))
+def quality_signal_cols(text: Column) -> dict[str, Column]:
+    """The quality-signal expressions as named columns — exposed so
+    composite pipelines (corpus curation) can compute them inline in
+    the same map stage as other per-row signals instead of joining
+    operator outputs."""
+    words = F.array_distinct(whitespace_tokens(text))
+    n_tokens = token_count(text)
     stop_hits = F.size(
         F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
     )
@@ -78,23 +79,29 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when(distinct_ratio > 0.3, 0.3).otherwise(0.0)
         + F.when(stop_hits >= 2, 0.3).otherwise(0.0)
     )
-    return df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        distinct_ratio.alias("distinct_ratio"),
-        stop_hits.alias("stopword_hits"),
-        score.alias("quality_score"),
-        F.when(score >= 0.7, "good").when(score >= 0.4, "fair").otherwise("low").alias(
-            "quality_band"
-        ),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "distinct_ratio": distinct_ratio,
+        "stopword_hits": stop_hits,
+        "quality_score": score,
+        "quality_band": F.when(score >= 0.7, "good")
+        .when(score >= 0.4, "fair")
+        .otherwise("low"),
+    }
 
 
-def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-hit language scoring: count distinct-word overlap
-    with each language's stopword list, predict the argmax (ties →
-    lexicographic language order; 'unknown' when nothing hits)."""
-    words = F.array_distinct(whitespace_tokens(F.col(text_col)))
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signal: length band + vocabulary diversity +
+    stopword presence (the classic cheap pre-filter before expensive
+    model-based scoring)."""
+    cols = quality_signal_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def lang_id_cols(text: Column) -> dict[str, Column]:
+    """Language-ID expressions as named columns (see
+    ``quality_signal_cols`` for why these are exposed)."""
+    words = F.array_distinct(whitespace_tokens(text))
     hit_cols = {
         lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ws])))
         for lang, ws in STOPWORDS.items()
@@ -105,12 +112,17 @@ def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in sorted(hit_cols, reverse=True):
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("unknown")).otherwise(pred)
-    out = df.select(
-        F.col(id_col),
-        *[hit_cols[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
-        pred.alias("predicted_lang"),
-    )
+    out = {f"hits_{lang}": hit_cols[lang] for lang in STOPWORDS}
+    out["predicted_lang"] = pred
     return out
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language scoring: count distinct-word overlap
+    with each language's stopword list, predict the argmax (ties →
+    lexicographic language order; 'unknown' when nothing hits)."""
+    cols = lang_id_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
 def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -304,6 +316,44 @@ def vocab_top_terms(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(k)
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.4,
+    lang: str = "en",
+) -> DataFrame:
+    """End-to-end corpus curation in ONE shuffle: exact-dup removal
+    (keep the min-id copy per distinct text, via a window over the
+    text — no groupBy+join-back), then per-row quality and
+    language-ID signals computed inline in the same stage, then the
+    keep filter. This is the flagship composition of the
+    training-data family: at 100 TB the only data movement is the
+    single hash partition on text content."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_col)
+    wo = w.orderBy(F.col(id_col).asc())
+    q = quality_signal_cols(F.col(text_col))
+    lang_pred = lang_id_cols(F.col(text_col))["predicted_lang"]
+    return (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            q["quality_score"].alias("quality_score"),
+            q["quality_band"].alias("quality_band"),
+            lang_pred.alias("predicted_lang"),
+            F.col("n_copies"),
+        )
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("predicted_lang") == lang)
+        )
     )
 
 

@@ -632,6 +632,58 @@ LIMIT 100
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass: exact dedup (min-id survivor) +
+    quality >= fair + predicted-English, one shuffle total
+    (plan-gated)."""
+    from hr_moderndatapipeline_spark.operators.text import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text", min_quality=0.4, lang="en"
+    )
+
+
+ORACLE_CORPUS_CURATION = """
+WITH surv AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY text) AS n_copies
+  FROM documents),
+t AS (
+  SELECT doc_id, n_copies,
+         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+         / CAST(len(str_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['the','a','of','and','to','in','is'])) AS INTEGER) AS stop_en,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['el','la','de','y','que','en','es'])) AS INTEGER) AS hits_es,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['le','la','de','et','que','en','est'])) AS INTEGER) AS hits_fr,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['der','die','das','und','zu','ist','ein'])) AS INTEGER) AS hits_de
+  FROM surv WHERE rn = 1),
+scored AS (
+  SELECT doc_id, n_copies,
+         (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN distinct_ratio > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN stop_en >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality_score,
+         CASE WHEN greatest(stop_en, hits_es, hits_fr, hits_de) <= 0 THEN 'unknown'
+              WHEN hits_de = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'de'
+              WHEN stop_en = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'en'
+              WHEN hits_es = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM t)
+SELECT doc_id, quality_score,
+       CASE WHEN quality_score >= 0.7 THEN 'good'
+            WHEN quality_score >= 0.4 THEN 'fair'
+            ELSE 'low' END AS quality_band,
+       predicted_lang, n_copies
+FROM scored
+WHERE quality_score >= 0.4 AND predicted_lang = 'en'
+"""
+
+
 # ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +772,7 @@ QUERIES = {
     "contamination_overlap": q_contamination_overlap,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
+    "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
     "video_frame_samples": q_video_frame_samples,
 }
@@ -746,6 +799,7 @@ ORACLES = {
     "contamination_overlap": ORACLE_CONTAMINATION,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
+    "corpus_curation": ORACLE_CORPUS_CURATION,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /

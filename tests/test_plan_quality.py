@@ -136,3 +136,12 @@ def test_interval_join_never_nested_loop(spark, sf_dir):
     plan = plan_of(core.q_error_window_clicks(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_curation_single_shuffle(spark, sf_dir):
+    """The composed curation pass (dedup survivors + quality + lang
+    filter) must stay ONE hash partition on text: per-row signals are
+    computed inline, never joined back."""
+    plan = plan_of(dataops.q_corpus_curation(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "Join" not in plan
