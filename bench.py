@@ -43,13 +43,18 @@ BENCH_QUERIES = [
     "event_hourly_window",        # time-window agg
     "dedup_exact",                # exact dedup
     "minhash_dedup_pairs",        # MinHash+LSH near-dup
-    "simhash_near_pairs",         # SimHash near-dup (vectorized UDF)
+    "simhash_near_pairs",         # SimHash near-dup (JVM sign-sum aggregates)
     "jaccard_pairs_by_source",    # blocked Jaccard verify
     "ann_bruteforce_topk",        # exact cosine top-k
     "ann_lsh_topk",               # LSH ANN
     "ann_ivf_topk",               # IVF ANN
     "gold_summary_sql",           # SQL model DAG
     "debezium_unwrap",            # CDC envelope handling
+    "corpus_curation",            # composed curation: dedup+quality+lang, 1 shuffle
+    "contamination_overlap",      # broadcast eval-gram join
+    "tfidf_top_terms",            # tf-idf keyword extraction
+    "error_window_clicks",        # bucketized interval join
+    "training_shuffle",           # deterministic global shuffle
     "token_stats",                # text analysis
     "doc_fingerprint",            # rolling-hash fingerprint
     "multimodal_features",        # mapInPandas feature extraction
