@@ -521,6 +521,34 @@ FROM orders
 """
 
 
+# ── exact percentiles — distribution profiling ──
+
+def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of per-line quantity by return flag (the
+    distribution half of profiling; approx_percentile is the sketch
+    path when exact sort-based percentiles would be too heavy —
+    see approx_distinct_customers for the HLL analogue). Quantities
+    are integer-valued, so type-7 interpolation at quarter fractions
+    is exact in doubles — hash-comparable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("median"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_QUANTITY_QUARTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS median,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       count(*) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+
 # ── interval join — bucketized point-in-range equi-join ──
 
 def q_error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +884,7 @@ QUERIES = {
     "event_hourly_window": q_event_hourly_window,
     "error_window_clicks": q_error_window_clicks,
     "orders_profile": q_orders_profile,
+    "quantity_quartiles": q_quantity_quartiles,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
@@ -888,6 +917,7 @@ ORACLES = {
     "event_hourly_window": ORACLE_EVENT_HOURLY_WINDOW,
     "error_window_clicks": ORACLE_ERROR_WINDOW_CLICKS,
     "orders_profile": ORACLE_ORDERS_PROFILE,
+    "quantity_quartiles": ORACLE_QUANTITY_QUARTILES,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,

@@ -1,3 +1,11 @@
+"""Relational/sampling/similarity operator unit tests: interval
+join semantics, deterministic training shuffle, int8 quantization
+round-trip, bucketed co-located joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
 
 
 def test_interval_join_semantics(spark):
@@ -60,3 +68,41 @@ def test_quantize_embeddings_roundtrip(spark):
         orig = rows[vid - 1][1][pos]
         assert abs(r["q"] * r["scale"] - orig) <= r["scale"] * 0.5 + 1e-12
     assert out[(2, 0)]["q"] == 0 and out[(2, 0)]["scale"] == 0.0
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path, sf_dir):
+    """Co-located join: both sides bucketed+sorted on the join key →
+    the sort-merge join plans with ZERO exchanges (and no per-task
+    sort), and results match the plain join."""
+    from hr_moderndatapipeline_spark.sources.bucketed import read_bucketed, write_bucketed
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(
+        orders, "orders_b", ["o_custkey"], 8,
+        sort_by=["o_custkey"], path=str(tmp_path / "ob"),
+    )
+    write_bucketed(
+        cust, "customer_b", ["c_custkey"], 8,
+        sort_by=["c_custkey"], path=str(tmp_path / "cb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "orders_b").join(
+            read_bucketed(spark, "customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
