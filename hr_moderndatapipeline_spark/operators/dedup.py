@@ -248,6 +248,76 @@ def minhash_dedup_pairs(
     return verified
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Build the persistent MinHash-LSH INDEX for a corpus: one
+    (id, band_idx, bucket, shingle-hash set) row per band per doc.
+    Publish this as a bucketed/partitioned table and incremental
+    crawls probe it with ``minhash_probe`` — the new batch joins
+    against stored buckets instead of re-shingling 100 TB of
+    existing corpus. Carrying the hashed shingle set in the index
+    row lets verification run without a second corpus lookup."""
+    rows_per_band = num_hashes // bands
+    prepped = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("_shh"),
+    ).filter(F.size("_shh") > 0)
+    sigs = minhash_signatures(prepped, id_col, "_shh", num_hashes)
+    buckets = lsh_bucket_rows(sigs, id_col, "_sig", bands, rows_per_band)
+    return buckets.join(prepped, id_col).select(
+        id_col, "band_idx", "bucket", "_shh"
+    )
+
+
+def minhash_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Probe an incremental batch against a prebuilt ``minhash_index``:
+    shingle/sign ONLY the new docs, join their bucket rows against the
+    stored index buckets, verify exact hashed-shingle Jaccard. Work
+    scales with the batch and the collided buckets — the existing
+    corpus is never re-read beyond the matched index rows. Returns
+    (new_id, corpus_id, jaccard); self-matches (same id) excluded."""
+    rows_per_band = num_hashes // bands
+    probe = minhash_index(new_docs, id_col, text_col, shingle_n, num_hashes, bands)
+    n = probe.toDF("_new_id", "band_idx", "bucket", "_shh_new")
+    i = index.toDF("_corpus_id", "band_idx", "bucket", "_shh_old")
+    cand = (
+        n.join(i, ["band_idx", "bucket"])
+        .filter(F.col("_new_id") != F.col("_corpus_id"))
+        .select("_new_id", "_corpus_id", "_shh_new", "_shh_old")
+        .dropDuplicates(["_new_id", "_corpus_id"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_shh_new", "_shh_old")).cast("double")
+            / F.size(F.array_union("_shh_new", "_shh_old")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("_new_id").alias(f"{id_col}_new"),
+            F.col("_corpus_id").alias(f"{id_col}_corpus"),
+            "jaccard",
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
 ) -> DataFrame:

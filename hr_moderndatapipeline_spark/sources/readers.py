@@ -72,6 +72,36 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def read_csv_validated(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-validated CSV ingest with corrupt-row routing — the
+    batch counterpart of the streaming ``parse_with_dlq`` split:
+    PERMISSIVE mode lands unparsable rows in ``_corrupt_record``
+    instead of failing the job, and the caller gets (good, bad)
+    frames sharing ONE read. The bad frame carries the raw line for
+    the quarantine/DLQ write. The input is cached because Spark
+    cannot re-derive the corrupt column from a re-read that prunes
+    the data columns (documented Spark behavior)."""
+    from pyspark.sql import types as T
+
+    ensure_engine_confs(spark)
+    aug = T.StructType(schema.fields + [T.StructField("_corrupt_record", T.StringType())])
+    raw = (
+        spark.read.schema(aug)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw"), F.lit("csv_parse_failed").alias("reason")
+    )
+    return good, bad
+
+
 def load_evolving(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read of a parquet directory whose files were
     written under DIFFERENT schema versions (columns added over

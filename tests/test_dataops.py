@@ -277,3 +277,27 @@ def test_tfidf_and_vocab(spark):
     assert [(r["term"], r["n_occurrences"]) for r in vocab] == [
         ("shared", 4), ("apple", 3), ("banana", 1)
     ]
+
+
+def test_minhash_index_probe_incremental(spark, sf_dir):
+    """Incremental dedup: build the index once on the corpus, probe a
+    new batch (exact copies of some corpus docs + one fresh doc).
+    Every copied doc must hit its original with jaccard 1.0; the
+    fresh doc must hit nothing."""
+    from hr_moderndatapipeline_spark.operators.dedup import minhash_index, minhash_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = minhash_index(docs, "doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    fresh = spark.createDataFrame(
+        [(2_000_000, "completely novel text never before seen in any corpus shard xyz")],
+        "doc_id long, text string",
+    )
+    batch = copies.unionByName(fresh)
+    hits = minhash_probe(batch, index, "doc_id", "text").collect()
+    got = {(r["doc_id_new"], r["doc_id_corpus"]): r["jaccard"] for r in hits}
+    for i in range(20):
+        assert got.get((i + 1_000_000, i)) == 1.0
+    assert not any(new_id == 2_000_000 for new_id, _ in got)

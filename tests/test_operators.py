@@ -106,3 +106,25 @@ def test_bucketed_join_no_exchange(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_read_csv_validated_splits_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from hr_moderndatapipeline_spark.sources.readers import read_csv_validated
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty,name\n1,10,ok\n2,notanint,bad\n3,30,fine\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = read_csv_validated(spark, str(p), schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "notanint" in bad_rows[0]["raw"]
+    assert bad_rows[0]["reason"] == "csv_parse_failed"
