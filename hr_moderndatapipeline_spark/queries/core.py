@@ -521,6 +521,33 @@ FROM orders
 """
 
 
+# ── correlated scalar subquery — Catalyst decorrelation ──
+
+_BIG_SPENDER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > 3 * (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,2)))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5x their customer's average — written as TWO
+    correlated scalar subqueries so Catalyst's decorrelation rewrites
+    them into one aggregate + join (check .explain: no per-row
+    subquery execution survives). The predicate is pure integer/
+    decimal cross-multiplication (2·price·n > 3·sum), so row
+    selection is exact on every engine — no float-average
+    tie-breaking."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BIG_SPENDER_SQL)
+
+
+ORACLE_ORDERS_ABOVE_AVG = _BIG_SPENDER_SQL
+
+
 # ── exact percentiles — distribution profiling ──
 
 def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,6 +912,7 @@ QUERIES = {
     "error_window_clicks": q_error_window_clicks,
     "orders_profile": q_orders_profile,
     "quantity_quartiles": q_quantity_quartiles,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
@@ -918,6 +946,7 @@ ORACLES = {
     "error_window_clicks": ORACLE_ERROR_WINDOW_CLICKS,
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantity_quartiles": ORACLE_QUANTITY_QUARTILES,
+    "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,

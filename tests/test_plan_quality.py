@@ -145,3 +145,12 @@ def test_corpus_curation_single_shuffle(spark, sf_dir):
     plan = plan_of(dataops.q_corpus_curation(spark, sf_dir))
     assert plan.count("+- Exchange") == 1
     assert "Join" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """The two correlated scalar subqueries must rewrite to
+    aggregate+join branches — no per-row subquery execution node
+    survives in the physical plan."""
+    plan = plan_of(core.q_orders_above_customer_avg(spark, sf_dir))
+    assert "Subquery" not in plan
+    assert "Join" in plan and "HashAggregate" in plan
