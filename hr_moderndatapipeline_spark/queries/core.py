@@ -521,6 +521,69 @@ FROM orders
 """
 
 
+# ── analytic window breadth: ntile / percent_rank / cume_dist ──
+
+def q_customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per market segment: quartile bucket,
+    percent rank, and cumulative distribution of account balances.
+    All three are exact rational functions of rank and partition
+    size — cross-engine hash-safe. The ordering carries the unique
+    custkey tiebreak, so ranks are total and deterministic."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORACLE_BALANCE_DISTRIBUTION = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# ── fuzzy string matching — levenshtein within blocks ──
+
+def q_supplier_name_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical supplier names within a nation (entity-
+    resolution shape): nation-blocked self-join + integer edit
+    distance ≤ 4. Blocking keeps the O(len²) distance computation
+    linear in block sizes — the same discipline as every other
+    pairwise operator here."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    a = s.toDF("suppkey_a", "s_nationkey", "name_a")
+    b = s.toDF("suppkey_b", "s_nationkey", "name_b")
+    return (
+        a.join(b, "s_nationkey")
+        .filter(F.col("suppkey_a") < F.col("suppkey_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("s_nationkey", "suppkey_a", "suppkey_b", "edit_dist")
+    )
+
+
+ORACLE_SUPPLIER_NAME_NEARDUPS = """
+SELECT a.s_nationkey, a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 4
+"""
+
+
 # ── correlated scalar subquery — Catalyst decorrelation ──
 
 _BIG_SPENDER_SQL = """
@@ -913,6 +976,8 @@ QUERIES = {
     "orders_profile": q_orders_profile,
     "quantity_quartiles": q_quantity_quartiles,
     "orders_above_customer_avg": q_orders_above_customer_avg,
+    "customer_balance_distribution": q_customer_balance_distribution,
+    "supplier_name_neardups": q_supplier_name_neardups,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
@@ -947,6 +1012,8 @@ ORACLES = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantity_quartiles": ORACLE_QUANTITY_QUARTILES,
     "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
+    "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
+    "supplier_name_neardups": ORACLE_SUPPLIER_NAME_NEARDUPS,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,

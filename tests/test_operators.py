@@ -128,3 +128,38 @@ def test_read_csv_validated_splits_bad_rows(spark, tmp_path):
     assert len(bad_rows) == 1
     assert "notanint" in bad_rows[0]["raw"]
     assert bad_rows[0]["reason"] == "csv_parse_failed"
+
+
+def test_chunk_words_udtf_matches_jvm_chunker(spark, sf_dir):
+    """The Python UDTF path must agree with the JVM doc_chunks path
+    on every (doc, chunk) row — same indices, text, and word counts."""
+    from hr_moderndatapipeline_spark.functions.udtfs import register_udtfs
+    from hr_moderndatapipeline_spark.operators.text import doc_chunks
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words "
+        "FROM udtf_docs d, LATERAL chunk_words(d.text, 32) c"
+    )
+    via_jvm = doc_chunks(docs, "doc_id", "text", max_words=32)
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in via_jvm.collect()}
+    assert a == b and len(a) > 50
+
+
+def test_observed_metrics_no_extra_scan(spark, tmp_path):
+    from hr_moderndatapipeline_spark.functions.metrics import observed
+
+    df = spark.range(0, 1000).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    frame, obs = observed(
+        df, "m",
+        rows=F.count(F.lit(1)),
+        nulls=F.sum(F.col("v").isNull().cast("int")),
+    )
+    frame.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert obs.get == {"rows": 1000, "nulls": 100}
