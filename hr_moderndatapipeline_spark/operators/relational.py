@@ -125,6 +125,60 @@ def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int) -> Da
     return df.filter(F.pmod(F.col(key), F.lit(modulus)) < keep)
 
 
+def resample_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str = "sum",
+) -> DataFrame:
+    """Per-key time-series resampling with gap fill: bucket events to
+    a fixed grid, aggregate per slot, generate the MISSING slots of
+    each key's [min, max] span map-side (explode over a sequence —
+    no calendar dimension join), and forward-fill empty slots with
+    the last observed aggregate (``last(ignoreNulls)`` over an
+    unbounded-preceding window). Two shuffles on the keys; slot
+    explosion is bounded by span/step per key.
+
+    Output: keys…, slot_ts, value (aggregated or carried forward),
+    is_gap flag."""
+    kcols = list(keys)
+    slot = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+    )
+    per_slot = (
+        df.withColumn("_slot", slot)
+        .groupBy(*kcols, "_slot")
+        .agg(getattr(F, agg)(value_col).alias("_v"))
+    )
+    spans = per_slot.groupBy(*kcols).agg(
+        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
+    )
+    grid = spans.select(
+        *kcols,
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step_seconds} SECONDS")
+            )
+        ).alias("slot_ts"),
+    )
+    joined = grid.join(
+        per_slot.withColumnRenamed("_slot", "slot_ts"), [*kcols, "slot_ts"], "left"
+    )
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("slot_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *kcols,
+        "slot_ts",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNull().alias("is_gap"),
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

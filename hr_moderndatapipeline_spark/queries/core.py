@@ -521,6 +521,46 @@ FROM orders
 """
 
 
+# ── time-series resample + gap fill ──
+
+def q_user_hourly_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly value series with gaps filled by carry-forward
+    — the resampling pass behind any time-series feature store. Slot
+    sums accumulate in DECIMAL (order-independent) and missing grid
+    slots are generated map-side from each user's span, never from a
+    calendar dimension join."""
+    from hr_moderndatapipeline_spark.operators.relational import resample_fill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    out = resample_fill(ev, ["user_id"], "ts", "v", step_seconds=3600, agg="sum")
+    return out.select(
+        "user_id", "slot_ts", F.col("value").cast("double").alias("value"), "is_gap"
+    )
+
+
+ORACLE_USER_HOURLY_RESAMPLED = """
+WITH slots AS (
+  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS slot,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM slots GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '3600 seconds')) AS slot_ts
+  FROM spans),
+j AS (
+  SELECT g.user_id, g.slot_ts, s.v
+  FROM grid g LEFT JOIN slots s ON s.user_id = g.user_id AND s.slot = g.slot_ts)
+SELECT user_id, slot_ts,
+       CAST(last_value(v IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY slot_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value,
+       v IS NULL AS is_gap
+FROM j
+"""
+
+
 # ── analytic window breadth: ntile / percent_rank / cume_dist ──
 
 def q_customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +1017,7 @@ QUERIES = {
     "quantity_quartiles": q_quantity_quartiles,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "customer_balance_distribution": q_customer_balance_distribution,
+    "user_hourly_resampled": q_user_hourly_resampled,
     "supplier_name_neardups": q_supplier_name_neardups,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
@@ -1013,6 +1054,7 @@ ORACLES = {
     "quantity_quartiles": ORACLE_QUANTITY_QUARTILES,
     "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
+    "user_hourly_resampled": ORACLE_USER_HOURLY_RESAMPLED,
     "supplier_name_neardups": ORACLE_SUPPLIER_NAME_NEARDUPS,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,

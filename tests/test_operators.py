@@ -163,3 +163,28 @@ def test_observed_metrics_no_extra_scan(spark, tmp_path):
     )
     frame.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert obs.get == {"rows": 1000, "nulls": 100}
+
+
+def test_resample_fill_gaps_and_carry_forward(spark):
+    import datetime as dt
+
+    from hr_moderndatapipeline_spark.operators.relational import resample_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 10),
+        ("u1", t0 + dt.timedelta(hours=3), 7),     # 2 missing hours between
+        ("u1", t0 + dt.timedelta(hours=3, minutes=30), 5),  # same slot as above
+        ("u2", t0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = {
+        (r["k"], str(r["slot_ts"])): (r["value"], r["is_gap"])
+        for r in resample_fill(df, ["k"], "ts", "v", 3600).collect()
+    }
+    assert out[("u1", "2024-01-01 00:00:00")] == (10, False)
+    assert out[("u1", "2024-01-01 01:00:00")] == (10, True)   # carried forward
+    assert out[("u1", "2024-01-01 02:00:00")] == (10, True)
+    assert out[("u1", "2024-01-01 03:00:00")] == (12, False)  # 7+5 same slot
+    assert out[("u2", "2024-01-01 00:00:00")] == (1, False)
+    assert len(out) == 5  # u2 has a single-slot span, no gaps

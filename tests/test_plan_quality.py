@@ -154,3 +154,11 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     plan = plan_of(core.q_orders_above_customer_avg(spark, sf_dir))
     assert "Subquery" not in plan
     assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Grouped top-k must get the WindowGroupLimit pushdown: each
+    task keeps only k rows per group BEFORE the shuffle, so the
+    exchange carries O(groups*k), not the full table."""
+    plan = plan_of(core.q_top3_orders_per_segment(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
