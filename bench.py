@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",            # tf-idf keyword extraction
     "error_window_clicks",        # bucketized interval join
     "training_shuffle",           # deterministic global shuffle
+    "user_hourly_resampled",      # time-series resample + gap fill
     "token_stats",                # text analysis
     "doc_fingerprint",            # rolling-hash fingerprint
     "multimodal_features",        # mapInPandas feature extraction
