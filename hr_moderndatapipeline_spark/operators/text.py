@@ -248,17 +248,19 @@ def contamination_overlap(
         )
         return df.select(*cols, F.explode(g).alias("_gram"))
 
-    eval_grams = grams_of(eval_set).distinct()
+    eval_grams = grams_of(eval_set).distinct().withColumn("_hit", F.lit(1))
     corpus_grams = grams_of(corpus, id_col)
-    shared = (
-        corpus_grams.join(F.broadcast(eval_grams), "_gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    totals = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # Broadcast LEFT join then ONE aggregation: total and matched gram
+    # counts come from the same pass over the corpus grams — the
+    # two-branch alternative (separate totals/shared aggregates joined
+    # back) re-derives the shingling lineage twice.
     return (
-        totals.join(shared, id_col, "left")
-        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)).cast("long"))
+        corpus_grams.join(F.broadcast(eval_grams), "_gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_shared"),
+        )
         .select(
             F.col(id_col),
             "n_grams",
