@@ -188,3 +188,37 @@ def test_resample_fill_gaps_and_carry_forward(spark):
     assert out[("u1", "2024-01-01 03:00:00")] == (12, False)  # 7+5 same slot
     assert out[("u2", "2024-01-01 00:00:00")] == (1, False)
     assert len(out) == 5  # u2 has a single-slot span, no gaps
+
+
+def test_jdbc_scan_end_to_end_on_derby(spark):
+    """S1 integration: a REAL spark.read.jdbc round trip against the
+    embedded Derby that ships with Spark — full extract, then an
+    incremental extract whose watermark predicate executes DB-side
+    via the pushdown subquery."""
+    from hr_moderndatapipeline_spark.sources.readers import jdbc_scan
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:s1db;create=true"
+    )
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE APP.CHANGES (ID INT, NAME VARCHAR(20), WM VARCHAR(19))"
+    )
+    for i, wm in [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 12:00:00"),
+                  (3, "2024-01-03 00:00:00")]:
+        st.executeUpdate(
+            f"INSERT INTO APP.CHANGES VALUES ({i}, 'row{i}', '{wm}')"
+        )
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = "jdbc:derby:memory:s1db"
+    full = jdbc_scan(spark, url, "APP", "CHANGES", props)
+    assert full.count() == 3
+    inc = jdbc_scan(
+        spark, url, "APP", "CHANGES", props,
+        watermark_col="WM", watermark="2024-01-02 12:00:00",
+    )
+    assert [r["ID"] for r in inc.collect()] == [3]
+    st.close()
+    conn.close()
