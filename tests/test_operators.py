@@ -222,3 +222,90 @@ def test_jdbc_scan_end_to_end_on_derby(spark):
     assert [r["ID"] for r in inc.collect()] == [3]
     st.close()
     conn.close()
+
+
+from hypothesis import given, settings, strategies as st_
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    points=st_.lists(
+        st_.tuples(st_.integers(0, 3), st_.integers(0, 7200)), min_size=0, max_size=30
+    ),
+    intervals=st_.lists(
+        st_.tuples(st_.integers(0, 3), st_.integers(0, 7200), st_.integers(0, 3600)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_interval_join_equals_naive_range_join(spark, points, intervals):
+    """Property: the bucketized interval join is EXACTLY the naive
+    key + half-open-range join, for any random points/intervals —
+    including empty sides, boundary hits, and intervals spanning
+    many buckets."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    from hr_moderndatapipeline_spark.operators.relational import interval_join
+
+    pdf = spark.createDataFrame(
+        [(k, i, ts(s)) for i, (k, s) in enumerate(points)] or [(None, None, None)],
+        "k int, pid int, t timestamp",
+    ).filter(F.col("pid").isNotNull())
+    idf = spark.createDataFrame(
+        [(k, i, ts(s), ts(s + d)) for i, (k, s, d) in enumerate(intervals)]
+        or [(None, None, None, None)],
+        "k int, iid int, s timestamp, e timestamp",
+    ).filter(F.col("iid").isNotNull())
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, idf, "t", "s", "e", keys=["k"], bucket_seconds=600
+        ).collect()
+    }
+    expected = {
+        (pid, iid)
+        for i, (ik, s, d) in enumerate(intervals)
+        for j, (pk, ps) in enumerate(points)
+        for pid, iid in [(j, i)]
+        if pk == ik and s <= ps < s + d
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st_.lists(
+        st_.lists(st_.integers(-(2**63), 2**63 - 1), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_aggregate_form_bit_identical_to_fold(spark, docs):
+    """Property: the explode+min-aggregate signature builder returns
+    BIT-identical signatures to the interpreted F.aggregate fold for
+    any random 64-bit hash arrays (the equivalence the codegen
+    optimization rests on)."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, hs) for i, hs in enumerate(docs)], "doc_id long, hs array<long>"
+    )
+    via_fold = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", minhash_signature_from_hashes(F.col("hs"), 16).alias("s")
+        ).collect()
+    }
+    via_agg = {
+        r["doc_id"]: r["_sig"]
+        for r in minhash_signatures(df, "doc_id", "hs", 16).collect()
+    }
+    assert via_fold == via_agg
