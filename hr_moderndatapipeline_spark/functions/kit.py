@@ -48,3 +48,27 @@ def month_bucket(col: Column | str) -> Column:
     """Month-start bucketing (F9, silver_attrition_builder.py:121)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trunc(c, "MM")
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten nested struct columns into top-level
+    columns named by their path (``actor.user_id`` → ``actor_user_id``)
+    — the post-``from_json`` step every semi-structured ingest needs.
+    The reference flattens exactly one level with ``select("data.*")``
+    (kafka/consumer/kafka_consumer_training_events.py:40); this
+    handles arbitrary nesting in one projection (pure column
+    selection — zero data movement, fully prunable)."""
+    from pyspark.sql import types as T
+
+    def leaves(schema: T.StructType, prefix: str) -> list:
+        cols = []
+        for f in schema.fields:
+            path = f"{prefix}.{f.name}" if prefix else f.name
+            name = path.replace(".", sep)
+            if isinstance(f.dataType, T.StructType):
+                cols.extend(leaves(f.dataType, path))
+            else:
+                cols.append(F.col(path).alias(name))
+        return cols
+
+    return df.select(*leaves(df.schema, ""))

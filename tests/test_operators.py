@@ -309,3 +309,16 @@ def test_minhash_aggregate_form_bit_identical_to_fold(spark, docs):
         for r in minhash_signatures(df, "doc_id", "hs", 16).collect()
     }
     assert via_fold == via_agg
+
+
+def test_flatten_structs_recursive(spark):
+    from hr_moderndatapipeline_spark.functions.kit import flatten_structs
+
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('user_id', 7, 'ctx', "
+        "named_struct('org', 'a1', 'unit', 42)) AS actor, 'x' AS tag"
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["id", "actor_user_id", "actor_ctx_org", "actor_ctx_unit", "tag"]
+    r = out.collect()[0]
+    assert (r["actor_user_id"], r["actor_ctx_org"], r["actor_ctx_unit"]) == (7, "a1", 42)
