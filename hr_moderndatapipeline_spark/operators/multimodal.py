@@ -145,3 +145,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("media_type") == "video")
         .select("media_id", F.explode(frames).alias("frame_ts_ms"))
     )
+
+
+def audio_segments(media: DataFrame, segment_ms: int = 5000) -> DataFrame:
+    """Fixed-length segmentation for audio rows — the windowing step
+    before any audio featurizer (decode itself stays stubbed): one
+    row per segment with [start, end) bounds clipped to the clip
+    duration. Same map-side explode shape as ``sample_frames``; rows
+    scale with duration/segment, no Python."""
+    dur = F.col("meta.duration_ms")
+    starts = F.sequence(
+        F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(segment_ms)
+    )
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", dur.alias("_dur"), F.explode(starts).alias("seg_start_ms"))
+        .select(
+            "media_id",
+            F.col("seg_start_ms").cast("int").alias("seg_start_ms"),
+            F.least(F.col("seg_start_ms") + segment_ms, F.col("_dur"))
+            .cast("int")
+            .alias("seg_end_ms"),
+        )
+    )

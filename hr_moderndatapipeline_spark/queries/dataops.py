@@ -731,6 +731,27 @@ FROM b
 """
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 5s segmentation rows for audio media (metadata-driven,
+    decode stubbed)."""
+    from hr_moderndatapipeline_spark.operators.multimodal import audio_segments
+
+    media = fake_media_from_documents(_docs(spark, sf_dir))
+    return audio_segments(media, segment_ms=5000)
+
+
+ORACLE_AUDIO_SEGMENTS = """
+WITH a AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1)
+SELECT media_id,
+       CAST(unnest(range(0, greatest(duration_ms - 1, 0) + 1, 5000)) AS INTEGER) AS seg_start_ms,
+       CAST(least(unnest(range(0, greatest(duration_ms - 1, 0) + 1, 5000)) + 5000,
+                  duration_ms) AS INTEGER) AS seg_end_ms
+FROM a
+"""
+
+
 def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-driven frame sampling rows for video media."""
     media = fake_media_from_documents(_docs(spark, sf_dir))
@@ -775,6 +796,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
     "video_frame_samples": q_video_frame_samples,
+    "audio_segments": q_audio_segments,
 }
 
 ORACLES = {
@@ -802,6 +824,7 @@ ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
+    "audio_segments": ORACLE_AUDIO_SEGMENTS,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
     # ann_ivf_topk: rows-only (non-SQL engine-native hashing).
 }

@@ -271,6 +271,40 @@ def compact_snapshot(
     return n_files
 
 
+def vacuum_snapshots(target: str, keep_last: int = 3) -> list[str]:
+    """Retention for the versioned-parquet protocol (the VACUUM
+    counterpart of ``compact_snapshot``): delete all but the newest
+    ``keep_last`` published versions, never the one the ``_LATEST``
+    marker points at. Returns the removed version names. Delta-backed
+    targets manage retention through their own log — this no-ops on
+    them."""
+    import shutil
+
+    if _is_delta_table(target):
+        return []
+    marker = os.path.join(target, LATEST_MARKER)
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    versioned = sorted(
+        (
+            d
+            for d in os.listdir(target)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and os.path.isdir(os.path.join(target, d))
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [d for d in versioned[:-keep_last] if d != current] if keep_last else [
+        d for d in versioned if d != current
+    ]
+    for d in doomed:
+        shutil.rmtree(os.path.join(target, d))
+    return doomed
+
+
 def read_snapshot_version(spark: SparkSession, target: str, version: int) -> DataFrame:
     """Time travel: read a historical snapshot version. Delta uses
     the native transaction log (``versionAsOf``); the parquet

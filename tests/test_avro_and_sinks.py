@@ -227,3 +227,23 @@ def test_load_evolving_merges_schemas(spark, tmp_path):
     assert set(out.columns) == {"id", "name", "score"}
     got = {r["id"]: (r["name"], r["score"]) for r in out.collect()}
     assert got[1] == ("a", None) and got[2] == ("b", 9.5)
+
+
+def test_vacuum_snapshots_retention(spark, tmp_path):
+    import os
+
+    from hr_moderndatapipeline_spark.streaming.sinks import (
+        publish_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(0, 10).toDF("k")
+    for v in range(5):
+        publish_snapshot(df, target, f"v{v}")
+    removed = vacuum_snapshots(target, keep_last=2)
+    assert removed == ["v0", "v1", "v2"]
+    left = sorted(d for d in os.listdir(target) if d.startswith("v"))
+    assert left == ["v3", "v4"]
+    assert read_snapshot(spark, target).count() == 10  # current untouched
