@@ -6,9 +6,9 @@ the only shuffles are on dedup keys / LSH buckets, never all-pairs:
 
 - ``dedup_exact``        — hash-groupBy on content; one shuffle.
 - ``word_shingles``      — n-word shingle arrays, computed map-side.
-- ``minhash_signature``  — k minhashes per doc as JVM-side array
-  expressions (xxhash64 seeded per hash function); no Python, no
-  explode, no shuffle.
+- ``minhash_signatures`` — k minhashes per doc via explode + k
+  codegen min-aggregates (the Column-fold form is kept for
+  composability; the aggregate form is the fast path).
 - ``lsh_candidate_pairs``— banding: signature rows → (band, bucket)
   keys → self-join within buckets. The join is on (band, bucket), so
   work scales with bucket sizes, not corpus²; heavily duplicated

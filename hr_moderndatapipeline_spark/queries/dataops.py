@@ -176,7 +176,7 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(recrawl, "doc_id", "text", shingle_n=3)
 
 
-# ── SimHash near-dup (rows-only: blake2b hashing in a Pandas UDF) ──
+# ── SimHash near-dup (rows-only: engine-native xxhash64 sign sums) ──
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
