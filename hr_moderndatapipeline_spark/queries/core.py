@@ -521,6 +521,118 @@ FROM orders
 """
 
 
+# ── funnel analysis — ordered-step conversion ──
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: each step's timestamp must
+    strictly follow the previous step's FIRST occurrence. Three
+    filtered aggregates chained by key joins — every join is on
+    user_id, every aggregate map-side combines; the final rollup is
+    one row regardless of scale. Ratios are int/int IEEE divisions."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after"),
+        F.count("t3").alias("n_purchased_after"),
+        (F.count("t2").cast("double") / F.count(F.lit(1))).alias("view_to_click"),
+        (F.count("t3").cast("double") / F.count("t2")).alias("click_to_purchase"),
+    )
+
+
+ORACLE_CONVERSION_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT count(*) AS n_viewed,
+       count(c.t2) AS n_clicked_after,
+       count(p.t3) AS n_purchased_after,
+       CAST(count(c.t2) AS DOUBLE) / count(*) AS view_to_click,
+       CAST(count(p.t3) AS DOUBLE) / count(c.t2) AS click_to_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# ── cohort retention — weekly activity matrix ──
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-activity
+    week, retention = share of the cohort active in each later week.
+    Two key-shuffles (first-activity aggregate, cohort-week counts);
+    distinct activity days collapse map-side first so the join input
+    is user×days, not raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    epoch = F.lit("2024-01-01")
+    joined = act.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.datediff(F.col("d0"), epoch) / 7).cast("int").alias("cohort_week"),
+        F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).cast("int").alias("week_offset"),
+    )
+    sizes = first.select(
+        F.floor(F.datediff(F.col("d0"), epoch) / 7).cast("int").alias("cohort_week"),
+        "user_id",
+    ).groupBy("cohort_week").agg(F.countDistinct("user_id").alias("n_cohort"))
+    ret = joined.distinct().groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY 1),
+joined AS (
+  SELECT DISTINCT a.user_id,
+         CAST(date_diff('day', DATE '2024-01-01', f.d0) // 7 AS INTEGER) AS cohort_week,
+         CAST(date_diff('day', f.d0, a.d) // 7 AS INTEGER) AS week_offset
+  FROM act a JOIN first f ON a.user_id = f.user_id),
+sizes AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', d0) // 7 AS INTEGER) AS cohort_week,
+         count(DISTINCT user_id) AS n_cohort
+  FROM first GROUP BY 1),
+ret AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY 1, 2)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+       CAST(r.n_active AS DOUBLE) / s.n_cohort AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+"""
+
+
 # ── time-series resample + gap fill ──
 
 def q_user_hourly_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,6 +1130,8 @@ QUERIES = {
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "customer_balance_distribution": q_customer_balance_distribution,
     "user_hourly_resampled": q_user_hourly_resampled,
+    "conversion_funnel": q_conversion_funnel,
+    "cohort_retention": q_cohort_retention,
     "supplier_name_neardups": q_supplier_name_neardups,
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
@@ -1055,6 +1169,8 @@ ORACLES = {
     "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
     "user_hourly_resampled": ORACLE_USER_HOURLY_RESAMPLED,
+    "conversion_funnel": ORACLE_CONVERSION_FUNNEL,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
     "supplier_name_neardups": ORACLE_SUPPLIER_NAME_NEARDUPS,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
