@@ -359,6 +359,47 @@ def curate_corpus(
     )
 
 
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_words: int = 16,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate detection — distinct from whole-doc dedup: a CHUNK
+    recurring across ≥ ``min_docs`` documents (headers, footers,
+    license blocks) marks boilerplate, and each doc reports the share
+    of its chunks that are boilerplate. The boilerplate set is small
+    by definition (high document frequency), so it joins back
+    BROADCAST — the corpus chunks never shuffle for the membership
+    test; the only wide shuffle is the chunk-frequency aggregate."""
+    chunks = doc_chunks(df, id_col, text_col, max_words=max_words).select(
+        id_col, "chunk_text"
+    )
+    boiler = (
+        chunks.groupBy("chunk_text")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk_text", F.lit(1).alias("_hit"))
+    )
+    return (
+        chunks.join(F.broadcast(boiler), "chunk_text", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("_hit").alias("n_boilerplate"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "n_boilerplate",
+            (F.col("n_boilerplate").cast("double") / F.col("n_chunks")).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic polynomial rolling hash of the full text
     (mod 1e9+7) as a compact content fingerprint — exact-dup

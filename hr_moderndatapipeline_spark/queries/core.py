@@ -521,6 +521,44 @@ FROM orders
 """
 
 
+# ── event-transition matrix (per-user Markov counts) ──
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type) transition counts over each user's
+    time-ordered event sequence, with the per-from-state transition
+    probability — the Markov-chain summary behind journey analysis.
+    One window shuffle on user_id, then a grouped count; probability
+    is an exact window-sum ratio."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.withColumn("to_type", F.lead("event_type").over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(tot)
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+FROM counts
+"""
+
+
 # ── funnel analysis — ordered-step conversion ──
 
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,6 +1169,7 @@ QUERIES = {
     "customer_balance_distribution": q_customer_balance_distribution,
     "user_hourly_resampled": q_user_hourly_resampled,
     "conversion_funnel": q_conversion_funnel,
+    "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "supplier_name_neardups": q_supplier_name_neardups,
     "user_sessions": q_user_sessions,
@@ -1170,6 +1209,7 @@ ORACLES = {
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
     "user_hourly_resampled": ORACLE_USER_HOURLY_RESAMPLED,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "supplier_name_neardups": ORACLE_SUPPLIER_NAME_NEARDUPS,
     "user_sessions": ORACLE_USER_SESSIONS,

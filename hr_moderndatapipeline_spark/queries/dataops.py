@@ -632,6 +632,39 @@ LIMIT 100
 """
 
 
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of 16-word chunks recurring in >= 3 distinct
+    docs — boilerplate/template detection; the corpus's planted
+    duplicate groups push their shared chunks over the threshold."""
+    from hr_moderndatapipeline_spark.operators.text import boilerplate_ratio
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return boilerplate_ratio(docs, "doc_id", "text", max_words=16, min_docs=3)
+
+
+ORACLE_BOILERPLATE_RATIO = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS words, len(str_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, chunk_idx * 16 + 1,
+                                    least((chunk_idx + 1) * 16, n)), ' ') AS chunk_text
+  FROM (SELECT doc_id, words, n,
+               unnest(range(0, (n - 1) // 16 + 1)) AS chunk_idx
+        FROM d WHERE n > 0)),
+boiler AS (
+  SELECT chunk_text FROM c GROUP BY chunk_text
+  HAVING count(DISTINCT doc_id) >= 3)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       count(b.chunk_text) AS n_boilerplate,
+       CAST(count(b.chunk_text) AS DOUBLE) / count(*) AS boilerplate_ratio
+FROM c LEFT JOIN boiler b ON c.chunk_text = b.chunk_text
+GROUP BY c.doc_id
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pass: exact dedup (min-id survivor) +
     quality >= fair + predicted-English, one shuffle total
@@ -794,6 +827,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
+    "boilerplate_ratio": q_boilerplate_ratio,
     "multimodal_features": q_multimodal_features,
     "video_frame_samples": q_video_frame_samples,
     "audio_segments": q_audio_segments,
@@ -822,6 +856,7 @@ ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,
+    "boilerplate_ratio": ORACLE_BOILERPLATE_RATIO,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     "audio_segments": ORACLE_AUDIO_SEGMENTS,
