@@ -352,6 +352,63 @@ def quantize_embeddings(
     )
 
 
+def centroid_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification eval: per-label mean vectors
+    (the model), then every embedding assigned to its most-similar
+    centroid by cosine — the quick linear-probe quality check run on
+    embedding corpora. Centroid sums accumulate per dimension in
+    DECIMAL (order-independent, exact), so the centroids — and hence
+    every downstream score — are bit-identical on any engine and
+    under any partitioning. The centroid table is O(labels × dim)
+    model parameters and joins back broadcast: the corpus is scanned
+    twice (fit + predict), shuffled only for the per-label sums.
+
+    Returns (id, label, assigned_label, cosine); ties in cosine break
+    toward the smaller label."""
+    exploded = df.select(
+        F.col(label_col).alias("_lbl"), F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "_x")
+    )
+    sums = exploded.groupBy("_lbl", "pos").agg(
+        F.sum(F.col("_x").cast("decimal(28,10)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    centroids = (
+        sums.withColumn("_c", (F.col("_s").cast("double") / F.col("_n")))
+        .groupBy("_lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_c"))).alias("_pc"))
+        .select(
+            F.col("_lbl").alias("c_label"),
+            F.transform(F.col("_pc"), lambda s: s["_c"]).alias("_cv"),
+        )
+        .withColumn("_cn", l2_norm(F.col("_cv"), dim))
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        as_double_vec(F.col(vec_col)).alias("_v"),
+    ).withColumn("_vn", l2_norm(F.col("_v"), dim))
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "cosine",
+        F.round(
+            cosine_prenormed(F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn"), dim),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("c_label"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "label", F.col("c_label").alias("assigned_label"), "cosine")
+    )
+
+
 def neardup_pairs_by_cosine(
     df: DataFrame,
     id_col: str,

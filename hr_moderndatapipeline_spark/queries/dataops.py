@@ -425,6 +425,54 @@ FROM t
 """
 
 
+# ── nearest-centroid classification (linear-probe eval) ──
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label DECIMAL-exact centroids, then every embedding
+    assigned to its most-cosine-similar centroid — the linear-probe
+    quality check for an embedding corpus."""
+    from hr_moderndatapipeline_spark.operators.similarity import centroid_classify
+
+    return centroid_classify(_emb(spark, sf_dir), "vec_id", "embedding", "label", dim=64)
+
+
+ORACLE_CENTROID_CLASSIFY = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT label, u.r AS pos, v[u.r + 1] AS x
+  FROM e, unnest(range(0, len(v))) AS u(r)),
+sums AS (
+  SELECT label, pos,
+         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM sums GROUP BY 1),
+cn AS (
+  SELECT c_label, cv,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list_transform(range(1, 65), i -> cv[i] * cv[i])),
+                          (acc, x) -> acc + x)) AS cnrm
+  FROM cent),
+vn AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list_transform(range(1, 65), i -> v[i] * v[i])),
+                          (acc, x) -> acc + x)) AS vnrm
+  FROM e),
+scored AS (
+  SELECT vec_id, label, c_label,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list_transform(range(1, 65), i -> v[i] * cv[i])),
+                           (acc, x) -> acc + x) / (vnrm * cnrm), 6) AS cosine
+  FROM vn, cn)
+SELECT vec_id, label, c_label AS assigned_label, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, c_label) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 # ── training order + embedding storage ──
 
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +869,7 @@ QUERIES = {
     "token_packing": q_token_packing,
     "training_shuffle": q_training_shuffle,
     "embedding_quantize": q_embedding_quantize,
+    "centroid_classify": q_centroid_classify,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -850,6 +899,7 @@ ORACLES = {
     "token_packing": ORACLE_TOKEN_PACKING,
     "training_shuffle": ORACLE_TRAINING_SHUFFLE,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "centroid_classify": ORACLE_CENTROID_CLASSIFY,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,
