@@ -409,6 +409,77 @@ def centroid_classify(
     )
 
 
+def _decimal_centroids(
+    assigned: DataFrame, vec_col: str, cluster_col: str
+) -> DataFrame:
+    """(cluster, _cv, _cn) mean vectors with per-dimension DECIMAL
+    accumulation — order-independent, bit-identical under any
+    partitioning/engine."""
+    exploded = assigned.select(
+        F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("pos", "_x")
+    )
+    sums = exploded.groupBy(cluster_col, "pos").agg(
+        F.sum(F.col("_x").cast("decimal(28,10)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        sums.withColumn("_c", F.col("_s").cast("double") / F.col("_n"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_c"))).alias("_pc"))
+        .select(
+            F.col(cluster_col),
+            F.transform(F.col("_pc"), lambda s: s["_c"]).alias("_cv"),
+        )
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: DataFrame,
+    dim: int,
+    iterations: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd refinement of a centroid codebook (the training step the
+    IVF docstring defers to): repeat [assign each vector to its most
+    cosine-similar centroid (broadcast codebook, per-row norm
+    hoisting) → recompute DECIMAL-exact means]. Fully deterministic —
+    content-derived init (e.g. label centroids or hash-picked seeds),
+    exact accumulation, total tie-breaks — so refined codebooks are
+    reproducible across runs, engines, and partitionings. Each round
+    scans the corpus once; the codebook is localCheckpointed per
+    round (O(k·dim) rows) so plan depth stays constant.
+
+    ``init_centroids``: (cluster, _cv) frame. Returns the refined
+    (cluster, _cv) frame. Empty clusters drop out (standard Lloyd)."""
+    cent = init_centroids
+    vecs = df.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), dim))
+    for _ in range(iterations):
+        c = cent.withColumn("_cn", l2_norm(F.col("_cv"), dim))
+        w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cluster"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(c))
+            .withColumn(
+                "_cos",
+                F.round(
+                    cosine_prenormed(
+                        F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn"), dim
+                    ),
+                    round_digits,
+                ),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("cluster", "_v")
+        )
+        cent = _decimal_centroids(assigned, "_v", "cluster").localCheckpoint(eager=True)
+    return cent
+
+
 def neardup_pairs_by_cosine(
     df: DataFrame,
     id_col: str,

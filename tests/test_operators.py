@@ -322,3 +322,45 @@ def test_flatten_structs_recursive(spark):
     assert out.columns == ["id", "actor_user_id", "actor_ctx_org", "actor_ctx_unit", "tag"]
     r = out.collect()[0]
     assert (r["actor_user_id"], r["actor_ctx_org"], r["actor_ctx_unit"]) == (7, "a1", 42)
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters, init centroids nudged
+    toward each other: Lloyd refinement must (a) be bit-deterministic
+    across runs and (b) recover the exact per-cluster means."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        _decimal_centroids,
+        as_double_vec,
+        kmeans_refine,
+    )
+
+    dim = 8
+    base = {0: [10.0] + [0.0] * 7, 1: [0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            2: [0.0] * 6 + [10.0, 0.0]}
+    rows = []
+    for c, b in base.items():
+        for i in range(20):
+            # deterministic small perturbation, different per point
+            vec = [v + ((i * 7 + j * 3 + c) % 5) * 0.1 for j, v in enumerate(b)]
+            rows.append((c * 100 + i, c, vec))
+    df = spark.createDataFrame(rows, "vec_id long, true_c int, embedding array<double>")
+    # init: blend each centroid 30% toward the global mean (wrong but close)
+    init = spark.createDataFrame(
+        [(c, [v * 0.7 + 1.0 for v in b]) for c, b in base.items()],
+        "cluster int, _cv array<double>",
+    )
+    r1 = kmeans_refine(df, "vec_id", "embedding", init, dim, iterations=3)
+    r2 = kmeans_refine(df, "vec_id", "embedding", init, dim, iterations=3)
+    got1 = {r["cluster"]: r["_cv"] for r in r1.collect()}
+    got2 = {r["cluster"]: r["_cv"] for r in r2.collect()}
+    assert got1 == got2  # bit-deterministic
+    # exact per-true-cluster decimal means
+    truth = {
+        r["cluster"]: r["_cv"]
+        for r in _decimal_centroids(
+            df.select(F.col("true_c").alias("cluster"),
+                      as_double_vec(F.col("embedding")).alias("_v")),
+            "_v", "cluster",
+        ).collect()
+    }
+    assert got1 == truth
