@@ -239,6 +239,7 @@ def ann_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_digits: int = 6,
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest centroid (the inverted lists); each
@@ -247,22 +248,37 @@ def ann_ivf(
     the corpus is scanned once to build assignments, and per-query
     work is bounded by the probed lists' sizes.
 
-    Centroids here are hash-selected corpus representatives
-    (deterministic, no RNG); a production deployment would train
-    them with sampled k-means and broadcast the codebook — the plan
-    shape is identical. The codebook collect is O(n_centroids·dim)
-    scalars — model parameters, not data.
+    Centroids start as hash-selected corpus representatives
+    (deterministic, no RNG); ``refine_iterations`` > 0 runs Lloyd
+    k-means (``kmeans_refine`` — DECIMAL-exact, deterministic) over
+    the seeds before indexing, tightening the lists. The codebook
+    collect is O(n_centroids·dim) scalars — model parameters, not
+    data.
 
     Returns (q_id, c_id, cosine, rk) ⊆ brute-force result."""
     from hr_moderndatapipeline_spark.operators.relational import rebalance
 
-    picked = (
+    seeds = (
         corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
         .withColumn("_hk", F.xxhash64(F.col(id_col)))
         .orderBy("_hk")
         .limit(n_centroids)
-        .collect()
     )
+    if refine_iterations > 0:
+        spark = corpus.sparkSession
+        init = spark.createDataFrame(
+            [(i, list(r["_v"])) for i, r in enumerate(seeds.collect())],
+            "cluster int, _cv array<double>",
+        )
+        refined = kmeans_refine(
+            corpus, id_col, vec_col, init, dim, iterations=refine_iterations
+        )
+        picked = [
+            {"_v": r["_cv"]}
+            for r in sorted(refined.collect(), key=lambda r: r["cluster"])
+        ]
+    else:
+        picked = seeds.collect()
     import numpy as np
 
     codebook = np.array([list(r["_v"]) for r in picked], dtype=np.float64)

@@ -301,3 +301,24 @@ def test_minhash_index_probe_incremental(spark, sf_dir):
     for i in range(20):
         assert got.get((i + 1_000_000, i)) == 1.0
     assert not any(new_id == 2_000_000 for new_id, _ in got)
+
+
+def test_ann_ivf_kmeans_refinement_recall(spark, sf_dir):
+    """Refined codebooks must keep IVF working and not lose recall
+    vs the raw hash-picked seeds (Lloyd tightens the lists)."""
+    from hr_moderndatapipeline_spark.operators.similarity import ann_ivf as _ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = ann_bruteforce(emb, queries, "vec_id", "embedding", k=10, dim=64)
+    true = {(r["q_id"], r["c_id"]) for r in bf.collect()}
+
+    def recall(df):
+        approx = {(r["q_id"], r["c_id"]) for r in df.collect()}
+        return len(true & approx) / len(true)
+
+    base = recall(_ivf(emb, queries, "vec_id", "embedding", k=10, dim=64))
+    refined = recall(
+        _ivf(emb, queries, "vec_id", "embedding", k=10, dim=64, refine_iterations=2)
+    )
+    assert refined >= base - 0.05, f"refined {refined:.2f} < base {base:.2f}"
