@@ -492,6 +492,7 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces everything to one row — the profile is O(1) output
     regardless of table size."""
     o = _t(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -500,9 +501,9 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
-        dec_sum("o_totalprice").alias("total_price"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+        F.sum(money).cast("decimal(18,2)").alias("total_price"),
+        F.min(money).alias("min_price"),
+        F.max(money).alias("max_price"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
 
@@ -513,9 +514,9 @@ SELECT count(*) AS n_rows,
        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
        min(o_orderdate) AS min_date,
        max(o_orderdate) AS max_date,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-       min(o_totalprice) AS min_price,
-       max(o_totalprice) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
        count(DISTINCT o_orderpriority) AS n_priorities
 FROM orders
 """
