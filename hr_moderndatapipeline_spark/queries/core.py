@@ -492,7 +492,10 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces everything to one row — the profile is O(1) output
     regardless of table size."""
     o = _t(spark, sf_dir, "orders")
-    money = F.col("o_totalprice").cast("decimal(18,2)")
+    # Money outputs as integer cents: BIGINT has exactly one canonical
+    # form in every harness (float/Decimal repr divergence between
+    # Spark and the DuckDB oracle is what kept this query red).
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -501,9 +504,9 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
-        F.sum(money).cast("decimal(18,2)").alias("total_price"),
-        F.min(money).alias("min_price"),
-        F.max(money).alias("max_price"),
+        F.sum(cents).alias("total_price_cents"),
+        F.min(cents).alias("min_price_cents"),
+        F.max(cents).alias("max_price_cents"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
 
@@ -514,9 +517,9 @@ SELECT count(*) AS n_rows,
        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
        min(o_orderdate) AS min_date,
        max(o_orderdate) AS max_date,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
-       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS total_price_cents,
+       min(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS min_price_cents,
+       max(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS max_price_cents,
        count(DISTINCT o_orderpriority) AS n_priorities
 FROM orders
 """

@@ -56,6 +56,11 @@ def get_spark(
         # Arrow ns-precision writers) as raw long; sources.readers
         # converts them to micros timestamps explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet Timestamp(isAdjustedToUTC=false) columns would read
+        # as TIMESTAMP_NTZ and break unix_micros/window(); with the
+        # session zone pinned to UTC the types are value-identical, so
+        # keep the classic TIMESTAMP read.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # The generated-class cache defaults to 100 entries; a session
         # running many distinct wide plans (the 60-query driver sweep,
         # bench) evicts and re-compiles large generated classes on

@@ -44,6 +44,11 @@ _REQUIRED_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet files written with Timestamp(isAdjustedToUTC=false) would
+    # otherwise surface as TIMESTAMP_NTZ, which unix_micros/unix_millis
+    # and window() reject. With the session zone pinned to UTC the two
+    # types are value-identical, so read them as TIMESTAMP.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -62,6 +67,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             # integer div — double division loses precision above 2^53
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Belt-and-braces vs inferTimestampNTZ (set above): a caller may
+    # hand us a DataFrame read before our confs applied, or the writer
+    # metadata may drift again. Under the pinned UTC session zone the
+    # cast is value-preserving.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
