@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "token_stats",                # text analysis
     "doc_fingerprint",            # rolling-hash fingerprint
     "multimodal_features",        # mapInPandas feature extraction
+    "supplier_name_neardups",     # (block, length-band) salted levenshtein join
+    "quantity_quartiles",         # exact percentiles over full table
+    "cohort_retention",           # month-cohort self-join retention
+    "dedup_drop_survivors",       # dedup keep-one-per-cluster
 ]
 
 

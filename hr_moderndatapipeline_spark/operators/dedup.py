@@ -522,3 +522,70 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "jaccard")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 4,
+    band_width: int | None = None,
+    salt: int = 4,
+) -> DataFrame:
+    """Near-identical string pairs (Levenshtein ≤ ``max_dist``) with
+    TWO-key blocking: ``block_col`` (e.g. nation, source) AND a string-
+    length band. Edit distance ≤ d bounds the length difference by d,
+    so banding by ``floor(len / (d+1))`` and probing each row's own
+    band plus both neighbours is recall-safe — every qualifying pair
+    lands in bands at most 1 apart, and because side B emits three
+    DISTINCT bands each candidate pair is generated exactly once.
+    This turns the within-block self-join from O(n²) into
+    O(Σ band²): with block sizes that grow with the corpus (the
+    nation-only blocking at 100× data), the band key is what keeps
+    candidate generation linear-ish.
+
+    The join is additionally salted ``salt`` ways (same scheme as
+    ``jaccard_pairs``: content salt on A, replicate B) so one hot
+    (block, band) cell spreads across tasks. A cheap integer
+    length-difference prefilter runs before the O(len²) Levenshtein,
+    and the distance call itself passes the threshold so the JVM
+    implementation early-terminates rows that exceed it."""
+    band_width = band_width or (max_dist + 1)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("_blk"),
+            F.col(text_col).alias("_txt"),
+        )
+        .withColumn("_len", F.length("_txt"))
+        .withColumn("_band", F.floor(F.col("_len") / band_width))
+    )
+    a = base.toDF(f"{id_col}_a", "_blk", "_txt_a", "_len_a", "_band").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
+    )
+    b = (
+        base.toDF(f"{id_col}_b", "_blk", "_txt_b", "_len_b", "_band0")
+        .withColumn(
+            "_band",
+            F.explode(
+                F.array(
+                    F.col("_band0") - 1, F.col("_band0"), F.col("_band0") + 1
+                )
+            ),
+        )
+        .drop("_band0")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    )
+    return (
+        a.join(b, ["_blk", "_band", "_salt"])
+        .filter(
+            (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+            & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist)
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("_txt_a", "_txt_b", threshold=max_dist)
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+        .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "edit_dist")
+    )

@@ -132,6 +132,7 @@ def resample_fill(
     value_col: str,
     step_seconds: int,
     agg: str = "sum",
+    max_slots: int = 1_000_000,
 ) -> DataFrame:
     """Per-key time-series resampling with gap fill: bucket events to
     a fixed grid, aggregate per slot, generate the MISSING slots of
@@ -140,6 +141,15 @@ def resample_fill(
     the last observed aggregate (``last(ignoreNulls)`` over an
     unbounded-preceding window). Two shuffles on the keys; slot
     explosion is bounded by span/step per key.
+
+    ``max_slots`` guards the grid explosion: ONE key whose span is
+    pathological relative to ``step_seconds`` (a 10-year outlier at a
+    1-second step = 315M slots) would OOM the task that owns it. The
+    bound is enforced inside the generated expression via
+    ``raise_error``, so a violating key fails fast with the key's
+    slot count in the message instead of silently materializing an
+    unbounded array. Callers with legitimately long spans pass a
+    bigger budget or a coarser step.
 
     Output: keys…, slot_ts, value (aggregated or carried forward),
     is_gap flag."""
@@ -155,11 +165,29 @@ def resample_fill(
     spans = per_slot.groupBy(*kcols).agg(
         F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
     )
+    n_slots = (
+        (F.unix_timestamp("_hi") - F.unix_timestamp("_lo")) / F.lit(step_seconds)
+    ).cast("long") + 1
+    # The check is threaded through the column the sequence() consumes
+    # (not a standalone column Catalyst would prune as unused), so a
+    # violating key fails fast instead of materializing the array.
+    hi_checked = F.when(n_slots <= max_slots, F.col("_hi")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"resample_fill: key span exceeds max_slots={max_slots} "
+                    f"at step={step_seconds}s (got "
+                ),
+                n_slots.cast("string"),
+                F.lit(" slots); raise max_slots or coarsen the step"),
+            )
+        ).cast("timestamp")
+    )
     grid = spans.select(
         *kcols,
         F.explode(
             F.sequence(
-                F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step_seconds} SECONDS")
+                F.col("_lo"), hi_checked, F.expr(f"INTERVAL {step_seconds} SECONDS")
             )
         ).alias("slot_ts"),
     )

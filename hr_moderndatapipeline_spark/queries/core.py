@@ -753,20 +753,21 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 
 def q_supplier_name_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical supplier names within a nation (entity-
-    resolution shape): nation-blocked self-join + integer edit
-    distance ≤ 4. Blocking keeps the O(len²) distance computation
-    linear in block sizes — the same discipline as every other
-    pairwise operator here."""
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
-    a = s.toDF("suppkey_a", "s_nationkey", "name_a")
-    b = s.toDF("suppkey_b", "s_nationkey", "name_b")
-    return (
-        a.join(b, "s_nationkey")
-        .filter(F.col("suppkey_a") < F.col("suppkey_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 4)
-        .select("s_nationkey", "suppkey_a", "suppkey_b", "edit_dist")
+    resolution shape), via the blocked ``edit_distance_pairs``
+    operator: (nation, length-band) two-key blocking + salt, so the
+    candidate join is O(Σ band²) instead of O(n²/nations) — the
+    nation-only variant stops scaling once blocks grow with the
+    corpus. Length-banding is recall-safe for edit distance ≤ 4
+    (distance bounds length diff), which the unblocked oracle
+    verifies."""
+    from ..operators.dedup import edit_distance_pairs
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey", "s_name"
     )
+    return edit_distance_pairs(
+        s, id_col="suppkey", text_col="s_name", block_col="s_nationkey", max_dist=4
+    ).select("s_nationkey", "suppkey_a", "suppkey_b", "edit_dist")
 
 
 ORACLE_SUPPLIER_NAME_NEARDUPS = """

@@ -190,6 +190,26 @@ def test_resample_fill_gaps_and_carry_forward(spark):
     assert len(out) == 5  # u2 has a single-slot span, no gaps
 
 
+def test_resample_fill_max_slots_guard(spark):
+    """One key with a pathological span (10 years at 1s step = ~315M
+    slots) must FAIL FAST via the in-expression guard instead of
+    materializing the grid array; a sane budget still passes."""
+    import datetime as dt
+
+    import pytest
+
+    from hr_moderndatapipeline_spark.operators.relational import resample_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u1", t0, 1), ("u1", t0 + dt.timedelta(days=3650), 2)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    with pytest.raises(Exception, match="max_slots"):
+        resample_fill(df, ["k"], "ts", "v", step_seconds=1, max_slots=10_000).collect()
+    # same data, hour step: 87601 slots, inside a 100k budget
+    ok = resample_fill(df, ["k"], "ts", "v", step_seconds=3600, max_slots=100_000)
+    assert ok.count() == 87_601
+
+
 def test_jdbc_scan_end_to_end_on_derby(spark):
     """S1 integration: a REAL spark.read.jdbc round trip against the
     embedded Derby that ships with Spark — full extract, then an

@@ -156,6 +156,61 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "Join" in plan and "HashAggregate" in plan
 
 
+def test_edit_distance_pairs_band_blocked_and_recall_safe(spark):
+    """The Levenshtein self-join must be blocked on (block, length
+    band, salt) — the equi-join keys in the plan include the band —
+    and the banding must lose NO pairs vs the brute-force block join
+    (edit distance ≤ d bounds length diff ≤ d)."""
+    from pyspark.sql import functions as F
+
+    from hr_moderndatapipeline_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        # one block, lengths spread across many bands
+        (i, "blk", "x" * (1 + (i * 7) % 40) + ("y" if i % 3 == 0 else ""))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id: long, src: string, txt: string")
+
+    out = edit_distance_pairs(df, "id", "txt", "src", max_dist=4)
+    plan = plan_of(out)
+    assert "_band" in plan  # band key participates in the equi-join
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    got = {(r.id_a, r.id_b, r.edit_dist) for r in out.collect()}
+    a = df.toDF("id_a", "src", "txt_a")
+    b = df.toDF("id_b", "src", "txt_b")
+    brute = (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("edit_dist") <= 4)
+    )
+    want = {(r.id_a, r.id_b, r.edit_dist) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+    # candidate-generation gate: the banded join must enumerate far
+    # fewer pairs than the full within-block cross (60*59/2 = 1770);
+    # with 40-wide lengths and width-5 bands, ≲3/8 of pairs survive.
+    base = df.withColumn("_band", F.floor(F.length("txt") / 5))
+    aa = base.toDF("id_a", "src", "txt_a", "_band")
+    bb = base.toDF("id_b", "src", "txt_b", "_band_b")
+    cands = (
+        aa.join(
+            bb.withColumn(
+                "_band",
+                F.explode(
+                    F.array(F.col("_band_b") - 1, F.col("_band_b"), F.col("_band_b") + 1)
+                ),
+            ),
+            ["src", "_band"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .count()
+    )
+    assert cands < 1770 * 0.5
+
+
 def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     """Grouped top-k must get the WindowGroupLimit pushdown: each
     task keeps only k rows per group BEFORE the shuffle, so the
