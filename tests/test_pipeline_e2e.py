@@ -76,6 +76,43 @@ def test_medallion_incremental_lifecycle(spark, tmp_path):
     assert {r["dept"]: r["n"] for r in gold.collect()} == {"ops": 1, "hr": 1, "legal": 1}
 
 
+def test_snapshot_partition_pruning(spark, tmp_path):
+    """Published snapshots are laid out by month(watermark) and a
+    recency-filtered read PRUNES to the matching partition directory
+    (PartitionFilters in the scan) — the SURVEY.md §4 uplift over the
+    reference's flat writes. The logical accessors still present the
+    source schema (derived column stripped)."""
+    from hr_moderndatapipeline_spark.pipelines import PARTITION_COL
+    from hr_moderndatapipeline_spark.streaming.sinks import read_snapshot
+
+    store = MemoryWatermarkStore()
+    pipe = MedallionPipeline(spark, str(tmp_path), SPEC, store)
+    src = _src(
+        spark,
+        [
+            (1, "eng", ts("2020-01-01")),
+            (2, "hr", ts("2020-02-01")),
+            (3, "ops", ts("2020-03-01")),
+        ],
+    )
+    pipe.run_increment(src)
+
+    raw = read_snapshot(spark, f"{tmp_path}/bronze/{SPEC.name}")
+    assert PARTITION_COL in raw.columns
+    pruned = raw.filter(F.col(PARTITION_COL) == "2020-02")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert PARTITION_COL in pf and "2020-02" in pf
+    assert pruned.count() == 1
+
+    # silver is partitioned too, and the accessors hide the derived col
+    assert PARTITION_COL in read_snapshot(spark, f"{tmp_path}/silver/{SPEC.name}").columns
+    assert PARTITION_COL not in pipe.bronze().columns
+    assert PARTITION_COL not in pipe.silver().columns
+
+
 def test_load_rules_yaml_spec():
     from hr_moderndatapipeline_spark.functions.dq import load_rules
 
