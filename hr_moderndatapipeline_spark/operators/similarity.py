@@ -229,92 +229,121 @@ def ann_lsh(
     )
 
 
-def ann_ivf(
+def ivf_codebook(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
     dim: int = 64,
     n_centroids: int = 16,
-    n_probe: int = 4,
-    round_digits: int = 6,
     refine_iterations: int = 0,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: corpus vectors are
-    assigned to their nearest centroid (the inverted lists); each
-    query probes only its ``n_probe`` nearest lists. The bucket
-    equi-join on centroid id replaces the cross product — at scale
-    the corpus is scanned once to build assignments, and per-query
-    work is bounded by the probed lists' sizes.
-
-    Centroids start as hash-selected corpus representatives
-    (deterministic, no RNG); ``refine_iterations`` > 0 runs Lloyd
-    k-means (``kmeans_refine`` — DECIMAL-exact, deterministic) over
-    the seeds before indexing, tightening the lists. The codebook
-    collect is O(n_centroids·dim) scalars — model parameters, not
-    data.
-
-    Returns (q_id, c_id, cosine, rk) ⊆ brute-force result."""
-    from hr_moderndatapipeline_spark.operators.relational import rebalance
-
+    """Train the IVF codebook: ``(cluster int, _cv array<double>)``,
+    one row per centroid. Centroids start as hash-selected corpus
+    representatives (deterministic, no RNG); ``refine_iterations`` > 0
+    runs Lloyd k-means (``kmeans_refine`` — DECIMAL-exact,
+    deterministic) over the seeds. O(n_centroids·dim) scalars — model
+    parameters, not data — so the frame is cheap to persist next to
+    the index and reload at probe time."""
+    spark = corpus.sparkSession
     seeds = (
         corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
         .withColumn("_hk", F.xxhash64(F.col(id_col)))
         .orderBy("_hk")
         .limit(n_centroids)
     )
+    init = spark.createDataFrame(
+        [(i, list(r["_v"])) for i, r in enumerate(seeds.collect())],
+        "cluster int, _cv array<double>",
+    )
     if refine_iterations > 0:
-        spark = corpus.sparkSession
-        init = spark.createDataFrame(
-            [(i, list(r["_v"])) for i, r in enumerate(seeds.collect())],
-            "cluster int, _cv array<double>",
-        )
-        refined = kmeans_refine(
+        return kmeans_refine(
             corpus, id_col, vec_col, init, dim, iterations=refine_iterations
-        )
-        picked = [
-            {"_v": r["_cv"]}
-            for r in sorted(refined.collect(), key=lambda r: r["cluster"])
-        ]
-    else:
-        picked = seeds.collect()
+        ).select("cluster", "_cv")
+    return init
+
+
+def _codebook_matrix(codebook: DataFrame):
+    """Collect the codebook into the normalized (k, dim) ndarray the
+    assignment kernel broadcasts. The ONLY driver-side movement on
+    the IVF path."""
     import numpy as np
 
-    codebook = np.array([list(r["_v"]) for r in picked], dtype=np.float64)
-    codebook /= np.linalg.norm(codebook, axis=1, keepdims=True)
+    rows = sorted(codebook.collect(), key=lambda r: r["cluster"])
+    m = np.array([list(r["_cv"]) for r in rows], dtype=np.float64)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
 
-    def _assign_factory(n: int):
-        """Top-n centroid ids per vector as one Arrow-batched matmul
-        against the broadcast codebook — the dense numeric kernel
-        where a vectorized Pandas UDF beats per-row JVM expression
-        folds by orders of magnitude."""
 
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def _assign(vecs: pd.Series) -> pd.Series:
-            m = np.array(vecs.tolist(), dtype=np.float64)          # (batch, dim)
-            sims = m @ codebook.T                                   # norm of m irrelevant for argmax
-            top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
-            return pd.Series(list(top))
+def _assign_factory(codebook_np, n: int):
+    """Top-n centroid ids per vector as one Arrow-batched matmul
+    against the broadcast codebook — the dense numeric kernel where a
+    vectorized Pandas UDF beats per-row JVM expression folds by
+    orders of magnitude."""
+    import numpy as np
 
-        return _assign
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)          # (batch, dim)
+        sims = m @ codebook_np.T                                # norm of m irrelevant for argmax
+        top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(top))
 
-    c = (
+    return _assign
+
+
+def ivf_index(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Build the persistent IVF INDEX: every corpus vector assigned to
+    its nearest codebook centroid — ``(c_id, _cv, _cn, cid)``, i.e.
+    the inverted lists keyed by centroid id, with the vector and its
+    precomputed norm carried so probes score without a second corpus
+    lookup. Publish this partitioned/bucketed by ``cid``; incremental
+    batches then probe it via ``ivf_probe`` — the 100 TB corpus is
+    assigned ONCE, not re-trained and re-bucketed every query run
+    (mirrors ``minhash_index``/``minhash_probe``)."""
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    cb = _codebook_matrix(codebook)
+    return (
         rebalance(corpus)
         .select(F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv"))
         .withColumn("_cn", l2_norm(F.col("_cv"), dim))
-        .withColumn("cid", _assign_factory(1)(F.col("_cv"))[0])
+        .withColumn("cid", _assign_factory(cb, 1)(F.col("_cv"))[0])
     )
+
+
+def ivf_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a query batch against a prebuilt ``ivf_index``: assign
+    each query to its ``n_probe`` nearest centroids (broadcast
+    codebook matmul), equi-join the stored inverted lists on centroid
+    id, score, rank. Work scales with the probed lists' sizes — the
+    corpus is never recomputed, only the matched index rows are read.
+
+    Returns (q_id, c_id, cosine, rk) ⊆ brute-force result."""
+    cb = _codebook_matrix(codebook)
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
         )
         .withColumn("_qn", l2_norm(F.col("_qv"), dim))
-        .withColumn("cid", F.explode(_assign_factory(n_probe)(F.col("_qv"))))
+        .withColumn("cid", F.explode(_assign_factory(cb, n_probe)(F.col("_qv"))))
     )
-
     scored = (
-        c.join(F.broadcast(q), "cid")
+        index.join(F.broadcast(q), "cid")
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
             "cosine",
@@ -332,6 +361,34 @@ def ann_ivf(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 6,
+    refine_iterations: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k, one-shot composition of
+    the persistable stages: ``ivf_codebook`` (train) → ``ivf_index``
+    (invert) → ``ivf_probe`` (search). The bucket equi-join on
+    centroid id replaces the cross product — at scale the corpus is
+    scanned once to build assignments, and per-query work is bounded
+    by the probed lists' sizes. Pipelines that search repeatedly
+    should persist the codebook+index and call ``ivf_probe`` directly.
+
+    Returns (q_id, c_id, cosine, rk) ⊆ brute-force result."""
+    codebook = ivf_codebook(corpus, id_col, vec_col, dim, n_centroids, refine_iterations)
+    index = ivf_index(corpus, codebook, id_col, vec_col, dim)
+    return ivf_probe(
+        queries, index, codebook, id_col, vec_col, k, dim, n_probe, round_digits
     )
 
 

@@ -233,6 +233,37 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index/probe lifecycle (mirrors
+    ``minhash_index``/``minhash_probe``): train the codebook and
+    assign the corpus ONCE, write both to parquet — the index
+    partitioned by centroid id so probes prune to the probed lists —
+    then answer a query batch purely from the stored tables. This is
+    the 100 TB posture: repeated searches never re-train or re-bucket
+    the corpus. Approximate ⇒ rows-only driver check; the persisted
+    round trip and recall are unit-tested."""
+    import tempfile
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        ivf_codebook,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ivf_idx_")
+    codebook = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=16)
+    codebook.write.mode("overwrite").parquet(f"{root}/codebook")
+    ivf_index(emb, codebook, "vec_id", "embedding", dim=64).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{root}/index")
+
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_idx = spark.read.parquet(f"{root}/index")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_probe(queries, stored_idx, stored_cb, "vec_id", "embedding", k=10, dim=64)
+
+
 # ── embedding-cosine near-dup pairs within label blocks ──
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,6 +889,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ivf_probe_topk": q_ivf_probe_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -911,5 +943,6 @@ ORACLES = {
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     "audio_segments": ORACLE_AUDIO_SEGMENTS,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
-    # ann_ivf_topk: rows-only (non-SQL engine-native hashing).
+    # ann_ivf_topk / ivf_probe_topk: rows-only (non-SQL engine-native
+    # hashing / persisted-index lifecycle).
 }

@@ -303,6 +303,57 @@ def test_minhash_index_probe_incremental(spark, sf_dir):
     assert not any(new_id == 2_000_000 for new_id, _ in got)
 
 
+def test_ivf_index_probe_persisted_roundtrip(spark, sf_dir, tmp_path):
+    """The persisted IVF lifecycle must answer probes purely from the
+    stored codebook + index tables: (a) results from disk are
+    IDENTICAL to the one-shot ann_ivf composition; (b) the probe plan
+    reads the index's parquet, not the embeddings table (no corpus
+    recompute); (c) recall vs brute force holds."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        ann_ivf as _ivf,
+        ivf_codebook,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    codebook = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=16)
+    codebook.write.parquet(str(tmp_path / "codebook"))
+    ivf_index(emb, codebook, "vec_id", "embedding", dim=64).write.partitionBy(
+        "cid"
+    ).parquet(str(tmp_path / "index"))
+
+    stored_cb = spark.read.parquet(str(tmp_path / "codebook"))
+    stored_idx = spark.read.parquet(str(tmp_path / "index"))
+    probed = ivf_probe(queries, stored_idx, stored_cb, "vec_id", "embedding", k=10, dim=64)
+
+    # (b) no corpus recompute: the inverted lists come from the stored
+    # index parquet — with dynamic partition pruning down to the probed
+    # cid lists — and every embeddings scan is the (tiny) query-batch
+    # side, never a full-corpus re-assignment.
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    idx_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and str(tmp_path / "index") in l
+    )
+    assert "dynamicpruning" in idx_scan  # probe reads only matched cid partitions
+    emb_scans = [l for l in plan.splitlines() if "embeddings.parquet" in l]
+    assert emb_scans and all("% 50" in l for l in emb_scans)
+
+    got = {(r["q_id"], r["c_id"], r["cosine"], r["rk"]) for r in probed.collect()}
+    oneshot = _ivf(emb, queries, "vec_id", "embedding", k=10, dim=64)
+    want = {(r["q_id"], r["c_id"], r["cosine"], r["rk"]) for r in oneshot.collect()}
+    assert got == want and len(want) > 0
+
+    bf = ann_bruteforce(emb, queries, "vec_id", "embedding", k=10, dim=64)
+    true = {(r["q_id"], r["c_id"]) for r in bf.collect()}
+    approx = {(q, c) for q, c, _, _ in got}
+    assert len(true & approx) / len(true) >= 0.3  # multi-probe IVF floor
+
+
 def test_ann_ivf_kmeans_refinement_recall(spark, sf_dir):
     """Refined codebooks must keep IVF working and not lose recall
     vs the raw hash-picked seeds (Lloyd tightens the lists)."""
