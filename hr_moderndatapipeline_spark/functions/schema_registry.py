@@ -1,0 +1,348 @@
+"""Schema-registry-managed evolution (SURVEY.md §1.3 / VERDICT r3
+"What's missing" #3).
+
+The reference manages topic schemas through a Confluent-style Schema
+Registry over REST: register a subject's schema versions, set a
+compatibility mode (BACKWARD), list subjects/versions/latest
+(reference: kafka/schema/kafka_connect_schema_commands.txt:17-64,
+with the JSON schema payloads in kafka/schema/contractor_sign_up.json).
+Producers then frame each message in the Confluent wire format
+(magic byte 0x00 + big-endian 4-byte schema id + payload) so readers
+can resolve the writer schema per record.
+
+This module re-expresses that capability engine-side, without a
+network service:
+
+- ``SchemaRegistry`` — subjects, monotonically-versioned schemas,
+  content-addressed global ids (the same schema re-registered under
+  any subject keeps its id, as the Confluent registry does), JSON
+  file persistence, and per-subject compatibility enforcement.
+- Avro record compatibility checks implementing the published
+  matrix: BACKWARD (new schema reads old data), FORWARD (old schema
+  reads new data), FULL (both), each with a ``_TRANSITIVE`` variant
+  checked against all prior versions instead of only the latest.
+- Confluent wire-format framing: ``wire_encode``/``wire_decode`` for
+  driver-side bytes, plus ``wire_encode_col``/``wire_header_cols``
+  as pure-column Spark expressions (JVM-side, codegen — no Python in
+  the hot path; the 5-byte header is constant-folded on encode and
+  sliced with substring/conv on decode).
+- ``decode_wire_df`` — schema-evolution read of a mixed-version
+  binary column: resolves each record's WRITER schema by id, decodes
+  with it, then projects to the requested READER schema applying
+  Avro resolution rules (missing reader fields take their defaults).
+  Distinct schema ids in a corpus are O(#versions) — metadata, not
+  data — so the per-id union preserves full scan parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.functions.avro_codec import (
+    avro_decode_udf,
+    spark_schema_for,
+)
+
+MAGIC_BYTE = 0
+
+_MODES = {
+    "NONE",
+    "BACKWARD",
+    "FORWARD",
+    "FULL",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD_TRANSITIVE",
+    "FULL_TRANSITIVE",
+}
+
+
+class IncompatibleSchemaError(ValueError):
+    """Raised when a registration violates the subject's mode."""
+
+
+@dataclass(frozen=True)
+class RegisteredSchema:
+    subject: str
+    version: int
+    schema_id: int
+    schema: str
+    schema_type: str = "AVRO"
+
+
+def _canonical(schema_str: str) -> str:
+    """Content-addressing canon: parsed JSON with sorted keys."""
+    return json.dumps(json.loads(schema_str), sort_keys=True, separators=(",", ":"))
+
+
+def _record_fields(schema_str: str) -> dict[str, dict]:
+    s = json.loads(schema_str)
+    if not (isinstance(s, dict) and s.get("type") == "record"):
+        raise ValueError("compatibility checks support Avro record schemas")
+    return {f["name"]: f for f in s.get("fields", [])}
+
+
+def _types_match(a, b) -> bool:
+    """Writer/reader field type equivalence. Promotions (int→long,
+    float→double) follow the Avro resolution spec; complex types must
+    match structurally."""
+    if a == b:
+        return True
+    promotions = {
+        ("int", "long"),
+        ("int", "float"),
+        ("int", "double"),
+        ("long", "float"),
+        ("long", "double"),
+        ("float", "double"),
+        ("string", "bytes"),
+        ("bytes", "string"),
+    }
+    if isinstance(a, str) and isinstance(b, str):
+        return (a, b) in promotions
+    # ["null", T] unions: compare member-wise as sets of canon forms.
+    if isinstance(a, list) and isinstance(b, list):
+        canon = lambda t: json.dumps(t, sort_keys=True)  # noqa: E731
+        return {canon(t) for t in a} <= {canon(t) for t in b}
+    # T vs ["null", T]: reader union may absorb writer's bare type.
+    if isinstance(b, list):
+        return any(_types_match(a, m) for m in b)
+    return False
+
+
+def can_read(writer_schema: str, reader_schema: str) -> bool:
+    """True when data written with ``writer_schema`` is readable under
+    ``reader_schema`` (Avro record resolution): every reader field is
+    either present in the writer with a compatible type, or carries a
+    default; writer-only fields are ignored by the reader."""
+    writer = _record_fields(writer_schema)
+    reader = _record_fields(reader_schema)
+    for name, rf in reader.items():
+        wf = writer.get(name)
+        if wf is None:
+            if "default" not in rf:
+                return False
+        elif not _types_match(wf["type"], rf["type"]):
+            return False
+    return True
+
+
+def _check_pair(old: str, new: str, mode: str) -> bool:
+    ok = True
+    if mode.startswith(("BACKWARD", "FULL")):
+        ok = ok and can_read(writer_schema=old, reader_schema=new)
+    if mode.startswith(("FORWARD", "FULL")):
+        ok = ok and can_read(writer_schema=new, reader_schema=old)
+    return ok
+
+
+@dataclass
+class SchemaRegistry:
+    """In-process registry with the Confluent REST surface's verbs
+    (register / latest / by-id / versions / subjects / delete /
+    compatibility config) and optional JSON-file persistence."""
+
+    path: str | None = None
+    _subjects: dict[str, list[RegisteredSchema]] = field(default_factory=dict)
+    _by_id: dict[int, str] = field(default_factory=dict)
+    _compat: dict[str, str] = field(default_factory=dict)
+    default_compatibility: str = "BACKWARD"
+
+    # ── config ──
+    def set_compatibility(self, subject: str, mode: str) -> None:
+        if mode not in _MODES:
+            raise ValueError(f"unknown compatibility mode {mode!r}")
+        self._compat[subject] = mode
+
+    def get_compatibility(self, subject: str) -> str:
+        return self._compat.get(subject, self.default_compatibility)
+
+    # ── registration ──
+    def register(
+        self, subject: str, schema: str, schema_type: str = "AVRO"
+    ) -> RegisteredSchema:
+        canon = _canonical(schema)
+        versions = self._subjects.setdefault(subject, [])
+        for rs in versions:  # idempotent re-registration
+            if _canonical(rs.schema) == canon:
+                return rs
+        mode = self.get_compatibility(subject)
+        if schema_type == "AVRO" and mode != "NONE" and versions:
+            against = versions if mode.endswith("_TRANSITIVE") else versions[-1:]
+            for prior in against:
+                if not _check_pair(prior.schema, canon, mode):
+                    raise IncompatibleSchemaError(
+                        f"{subject} v{prior.version} -> new schema violates {mode}"
+                    )
+        schema_id = self._intern(canon)
+        rs = RegisteredSchema(
+            subject, len(versions) + 1, schema_id, canon, schema_type
+        )
+        versions.append(rs)
+        self._save()
+        return rs
+
+    def _intern(self, canon: str) -> int:
+        for sid, s in self._by_id.items():
+            if s == canon:
+                return sid
+        sid = max(self._by_id, default=0) + 1
+        self._by_id[sid] = canon
+        return sid
+
+    # ── lookups ──
+    def subjects(self) -> list[str]:
+        return sorted(self._subjects)
+
+    def versions(self, subject: str) -> list[int]:
+        return [rs.version for rs in self._subjects.get(subject, [])]
+
+    def latest(self, subject: str) -> RegisteredSchema:
+        if not self._subjects.get(subject):
+            raise KeyError(f"unknown subject {subject!r}")
+        return self._subjects[subject][-1]
+
+    def get_version(self, subject: str, version: int) -> RegisteredSchema:
+        for rs in self._subjects.get(subject, []):
+            if rs.version == version:
+                return rs
+        raise KeyError(f"{subject} v{version}")
+
+    def schema_by_id(self, schema_id: int) -> str:
+        return self._by_id[schema_id]
+
+    def delete_subject(self, subject: str) -> list[int]:
+        gone = self.versions(subject)
+        self._subjects.pop(subject, None)
+        self._compat.pop(subject, None)
+        self._save()
+        return gone
+
+    def test_compatibility(self, subject: str, schema: str) -> bool:
+        """The registry's /compatibility check verb: would this schema
+        register cleanly under the subject's current mode?"""
+        try:
+            versions = self._subjects.get(subject, [])
+            mode = self.get_compatibility(subject)
+            canon = _canonical(schema)
+            against = versions if mode.endswith("_TRANSITIVE") else versions[-1:]
+            return mode == "NONE" or all(
+                _check_pair(p.schema, canon, mode) for p in against
+            )
+        except ValueError:
+            return False
+
+    # ── persistence ──
+    def _save(self) -> None:
+        if not self.path:
+            return
+        blob = {
+            "subjects": {
+                s: [rs.__dict__ for rs in vs] for s, vs in self._subjects.items()
+            },
+            "by_id": self._by_id,
+            "compat": self._compat,
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(blob, f)
+        os.replace(tmp, self.path)
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaRegistry":
+        reg = cls(path=path)
+        if os.path.exists(path):
+            with open(path) as f:
+                blob = json.load(f)
+            reg._subjects = {
+                s: [RegisteredSchema(**d) for d in vs]
+                for s, vs in blob["subjects"].items()
+            }
+            reg._by_id = {int(k): v for k, v in blob["by_id"].items()}
+            reg._compat = blob["compat"]
+        return reg
+
+
+# ── Confluent wire format ──
+
+def wire_encode(schema_id: int, payload: bytes) -> bytes:
+    return struct.pack(">bI", MAGIC_BYTE, schema_id) + payload
+
+
+def wire_decode(blob: bytes) -> tuple[int, bytes]:
+    magic, schema_id = struct.unpack_from(">bI", blob)
+    if magic != MAGIC_BYTE:
+        raise ValueError(f"bad magic byte {magic}")
+    return schema_id, blob[5:]
+
+
+def wire_encode_col(schema_id: int, payload: Column) -> Column:
+    """JVM-side framing: the 5-byte header is a per-write constant, so
+    it folds to a literal and concat stays inside codegen."""
+    header = struct.pack(">bI", MAGIC_BYTE, schema_id)
+    return F.concat(F.lit(header), payload)
+
+
+def wire_header_cols(col_name: str) -> tuple[Column, Column]:
+    """JVM-side header parse: (schema_id int, payload binary). The id
+    is decoded via hex/conv on the 4-byte big-endian slice — pure
+    built-in expressions, no UDF."""
+    col = F.col(col_name)
+    schema_id = F.conv(F.hex(F.substring(col, 2, 4)), 16, 10).cast("int")
+    payload = F.expr(f"substring({col_name}, 6, length({col_name}) - 5)")
+    return schema_id, payload
+
+
+def decode_wire_df(
+    df: DataFrame,
+    wire_col: str,
+    registry: SchemaRegistry,
+    reader_schema: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Schema-evolution read: decode a mixed-version wire-format
+    column under ``reader_schema``.
+
+    Each record is decoded with its WRITER schema (resolved by the
+    framed id) and projected to the reader's field set: fields the
+    writer lacks take the reader default; writer-only fields are
+    dropped. The distinct-id collect is O(#schema versions) registry
+    metadata, never data."""
+    keep = keep_cols or []
+    sid_col, payload_col = wire_header_cols(wire_col)
+    framed = df.select(
+        *keep, sid_col.alias("_sid"), payload_col.alias("_payload")
+    )
+    ids = [r[0] for r in framed.select("_sid").distinct().collect()]
+    reader_fields = _record_fields(reader_schema)
+    out_schema = spark_schema_for(reader_schema)
+    parts: list[DataFrame] = []
+    for sid in ids:
+        writer = registry.schema_by_id(sid)
+        writer_fields = _record_fields(writer)
+        dec = framed.filter(F.col("_sid") == sid).withColumn(
+            "_rec", avro_decode_udf(writer)(F.col("_payload"))
+        )
+        cols = []
+        for name, rf in reader_fields.items():
+            if name in writer_fields:
+                c = F.col(f"_rec.{name}")
+            else:
+                default = rf.get("default")
+                c = F.lit(default)
+            cols.append(
+                c.cast(out_schema[name].dataType).alias(name)
+            )
+        parts.append(dec.select(*keep, *cols))
+    if not parts:
+        empty_cols = [F.lit(None).alias(n) for n in reader_fields]
+        return df.select(*keep, *empty_cols).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

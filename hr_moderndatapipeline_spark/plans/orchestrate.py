@@ -1,0 +1,198 @@
+"""Lightweight DAG orchestration (SURVEY.md §3.4 / VERDICT r3
+"What's missing" #2).
+
+The reference schedules its pipeline with Airflow: a DAG of
+PythonOperator tasks, manual trigger, catchup off
+(airflow/dags/produce_event_dag.py:7-20) plus dbt's
+dependency-ordered model runs. The engine already has the
+dependency-ordered materialization half (plans/models.py); this
+module adds the orchestration half Airflow provides around it —
+without an external scheduler process:
+
+- ``TaskSpec`` — a named task with explicit upstream deps, a retry
+  budget, and a backoff delay (Airflow's ``retries`` /
+  ``retry_delay``).
+- ``Dag.run(logical_date)`` — topological execution with per-task
+  retry; a failed task marks every transitive downstream
+  ``upstream_failed`` and the run continues on independent branches
+  (Airflow's trigger-rule default).
+- **Resume**: successful (dag, logical_date, task) completions are
+  journaled to a JSON state file; a re-run of the same logical date
+  skips them — the idempotent-retry semantics a checkpoint gives a
+  stream.
+- ``Dag.backfill(dates)`` — ordered catch-up over a list of logical
+  dates (Airflow's ``catchup=True``), skipping dates already fully
+  green in the journal.
+
+Everything is driver-side control flow over O(#tasks) metadata; the
+data work stays inside each task's Spark plan, so orchestration adds
+no shuffles, collects, or scale limits of its own.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any
+
+
+@dataclass(frozen=True)
+class TaskSpec:
+    name: str
+    fn: Callable[["RunContext"], Any]
+    depends_on: tuple[str, ...] = ()
+    retries: int = 0
+    retry_delay_sec: float = 0.0
+
+
+@dataclass
+class RunContext:
+    """Handed to every task callable: the run's logical date, shared
+    params, and upstream return values (Airflow's XCom)."""
+
+    logical_date: str
+    params: Mapping[str, Any]
+    results: dict[str, Any]
+
+
+@dataclass
+class TaskResult:
+    name: str
+    state: str  # success | failed | skipped | upstream_failed
+    attempts: int = 0
+    error: str | None = None
+    elapsed_sec: float = 0.0
+    value: Any = None
+
+
+@dataclass
+class Dag:
+    dag_id: str
+    tasks: Sequence[TaskSpec]
+    state_path: str | None = None
+    params: Mapping[str, Any] = field(default_factory=dict)
+    sleep: Callable[[float], None] = time.sleep
+
+    def __post_init__(self) -> None:
+        names = [t.name for t in self.tasks]
+        if len(names) != len(set(names)):
+            raise ValueError("duplicate task names")
+        known = set(names)
+        for t in self.tasks:
+            missing = set(t.depends_on) - known
+            if missing:
+                raise ValueError(f"task {t.name}: unknown deps {sorted(missing)}")
+
+    # ── journal ──
+    def _journal(self) -> dict[str, list[str]]:
+        if not self.state_path or not os.path.exists(self.state_path):
+            return {}
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def _record_success(self, logical_date: str, task: str) -> None:
+        if not self.state_path:
+            return
+        j = self._journal()
+        done = j.setdefault(f"{self.dag_id}:{logical_date}", [])
+        if task not in done:
+            done.append(task)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(j, f)
+        os.replace(tmp, self.state_path)
+
+    def completed(self, logical_date: str) -> set[str]:
+        return set(self._journal().get(f"{self.dag_id}:{logical_date}", []))
+
+    # ── execution ──
+    def order(self) -> list[TaskSpec]:
+        by_name = {t.name: t for t in self.tasks}
+        ts = TopologicalSorter({t.name: set(t.depends_on) for t in self.tasks})
+        return [by_name[n] for n in ts.static_order()]
+
+    def run(self, logical_date: str) -> dict[str, TaskResult]:
+        done_before = self.completed(logical_date)
+        ctx = RunContext(logical_date=logical_date, params=self.params, results={})
+        results: dict[str, TaskResult] = {}
+        failed: set[str] = set()
+        for t in self.order():
+            if t.name in done_before:
+                results[t.name] = TaskResult(t.name, "skipped")
+                continue
+            if any(d in failed for d in t.depends_on):
+                results[t.name] = TaskResult(t.name, "upstream_failed")
+                failed.add(t.name)
+                continue
+            results[t.name] = self._run_task(t, ctx)
+            if results[t.name].state == "failed":
+                failed.add(t.name)
+            else:
+                self._record_success(logical_date, t.name)
+        return results
+
+    def _run_task(self, t: TaskSpec, ctx: RunContext) -> TaskResult:
+        t0 = time.time()
+        last_err: str | None = None
+        for attempt in range(1, t.retries + 2):
+            try:
+                value = t.fn(ctx)
+                ctx.results[t.name] = value
+                return TaskResult(
+                    t.name, "success", attempt, None, round(time.time() - t0, 3), value
+                )
+            except Exception as e:  # noqa: BLE001 — orchestrators contain task faults
+                last_err = f"{type(e).__name__}: {e}"
+                if attempt <= t.retries and t.retry_delay_sec:
+                    self.sleep(t.retry_delay_sec * attempt)  # linear backoff
+        return TaskResult(
+            t.name, "failed", t.retries + 1, last_err, round(time.time() - t0, 3)
+        )
+
+    def backfill(self, logical_dates: Sequence[str]) -> dict[str, dict[str, TaskResult]]:
+        """Ordered catch-up: one run per logical date, oldest first.
+        Dates already fully green in the journal are skipped whole."""
+        all_names = {t.name for t in self.tasks}
+        out: dict[str, dict[str, TaskResult]] = {}
+        for d in sorted(logical_dates):
+            if self.completed(d) >= all_names:
+                out[d] = {n: TaskResult(n, "skipped") for n in all_names}
+                continue
+            out[d] = self.run(d)
+        return out
+
+
+def dag_from_models(
+    dag_id: str,
+    runner: "ModelRunner",  # noqa: F821 — plans.models.ModelRunner
+    state_path: str | None = None,
+    retries: int = 0,
+) -> Dag:
+    """Wrap a ModelRunner's models as one orchestrated task each, so
+    SQL model materialization gains retries/resume/backfill. Each
+    task materializes exactly its model (dependency order is enforced
+    by the DAG edges, mirroring dbt's ref() graph)."""
+
+    def _materialize(model):  # noqa: ANN001
+        def _task(ctx: RunContext):
+            single = type(runner)(
+                spark=runner.spark, models=[model], table_root=runner.table_root
+            )
+            return single.run()[model.name]
+
+        return _task
+
+    tasks = [
+        TaskSpec(
+            name=m.name,
+            fn=_materialize(m),
+            depends_on=tuple(d for d in m.depends_on if any(x.name == d for x in runner.models)),
+            retries=retries,
+        )
+        for m in runner.models
+    ]
+    return Dag(dag_id=dag_id, tasks=tasks, state_path=state_path)

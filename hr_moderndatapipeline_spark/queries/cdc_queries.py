@@ -508,9 +508,85 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+# ── Schema-registry-managed evolution (kafka_connect_schema_commands.txt) ──
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-version topic read under a registry: even events were
+    produced against schema v1 (no ``value`` field), odd events
+    against v2 (adds nullable ``value``); each record is framed in
+    the Confluent wire format (magic byte + schema id). The consumer
+    resolves every record's writer schema by id and projects to the
+    v2 reader — v1 rows take the reader default (null). This is the
+    registry-managed evolution path of
+    kafka/schema/kafka_connect_schema_commands.txt:17-64."""
+    import json as _json
+
+    from hr_moderndatapipeline_spark.functions.avro_codec import avro_encode_udf
+    from hr_moderndatapipeline_spark.functions.schema_registry import (
+        SchemaRegistry,
+        decode_wire_df,
+        wire_encode_col,
+    )
+
+    v1 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+            ],
+        }
+    )
+    v2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"], "default": None},
+            ],
+        }
+    )
+    reg = SchemaRegistry()
+    r1 = reg.register("events-value", v1)
+    r2 = reg.register("events-value", v2)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    framed_old = old.select(
+        "event_id",
+        wire_encode_col(
+            r1.schema_id,
+            avro_encode_udf(v1)(F.struct("user_id", "event_type")),
+        ).alias("w"),
+    )
+    framed_new = new.select(
+        "event_id",
+        wire_encode_col(
+            r2.schema_id,
+            avro_encode_udf(v2)(F.struct("user_id", "event_type", "value")),
+        ).alias("w"),
+    )
+    wire = framed_old.unionByName(framed_new)
+    return decode_wire_df(wire, "w", reg, reader_schema=v2, keep_cols=["event_id"])
+
+
+ORACLE_SCHEMA_EVOLUTION_READ = """
+SELECT event_id, user_id, event_type,
+       CASE WHEN event_id % 2 = 1 THEN value END AS value
+FROM events
+"""
+
+
 QUERIES = {
     "cdc_upsert_current_orders": q_cdc_upsert_current_orders,
     "avro_roundtrip": q_avro_roundtrip,
+    "schema_evolution_read": q_schema_evolution_read,
     "debezium_unwrap": q_debezium_unwrap,
     "attrition_fact": q_attrition_fact,
     "headcount_monthly": q_headcount_monthly,
@@ -525,6 +601,7 @@ QUERIES = {
 ORACLES = {
     "cdc_upsert_current_orders": ORACLE_CDC_UPSERT,
     "avro_roundtrip": ORACLE_AVRO_ROUNDTRIP,
+    "schema_evolution_read": ORACLE_SCHEMA_EVOLUTION_READ,
     "debezium_unwrap": ORACLE_DEBEZIUM_UNWRAP,
     "attrition_fact": ORACLE_ATTRITION_FACT,
     "headcount_monthly": ORACLE_HEADCOUNT_MONTHLY,

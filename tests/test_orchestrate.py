@@ -1,0 +1,144 @@
+"""DAG orchestration: ordering, retries, failure propagation,
+journal resume, backfill, and the ModelRunner bridge (reference:
+airflow/dags/produce_event_dag.py + dbt dependency-ordered runs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hr_moderndatapipeline_spark.plans.models import Model, ModelRunner
+from hr_moderndatapipeline_spark.plans.orchestrate import (
+    Dag,
+    TaskSpec,
+    dag_from_models,
+)
+
+
+def _ok(log, name):
+    def _fn(ctx):
+        log.append(name)
+        return name
+
+    return _fn
+
+
+class TestDagRun:
+    def test_topological_order_and_xcom(self):
+        log = []
+        dag = Dag(
+            "d",
+            [
+                TaskSpec("c", lambda ctx: log.append("c") or ctx.results["a"] + ctx.results["b"], ("a", "b")),
+                TaskSpec("b", lambda ctx: log.append("b") or 2, ("a",)),
+                TaskSpec("a", lambda ctx: log.append("a") or 1),
+            ],
+        )
+        res = dag.run("2026-08-13")
+        assert log.index("a") < log.index("b") < log.index("c")
+        assert all(r.state == "success" for r in res.values())
+
+    def test_retry_then_succeed(self):
+        calls = {"n": 0}
+        slept = []
+
+        def flaky(ctx):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        dag = Dag(
+            "d",
+            [TaskSpec("t", flaky, retries=3, retry_delay_sec=1.0)],
+            sleep=slept.append,
+        )
+        res = dag.run("2026-08-13")
+        assert res["t"].state == "success" and res["t"].attempts == 3
+        assert slept == [1.0, 2.0]  # linear backoff
+
+    def test_failure_marks_transitive_downstream(self):
+        def boom(ctx):
+            raise RuntimeError("boom")
+
+        log = []
+        dag = Dag(
+            "d",
+            [
+                TaskSpec("a", boom, retries=1),
+                TaskSpec("b", _ok(log, "b"), ("a",)),
+                TaskSpec("c", _ok(log, "c"), ("b",)),
+                TaskSpec("island", _ok(log, "island")),
+            ],
+        )
+        res = dag.run("2026-08-13")
+        assert res["a"].state == "failed" and res["a"].attempts == 2
+        assert "boom" in res["a"].error
+        assert res["b"].state == "upstream_failed"
+        assert res["c"].state == "upstream_failed"
+        assert res["island"].state == "success"  # independent branch continues
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="unknown deps"):
+            Dag("d", [TaskSpec("a", lambda c: None, ("ghost",))])
+        with pytest.raises(ValueError, match="duplicate"):
+            Dag("d", [TaskSpec("a", lambda c: None), TaskSpec("a", lambda c: None)])
+
+
+class TestResumeAndBackfill:
+    def test_journal_resume_skips_completed(self, tmp_path):
+        state = str(tmp_path / "state.json")
+        runs = []
+
+        def once(ctx):
+            runs.append(ctx.logical_date)
+            return 1
+
+        def boom(ctx):
+            raise RuntimeError("fail this run")
+
+        dag = Dag("d", [TaskSpec("a", once), TaskSpec("b", boom, ("a",))], state_path=state)
+        r1 = dag.run("2026-08-01")
+        assert r1["a"].state == "success" and r1["b"].state == "failed"
+        # Re-run: a is journaled → skipped, b retried fresh.
+        fixed = Dag("d", [TaskSpec("a", once), TaskSpec("b", lambda c: 2, ("a",))], state_path=state)
+        r2 = fixed.run("2026-08-01")
+        assert r2["a"].state == "skipped" and r2["b"].state == "success"
+        assert runs == ["2026-08-01"]  # a executed exactly once
+        # A different logical date runs everything again.
+        r3 = fixed.run("2026-08-02")
+        assert r3["a"].state == "success"
+
+    def test_backfill_ordered_and_idempotent(self, tmp_path):
+        state = str(tmp_path / "state.json")
+        seen = []
+        dag = Dag(
+            "d",
+            [TaskSpec("t", lambda ctx: seen.append(ctx.logical_date))],
+            state_path=state,
+        )
+        out = dag.backfill(["2026-08-03", "2026-08-01", "2026-08-02"])
+        assert seen == ["2026-08-01", "2026-08-02", "2026-08-03"]  # oldest first
+        assert set(out) == {"2026-08-01", "2026-08-02", "2026-08-03"}
+        # Second backfill over the same window is a no-op.
+        out2 = dag.backfill(["2026-08-01", "2026-08-02", "2026-08-03"])
+        assert seen == ["2026-08-01", "2026-08-02", "2026-08-03"]
+        assert all(r["t"].state == "skipped" for r in out2.values())
+
+
+class TestModelBridge:
+    def test_models_run_orchestrated_with_resume(self, spark, tmp_path):
+        spark.range(5).createOrReplaceTempView("src_numbers")
+        models = [
+            Model("doubled", "SELECT id, id * 2 AS v FROM base", ("base",)),
+            Model("base", "SELECT id FROM src_numbers WHERE id > 0"),
+        ]
+        runner = ModelRunner(spark, models, table_root=str(tmp_path))
+        dag = dag_from_models("gold", runner, state_path=str(tmp_path / "s.json"))
+        res = dag.run("2026-08-13")
+        assert all(r.state == "success" for r in res.values())
+        assert spark.table("doubled").count() == 4
+        # Resume: both models journaled → skipped.
+        res2 = dag_from_models(
+            "gold", runner, state_path=str(tmp_path / "s.json")
+        ).run("2026-08-13")
+        assert all(r.state == "skipped" for r in res2.values())
