@@ -184,7 +184,12 @@ def read_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
 
 
 def publish_snapshot(
-    df: DataFrame, target: str, version: str, partition_by: Sequence[str] | None = None
+    df: DataFrame,
+    target: str,
+    version: str,
+    partition_by: Sequence[str] | None = None,
+    cluster_by: Sequence[str] | None = None,
+    cluster_files: int | None = None,
 ) -> None:
     """Publish the next version of a snapshot table.
 
@@ -199,7 +204,23 @@ def publish_snapshot(
 
     ``partition_by`` partitions the physical layout (e.g. by date
     key) so downstream reads prune partitions — the uplift SURVEY.md
-    §4 flags over the reference's unpartitioned writes."""
+    §4 flags over the reference's unpartitioned writes.
+
+    ``cluster_by`` range-clusters rows across files
+    (``repartitionByRange`` + ``sortWithinPartitions``, Delta's
+    OPTIMIZE ZORDER-lite for a lexical key set): each output file
+    covers a tight, largely disjoint key range, so parquet
+    footer min/max stats let filtered scans skip whole files —
+    at 100 TB the difference between touching every file and
+    touching the few covering the predicate's range. Without
+    ``cluster_files`` the file count floats with AQE's coalescing
+    (right at scale); pin it when a fixed layout is wanted."""
+    if cluster_by:
+        df = (
+            df.repartitionByRange(cluster_files, *cluster_by)
+            if cluster_files
+            else df.repartitionByRange(*cluster_by)
+        ).sortWithinPartitions(*cluster_by)
     if delta_available(df.sparkSession):
         w = (
             df.write.format("delta")
