@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dedup_exact(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
@@ -390,6 +391,7 @@ def dedup_clusters(
     id_a: str,
     id_b: str,
     max_iterations: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     assigns every id the minimum id reachable through pairs — the
@@ -398,13 +400,24 @@ def dedup_clusters(
     pair detection (pairs alone don't say which doc survives when
     A~B and B~C but A≁C).
 
-    Iterative min-label propagation: each round joins labels across
-    edges both ways and keeps the elementwise min; label count
-    strictly shrinks, converging in O(diameter) rounds (near-dup
-    clusters are shallow — chains longer than ~5 hops are rare).
-    Each round is two shuffles on the edge keys; ``localCheckpoint``
-    truncates the growing lineage so round N doesn't replay rounds
-    1..N-1. Raises if not converged within ``max_iterations``.
+    Two execution paths, chosen by edge count:
+
+    - ``count <= driver_threshold``: union-find on the collected
+      edge list. After LSH/Jaccard verification the edge list is
+      orders of magnitude smaller than the corpus; a bounded
+      O(edges) collect plus O(edges·α) driver work replaces
+      O(diameter) distributed rounds of join+shuffle+action — the
+      hybrid every production near-dup pipeline uses. The bound is
+      explicit: at most ``driver_threshold`` edge rows ever move to
+      the driver.
+    - above the threshold (the 100 TB case): iterative min-label
+      propagation — each round joins labels across edges both ways
+      and keeps the elementwise min, converging in O(diameter)
+      rounds (near-dup clusters are shallow); ``localCheckpoint``
+      truncates lineage so round N doesn't replay rounds 1..N-1.
+      Convergence is read from a flag aggregated over the same
+      checkpointed round result — no extra join. Raises if not
+      converged within ``max_iterations``.
 
     Returns (member_id, cluster_id) for every id appearing in pairs.
 
@@ -427,6 +440,10 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()  # free: reads the checkpointed blocks
+    if n_edges <= driver_threshold:
+        return _unionfind_clusters(edges)
+
     # undirected: propagate both directions
     both = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
@@ -449,19 +466,52 @@ def dedup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.coalesce(F.col("_nbr_min"), F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("int")
+                .alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .isEmpty()
-        )
-        labels = updated
-        if changed:
+        labels = updated.select("id", "cluster_id")
+        # Aggregate over the checkpointed blocks: one cheap action,
+        # no label-vs-label join.
+        if updated.agg(F.max("_changed")).first()[0] == 0:
             return labels.select(F.col("id").alias("member_id"), "cluster_id")
     raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")
+
+
+def _unionfind_clusters(edges: DataFrame) -> DataFrame:
+    """Driver-side connected components for bounded edge lists:
+    path-compressed union-find, then min-member representative per
+    component (identical labeling to the distributed path)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[ra] = rb
+    rep: dict = {}
+    for node in parent:
+        root = find(node)
+        if root not in rep or node < rep[root]:
+            rep[root] = node
+    out = [(node, rep[find(node)]) for node in parent]
+    schema = T.StructType(
+        [
+            T.StructField("member_id", edges.schema[0].dataType),
+            T.StructField("cluster_id", edges.schema[1].dataType),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def jaccard_pairs(

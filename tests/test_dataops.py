@@ -103,9 +103,18 @@ def test_dedup_clusters_transitive(spark):
         [(2, 1), (2, 3), (5, 4), (8, 9), (9, 7), (7, 6)],
         "doc_id_a long, doc_id_b long",
     )
-    out = {r["member_id"]: r["cluster_id"]
-           for r in dedup_clusters(pairs, "doc_id_a", "doc_id_b").collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+    expect = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+    # Both execution paths must label identically: driver union-find
+    # (default for bounded edge lists) and distributed propagation
+    # (forced via driver_threshold=0 — the 100 TB path).
+    uf = {r["member_id"]: r["cluster_id"]
+          for r in dedup_clusters(pairs, "doc_id_a", "doc_id_b").collect()}
+    dist = {r["member_id"]: r["cluster_id"]
+            for r in dedup_clusters(
+                pairs, "doc_id_a", "doc_id_b", driver_threshold=0
+            ).collect()}
+    assert uf == expect
+    assert dist == expect
 
 
 def test_dedup_clusters_end_to_end_minhash(spark, sf_dir):
