@@ -41,13 +41,12 @@ import os
 import struct
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hr_moderndatapipeline_spark.functions.avro_codec import (
-    avro_decode_udf,
-    spark_schema_for,
-)
+from hr_moderndatapipeline_spark.functions.avro_codec import spark_schema_for
 
 MAGIC_BYTE = 0
 
@@ -306,43 +305,44 @@ def decode_wire_df(
     keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Schema-evolution read: decode a mixed-version wire-format
-    column under ``reader_schema``.
+    column under ``reader_schema``, in ONE pass.
 
-    Each record is decoded with its WRITER schema (resolved by the
-    framed id) and projected to the reader's field set: fields the
-    writer lacks take the reader default; writer-only fields are
-    dropped. The distinct-id collect is O(#schema versions) registry
-    metadata, never data."""
-    keep = keep_cols or []
-    sid_col, payload_col = wire_header_cols(wire_col)
-    framed = df.select(
-        *keep, sid_col.alias("_sid"), payload_col.alias("_payload")
+    Every registered schema (O(#versions) metadata) ships in the
+    decode UDF's closure; each record is decoded with its WRITER
+    schema — resolved per row from the framed id — then projected to
+    the reader's field set: fields the writer lacks take the reader
+    default, writer-only fields are dropped. No distinct-id collect,
+    no per-version re-scan, no union: the topic is read exactly once
+    regardless of how many schema versions it mixes, and the decode
+    is Arrow-batched."""
+    from hr_moderndatapipeline_spark.functions.avro_codec import (  # noqa: PLC0415
+        _parse_schema,
+        decode_record,
     )
-    ids = [r[0] for r in framed.select("_sid").distinct().collect()]
+
+    keep = keep_cols or []
     reader_fields = _record_fields(reader_schema)
     out_schema = spark_schema_for(reader_schema)
-    parts: list[DataFrame] = []
-    for sid in ids:
-        writer = registry.schema_by_id(sid)
-        writer_fields = _record_fields(writer)
-        dec = framed.filter(F.col("_sid") == sid).withColumn(
-            "_rec", avro_decode_udf(writer)(F.col("_payload"))
-        )
-        cols = []
-        for name, rf in reader_fields.items():
-            if name in writer_fields:
-                c = F.col(f"_rec.{name}")
-            else:
-                default = rf.get("default")
-                c = F.lit(default)
-            cols.append(
-                c.cast(out_schema[name].dataType).alias(name)
-            )
-        parts.append(dec.select(*keep, *cols))
-    if not parts:
-        empty_cols = [F.lit(None).alias(n) for n in reader_fields]
-        return df.select(*keep, *empty_cols).limit(0)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    writer_fields_by_id = {
+        sid: _parse_schema(s) for sid, s in registry._by_id.items()  # noqa: SLF001
+    }
+    names = list(reader_fields)
+    defaults = {n: rf.get("default") for n, rf in reader_fields.items()}
+
+    @F.pandas_udf(out_schema)
+    def _decode(wire: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in wire:
+            sid, payload = wire_decode(bytes(b))
+            rec = decode_record(payload, writer_fields_by_id[sid])
+            rows.append([rec.get(n, defaults[n]) for n in names])
+        return pd.DataFrame(rows, columns=names)
+
+    dec = df.select(*keep, _decode(F.col(wire_col)).alias("_rec"))
+    return dec.select(
+        *keep,
+        *[
+            F.col(f"_rec.{n}").cast(out_schema[n].dataType).alias(n)
+            for n in names
+        ],
+    )
