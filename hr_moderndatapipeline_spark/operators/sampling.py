@@ -80,6 +80,49 @@ def training_shuffle(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    splits: Mapping[str, float] | None = None,
+    broadcast_clusters: bool = True,
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: near-duplicate
+    documents must never straddle splits (a test doc whose near-copy
+    sits in train is leaked eval). Every document is assigned by the
+    deterministic bucket of its dedup CLUSTER representative —
+    ``coalesce(cluster_id, id)``, singletons are their own unit — so
+    an entire near-dup cluster always lands in one split, on every
+    run and engine.
+
+    ``clusters`` is (member_id, cluster_id) from ``dedup_clusters``;
+    it is bounded by the near-dup pair list, orders of magnitude
+    smaller than the corpus, so the default broadcast join keeps the
+    corpus side shuffle-free. Split fractions are percents rounded to
+    1% granularity, assigned by cumulative bucket ranges.
+    """
+    fracs = dict(splits or {"train": 0.9, "val": 0.05, "test": 0.05})
+    pcts = [(name, int(round(f * 100))) for name, f in fracs.items()]
+    if sum(p for _, p in pcts) != 100:
+        raise ValueError(f"split percents must sum to 100: {pcts}")
+    c = clusters.select(
+        F.col("member_id").alias(id_col), F.col("cluster_id").alias("_unit")
+    )
+    joined = df.join(
+        F.broadcast(c) if broadcast_clusters else c, id_col, "left"
+    ).withColumn("_unit", F.coalesce(F.col("_unit"), F.col(id_col)))
+    bucket = det_bucket(F.col("_unit"))
+    if len(pcts) == 1:
+        split = F.lit(pcts[0][0])
+    else:
+        expr, lo = F, 0
+        for name, pct in pcts[:-1]:
+            expr = expr.when(bucket < F.lit(lo + pct), F.lit(name))
+            lo += pct
+        split = expr.otherwise(F.lit(pcts[-1][0]))
+    return joined.withColumn("split", split).drop("_unit")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

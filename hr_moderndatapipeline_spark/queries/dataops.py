@@ -143,6 +143,48 @@ def q_dedup_drop_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/val/test assignment: documents are split
+    by the deterministic bucket of their near-dup CLUSTER
+    representative (Jaccard ≥ 0.9 pairs → connected components), so
+    a near-copy can never sit in train while its twin is in test —
+    the leakage every pretraining eval has to rule out."""
+    from hr_moderndatapipeline_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.9)
+    clusters = dedup_clusters(pairs, "doc_id_a", "doc_id_b")
+    return leakage_safe_split(
+        docs, "doc_id", clusters, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "source", "split")
+
+
+ORACLE_LEAKAGE_SPLIT = """
+WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS words FROM documents),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.9),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+assign AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
+bucketed AS (
+  SELECT doc_id, source,
+         ((COALESCE(a.cluster_id, doc_id) * 2654435761) % 4294967296) % 100 AS b
+  FROM documents LEFT JOIN assign a ON doc_id = a.member_id
+)
+SELECT doc_id, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 ORACLE_DEDUP_DROP = """
 WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS words FROM documents),
 pairs AS (
@@ -884,6 +926,7 @@ QUERIES = {
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,
+    "leakage_safe_split": q_leakage_safe_split,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -919,6 +962,7 @@ ORACLES = {
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,
+    "leakage_safe_split": ORACLE_LEAKAGE_SPLIT,
     "ann_bruteforce_topk": _ANN_ORACLE_FOLD,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,

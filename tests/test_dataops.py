@@ -131,6 +131,38 @@ def test_dedup_clusters_end_to_end_minhash(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """Every near-dup pair must land in the SAME split, and the
+    split proportions must roughly honor the requested fractions."""
+    from pyspark.sql import functions as FF
+
+    from hr_moderndatapipeline_spark.operators.dedup import jaccard_pairs
+    from hr_moderndatapipeline_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.9)
+    clusters = dedup_clusters(pairs, "doc_id_a", "doc_id_b")
+    out = leakage_safe_split(docs, "doc_id", clusters).select("doc_id", "split")
+    straddle = (
+        pairs.join(out.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            out.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_id_b",
+        )
+        .filter(FF.col("split_a") != FF.col("split_b"))
+    )
+    assert straddle.count() == 0
+    frac = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(FF.count("*").alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert frac["train"] / total > 0.8  # 90% requested, coarse corpus
+
+
 def test_ann_bruteforce_exact_neighbors(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),
