@@ -73,11 +73,15 @@ def main() -> None:
 
     all_queries = qmod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Warm the JVM/codegen once on the flagship so per-query numbers
     # measure steady-state execution, not first-job startup.
-    all_queries["attrition_monthly"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        all_queries["attrition_monthly"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001 — warmup must never kill the bench
+        print(f"warmup failed: {e}", file=sys.stderr)
     # Warm the Python/Arrow UDF worker pool with a trivial pandas_udf
     # job (forking the daemon workers + first Arrow exchange costs
     # seconds and would otherwise be billed entirely to whichever
@@ -102,11 +106,22 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # One crashing query must cost only ITS number, never the whole
+    # bench (round 3 lost the entire measurement to one analysis
+    # error): each sample is fault-isolated and failures are
+    # reported in an `errors` field alongside the timings.
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _rep in range(2):
         for name in BENCH_QUERIES:
-            samples[name].append(run_one(name))
+            if name in errors:
+                continue
+            try:
+                samples[name].append(run_one(name))
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
     for name in BENCH_QUERIES:
+        if name in errors:
+            continue
         # Host interference shows up as one sample several times the
         # other — or, in a sustained busy window, as BOTH samples
         # inflated together. A tie-breaking third run covers the
@@ -114,21 +129,24 @@ def main() -> None:
         # dominates) always get the third sample, time-separated
         # from the earlier two.
         if max(samples[name]) > 1.8 * min(samples[name]) or min(samples[name]) > 3.0:
-            samples[name].append(run_one(name))
+            try:
+                samples[name].append(run_one(name))
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                continue
         timings[name] = min(samples[name])
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
