@@ -217,3 +217,20 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     exchange carries O(groups*k), not the full table."""
     plan = plan_of(core.q_top3_orders_per_segment(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_leakage_split_broadcasts_clusters(spark, sf_dir):
+    """The split assignment join must broadcast the (bounded) cluster
+    map — the corpus side never shuffles for it. The near-dup pair
+    detection upstream may shuffle; the gate is on the final
+    assignment join specifically."""
+    from hr_moderndatapipeline_spark.operators.sampling import leakage_safe_split
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "member_id long, cluster_id long"
+    )
+    plan = plan_of(leakage_safe_split(docs, "doc_id", clusters))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
