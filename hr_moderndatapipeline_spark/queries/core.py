@@ -511,6 +511,48 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the orders table arrives as
+    three yearly batches; each batch's per-priority partials fold
+    into a persistent state table (operators/incremental.py) — only
+    new data plus O(|keys|) state is ever scanned. Decomposable-agg
+    merge laws make the fold EXACTLY equal the full recompute, which
+    is what the plain-GROUP-BY oracle asserts. Money folds as
+    integer cents (one canonical form across engines)."""
+    from hr_moderndatapipeline_spark.operators.incremental import (
+        finalize_aggs,
+        incremental_fold,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+    )
+    batches = [
+        o.filter(F.year("o_orderdate") < 1995),
+        o.filter((F.year("o_orderdate") >= 1995) & (F.year("o_orderdate") < 1997)),
+        o.filter(F.year("o_orderdate") >= 1997),
+    ]
+    aggs = {"o_orderkey": "count", "price_cents": "sum", "o_orderdate": "min"}
+    state = incremental_fold(batches, ["o_orderpriority"], aggs)
+    return finalize_aggs(state, aggs).select(
+        "o_orderpriority",
+        F.col("o_orderkey_count").alias("n_orders"),
+        F.col("price_cents_sum").alias("total_cents"),
+        F.col("o_orderdate_min").alias("first_date"),
+    )
+
+
+ORACLE_INCREMENTAL_ORDERS_AGG = """
+SELECT o_orderpriority,
+       count(o_orderkey) AS n_orders,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(o_orderdate) AS first_date
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 ORACLE_ORDERS_PROFILE = """
 SELECT count(*) AS n_rows,
        count(DISTINCT o_custkey) AS n_customers,
@@ -1169,6 +1211,7 @@ QUERIES = {
     "event_hourly_window": q_event_hourly_window,
     "error_window_clicks": q_error_window_clicks,
     "orders_profile": q_orders_profile,
+    "incremental_orders_agg": q_incremental_orders_agg,
     "quantity_quartiles": q_quantity_quartiles,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "customer_balance_distribution": q_customer_balance_distribution,
@@ -1209,6 +1252,7 @@ ORACLES = {
     "event_hourly_window": ORACLE_EVENT_HOURLY_WINDOW,
     "error_window_clicks": ORACLE_ERROR_WINDOW_CLICKS,
     "orders_profile": ORACLE_ORDERS_PROFILE,
+    "incremental_orders_agg": ORACLE_INCREMENTAL_ORDERS_AGG,
     "quantity_quartiles": ORACLE_QUANTITY_QUARTILES,
     "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,

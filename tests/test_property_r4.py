@@ -70,6 +70,46 @@ def test_dedup_clusters_both_paths_match_naive(spark, edges):
     assert dist == expect
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st_.lists(
+        st_.tuples(st_.integers(0, 4), st_.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st_.lists(st_.integers(0, 59), min_size=0, max_size=3),
+)
+def test_incremental_fold_equals_full_recompute(spark, rows, cuts):
+    """Property: folding ANY batch partition of the data through the
+    aggregate state equals one full groupBy — the merge laws of the
+    decomposable aggregates, end to end (count/sum/min/max/avg)."""
+    from hr_moderndatapipeline_spark.operators.incremental import (
+        aggregate_batch,
+        finalize_aggs,
+        incremental_fold,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    aggs = {"v": "avg", "k": "count"}  # avg exercises the (sum, cnt) state pair
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    pieces, prev = [], 0
+    for c in [*bounds, len(rows)]:
+        if c > prev:
+            pieces.append(spark.createDataFrame(rows[prev:c], "k int, v long"))
+            prev = c
+    inc = {
+        r["k"]: (r["v_avg"], r["k_count"])
+        for r in finalize_aggs(
+            incremental_fold(pieces, ["k"], aggs), aggs
+        ).collect()
+    }
+    full = {
+        r["k"]: (r["v_avg"], r["k_count"])
+        for r in finalize_aggs(aggregate_batch(df, ["k"], aggs), aggs).collect()
+    }
+    assert inc == full
+
+
 _FIELD_POOL = [
     ("id", "long"),
     ("name", "string"),
