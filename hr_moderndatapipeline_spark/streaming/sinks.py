@@ -26,6 +26,7 @@ import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -290,6 +291,41 @@ def compact_snapshot(
     next_n = (max(numbers) + 1) if numbers else 0
     publish_snapshot(cur.repartition(n_files), target, f"v{next_n}")
     return n_files
+
+
+def forget_keys(
+    spark: SparkSession,
+    target: str,
+    keys: DataFrame,
+    key_col: str,
+    purge_history: bool = True,
+) -> int:
+    """Delete propagation (right-to-be-forgotten): republish the
+    current snapshot minus the given keys as a NEW version, then —
+    because erasure that survives in older versions is not erasure —
+    optionally vacuum every historical version so the deleted rows
+    are physically gone (Delta pairs MERGE DELETE with VACUUM for
+    the same reason).
+
+    The key list is broadcast into a left-anti join: the snapshot
+    side never shuffles, so the pass is one scan + rewrite no matter
+    the table size. Returns the number of rows removed."""
+    cur = read_snapshot(spark, target)
+    if cur is None:
+        raise FileNotFoundError(f"no published snapshot at {target}")
+    k = keys.select(F.col(key_col)).distinct()
+    kept = cur.join(F.broadcast(k), key_col, "left_anti")
+    removed = cur.count() - kept.count()
+    numbers = [
+        int(d[1:])
+        for d in os.listdir(target)
+        if d.startswith("v") and d[1:].isdigit() and os.path.isdir(os.path.join(target, d))
+    ]
+    next_n = (max(numbers) + 1) if numbers else 0
+    publish_snapshot(kept, target, f"v{next_n}")
+    if purge_history:
+        vacuum_snapshots(target, keep_last=1)
+    return removed
 
 
 def vacuum_snapshots(target: str, keep_last: int = 3) -> list[str]:

@@ -242,6 +242,28 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     assert read_snapshot(spark, target).count() == 50_000
 
 
+def test_forget_keys_purges_current_and_history(spark, tmp_path):
+    """Delete propagation: forgotten keys leave the current snapshot
+    AND every historical version is vacuumed, so no parquet file
+    under the target still holds the erased rows."""
+    from hr_moderndatapipeline_spark.streaming.sinks import forget_keys
+
+    target = str(tmp_path / "people")
+    v0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "user_id int, v string"
+    )
+    publish_snapshot(v0, target, "v0")
+    publish_snapshot(v0, target, "v1")  # history holds the rows twice
+    doomed = spark.createDataFrame([(2,)], "user_id int")
+    removed = forget_keys(spark, target, doomed, "user_id")
+    assert removed == 1
+    cur = read_snapshot(spark, target)
+    assert sorted(r.user_id for r in cur.collect()) == [1, 3]
+    # physical erasure: no file under the target decodes user_id=2
+    leftover = spark.read.parquet(f"{target}/*/")
+    assert leftover.filter(F.col("user_id") == 2).count() == 0
+
+
 def test_load_evolving_merges_schemas(spark, tmp_path):
     from hr_moderndatapipeline_spark.sources.readers import load_evolving
 
