@@ -961,6 +961,32 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot): the four numeric line
+    measures unpivot to (key, metric, value) rows via the native
+    ``unpivot`` operator — a pure projection+generate, no shuffle,
+    no UDF. Values pass through untouched, so the cross-engine hash
+    is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_LINEITEM_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 # ── multi-join analytics (Catalyst join reordering + broadcast dims) ──
 
 def _rev_amount() -> F.Column:
@@ -1223,6 +1249,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
+    "lineitem_unpivot": q_lineitem_unpivot,
     "deterministic_sample": q_deterministic_sample,
     "status_cube": q_status_cube,
     "shipping_priority": q_shipping_priority,
@@ -1264,6 +1291,7 @@ ORACLES = {
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,
+    "lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
     "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "status_cube": ORACLE_STATUS_CUBE,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
