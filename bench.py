@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "quantity_quartiles",         # exact percentiles over full table
     "cohort_retention",           # month-cohort self-join retention
     "dedup_drop_survivors",       # dedup keep-one-per-cluster
+    "incremental_orders_agg",     # batch-fold aggregate state maintenance
+    "schema_evolution_read",      # registry wire decode (Arrow UDF path)
+    "lineitem_unpivot",           # wide-to-long generate throughput
 ]
 
 
