@@ -9,11 +9,13 @@ At 100 TB a daily full recompute is the difference between a
 per-key AGGREGATE STATE table and fold each incremental batch into
 it — only ever scanning the new data plus O(|keys|) state.
 
-Only decomposable aggregates participate (count/sum/min/max, and
-avg as a (sum, count) pair finalized on read): each has a merge
-function such that merge(agg(A), agg(B)) = agg(A ∪ B), so folding
-batches in any order or grouping reproduces the full-recompute
-result exactly — pinned by a property test.
+Only decomposable aggregates participate (count/sum/min/max, avg as
+a (sum, count) pair finalized on read, and approx_distinct as a
+mergeable HLL sketch — plain COUNT DISTINCT is NOT decomposable,
+the sketch is how warehouses maintain it incrementally): each has a
+merge function such that merge(agg(A), agg(B)) = agg(A ∪ B), so
+folding batches in any order or grouping reproduces the
+full-recompute result exactly — pinned by a property test.
 """
 
 from __future__ import annotations
@@ -24,12 +26,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: agg name -> (batch aggregator, state merger). ``count`` merges by
-#: summing per-batch counts; everything else merges with itself.
+#: summing per-batch counts; ``approx_distinct`` carries a binary
+#: HLL sketch merged by union (estimated on read); everything else
+#: merges with itself.
 _AGGS = {
     "count": (F.count, F.sum),
     "sum": (F.sum, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    "approx_distinct": (F.hll_sketch_agg, F.hll_union_agg),
 }
 
 
@@ -95,6 +100,10 @@ def finalize_aggs(state: DataFrame, aggs: Mapping[str, str]) -> DataFrame:
         if agg == "avg":
             cols.append(
                 (F.col(f"{col}_sum") / F.col(f"{col}_cnt")).alias(f"{col}_avg")
+            )
+        elif agg == "approx_distinct":
+            cols.append(
+                F.hll_sketch_estimate(F.col(f"{col}_{agg}")).alias(f"{col}_{agg}")
             )
         else:
             cols.append(F.col(f"{col}_{agg}"))

@@ -110,6 +110,32 @@ def test_incremental_fold_equals_full_recompute(spark, rows, cuts):
     assert inc == full
 
 
+def test_incremental_approx_distinct_sketch_state(spark):
+    """COUNT DISTINCT is not decomposable — the HLL sketch state is:
+    union-merged per batch, estimated on read. At small cardinality
+    the sketch is in exact (sparse) mode, so the estimate must equal
+    the true distinct count despite arriving in three batches with
+    overlap."""
+    from hr_moderndatapipeline_spark.operators.incremental import (
+        finalize_aggs,
+        incremental_fold,
+    )
+
+    batches = [
+        spark.createDataFrame([(1, u) for u in (10, 11, 12)], "k int, user int"),
+        spark.createDataFrame([(1, u) for u in (11, 12, 13)], "k int, user int"),
+        spark.createDataFrame([(1, 14), (2, 99)], "k int, user int"),
+    ]
+    aggs = {"user": "approx_distinct"}
+    out = {
+        r.k: r.user_approx_distinct
+        for r in finalize_aggs(
+            incremental_fold(batches, ["k"], aggs), aggs
+        ).collect()
+    }
+    assert out == {1: 5, 2: 1}  # {10..14} and {99}
+
+
 _FIELD_POOL = [
     ("id", "long"),
     ("name", "string"),
