@@ -130,10 +130,55 @@ def q_streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-NATIVE sessionization operator (``session_window``,
+    streaming/windows.py sessionized_counts — same code path batch
+    and streaming) over the events table: 30-minute inactivity gap
+    per user. Complements ``user_sessions``, which derives sessions
+    with the lag-gap-cumsum formulation; here the oracle restates the
+    session semantics as gaps-and-islands SQL, so the native
+    operator's exact merge rule (new session iff the gap is ≥ the
+    inactivity window; session_end = last event + gap) is
+    cross-engine-verified."""
+    from hr_moderndatapipeline_spark.streaming.windows import sessionized_counts
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionized_counts(ev, "ts", "30 minutes", ["user_id"])
+
+
+ORACLE_SESSION_WINDOW_COUNTS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
     "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
+    "session_window_counts": q_session_window_counts,
 }
 
-#: Non-SQL-expressible (real streaming execution) — rows-only.
-ORACLES: dict[str, str] = {}
+#: Streaming-execution entries are rows-only (not ANSI-SQL-
+#: expressible); the batch-form session_window query carries a
+#: gaps-and-islands oracle.
+ORACLES: dict[str, str] = {
+    "session_window_counts": ORACLE_SESSION_WINDOW_COUNTS,
+}
