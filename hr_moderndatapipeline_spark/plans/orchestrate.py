@@ -33,8 +33,10 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable, Mapping, Sequence
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 from typing import Any
@@ -115,7 +117,14 @@ class Dag:
         ts = TopologicalSorter({t.name: set(t.depends_on) for t in self.tasks})
         return [by_name[n] for n in ts.static_order()]
 
-    def run(self, logical_date: str) -> dict[str, TaskResult]:
+    def run(self, logical_date: str, max_parallel: int = 1) -> dict[str, TaskResult]:
+        """Execute the DAG for one logical date. ``max_parallel > 1``
+        runs READY tasks (all deps satisfied) concurrently from
+        driver threads — Spark schedules jobs submitted by multiple
+        threads concurrently, so independent branches overlap their
+        cluster utilization exactly as Airflow's parallelism does."""
+        if max_parallel > 1:
+            return self._run_parallel(logical_date, max_parallel)
         done_before = self.completed(logical_date)
         ctx = RunContext(logical_date=logical_date, params=self.params, results={})
         results: dict[str, TaskResult] = {}
@@ -133,6 +142,43 @@ class Dag:
                 failed.add(t.name)
             else:
                 self._record_success(logical_date, t.name)
+        return results
+
+    def _run_parallel(self, logical_date: str, max_parallel: int) -> dict[str, TaskResult]:
+        done_before = self.completed(logical_date)
+        ctx = RunContext(logical_date=logical_date, params=self.params, results={})
+        results: dict[str, TaskResult] = {}
+        failed: set[str] = set()
+        by_name = {t.name: t for t in self.tasks}
+        lock = threading.Lock()  # guards ctx.results + journal writes
+        ts = TopologicalSorter({t.name: set(t.depends_on) for t in self.tasks})
+        ts.prepare()
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            pending: dict = {}
+            while ts.is_active():
+                for name in ts.get_ready():
+                    t = by_name[name]
+                    if name in done_before:
+                        results[name] = TaskResult(name, "skipped")
+                        ts.done(name)
+                    elif any(d in failed for d in t.depends_on):
+                        results[name] = TaskResult(name, "upstream_failed")
+                        failed.add(name)
+                        ts.done(name)
+                    else:
+                        pending[pool.submit(self._run_task, t, ctx)] = name
+                if not pending:
+                    continue
+                finished, _ = wait(pending, return_when=FIRST_COMPLETED)
+                for fut in finished:
+                    name = pending.pop(fut)
+                    results[name] = fut.result()
+                    if results[name].state == "failed":
+                        failed.add(name)
+                    else:
+                        with lock:
+                            self._record_success(logical_date, name)
+                    ts.done(name)
         return results
 
     def _run_task(self, t: TaskSpec, ctx: RunContext) -> TaskResult:

@@ -125,6 +125,57 @@ class TestResumeAndBackfill:
         assert all(r["t"].state == "skipped" for r in out2.values())
 
 
+class TestParallel:
+    def test_independent_tasks_run_concurrently(self, tmp_path):
+        """Two independent tasks meet at a barrier: only possible if
+        they genuinely run at the same time (a serial executor would
+        dead-wait and trip the barrier timeout). The downstream task
+        still sees both upstream results."""
+        import threading
+
+        barrier = threading.Barrier(2, timeout=10)
+
+        def side(v):
+            def _fn(ctx):
+                barrier.wait()  # raises BrokenBarrierError if serial
+                return v
+
+            return _fn
+
+        dag = Dag(
+            "p",
+            [
+                TaskSpec("a", side(1)),
+                TaskSpec("b", side(2)),
+                TaskSpec("join", lambda ctx: ctx.results["a"] + ctx.results["b"], ("a", "b")),
+            ],
+            state_path=str(tmp_path / "s.json"),
+        )
+        res = dag.run("2026-08-13", max_parallel=2)
+        assert all(r.state == "success" for r in res.values())
+        assert res["join"].value == 3
+        # journal resume works identically through the parallel path
+        res2 = dag.run("2026-08-13", max_parallel=2)
+        assert all(r.state == "skipped" for r in res2.values())
+
+    def test_parallel_failure_propagates(self):
+        def boom(ctx):
+            raise RuntimeError("boom")
+
+        dag = Dag(
+            "p",
+            [
+                TaskSpec("a", boom),
+                TaskSpec("b", lambda ctx: 1),
+                TaskSpec("c", lambda ctx: 1, ("a",)),
+            ],
+        )
+        res = dag.run("2026-08-13", max_parallel=3)
+        assert res["a"].state == "failed"
+        assert res["b"].state == "success"
+        assert res["c"].state == "upstream_failed"
+
+
 class TestModelBridge:
     def test_models_run_orchestrated_with_resume(self, spark, tmp_path):
         spark.range(5).createOrReplaceTempView("src_numbers")
