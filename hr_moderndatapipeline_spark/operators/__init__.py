@@ -16,3 +16,15 @@ from hr_moderndatapipeline_spark.operators.scd2 import (  # noqa: F401
     scd2_from_history,
     validate_scd2,
 )
+from hr_moderndatapipeline_spark.operators.incremental import (  # noqa: F401
+    aggregate_batch,
+    finalize_aggs,
+    incremental_fold,
+    merge_agg_state,
+)
+from hr_moderndatapipeline_spark.operators.sampling import (  # noqa: F401
+    leakage_safe_split,
+    pack_sequences,
+    stratified_sample,
+    training_shuffle,
+)
