@@ -48,6 +48,39 @@ def rebalance(df: DataFrame, multiple: int = 1) -> DataFrame:
     return df.repartition(sc.defaultParallelism * multiple)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join for two LARGE sides (when neither
+    broadcasts and a handful of hot keys would pin whole partitions
+    on single tasks): the skewed LEFT side adds a deterministic salt
+    in [0, n_salts) hashed from its full row, the RIGHT side is
+    replicated once per salt value, and the join runs on
+    (keys + salt) — each hot key now spreads over ``n_salts`` tasks.
+
+    Cost model: right side shuffles ``n_salts``× its size, so use
+    this when the right side is the (relatively) smaller big table.
+    AQE's skew-join split handles moderate skew automatically;
+    explicit salting is for the extreme single-key case AQE cannot
+    split further (one key larger than a whole executor). Supports
+    ``inner`` and ``left`` joins (semantics-preserving under
+    replication: each left row carries exactly one salt, and every
+    right row exists for every salt, so matches are exactly the
+    unsalted matches)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l.join(r, [*keys, "_salt"], how).drop("_salt")
+
+
 def latest_per_key(
     df: DataFrame,
     keys: Sequence[str],

@@ -219,6 +219,34 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_salted_join_parity_and_spread(spark):
+    """Salted join returns exactly the plain join's rows, and the
+    physical join condition includes the salt key (so one hot key
+    hashes across n_salts partitions instead of one)."""
+    from pyspark.sql import functions as F
+
+    from hr_moderndatapipeline_spark.operators.relational import salted_join
+
+    # extreme skew: 9 of 10 left rows share key 1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(9)] + [(2, 99)], "k int, lv int"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, rv string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.lv, r.rv)
+            for r in salted_join(left, right, ["k"], n_salts=4, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.lv, r.rv) for r in left.join(right, "k", how).collect()
+        )
+        assert got == want
+    plan = plan_of(salted_join(left, right, ["k"], n_salts=4))
+    assert "_salt" in plan  # the join key set physically includes the salt
+
+
 def test_leakage_split_broadcasts_clusters(spark, sf_dir):
     """The split assignment join must broadcast the (bounded) cluster
     map — the corpus side never shuffles for it. The near-dup pair
