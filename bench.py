@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "incremental_orders_agg",     # batch-fold aggregate state maintenance
     "schema_evolution_read",      # registry wire decode (Arrow UDF path)
     "lineitem_unpivot",           # wide-to-long generate throughput
+    "session_window_counts",      # native session_window sessionization
 ]
 
 
