@@ -328,6 +328,46 @@ def forget_keys(
     return removed
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    target: str,
+    from_version: int,
+    to_version: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change data feed between two published snapshot versions:
+    every row is classified ``insert`` (key only in ``to``),
+    ``delete`` (key only in ``from``), or ``update`` (key in both
+    with any non-key column changed) — Delta's CDF/table_changes
+    re-expressed over the versioned-directory protocol. Unchanged
+    rows are dropped.
+
+    One full-outer join on the key set; change detection hashes the
+    non-key columns JVM-side, so no column-by-column Python
+    comparison. Returns key columns + ``_change_type`` + the new
+    row's non-key columns (null for deletes)."""
+    old = read_snapshot_version(spark, target, from_version)
+    new = read_snapshot_version(spark, target, to_version)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_oh"),
+    )
+    n = new.select(
+        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_nh"), *val_cols
+    )
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), F.lit("insert"))
+        .when(F.col("_nh").isNull(), F.lit("delete"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("update"))
+    )
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*keys, "_change_type", *val_cols)
+    )
+
+
 def vacuum_snapshots(target: str, keep_last: int = 3) -> list[str]:
     """Retention for the versioned-parquet protocol (the VACUUM
     counterpart of ``compact_snapshot``): delete all but the newest

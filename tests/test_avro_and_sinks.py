@@ -242,6 +242,31 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     assert read_snapshot(spark, target).count() == 50_000
 
 
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """CDF between versions: insert/update/delete classified by key,
+    unchanged rows dropped."""
+    from hr_moderndatapipeline_spark.streaming.sinks import snapshot_diff
+
+    target = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k int, s string, v int"
+    )
+    publish_snapshot(v0, target, "v0")
+    publish_snapshot(v1, target, "v1")
+    got = {
+        r.k: (r._change_type, r.s)
+        for r in snapshot_diff(spark, target, 0, 1, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", "B"),
+        3: ("delete", None),
+        4: ("insert", "d"),
+    }  # key 1 unchanged → absent
+
+
 def test_forget_keys_purges_current_and_history(spark, tmp_path):
     """Delete propagation: forgotten keys leave the current snapshot
     AND every historical version is vacuumed, so no parquet file
