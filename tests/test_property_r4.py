@@ -110,6 +110,34 @@ def test_incremental_fold_equals_full_recompute(spark, rows, cuts):
     assert inc == full
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st_.lists(
+        st_.tuples(st_.integers(0, 4), st_.integers(0, 100)), min_size=0, max_size=25
+    ),
+    right=st_.lists(
+        st_.tuples(st_.integers(0, 4), st_.integers(0, 100)), min_size=0, max_size=25
+    ),
+    n_salts=st_.integers(1, 8),
+    how=st_.sampled_from(["inner", "left"]),
+)
+def test_salted_join_multiset_parity(spark, left, right, n_salts, how):
+    """Property: salted join == plain join as a MULTISET (duplicate
+    keys on both sides multiply matches identically), for any salt
+    count and join type."""
+    from hr_moderndatapipeline_spark.operators.relational import salted_join
+
+    if not left:
+        return  # empty left: trivially equal, createDataFrame needs schema rows
+    l = spark.createDataFrame(left, "k int, lv int")
+    r = spark.createDataFrame(right or [(None, None)], "k int, rv int").filter(
+        "k IS NOT NULL"
+    )
+    got = sorted((x.k, x.lv, x.rv) for x in salted_join(l, r, ["k"], n_salts, how).collect())
+    want = sorted((x.k, x.lv, x.rv) for x in l.join(r, "k", how).collect())
+    assert got == want
+
+
 def test_incremental_approx_distinct_sketch_state(spark):
     """COUNT DISTINCT is not decomposable — the HLL sketch state is:
     union-merged per batch, estimated on read. At small cardinality
