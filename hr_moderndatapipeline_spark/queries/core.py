@@ -961,6 +961,27 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_approx_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based frequent items: ``approx_top_k`` maintains a
+    bounded-memory heavy-hitters sketch per partition and merges —
+    the scale path for top-k over columns whose exact GROUP BY
+    would shuffle billions of distinct keys. Here the column has 5
+    distinct values (≪ the sketch's tracked-item budget), so the
+    sketch is provably exact and the plain GROUP BY oracle must
+    hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("_tk"))
+    return (
+        tk.select(F.explode("_tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("n"))
+    )
+
+
+ORACLE_APPROX_TOP_EVENT_TYPES = """
+SELECT event_type, count(*) AS n FROM events GROUP BY 1
+"""
+
+
 def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (the inverse of pivot): the four numeric line
     measures unpivot to (key, metric, value) rows via the native
@@ -1250,6 +1271,7 @@ QUERIES = {
     "distinct_customers_by_priority": q_distinct_customers_by_priority,
     "pivot_qty_by_status": q_pivot_qty_by_status,
     "lineitem_unpivot": q_lineitem_unpivot,
+    "approx_top_event_types": q_approx_top_event_types,
     "deterministic_sample": q_deterministic_sample,
     "status_cube": q_status_cube,
     "shipping_priority": q_shipping_priority,
@@ -1292,6 +1314,7 @@ ORACLES = {
     "distinct_customers_by_priority": ORACLE_DISTINCT_BY_PRIORITY,
     "pivot_qty_by_status": ORACLE_PIVOT_QTY,
     "lineitem_unpivot": ORACLE_LINEITEM_UNPIVOT,
+    "approx_top_event_types": ORACLE_APPROX_TOP_EVENT_TYPES,
     "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "status_cube": ORACLE_STATUS_CUBE,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
