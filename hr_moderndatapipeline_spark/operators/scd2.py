@@ -197,6 +197,36 @@ def as_of_join(
     return out.drop(*[f"_d_{k}" for k in keys])
 
 
+def point_in_time_join(
+    spine: DataFrame,
+    ts_col: str,
+    features: Sequence[tuple[DataFrame, Sequence[str], str]],
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """Feature-store point-in-time join: enrich every spine row
+    (entity keys + observation timestamp) with, from EACH feature
+    table, the latest feature row whose timestamp is ≤ the spine
+    timestamp — never a later one (that would leak the future into
+    training labels).
+
+    ``features`` is a sequence of (df, keys, feature_ts_col). Each
+    feature table's event log is first converted to validity ranges
+    (``scd2_from_history`` — one window shuffle per feature table),
+    then range-resolved against the spine with ``as_of_join``. The
+    spine is never shuffled when features broadcast; with
+    ``broadcast_features=False`` each enrichment is a key-equi join
+    with a range residual, still one shuffle per feature table."""
+    out = spine
+    for fdf, keys, fts in features:
+        # the feature's own timestamp is folded into the validity
+        # range (and would collide with the spine's ts column name)
+        hist = scd2_from_history(fdf, keys, fts).drop(CURRENT, fts)
+        out = as_of_join(
+            out, hist, keys, ts_col, broadcast_dim=broadcast_features
+        ).drop(START, END)
+    return out
+
+
 def validate_scd2(
     df: DataFrame,
     keys: Sequence[str],

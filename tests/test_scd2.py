@@ -211,3 +211,34 @@ def test_validate_scd2_flags_violations(spark):
     assert v["keys_without_exactly_one_current"] == 1
     assert v["non_contiguous_ranges"] == 1
     assert v["inverted_ranges"] == 1
+
+
+def test_point_in_time_join_no_future_leakage(spark):
+    """Feature-store PIT join: each spine row gets the latest feature
+    value AT OR BEFORE its timestamp from every feature table — a
+    later feature value must never leak backwards."""
+    from hr_moderndatapipeline_spark.operators.scd2 import point_in_time_join
+
+    def ts(d, h=0):
+        return dt.datetime(2026, 1, d, h)
+
+    spine = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(12)), (2, ts(12))], "user int, obs_ts timestamp"
+    )
+    balances = spark.createDataFrame(
+        [(1, ts(1), 100), (1, ts(10), 150), (2, ts(11), 70), (2, ts(13), 99)],
+        "user int, ts timestamp, balance int",
+    )
+    statuses = spark.createDataFrame(
+        [(1, ts(2), "bronze"), (1, ts(11), "gold")],
+        "user int, ts timestamp, status string",
+    )
+    out = point_in_time_join(
+        spine, "obs_ts", [(balances, ["user"], "ts"), (statuses, ["user"], "ts")]
+    )
+    got = {(r.user, r.obs_ts.day): (r.balance, r.status) for r in out.collect()}
+    assert got == {
+        (1, 5): (100, "bronze"),   # day-10/11 values must not leak back
+        (1, 12): (150, "gold"),
+        (2, 12): (70, None),       # user 2 has no status history
+    }
