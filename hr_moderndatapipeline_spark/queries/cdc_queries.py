@@ -508,6 +508,47 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_pit_order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time enrichment: the order spine picks
+    up, from TWO independent feature event logs (purchase values,
+    error ids), the latest value at or before order time — and never
+    a later one. Verified against DuckDB's native ASOF JOIN, a
+    different formulation of the same semantics."""
+    from hr_moderndatapipeline_spark.operators.scd2 import point_in_time_join
+
+    ev = _t(spark, sf_dir, "events")
+    spine = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("o_custkey"),
+        "ts",
+        F.col("value").alias("last_purchase_value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("o_custkey"),
+        "ts",
+        F.col("event_id").alias("last_error_id"),
+    )
+    return point_in_time_join(
+        spine,
+        "o_orderdate",
+        [(purchases, ["o_custkey"], "ts"), (errors, ["o_custkey"], "ts")],
+    )
+
+
+ORACLE_PIT_ORDER_FEATURES = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       p.value AS last_purchase_value,
+       er.event_id AS last_error_id
+FROM orders o
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON o.o_custkey = p.user_id AND o.o_orderdate >= p.ts
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') er
+  ON o.o_custkey = er.user_id AND o.o_orderdate >= er.ts
+"""
+
+
 # ── Schema-registry-managed evolution (kafka_connect_schema_commands.txt) ──
 
 def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,6 +635,7 @@ QUERIES = {
     "scd2_apply_fold": q_scd2_apply_fold,
     "cdc_op_classification": q_cdc_op_classification,
     "asof_purchase_state": q_asof_purchase_state,
+    "pit_order_features": q_pit_order_features,
     "dq_violations_customer": q_dq_violations_customer,
     "dlq_split": q_dlq_split,
 }
@@ -609,6 +651,7 @@ ORACLES = {
     "scd2_apply_fold": ORACLE_SCD2_APPLY_FOLD,
     "cdc_op_classification": ORACLE_CDC_OPS,
     "asof_purchase_state": ORACLE_ASOF_PURCHASE_STATE,
+    "pit_order_features": ORACLE_PIT_ORDER_FEATURES,
     "dq_violations_customer": ORACLE_DQ_VIOLATIONS,
     "dlq_split": ORACLE_DLQ_SPLIT,
 }
