@@ -247,6 +247,17 @@ def test_salted_join_parity_and_spread(spark):
     assert "_salt" in plan  # the join key set physically includes the salt
 
 
+def test_pit_join_broadcasts_features_spine_never_shuffles(spark, sf_dir):
+    """Point-in-time enrichment: every feature table resolves via
+    BroadcastHashJoin — the (large) spine side must not sort-merge
+    for any of the feature joins."""
+    from hr_moderndatapipeline_spark.queries import cdc_queries
+
+    plan = plan_of(cdc_queries.q_pit_order_features(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # one per feature table
+    assert "SortMergeJoin" not in plan
+
+
 def test_leakage_split_broadcasts_clusters(spark, sf_dir):
     """The split assignment join must broadcast the (bounded) cluster
     map — the corpus side never shuffles for it. The near-dup pair
