@@ -502,8 +502,16 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias(
             "null_status"
         ),
-        F.min("o_orderdate").alias("min_date"),
-        F.max("o_orderdate").alias("max_date"),
+        # Dates as epoch-day BIGINTs: integers have exactly one
+        # canonical form in every harness layer, unlike timestamps
+        # (tz-attachment / ns-precision / Arrow-fetch divergence kept
+        # this row red for three rounds with byte-identical values).
+        F.datediff(F.min(F.col("o_orderdate").cast("date")), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("min_date_epoch_day"),
+        F.datediff(F.max(F.col("o_orderdate").cast("date")), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("max_date_epoch_day"),
         F.sum(cents).alias("total_price_cents"),
         F.min(cents).alias("min_price_cents"),
         F.max(cents).alias("max_price_cents"),
@@ -557,8 +565,8 @@ ORACLE_ORDERS_PROFILE = """
 SELECT count(*) AS n_rows,
        count(DISTINCT o_custkey) AS n_customers,
        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
-       min(o_orderdate) AS min_date,
-       max(o_orderdate) AS max_date,
+       CAST(datediff('day', DATE '1970-01-01', CAST(min(o_orderdate) AS DATE)) AS BIGINT) AS min_date_epoch_day,
+       CAST(datediff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS max_date_epoch_day,
        CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS total_price_cents,
        min(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS min_price_cents,
        max(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS max_price_cents,
