@@ -19,8 +19,8 @@ from hr_moderndatapipeline_spark.functions.dq import Rule, apply_rules
 from hr_moderndatapipeline_spark.operators.cdc import classify_cdc_ops, upsert_apply
 from hr_moderndatapipeline_spark.operators.facts import (
     attrition_events,
+    feature_cols,
     headcount_monthly,
-    register_feature_udfs,
 )
 from hr_moderndatapipeline_spark.operators.relational import latest_per_key
 from hr_moderndatapipeline_spark.operators.scd2 import as_of_join, scd2_from_history
@@ -213,10 +213,14 @@ def q_attrition_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The silver attrition-event fact end-to-end: SCD2 history from
     the event log, soft-delete flag ('error' events), attrition =
     deleted & !current (P5), period keys + tenure (F7/F8), and the
-    U1 feature UDFs invoked via SQL expr (F12) — deterministic
+    U1 deterministic features as pure column expressions (F12) —
     key-derived values replacing the reference's random() draws
-    (silver_attrition_builder.py:71-110)."""
-    register_feature_udfs(spark)
+    (silver_attrition_builder.py:71-110). The SQL-callable UDF
+    registrations (register_feature_udfs) stay available for U1
+    surface parity, but the fact path is whole-stage-codegen
+    column math: at 100 TB a per-row Python UDF on every fact row
+    is the classic serialization tax, and tests/test_plan_quality
+    gates BatchEvalPython out of this plan."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", (F.col("event_type") == "error").alias("is_deleted")
     )
@@ -225,17 +229,18 @@ def q_attrition_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist, "user_id", "effective_start_date", "effective_end_date",
         "is_deleted", "is_current",
     )
+    feats = feature_cols(F.col("user_id"))
     return fact.select(
         "user_id",
         F.col("effective_end_date").alias("attrition_ts"),
         "year", "month", "tenure_days",
-        F.expr("det_marital(user_id)").alias("marital"),
-        F.expr("det_persona(user_id)").alias("persona"),
-        F.expr("det_travel(user_id)").alias("travel"),
-        F.expr("det_age_band(user_id)").alias("age_band"),
-        F.expr("det_overtime(user_id)").alias("overtime"),
-        F.expr("det_appraisal(user_id)").alias("appraisal"),
-        F.expr("det_years(user_id)").alias("years"),
+        feats["marital"].alias("marital"),
+        feats["persona"].alias("persona"),
+        feats["travel"].alias("travel"),
+        feats["age_band"].alias("age_band"),
+        feats["overtime"].alias("overtime"),
+        feats["appraisal"].alias("appraisal"),
+        feats["years"].alias("years"),
     )
 
 

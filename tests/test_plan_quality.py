@@ -273,3 +273,16 @@ def test_leakage_split_broadcasts_clusters(spark, sf_dir):
     plan = plan_of(leakage_safe_split(docs, "doc_id", clusters))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attrition_fact_no_python_udf(spark, sf_dir):
+    """The attrition fact path must stay whole-stage-codegen column
+    math (operators/facts.py feature_cols) — the r4 verdict flagged
+    7 row-at-a-time Python UDFs here as the one remaining 100x-scale
+    serialization tax. U1's SQL UDF surface stays registered for
+    parity (test_cdc_dq.test_feature_udfs_match_columns) but must
+    never appear in this plan."""
+    from hr_moderndatapipeline_spark.queries import cdc_queries
+
+    plan = plan_of(cdc_queries.q_attrition_fact(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
