@@ -143,7 +143,17 @@ def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hr_moderndatapipeline_spark.streaming.windows import sessionized_counts
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    return sessionized_counts(ev, "ts", "30 minutes", ["user_id"])
+    out = sessionized_counts(ev, "ts", "30 minutes", ["user_id"])
+    # Derived (non-passthrough) timestamps cross the oracle boundary
+    # as epoch-second BIGINTs: the driver's timestamp canonicalization
+    # is only proven for passthrough/min-max columns (see
+    # tests/test_ts_canon.py), and integers have one canonical form.
+    return out.select(
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        F.unix_timestamp("session_end").alias("session_end_epoch"),
+        "user_id",
+        "n_events",
+    )
 
 
 ORACLE_SESSION_WINDOW_COUNTS = """
@@ -161,8 +171,8 @@ numbered AS (
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
-SELECT min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end_epoch,
        user_id,
        count(*) AS n_events
 FROM numbered
