@@ -44,11 +44,22 @@ from typing import Any
 
 @dataclass(frozen=True)
 class TaskSpec:
+    """``rehydrate`` restores a completed task's observable state on
+    journal-resume: when a re-run skips the task, the orchestrator
+    calls ``rehydrate(ctx)`` (in dependency order) and publishes its
+    return value as ``ctx.results[name]`` — so downstream tasks that
+    read upstream XCom values or upstream-registered temp views work
+    across a process restart. Tasks without a ``rehydrate`` surface
+    ``None`` in ``ctx.results`` when skipped: their downstream tasks
+    must reload any upstream state themselves (e.g. re-read the
+    table the upstream task wrote)."""
+
     name: str
     fn: Callable[["RunContext"], Any]
     depends_on: tuple[str, ...] = ()
     retries: int = 0
     retry_delay_sec: float = 0.0
+    rehydrate: Callable[["RunContext"], Any] | None = None
 
 
 @dataclass
@@ -131,7 +142,9 @@ class Dag:
         failed: set[str] = set()
         for t in self.order():
             if t.name in done_before:
-                results[t.name] = TaskResult(t.name, "skipped")
+                results[t.name] = self._skip_task(t, ctx)
+                if results[t.name].state == "failed":
+                    failed.add(t.name)
                 continue
             if any(d in failed for d in t.depends_on):
                 results[t.name] = TaskResult(t.name, "upstream_failed")
@@ -159,7 +172,9 @@ class Dag:
                 for name in ts.get_ready():
                     t = by_name[name]
                     if name in done_before:
-                        results[name] = TaskResult(name, "skipped")
+                        results[name] = self._skip_task(t, ctx)
+                        if results[name].state == "failed":
+                            failed.add(name)
                         ts.done(name)
                     elif any(d in failed for d in t.depends_on):
                         results[name] = TaskResult(name, "upstream_failed")
@@ -180,6 +195,22 @@ class Dag:
                             self._record_success(logical_date, name)
                     ts.done(name)
         return results
+
+    def _skip_task(self, t: TaskSpec, ctx: RunContext) -> TaskResult:
+        """Journal-resume path: the task already succeeded for this
+        logical date. Rehydrate its observable outputs (XCom value,
+        temp-view registrations) so downstream tasks behave exactly
+        as in the original run; a rehydration error fails the task
+        (and thus its downstream) rather than letting consumers read
+        a silently-empty ctx.results."""
+        if t.rehydrate is None:
+            return TaskResult(t.name, "skipped")
+        try:
+            value = t.rehydrate(ctx)
+        except Exception as e:  # noqa: BLE001 — orchestrators contain task faults
+            return TaskResult(t.name, "failed", 0, f"rehydrate: {type(e).__name__}: {e}")
+        ctx.results[t.name] = value
+        return TaskResult(t.name, "skipped", value=value)
 
     def _run_task(self, t: TaskSpec, ctx: RunContext) -> TaskResult:
         t0 = time.time()
@@ -221,7 +252,14 @@ def dag_from_models(
     """Wrap a ModelRunner's models as one orchestrated task each, so
     SQL model materialization gains retries/resume/backfill. Each
     task materializes exactly its model (dependency order is enforced
-    by the DAG edges, mirroring dbt's ref() graph)."""
+    by the DAG edges, mirroring dbt's ref() graph). On journal
+    resume, skipped models REHYDRATE instead of vanishing: a
+    table-materialized model re-registers its temp view over the
+    parquet it already wrote, and a view model re-registers its SQL
+    view — so downstream models' ``ref()``-by-name resolution works
+    across a process restart (rehydration runs in dependency order,
+    so a view model's upstream views exist when its SQL re-analyzes)."""
+    import os as _os
 
     def _materialize(model):  # noqa: ANN001
         def _task(ctx: RunContext):
@@ -232,12 +270,25 @@ def dag_from_models(
 
         return _task
 
+    def _rehydrate(model):  # noqa: ANN001
+        def _restore(ctx: RunContext):
+            if model.materialization == "table":
+                path = _os.path.join(runner.table_root, model.name)
+                df = runner.spark.read.parquet(path)
+            else:  # view: re-analyze the SQL (lazy — no data work)
+                df = runner.spark.sql(model.sql)
+            df.createOrReplaceTempView(model.name)
+            return df
+
+        return _restore
+
     tasks = [
         TaskSpec(
             name=m.name,
             fn=_materialize(m),
             depends_on=tuple(d for d in m.depends_on if any(x.name == d for x in runner.models)),
             retries=retries,
+            rehydrate=_rehydrate(m),
         )
         for m in runner.models
     ]

@@ -193,3 +193,47 @@ class TestModelBridge:
             "gold", runner, state_path=str(tmp_path / "s.json")
         ).run("2026-08-13")
         assert all(r.state == "skipped" for r in res2.values())
+
+    def test_resume_rehydrates_views_and_xcom_after_restart(self, spark, tmp_path):
+        """ADVICE r4: a journal-resumed run must restore what the
+        completed tasks made observable — XCom values and model temp
+        views — or downstream work added after the restart fails on
+        state that 'should' exist."""
+        spark.range(5).createOrReplaceTempView("src_numbers")
+        models = [
+            Model("base2", "SELECT id FROM src_numbers WHERE id > 0",
+                  materialization="table"),
+            Model("doubled2", "SELECT id, id * 2 AS v FROM base2", ("base2",)),
+        ]
+        runner = ModelRunner(spark, models, table_root=str(tmp_path))
+        state = str(tmp_path / "s.json")
+        res = dag_from_models("gold", runner, state_path=state).run("2026-08-14")
+        assert all(r.state == "success" for r in res.values())
+
+        # Simulate a process restart: the catalog loses the temp views.
+        spark.catalog.dropTempView("base2")
+        spark.catalog.dropTempView("doubled2")
+
+        res2 = dag_from_models("gold", runner, state_path=state).run("2026-08-14")
+        assert all(r.state == "skipped" for r in res2.values())
+        # Views are back and readable; XCom carries the DataFrames.
+        assert spark.table("doubled2").count() == 4
+        assert res2["base2"].value is not None
+        assert res2["base2"].value.count() == 4
+
+    def test_rehydrate_failure_fails_downstream(self, tmp_path):
+        state = str(tmp_path / "s.json")
+
+        def _boom_rehydrate(ctx):
+            raise RuntimeError("table is gone")
+
+        a = TaskSpec("a", lambda c: 1, rehydrate=_boom_rehydrate)
+        dag = Dag("d", [a], state_path=state)
+        assert dag.run("2026-08-14")["a"].state == "success"
+        # Restart adds downstream work that reads a's XCom: a's
+        # rehydration failure must block it, not hand it a KeyError.
+        tasks = [a, TaskSpec("b", lambda c: c.results["a"] + 1, ("a",))]
+        res2 = Dag("d", tasks, state_path=state).run("2026-08-14")
+        assert res2["a"].state == "failed"
+        assert "rehydrate" in res2["a"].error
+        assert res2["b"].state == "upstream_failed"
