@@ -328,6 +328,11 @@ def decode_wire_df(
     }
     names = list(reader_fields)
     defaults = {n: rf.get("default") for n, rf in reader_fields.items()}
+    # Avro schema resolution: a reader field absent from the writer
+    # record is an ERROR unless the reader declares a default —
+    # filling it with None would decode incompatible data to silent
+    # nulls (ADVICE r4).
+    no_default = frozenset(n for n, rf in reader_fields.items() if "default" not in rf)
 
     @F.pandas_udf(out_schema)
     def _decode(wire: pd.Series) -> pd.DataFrame:
@@ -335,6 +340,13 @@ def decode_wire_df(
         for b in wire:
             sid, payload = wire_decode(bytes(b))
             rec = decode_record(payload, writer_fields_by_id[sid])
+            missing = [n for n in no_default if n not in rec]
+            if missing:
+                raise ValueError(
+                    f"schema id {sid} cannot be resolved to the reader "
+                    f"schema: reader fields {missing} have no default and "
+                    "are absent from the writer record"
+                )
             rows.append([rec.get(n, defaults[n]) for n in names])
         return pd.DataFrame(rows, columns=names)
 

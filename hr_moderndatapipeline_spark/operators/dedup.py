@@ -602,6 +602,16 @@ def edit_distance_pairs(
     and the distance call itself passes the threshold so the JVM
     implementation early-terminates rows that exceed it."""
     band_width = band_width or (max_dist + 1)
+    if band_width < max_dist + 1:
+        # The ±1-neighbor-band probe is only recall-safe when lengths
+        # within max_dist of each other can differ by at most one band:
+        # len diff ≤ max_dist < band_width. A narrower band silently
+        # drops qualifying pairs 2+ bands apart (ADVICE r4).
+        raise ValueError(
+            f"band_width ({band_width}) must be >= max_dist + 1 "
+            f"({max_dist + 1}): narrower bands break the +/-1 "
+            "neighbor-band recall guarantee"
+        )
     base = (
         df.select(
             F.col(id_col),

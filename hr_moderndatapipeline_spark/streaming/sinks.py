@@ -314,6 +314,19 @@ def forget_keys(
     if cur is None:
         raise FileNotFoundError(f"no published snapshot at {target}")
     k = keys.select(F.col(key_col)).distinct()
+    if purge_history and _is_delta_table(target):
+        # Physical erasure on a Delta target requires a real VACUUM at
+        # retention 0 — vacuum_snapshots manages only the versioned-
+        # parquet protocol and would silently leave every forgotten row
+        # recoverable via time travel (ADVICE r4). Fail the erasure
+        # contract loudly until the Delta path is executed end-to-end.
+        raise NotImplementedError(
+            "forget_keys(purge_history=True) on a Delta target needs "
+            "`VACUUM delta.`<path>` RETAIN 0 HOURS` (with "
+            "spark.databricks.delta.retentionDurationCheck.enabled=false); "
+            "this environment has no Delta jars to execute it. Run the "
+            "VACUUM yourself or call with purge_history=False."
+        )
     kept = cur.join(F.broadcast(k), key_col, "left_anti")
     removed = cur.count() - kept.count()
     numbers = [
@@ -342,24 +355,42 @@ def snapshot_diff(
     re-expressed over the versioned-directory protocol. Unchanged
     rows are dropped.
 
-    One full-outer join on the key set; change detection hashes the
-    non-key columns JVM-side, so no column-by-column Python
-    comparison. Returns key columns + ``_change_type`` + the new
-    row's non-key columns (null for deletes)."""
+    One full-outer join on the key set; change detection compares
+    the non-key columns as a null-safe struct equality JVM-side —
+    NOT a hash: Spark's hash functions skip null inputs (a null
+    argument leaves the running seed unchanged), so (42, null) and
+    (null, 42) hash identically and the update would silently drop
+    (ADVICE r4). Existence is tracked with explicit flags, so a
+    key-only table degrades to insert/delete classification instead
+    of a zero-arg expression error. Returns key columns +
+    ``_change_type`` + the new row's non-key columns (null for
+    deletes)."""
     old = read_snapshot_version(spark, target, from_version)
     new = read_snapshot_version(spark, target, to_version)
     val_cols = [c for c in new.columns if c not in keys]
-    o = old.select(
-        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_oh"),
-    )
-    n = new.select(
-        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("_nh"), *val_cols
-    )
+    ex = F.lit(True)
+    if val_cols:
+        o = old.select(
+            *keys,
+            ex.alias("_oex"),
+            F.struct(*[F.col(c) for c in val_cols]).alias("_ov"),
+        )
+        n = new.select(
+            *keys,
+            ex.alias("_nex"),
+            F.struct(*[F.col(c) for c in val_cols]).alias("_nv"),
+            *val_cols,
+        )
+        updated = ~F.col("_ov").eqNullSafe(F.col("_nv"))
+    else:
+        o = old.select(*keys, ex.alias("_oex"))
+        n = new.select(*keys, ex.alias("_nex"))
+        updated = F.lit(False)  # key-only rows cannot update
     j = o.join(n, list(keys), "full_outer")
     change = (
-        F.when(F.col("_oh").isNull(), F.lit("insert"))
-        .when(F.col("_nh").isNull(), F.lit("delete"))
-        .when(F.col("_oh") != F.col("_nh"), F.lit("update"))
+        F.when(F.col("_oex").isNull(), F.lit("insert"))
+        .when(F.col("_nex").isNull(), F.lit("delete"))
+        .when(updated, F.lit("update"))
     )
     return (
         j.withColumn("_change_type", change)

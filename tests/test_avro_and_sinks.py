@@ -327,3 +327,66 @@ def test_vacuum_snapshots_retention(spark, tmp_path):
     left = sorted(d for d in os.listdir(target) if d.startswith("v"))
     assert left == ["v3", "v4"]
     assert read_snapshot(spark, target).count() == 10  # current untouched
+
+
+def test_snapshot_diff_null_safe_and_key_only(spark, tmp_path):
+    """ADVICE r4: value hashing skipped nulls, so (42, null) vs
+    (null, 42) classified as unchanged. The struct eqNullSafe compare
+    must catch null-position swaps, null→value, value→null; and a
+    key-only table must classify insert/delete instead of erroring."""
+    from hr_moderndatapipeline_spark.streaming.sinks import snapshot_diff
+
+    target = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, 42, None), (2, None, None), (3, 5, 5)], "k int, x int, y int"
+    )
+    v1 = spark.createDataFrame(
+        [(1, None, 42), (2, None, 7), (3, 5, 5)], "k int, x int, y int"
+    )
+    publish_snapshot(v0, target, "v0")
+    publish_snapshot(v1, target, "v1")
+    got = {
+        r.k: r._change_type
+        for r in snapshot_diff(spark, target, 0, 1, ["k"]).collect()
+    }
+    assert got == {1: "update", 2: "update"}  # 3 unchanged → absent
+
+    key_only = str(tmp_path / "ko")
+    publish_snapshot(spark.createDataFrame([(1,), (2,)], "k int"), key_only, "v0")
+    publish_snapshot(spark.createDataFrame([(2,), (3,)], "k int"), key_only, "v1")
+    got2 = {
+        r.k: r._change_type
+        for r in snapshot_diff(spark, key_only, 0, 1, ["k"]).collect()
+    }
+    assert got2 == {1: "delete", 3: "insert"}
+
+
+def test_forget_keys_refuses_silent_delta_purge(spark, tmp_path):
+    """ADVICE r4: purge_history on a Delta target must not pretend to
+    erase history it cannot vacuum."""
+    import os
+
+    import pytest
+
+    from hr_moderndatapipeline_spark.streaming.sinks import forget_keys
+
+    target = str(tmp_path / "d")
+    publish_snapshot(
+        spark.createDataFrame([(1, "a")], "user_id int, v string"), target, "v0"
+    )
+    os.makedirs(os.path.join(target, "_delta_log"))
+    doomed = spark.createDataFrame([(1,)], "user_id int")
+    with pytest.raises(NotImplementedError, match="VACUUM"):
+        forget_keys(spark, target, doomed, "user_id")
+    # the explicit opt-out still works and reports the removal
+    assert forget_keys(spark, target, doomed, "user_id", purge_history=False) == 1
+
+
+def test_edit_distance_rejects_recall_unsafe_band_width(spark):
+    import pytest
+
+    from hr_moderndatapipeline_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "abc", "x")], "id int, txt string, src string")
+    with pytest.raises(ValueError, match="band_width"):
+        edit_distance_pairs(df, "id", "txt", "src", max_dist=4, band_width=3)

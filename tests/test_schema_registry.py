@@ -167,3 +167,20 @@ class TestEvolutionRead:
         assert got[1].id == 10 and got[1].name == "a"
         assert got[1].score == 0.0  # reader default fills the v1 gap
         assert got[2].id == 20 and got[2].score == 1.5
+
+
+class TestResolutionErrors:
+    def test_decode_raises_when_reader_field_lacks_default(self, spark, tmp_path):
+        """ADVICE r4: Avro resolution REQUIRES an error when a reader
+        field has no default and the writer record lacks it — filling
+        None would decode incompatible data to silent nulls."""
+        reg = SchemaRegistry(path=str(tmp_path / "reg.json"))
+        r1 = reg.register("t-value", V1)
+        f1 = _parse_schema(V1)
+        rows = [
+            (1, bytearray(wire_encode(r1.schema_id, encode_record({"id": 10, "name": "a"}, f1)))),
+        ]
+        df = spark.createDataFrame(rows, "k int, w binary")
+        out = decode_wire_df(df, "w", reg, reader_schema=V_BAD, keep_cols=["k"])
+        with pytest.raises(Exception, match="no default"):
+            out.collect()
