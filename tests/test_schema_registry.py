@@ -184,3 +184,153 @@ class TestResolutionErrors:
         out = decode_wire_df(df, "w", reg, reader_schema=V_BAD, keep_cols=["k"])
         with pytest.raises(Exception, match="no default"):
             out.collect()
+
+
+# ── REST transport shim (VERDICT r4 task 6) ──
+
+class _StubRegistryHandler:
+    """Maps Confluent REST paths onto an in-process SchemaRegistry —
+    the local stand-in for a live registry service."""
+
+    @staticmethod
+    def make(reg):
+        import json as _json
+        from http.server import BaseHTTPRequestHandler
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def _send(self, code, obj):
+                body = _json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                return _json.loads(self.rfile.read(n)) if n else {}
+
+            def do_GET(self):
+                p = self.path.strip("/").split("/")
+                try:
+                    if p == ["subjects"]:
+                        self._send(200, reg.subjects())
+                    elif len(p) == 3 and p[0] == "subjects" and p[2] == "versions":
+                        self._send(200, reg.versions(p[1]))
+                    elif len(p) == 4 and p[0] == "subjects" and p[2] == "versions":
+                        rs = reg.latest(p[1]) if p[3] == "latest" else reg.get_version(p[1], int(p[3]))
+                        self._send(200, {"subject": rs.subject, "version": rs.version,
+                                         "id": rs.schema_id, "schema": rs.schema,
+                                         "schemaType": rs.schema_type})
+                    elif len(p) == 3 and p[:2] == ["schemas", "ids"]:
+                        self._send(200, {"schema": reg.schema_by_id(int(p[2]))})
+                    elif len(p) == 2 and p[0] == "config":
+                        self._send(200, {"compatibilityLevel": reg.get_compatibility(p[1])})
+                    else:
+                        self._send(404, {"error_code": 404, "message": "not found"})
+                except KeyError as e:
+                    self._send(404, {"error_code": 40401, "message": str(e)})
+
+            def do_POST(self):
+                p = self.path.strip("/").split("/")
+                body = self._body()
+                try:
+                    if len(p) == 3 and p[0] == "subjects" and p[2] == "versions":
+                        rs = reg.register(p[1], body["schema"], body.get("schemaType", "AVRO"))
+                        self._send(200, {"id": rs.schema_id})
+                    elif len(p) == 2 and p[0] == "subjects":
+                        rs = reg.register(p[1], body["schema"], body.get("schemaType", "AVRO"))
+                        self._send(200, {"subject": rs.subject, "version": rs.version,
+                                         "id": rs.schema_id, "schema": rs.schema})
+                    elif p[0] == "compatibility":
+                        ok = reg.test_compatibility(p[2], body["schema"])
+                        self._send(200, {"is_compatible": ok})
+                    else:
+                        self._send(404, {"error_code": 404, "message": "not found"})
+                except IncompatibleSchemaError as e:
+                    self._send(409, {"error_code": 409, "message": str(e)})
+
+            def do_PUT(self):
+                p = self.path.strip("/").split("/")
+                if len(p) == 2 and p[0] == "config":
+                    reg.set_compatibility(p[1], self._body()["compatibility"])
+                    self._send(200, {"compatibility": reg.get_compatibility(p[1])})
+                else:
+                    self._send(404, {"error_code": 404, "message": "not found"})
+
+            def do_DELETE(self):
+                p = self.path.strip("/").split("/")
+                if len(p) == 2 and p[0] == "subjects":
+                    self._send(200, reg.delete_subject(p[1]))
+                else:
+                    self._send(404, {"error_code": 404, "message": "not found"})
+
+        return H
+
+
+@pytest.fixture()
+def http_registry():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from hr_moderndatapipeline_spark.functions.registry_http import HttpSchemaRegistry
+
+    backing = SchemaRegistry()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _StubRegistryHandler.make(backing))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield HttpSchemaRegistry(f"http://127.0.0.1:{srv.server_address[1]}")
+    finally:
+        srv.shutdown()
+
+
+class TestHttpShim:
+    def test_register_lookup_roundtrip(self, http_registry):
+        r1 = http_registry.register("t-value", V1)
+        r2 = http_registry.register("t-value", V2)
+        assert (r1.version, r2.version) == (1, 2)
+        assert r1.schema_id != r2.schema_id
+        assert http_registry.subjects() == ["t-value"]
+        assert http_registry.versions("t-value") == [1, 2]
+        assert http_registry.latest("t-value").schema_id == r2.schema_id
+        assert json.loads(http_registry.schema_by_id(r1.schema_id)) == json.loads(V1)
+        # content-addressed idempotency survives the transport
+        assert http_registry.register("t-value", V1).schema_id == r1.schema_id
+
+    def test_compatibility_enforced_over_http(self, http_registry):
+        http_registry.set_compatibility("t-value", "BACKWARD")
+        assert http_registry.get_compatibility("t-value") == "BACKWARD"
+        http_registry.register("t-value", V1)
+        assert http_registry.test_compatibility("t-value", V2) is True
+        assert http_registry.test_compatibility("t-value", V_BAD) is False
+        with pytest.raises(IncompatibleSchemaError):
+            http_registry.register("t-value", V_BAD)
+
+    def test_missing_subject_maps_to_keyerror(self, http_registry):
+        with pytest.raises(KeyError):
+            http_registry.latest("nope")
+
+    def test_decode_wire_df_through_http_registry(self, spark, http_registry):
+        """The evolution read works against the REST-backed registry:
+        the decode path only needs the protocol, not the implementation."""
+        r1 = http_registry.register("t-value", V1)
+        r2 = http_registry.register("t-value", V2)
+        f1, f2 = _parse_schema(V1), _parse_schema(V2)
+        rows = [
+            (1, bytearray(wire_encode(r1.schema_id, encode_record({"id": 10, "name": "a"}, f1)))),
+            (2, bytearray(wire_encode(r2.schema_id, encode_record({"id": 20, "name": "b", "score": 1.5}, f2)))),
+        ]
+        # decode_wire_df reads _by_id: materialize the remote registry
+        # into the in-process form the decoder ships to executors.
+        local = SchemaRegistry()
+        for v in http_registry.versions("t-value"):
+            rs = http_registry.get_version("t-value", v)
+            local.register("t-value", rs.schema)
+        df = spark.createDataFrame(rows, "k int, w binary")
+        out = decode_wire_df(df, "w", local, reader_schema=V2, keep_cols=["k"])
+        got = {r.k: r for r in out.collect()}
+        assert got[1].score == 0.0 and got[2].score == 1.5
