@@ -146,3 +146,59 @@ def pack_sequences(
         toks.cast("int").alias("n_tokens"),
         F.floor((cum - toks) / F.lit(budget)).cast("int").alias("pack_id"),
     )
+
+
+def weighted_keep(key: Column, keep_prob: Column) -> Column:
+    """Deterministic Bernoulli draw: keep iff the key's pseudo-uniform
+    draw in [0, 1) (Knuth multiplicative hash, 1e-6 granularity —
+    same family as ``det_bucket``) falls below ``keep_prob``. Pure
+    integer arithmetic against a scaled threshold: restatable in ANSI
+    SQL, identical across runs, engines, partitionings, and task
+    retries — the property ``rand()`` sampling loses on retry."""
+    draw = ((key * F.lit(_KNUTH)) % F.lit(4294967296)) % F.lit(1_000_000)
+    return draw.cast("double") < keep_prob * F.lit(1_000_000.0)
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    domain_col: str,
+    token_count_col: Column,
+    target_shares: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain resampling factors for training-mixture control:
+    weight = target_share / actual_token_share. With no explicit
+    targets every domain gets 1/n_domains (uniform rebalancing).
+    One aggregation shuffle on the domain key; the share divisions
+    are single operations over exact integer sums, so the doubles
+    are bit-identical across engines. Downstream, pair the weight
+    with ``weighted_keep``/repetition to hit the target mix."""
+    agg = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    agg = agg.withColumn("_total", F.sum("n_tokens").over(w)).withColumn(
+        "_n_domains", F.count(F.lit(1)).over(w)
+    )
+    if target_shares is None:
+        target = F.lit(1.0) / F.col("_n_domains")
+    else:
+        expr = F
+        items = list(target_shares.items())
+        for name, share in items[:-1]:
+            expr = expr.when(F.col(domain_col) == name, F.lit(float(share)))
+        target = expr.otherwise(F.lit(float(items[-1][1])))
+    return agg.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_total").cast("double")).alias(
+            "actual_share"
+        ),
+        target.alias("target_share"),
+        (
+            target
+            * F.col("_total").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("weight"),
+    )

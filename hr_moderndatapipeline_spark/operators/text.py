@@ -415,3 +415,51 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return rebalance(df).select(
         F.col(id_col), F.length(text_col).alias("n_chars"), fp.alias("fingerprint")
     )
+
+
+def corpus_freq_score(
+    df: DataFrame, id_col: str, text_col: str, rare_max: int = 2
+) -> DataFrame:
+    """Corpus-frequency quality signal — the integer-exact core of a
+    unigram-LM (CCNet-style) perplexity filter: build the corpus's
+    token frequency table, then score each document by how common its
+    tokens are. Documents dominated by hapax/rare tokens are OCR
+    noise, codes, or gibberish; documents of only ultra-common tokens
+    are boilerplate. Emits per doc:
+
+    - ``n_tokens``       — token occurrences,
+    - ``mean_token_freq``— mean corpus frequency of its tokens,
+    - ``rare_frac``      — fraction with corpus frequency <= rare_max.
+
+    All aggregation is 64-bit integer (counts and sums); the two
+    ratios are single divisions of exact integers, so results are
+    bit-identical across engines and partitionings — no float
+    summation-order drift, unlike a log-prob formulation. Two
+    shuffles: token counts, then regroup by doc. The frequency table
+    is O(vocabulary); at 100 TB publish it once and broadcast-join
+    probes against it instead of rebuilding per batch."""
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("_tok")
+    )
+    lm = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    joined = toks.join(lm, "_tok")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_cnt").cast("bigint").alias("_sum_freq"),
+            F.sum(F.when(F.col("_cnt") <= rare_max, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_rare"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("_sum_freq").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_token_freq"
+            ),
+            (F.col("_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "rare_frac"
+            ),
+        )
+    )

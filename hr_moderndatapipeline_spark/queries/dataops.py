@@ -34,9 +34,12 @@ from hr_moderndatapipeline_spark.operators.similarity import (
     neardup_pairs_by_cosine,
 )
 from hr_moderndatapipeline_spark.operators.text import (
+    corpus_freq_score,
     doc_fingerprint,
     lang_id_heuristic,
     quality_score,
+    quality_signal_cols,
+    token_count,
     token_stats,
 )
 from hr_moderndatapipeline_spark.sources.readers import load_table
@@ -951,6 +954,147 @@ FROM v
 """
 
 
+# ── curation selection: top-k best docs per domain ──
+
+def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain best-document selection: the five highest-quality
+    docs per source (heuristic quality score, doc_id tiebreak) — the
+    "keep the best N per domain" curation step. Ordering is total
+    (score desc, id asc), so row_number is deterministic; Spark plans
+    the rank filter as a window-group-limit, never materializing full
+    per-source sorts beyond k rows per partition."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    cols = quality_signal_cols(F.col("text"))
+    scored = docs.select(
+        "doc_id", "source", cols["quality_score"].alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "quality_score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_SCORE_CTE = """
+scored AS (
+  SELECT doc_id, source,
+         (CASE WHEN len(str_split(text, ' ')) BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                      / CAST(len(str_split(text, ' ')) AS DOUBLE) > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN len(list_intersect(list_distinct(str_split(text, ' ')),
+                                         ['the','a','of','and','to','in','is'])) >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         ) AS quality_score
+  FROM documents)
+"""
+
+
+ORACLE_QUALITY_TOPK = f"""
+WITH {_SCORE_CTE.strip()}
+SELECT doc_id, source, quality_score, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
+# ── unigram-LM (corpus-frequency) quality filter ──
+
+def q_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency scoring: token frequency table
+    over the whole corpus, then per-doc mean token frequency and
+    rare-token fraction (integer-exact — see operators/text.py
+    corpus_freq_score for why this beats a float log-prob here)."""
+    return corpus_freq_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_CORPUS_FREQ = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(l.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_freq,
+       CAST(sum(CASE WHEN l.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS rare_frac
+FROM toks t JOIN lm l ON t.tok = l.tok
+GROUP BY t.doc_id
+"""
+
+
+# ── training-mixture rebalancing weights ──
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source resampling factors toward a uniform token mix:
+    weight = target_share / actual_token_share. The window runs over
+    the per-domain aggregate (O(#domains) rows), not the corpus."""
+    from hr_moderndatapipeline_spark.operators.sampling import domain_mix_weights
+
+    return domain_mix_weights(
+        _docs(spark, sf_dir), "source", token_count(F.col("text"))
+    )
+
+
+ORACLE_DOMAIN_MIX = """
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT *, sum(n_tokens) OVER () AS total, count(*) OVER () AS nd FROM agg)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+       CAST(1.0 AS DOUBLE) / nd AS target_share,
+       CAST(1.0 AS DOUBLE) / nd * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS weight
+FROM tot
+"""
+
+
+# ── deterministic weighted sampling by quality band ──
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling: keep-probability by
+    quality band (good 1.0 / fair 0.5 / low 0.1), drawn with the
+    deterministic Knuth-hash Bernoulli (operators/sampling.py
+    weighted_keep) — reproducible across runs, engines, and task
+    retries, unlike rand()-based sampling."""
+    from hr_moderndatapipeline_spark.operators.sampling import weighted_keep
+
+    docs = _docs(spark, sf_dir)
+    cols = quality_signal_cols(F.col("text"))
+    scored = docs.select("doc_id", "source", cols["quality_band"].alias("band"))
+    p = (
+        F.when(F.col("band") == "good", F.lit(1.0))
+        .when(F.col("band") == "fair", F.lit(0.5))
+        .otherwise(F.lit(0.1))
+    )
+    return scored.filter(weighted_keep(F.col("doc_id"), p)).select(
+        "doc_id", "source", "band"
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH {_SCORE_CTE.strip()},
+banded AS (
+  SELECT doc_id, source,
+         CASE WHEN quality_score >= 0.7 THEN 'good'
+              WHEN quality_score >= 0.4 THEN 'fair' ELSE 'low' END AS band
+  FROM scored)
+SELECT doc_id, source, band
+FROM banded
+WHERE CAST((doc_id * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
+      < (CASE WHEN band = 'good' THEN CAST(1.0 AS DOUBLE)
+              WHEN band = 'fair' THEN CAST(0.5 AS DOUBLE)
+              ELSE CAST(0.1 AS DOUBLE) END) * 1000000.0
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
@@ -985,6 +1129,10 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "video_frame_samples": q_video_frame_samples,
     "audio_segments": q_audio_segments,
+    "quality_topk_per_source": q_quality_topk_per_source,
+    "corpus_freq_quality": q_corpus_freq_quality,
+    "domain_mix_weights": q_domain_mix_weights,
+    "weighted_doc_sample": q_weighted_doc_sample,
 }
 
 ORACLES = {
@@ -1016,6 +1164,10 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "video_frame_samples": ORACLE_VIDEO_FRAME_SAMPLES,
     "audio_segments": ORACLE_AUDIO_SEGMENTS,
+    "quality_topk_per_source": ORACLE_QUALITY_TOPK,
+    "corpus_freq_quality": ORACLE_CORPUS_FREQ,
+    "domain_mix_weights": ORACLE_DOMAIN_MIX,
+    "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
     # ann_ivf_topk / ivf_probe_topk: rows-only (non-SQL engine-native
     # hashing / persisted-index lifecycle).

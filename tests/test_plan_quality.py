@@ -286,3 +286,20 @@ def test_attrition_fact_no_python_udf(spark, sf_dir):
 
     plan = plan_of(cdc_queries.q_attrition_fact(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-source top-k must plan as a WindowGroupLimit (k rows kept
+    per partition pre-shuffle), not a full per-source sort."""
+    plan = plan_of(dataops.q_quality_topk_per_source(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_freq_quality_stays_jvm_side(spark, sf_dir):
+    """The unigram-LM frequency scorer is explode + two hash
+    aggregations — all codegen, no Python, no broadcast of the
+    corpus side."""
+    plan = plan_of(dataops.q_corpus_freq_quality(spark, sf_dir))
+    assert "HashAggregate" in plan  # map-side partials for both aggs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
