@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "schema_evolution_read",      # registry wire decode (Arrow UDF path)
     "lineitem_unpivot",           # wide-to-long generate throughput
     "session_window_counts",      # native session_window sessionization
+    "corpus_freq_quality",        # unigram-LM token-frequency scoring
+    "quality_topk_per_source",    # per-domain top-k curation (window group limit)
+    "weighted_doc_sample",        # deterministic quality-weighted sampling
 ]
 
 
