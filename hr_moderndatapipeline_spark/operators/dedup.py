@@ -180,6 +180,11 @@ def lsh_candidate_pairs(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    # Both self-join sides consume `bucketed`; Spark's exchange reuse
+    # (ReusedExchange over the identical window-filtered subplan)
+    # already collapses the duplicate signature aggregation — an
+    # explicit persist here was measured NEUTRAL-to-worse at sf0.1
+    # (adds a materialization barrier for work AQE already shares).
     a = bucketed.toDF(f"{id_col}_a", "band_idx", "bucket")
     b = bucketed.toDF(f"{id_col}_b", "band_idx", "bucket")
     return (
