@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "corpus_freq_quality",        # unigram-LM token-frequency scoring
     "quality_topk_per_source",    # per-domain top-k curation (window group limit)
     "weighted_doc_sample",        # deterministic quality-weighted sampling
+    "bloom_filtered_supplier_revenue",  # bloom pre-shuffle join reduction
+    "late_shipment_priority",     # correlated EXISTS decorrelation
+    "stable_doc_ids",             # two-pass global row numbering
 ]
 
 

@@ -279,3 +279,66 @@ def interval_join(
         )
         .drop("_bkt")
     )
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    order_by: Sequence[str],
+    id_col: str = "stable_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous global row ids ``0..n-1`` in ``order_by`` order —
+    WITHOUT the single-partition global window (``Window.orderBy``
+    with no partition moves the whole table to one task, the classic
+    100 TB killer) and without ``monotonically_increasing_id`` (which
+    is neither contiguous nor order-correlated).
+
+    Two-pass plan, the DataFrame form of RDD ``zipWithIndex``:
+
+    1. range-partition + sort by ``order_by`` and persist that layout
+       (persisting pins partition membership so pass 2 sees exactly
+       the partitions pass 1 counted — correctness does not depend on
+       recompute determinism);
+    2. count rows per partition (O(#partitions) rows to the driver —
+       bounded, like the watermark scalar), turn the running totals
+       into a broadcast offsets table, and add
+       ``offset + row_number() - 1`` with the window partitioned BY
+       PARTITION — every task numbers only its own slice, full
+       parallelism.
+
+    ``order_by`` must be a unique key set (ties would make the
+    global order, and therefore the ids, ambiguous). Caller should
+    materialize or write the result, then ``unpersist`` via the
+    returned DataFrame's lineage if memory matters.
+
+    Reference parity: the reference numbers rows only in pandas
+    (``reset_index``), single-process; this is the distributed
+    equivalent with the same semantics.
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        parts.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(offsets, "`_pid` int, `_offset` long")
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_by])
+    return (
+        parts.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            id_col,
+            (F.col("_offset") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )

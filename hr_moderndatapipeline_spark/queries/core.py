@@ -1245,6 +1245,116 @@ FROM monthly GROUP BY 1
 """
 
 
+# ── correlated EXISTS — late-shipment priority census (TPC-H Q4 shape) ──
+
+_LATE_SHIPMENT_SQL = """
+SELECT o_orderpriority, count(*) AS late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS over a child-table predicate that references
+    BOTH sides (l_shipdate vs o_orderdate + 60 days). Catalyst
+    decorrelates it into a LEFT SEMI hash join with the date
+    comparison as the join condition — one shuffle, no per-row
+    subquery execution (the naive interpretation would rescan
+    lineitem once per order). Same SQL text is the oracle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATE_SHIPMENT_SQL)
+
+
+ORACLE_LATE_SHIPMENT = _LATE_SHIPMENT_SQL
+
+
+# ── EXISTS + NOT EXISTS — semi AND anti correlation in one query ──
+
+_RETURNS_NO_MAXQTY_URGENT_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey
+                AND l.l_returnflag = 'R' AND l.l_quantity = 50)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND l.l_quantity = 50)
+ORDER BY s_suppkey
+"""
+
+
+def q_suppliers_returns_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with a max-quantity returned shipment but no
+    max-quantity line on any urgent order — the TPC-H Q21 shape:
+    one correlated EXISTS (→ left semi join) and one correlated
+    NOT EXISTS whose subquery is itself a join (→ left anti join
+    over a joined child). Exercises Catalyst planning BOTH
+    decorrelations in a single query; each join shuffles once on
+    s_suppkey."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RETURNS_NO_MAXQTY_URGENT_SQL)
+
+
+ORACLE_RETURNS_NO_URGENT = _RETURNS_NO_MAXQTY_URGENT_SQL
+
+
+# ── bloom-filter semi-join reduction — pre-shuffle fact pruning ──
+
+
+def q_bloom_filtered_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per high-balance supplier, with the lineitem side
+    pruned by a from-scratch bloom filter (operators/bloom.py)
+    BEFORE the join's shuffle: the dim keys (~9% of suppliers) pack
+    into an m-bit word array on the driver, and the fact scan keeps
+    only rows whose key passes k codegen bit-tests — at 100 TB the
+    join shuffles ~selectivity·fact instead of all of it. False
+    positives die in the exact join that follows, so the oracle is
+    the plain join SQL with no bloom anywhere."""
+    from hr_moderndatapipeline_spark.operators.bloom import bloom_semi_filter
+
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    fact = bloom_semi_filter(
+        _t(spark, sf_dir, "lineitem"),
+        dim,
+        "l_suppkey",
+        "s_suppkey",
+        expected_items=1024,
+        fpp=0.01,
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        fact.join(F.broadcast(dim), fact.l_suppkey == dim.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(price * disc_f).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_BLOOM_SUPPLIER_REVENUE = """
+SELECT s_suppkey, s_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal > 9000
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -1286,6 +1396,9 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "promo_revenue_share": q_promo_revenue_share,
     "approx_distinct_customers": q_approx_distinct_customers,
+    "late_shipment_priority": q_late_shipment_priority,
+    "suppliers_returns_no_urgent": q_suppliers_returns_no_urgent,
+    "bloom_filtered_supplier_revenue": q_bloom_filtered_supplier_revenue,
 }
 
 ORACLES = {
@@ -1329,4 +1442,7 @@ ORACLES = {
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "approx_distinct_customers": ORACLE_APPROX_DISTINCT,
+    "late_shipment_priority": ORACLE_LATE_SHIPMENT,
+    "suppliers_returns_no_urgent": ORACLE_RETURNS_NO_URGENT,
+    "bloom_filtered_supplier_revenue": ORACLE_BLOOM_SUPPLIER_REVENUE,
 }

@@ -1095,6 +1095,31 @@ WHERE CAST((doc_id * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
 """
 
 
+# ── stable global row ids — shard-stable sample numbering ──
+
+
+def q_stable_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..n-1 training-sample ids in doc_id order via the
+    two-pass per-partition-offset plan (operators/relational.py
+    assign_stable_ids) — NOT a global single-partition window and NOT
+    monotonically_increasing_id. Every shard numbers its own slice in
+    parallel; the only driver traffic is one count per partition.
+    Oracle is the semantics it reproduces: ROW_NUMBER() over the
+    global order."""
+    from hr_moderndatapipeline_spark.operators.relational import assign_stable_ids
+
+    return assign_stable_ids(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"), ["doc_id"]
+    ).select("doc_id", "source", "n_chars", "stable_id")
+
+
+ORACLE_STABLE_DOC_IDS = """
+SELECT doc_id, source, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS stable_id
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
@@ -1133,6 +1158,7 @@ QUERIES = {
     "corpus_freq_quality": q_corpus_freq_quality,
     "domain_mix_weights": q_domain_mix_weights,
     "weighted_doc_sample": q_weighted_doc_sample,
+    "stable_doc_ids": q_stable_doc_ids,
 }
 
 ORACLES = {
@@ -1168,6 +1194,7 @@ ORACLES = {
     "corpus_freq_quality": ORACLE_CORPUS_FREQ,
     "domain_mix_weights": ORACLE_DOMAIN_MIX,
     "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
+    "stable_doc_ids": ORACLE_STABLE_DOC_IDS,
     # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
     # ann_ivf_topk / ivf_probe_topk: rows-only (non-SQL engine-native
     # hashing / persisted-index lifecycle).

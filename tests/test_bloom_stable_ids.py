@@ -1,0 +1,105 @@
+"""Bloom semi-join reduction + stable global ids.
+
+Bloom contract: zero false negatives (every inserted key passes),
+false-positive rate near the configured fpp, probe stays pure JVM
+expression (no Python eval in the plan), and the filtered-then-joined
+result is identical to the unfiltered join.
+
+Stable-id contract: ids are exactly 0..n-1, assigned in order_by
+order, stable across invocations, and the plan never collapses to a
+single partition (the global-window trap the operator exists to
+avoid)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.bloom import (
+    bloom_semi_filter,
+    build_bloom,
+    might_contain,
+    optimal_params,
+)
+from hr_moderndatapipeline_spark.operators.relational import assign_stable_ids
+from hr_moderndatapipeline_spark.sources.readers import load_table
+from tests.test_plan_quality import plan_of
+
+
+def test_optimal_params_sizing():
+    n_bits, n_hashes = optimal_params(1000, 0.01)
+    assert n_bits % 64 == 0
+    assert n_bits >= 9000  # ~9.6 bits/key at 1% fpp
+    assert 1 <= n_hashes <= 16
+    with pytest.raises(ValueError):
+        optimal_params(0, 0.01)
+    with pytest.raises(ValueError):
+        optimal_params(100, 1.5)
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    bloom = build_bloom(keys, "k", expected_items=500, fpp=0.01)
+    misses = keys.filter(~might_contain(bloom, F.col("k"))).count()
+    assert misses == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    keys = spark.range(0, 1000).withColumnRenamed("id", "k")
+    bloom = build_bloom(keys, "k", expected_items=1000, fpp=0.01)
+    absent = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
+    fp = absent.filter(might_contain(bloom, F.col("k"))).count()
+    # 1% nominal; allow generous slack for hash variance
+    assert fp / 10_000 < 0.03
+
+
+def test_bloom_probe_is_pure_jvm_and_filters(spark, sf_dir):
+    dim = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 3 == 0)
+    fact = load_table(spark, sf_dir, "lineitem")
+    filtered = bloom_semi_filter(
+        fact, dim, "l_suppkey", "s_suppkey", expected_items=256
+    )
+    plan = plan_of(filtered)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probe actually prunes: selective dim keeps a strict subset
+    assert 0 < filtered.count() < fact.count()
+
+
+def test_bloom_filtered_join_equals_plain_join(spark, sf_dir):
+    dim = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    fact = load_table(spark, sf_dir, "lineitem")
+    filtered = bloom_semi_filter(
+        fact, dim, "l_suppkey", "s_suppkey", expected_items=256, fpp=0.05
+    )
+    plain = fact.join(dim, fact.l_suppkey == dim.s_suppkey).select("l_orderkey", "l_linenumber")
+    with_bloom = filtered.join(dim, filtered.l_suppkey == dim.s_suppkey).select(
+        "l_orderkey", "l_linenumber"
+    )
+    assert with_bloom.exceptAll(plain).count() == 0
+    assert plain.exceptAll(with_bloom).count() == 0
+
+
+def test_stable_ids_contiguous_in_key_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = assign_stable_ids(docs, ["doc_id"]).collect()
+    n = len(out)
+    assert sorted(r["stable_id"] for r in out) == list(range(n))
+    by_key = sorted(out, key=lambda r: r["doc_id"])
+    assert [r["stable_id"] for r in by_key] == list(range(n))
+
+
+def test_stable_ids_parallel_plan_and_custom_partitions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_stable_ids(docs, ["doc_id"], num_partitions=3)
+    plan = plan_of(out)
+    # never the single-partition global window; offsets join broadcasts
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
+    rows = out.collect()
+    assert sorted(r["stable_id"] for r in rows) == list(range(len(rows)))
+
+
+def test_stable_ids_requires_order_key(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        assign_stable_ids(docs, [])
