@@ -1,10 +1,20 @@
 from hr_moderndatapipeline_spark.operators.relational import (  # noqa: F401
+    assign_stable_ids,
     change_pairs,
     deterministic_sample,
     duplicate_keys,
     latest_per_key,
     topk,
     topk_per_group,
+)
+from hr_moderndatapipeline_spark.operators.bloom import (  # noqa: F401
+    bloom_semi_filter,
+    build_bloom,
+    might_contain,
+)
+from hr_moderndatapipeline_spark.operators.layout import (  # noqa: F401
+    morton_key,
+    zorder_cluster,
 )
 from hr_moderndatapipeline_spark.operators.cdc import (  # noqa: F401
     classify_cdc_ops,

@@ -1355,6 +1355,44 @@ ORDER BY 1
 """
 
 
+# ── explicit window frame — per-customer running spend ──
+
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer with an EXPLICIT ROWS frame
+    (UNBOUNDED PRECEDING → CURRENT ROW) over a unique ordering —
+    the cumulative-metric window shape (the default RANGE frame
+    would give tied order dates identical running values; the ROWS
+    frame with the orderkey tiebreak is deterministic). One shuffle
+    on o_custkey; each partition streams its frame in sorted order.
+    Dates cross the oracle as epoch-day integers (driver canon)."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("order_epoch_day"),
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+ORACLE_RUNNING_SPEND = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INTEGER) AS order_epoch_day,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS running_cents
+FROM orders
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -1399,6 +1437,7 @@ QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
     "suppliers_returns_no_urgent": q_suppliers_returns_no_urgent,
     "bloom_filtered_supplier_revenue": q_bloom_filtered_supplier_revenue,
+    "customer_running_spend": q_customer_running_spend,
 }
 
 ORACLES = {
@@ -1445,4 +1484,5 @@ ORACLES = {
     "late_shipment_priority": ORACLE_LATE_SHIPMENT,
     "suppliers_returns_no_urgent": ORACLE_RETURNS_NO_URGENT,
     "bloom_filtered_supplier_revenue": ORACLE_BLOOM_SUPPLIER_REVENUE,
+    "customer_running_spend": ORACLE_RUNNING_SPEND,
 }
