@@ -4,6 +4,11 @@ from hr_moderndatapipeline_spark.sources.readers import (  # noqa: F401
     load_table,
     register_views,
 )
+from hr_moderndatapipeline_spark.sources.fileindex import (  # noqa: F401
+    build_file_index,
+    pruned_paths,
+    read_pruned,
+)
 from hr_moderndatapipeline_spark.sources.watermark import (  # noqa: F401
     FileWatermarkStore,
     MemoryWatermarkStore,

@@ -1,0 +1,155 @@
+"""File-level min/max manifest + pruned reads — the manifest half of
+an Iceberg/Delta table format, for plain parquet directories.
+
+Spark's parquet reader already skips ROW GROUPS via pushed filters,
+but it still has to LIST and open every file's footer first; at
+100 TB (millions of files) the listing itself is the bottleneck and
+the footers are a million small reads. Table formats fix this with a
+manifest: per-file column stats collected once at write time, so
+query planning touches only the (tiny) manifest. This module is that
+pattern for the repo's versioned-snapshot tables:
+
+- ``build_file_index`` reads every data file's parquet FOOTER (not
+  its data) on the EXECUTORS — the file list is parallelized and
+  each task opens only footers via pyarrow, so indexing scales with
+  the cluster, not the driver — and returns one row per
+  (file, column) with min/max/null_count/row_count.
+- ``pruned_paths`` evaluates an interval predicate against the
+  manifest (a frame of O(#files) rows) and returns the file paths
+  that MIGHT contain matches; files whose [min, max] excludes the
+  interval are never opened.
+- ``read_pruned`` is the end-to-end read: prune by manifest, then
+  ``spark.read.parquet(*paths)`` with the residual filter still
+  applied — pruning is a superset selection, so results are
+  byte-identical to the full scan with the same filter (unit-tested).
+
+Composes with the layout operators: ``zorder_cluster`` /
+``cluster_by`` make per-file ranges tight, which is what makes this
+index selective. Stats use parquet's logical-type ordering as
+surfaced by pyarrow; columns without footer statistics simply yield
+null min/max and are never pruned on (safe default).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INDEX_SCHEMA = (
+    "path string, column string, row_count long, null_count long, "
+    "min_val double, max_val double"
+)
+
+
+def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
+    """mapInPandas worker: one input row per file path; output one
+    row per (file, indexed column) from the footer only."""
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        out = []
+        for path in pdf["path"]:
+            md = pq.ParquetFile(path).metadata
+            per_col: dict[str, dict] = {
+                c: {"rows": 0, "nulls": 0, "mins": [], "maxs": []} for c in columns
+            }
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name not in per_col:
+                        continue
+                    acc = per_col[name]
+                    acc["rows"] += md.row_group(rg).num_rows
+                    st = col.statistics
+                    if st is not None and st.has_min_max:
+                        acc["mins"].append(st.min)
+                        acc["maxs"].append(st.max)
+                        acc["nulls"] += st.null_count or 0
+            for name, acc in per_col.items():
+                out.append(
+                    {
+                        "path": path,
+                        "column": name,
+                        "row_count": acc["rows"],
+                        "null_count": acc["nulls"],
+                        "min_val": float(min(acc["mins"])) if acc["mins"] else None,
+                        "max_val": float(max(acc["maxs"])) if acc["maxs"] else None,
+                    }
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "path",
+                "column",
+                "row_count",
+                "null_count",
+                "min_val",
+                "max_val",
+            ],
+        )
+
+
+def build_file_index(
+    spark: SparkSession, data_dir: str, columns: Sequence[str]
+) -> DataFrame:
+    """Manifest DataFrame for every ``*.parquet`` under ``data_dir``
+    (one row per file × indexed column). Footer reads run on
+    executors via an Arrow-batched ``mapInPandas`` over the
+    parallelized path list — numeric columns only (min/max cast to
+    double for interval pruning)."""
+    paths = sorted(
+        os.path.join(root, name)
+        for root, _, names in os.walk(data_dir)
+        for name in names
+        if name.endswith(".parquet")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {data_dir}")
+    cols = list(columns)
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files_df.repartition(min(len(paths), 64)).mapInPandas(
+        lambda it: _footer_stats(it, cols), schema=_INDEX_SCHEMA
+    )
+
+
+def pruned_paths(
+    index: DataFrame, column: str, lo: float, hi: float
+) -> list[str]:
+    """Paths whose [min, max] for ``column`` intersects [lo, hi] —
+    plus files with no stats for the column (never prune blind).
+    The manifest is O(#files); this is driver-cheap by design."""
+    rows = (
+        index.filter(F.col("column") == column)
+        .filter(
+            F.col("min_val").isNull()
+            | ((F.col("min_val") <= hi) & (F.col("max_val") >= lo))
+        )
+        .select("path")
+        .collect()
+    )
+    return sorted(r["path"] for r in rows)
+
+
+def read_pruned(
+    spark: SparkSession,
+    index: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Manifest-pruned scan: open only files that might match, then
+    keep the exact residual filter (pruning is a superset), so the
+    result equals the unpruned filtered scan."""
+    paths = pruned_paths(index, column, lo, hi)
+    if not paths:
+        raise FileNotFoundError(
+            f"no files can contain {column} in [{lo}, {hi}] — empty result"
+        )
+    return spark.read.parquet(*paths).filter(
+        (F.col(column) >= lo) & (F.col(column) <= hi)
+    )

@@ -1,0 +1,70 @@
+"""File-stats manifest: built from footers on executors, pruning is
+a superset (never loses rows), and composed with z-order clustering
+it opens a fraction of the files for a selective predicate."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.layout import zorder_cluster
+from hr_moderndatapipeline_spark.sources.fileindex import (
+    build_file_index,
+    pruned_paths,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def zordered_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("zidx") / "t")
+    grid = (
+        spark.range(0, 128)
+        .toDF("x")
+        .crossJoin(spark.range(0, 128).toDF("y"))
+        .withColumn("v", F.col("x") * 1000 + F.col("y"))
+        .repartition(16)
+    )
+    zorder_cluster(grid, ["x", "y"], n_files=16, bits=7).write.parquet(d)
+    return d
+
+
+def test_index_covers_all_files_and_rows(spark, zordered_dir):
+    idx = build_file_index(spark, zordered_dir, ["x", "y"])
+    n_files = len(glob.glob(f"{zordered_dir}/*.parquet"))
+    per_col = idx.groupBy("column").agg(
+        F.count(F.lit(1)).alias("files"), F.sum("row_count").alias("rows")
+    )
+    for r in per_col.collect():
+        assert r["files"] == n_files
+        assert r["rows"] == 128 * 128
+
+
+def test_pruning_skips_files_but_loses_nothing(spark, zordered_dir):
+    idx = build_file_index(spark, zordered_dir, ["x", "y"]).cache()
+    all_files = glob.glob(f"{zordered_dir}/*.parquet")
+    # selective predicate on the SECOND clustered column
+    kept = pruned_paths(idx, "y", 5, 10)
+    assert 0 < len(kept) < len(all_files)
+
+    pruned = read_pruned(spark, idx, "y", 5, 10).select("x", "y", "v")
+    full = (
+        spark.read.parquet(zordered_dir)
+        .filter((F.col("y") >= 5) & (F.col("y") <= 10))
+        .select("x", "y", "v")
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+
+
+def test_unstatted_column_never_prunes(spark, zordered_dir):
+    idx = build_file_index(spark, zordered_dir, ["x"])
+    # a column absent from the index yields no rows -> no pruning claim
+    assert pruned_paths(idx.filter(F.col("column") == "nope"), "nope", 0, 1) == []
+
+
+def test_empty_dir_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        build_file_index(spark, str(tmp_path), ["x"])
