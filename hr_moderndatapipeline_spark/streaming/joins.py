@@ -49,11 +49,20 @@ def stream_stream_join(
     right_ts: str,
     within: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER join: equi-join on ``keys``
-    where ``left_ts <= right_ts <= left_ts + within``. Column names
+    """Watermarked stream-stream join: equi-join on ``keys`` where
+    ``left_ts <= right_ts <= left_ts + within``. Column names
     outside ``keys`` must be disjoint between the two sides; the
-    right side's key columns are dropped from the output."""
+    right side's key columns are dropped from the output.
+
+    ``how="leftOuter"`` additionally emits the null-padded left row
+    once the watermark passes ``left_ts + within`` (state eviction
+    proves no match can still arrive) — the "error with no follow-up
+    click" shape. The time bound + watermark are exactly what Spark
+    requires to make streaming outer joins finite-state."""
+    if how not in ("inner", "leftOuter", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -66,7 +75,7 @@ def stream_stream_join(
         & (right[right_ts] >= left[left_ts])
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    out = left.join(right, cond, "inner")
+    out = left.join(right, cond, how)
     for k in keys:
         out = out.drop(right[k])
     return out

@@ -409,3 +409,51 @@ def test_stream_stream_join_within_bound(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     ]
     assert got == [(1, "2024-01-01 10:05:00")]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: a left row with no right match
+    inside the time bound is emitted null-padded — but only after the
+    watermark passes left_ts + within (state eviction proves no match
+    can arrive). A later right-side event advances the watermark."""
+    from hr_moderndatapipeline_spark.streaming import stream_stream_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    write_events(lsrc, "b0.jsonl", [
+        {"user_id": 1, "kind": "error", "ts": "2024-01-01 10:00:00"},  # gets a match
+        {"user_id": 2, "kind": "error", "ts": "2024-01-01 10:00:00"},  # never matched
+        # advances the LEFT watermark (global watermark = min of both);
+        # its own bound (13:10) stays ahead of the watermark, so it is
+        # held in state, not emitted
+        {"user_id": 8, "kind": "error", "ts": "2024-01-01 13:00:00"},
+    ])
+    write_events(rsrc, "b0.jsonl", [
+        {"user_id": 1, "kind": "click", "ts": "2024-01-01 10:05:00"},
+        # watermark advancer: 13:00 - 1h watermark = 12:00 > 10:10 bound
+        {"user_id": 9, "kind": "click", "ts": "2024-01-01 13:00:00"},
+    ])
+    lraw = file_json_stream(spark, lsrc)
+    rraw = file_json_stream(spark, rsrc)
+    lval, _ = parse_with_dlq(lraw, "value", EVENT_SCHEMA)
+    rval, _ = parse_with_dlq(rraw, "value", EVENT_SCHEMA)
+    left = lval.select("user_id", F.col("ts").cast("timestamp").alias("error_ts"))
+    right = rval.select("user_id", F.col("ts").cast("timestamp").alias("click_ts"))
+    joined = stream_stream_join(
+        left, right, ["user_id"], "error_ts", "click_ts",
+        within="10 minutes", watermark="1 hour", how="leftOuter",
+    )
+    q = start_append_sink(
+        joined, str(tmp_path / "out"), str(tmp_path / "cp"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (str(r["click_ts"]) if r["click_ts"] is not None else None)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got[1] == "2024-01-01 10:05:00"
+    assert 2 in got and got[2] is None  # unmatched left row, null-padded
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_stream_join(left, right, ["user_id"], "error_ts", "click_ts", how="rightOuter")
