@@ -103,3 +103,36 @@ def test_stable_ids_requires_order_key(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         assign_stable_ids(docs, [])
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bloom_no_false_negatives_random_sets(spark, seed):
+    """Randomized key sets (different density/offset per seed):
+    membership of every inserted key is an invariant, not a property
+    of the arithmetic sequence in the basic test."""
+    keys = (
+        spark.range(0, 20_000)
+        .selectExpr(f"xxhash64(id, {seed}) as k")
+        .filter(F.pmod(F.col("k"), 7) == 0)
+    )
+    n = keys.count()
+    bloom = build_bloom(keys, "k", expected_items=max(n, 1), fpp=0.02)
+    assert keys.filter(~might_contain(bloom, F.col("k"))).count() == 0
+
+
+@pytest.mark.parametrize("shuffle_parts", [1, 3, 11])
+def test_stable_ids_invariant_to_input_partitioning(spark, sf_dir, shuffle_parts):
+    """The assigned ids depend only on the data and order_by — never
+    on how the input happened to be partitioned (the failure mode of
+    monotonically_increasing_id / zipWithIndex-without-sort)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(shuffle_parts)
+    )
+    got = {
+        r["doc_id"]: r["stable_id"]
+        for r in assign_stable_ids(docs, ["doc_id"]).collect()
+    }
+    expected = {d: i for i, d in enumerate(sorted(got))}
+    assert got == expected
