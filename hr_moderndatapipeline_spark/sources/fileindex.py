@@ -153,3 +153,34 @@ def read_pruned(
     return spark.read.parquet(*paths).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
     )
+
+
+def update_file_index(
+    spark: SparkSession,
+    index: DataFrame,
+    data_dir: str,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Incremental manifest maintenance: stat only files NOT already
+    indexed and append their rows — the steady-state path when a
+    table receives frequent small publishes (re-statting a million
+    existing files per append is the anti-pattern the manifest
+    exists to avoid). Removed files are dropped from the result so
+    the manifest never claims rows a compaction deleted."""
+    on_disk = {
+        os.path.join(root, name)
+        for root, _, names in os.walk(data_dir)
+        for name in names
+        if name.endswith(".parquet")
+    }
+    known = {r["path"] for r in index.select("path").distinct().collect()}
+    fresh = sorted(on_disk - known)
+    kept = index.filter(F.col("path").isin(list(on_disk)))
+    if not fresh:
+        return kept
+    cols = list(columns)
+    files_df = spark.createDataFrame([(p,) for p in fresh], "path string")
+    fresh_rows = files_df.repartition(min(len(fresh), 64)).mapInPandas(
+        lambda it: _footer_stats(it, cols), schema=_INDEX_SCHEMA
+    )
+    return kept.unionByName(fresh_rows)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hr_moderndatapipeline_spark.operators.layout import zorder_cluster
 from hr_moderndatapipeline_spark.sources.fileindex import (
+    update_file_index,
     build_file_index,
     pruned_paths,
     read_pruned,
@@ -68,3 +69,26 @@ def test_unstatted_column_never_prunes(spark, zordered_dir):
 def test_empty_dir_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         build_file_index(spark, str(tmp_path), ["x"])
+
+
+def test_incremental_index_update(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.range(0, 100).toDF("x").coalesce(1).write.parquet(d)
+    idx0 = build_file_index(spark, d, ["x"]).cache()
+    n0 = idx0.count()
+
+    # append a new file; update stats only the new one
+    spark.range(100, 200).toDF("x").coalesce(1).write.mode("append").parquet(d)
+    idx1 = update_file_index(spark, idx0, d, ["x"]).cache()
+    assert idx1.count() == n0 + 1
+    assert idx1.agg(F.sum("row_count")).collect()[0][0] == 200
+
+    # no new files -> unchanged; a deleted file drops out
+    idx2 = update_file_index(spark, idx1, d, ["x"])
+    assert idx2.count() == idx1.count()
+    import os as _os
+
+    victim = [r["path"] for r in idx1.select("path").collect()][0]
+    _os.remove(victim)
+    idx3 = update_file_index(spark, idx1, d, ["x"])
+    assert victim not in {r["path"] for r in idx3.select("path").collect()}
