@@ -175,7 +175,10 @@ def update_file_index(
     }
     known = {r["path"] for r in index.select("path").distinct().collect()}
     fresh = sorted(on_disk - known)
-    kept = index.filter(F.col("path").isin(list(on_disk)))
+    # semi-join, not a giant isin literal: at a million files the
+    # literal would be a million-child expression in the plan
+    on_disk_df = spark.createDataFrame([(p,) for p in sorted(on_disk)], "path string")
+    kept = index.join(on_disk_df, "path", "left_semi")
     if not fresh:
         return kept
     cols = list(columns)
