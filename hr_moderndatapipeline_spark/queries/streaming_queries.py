@@ -180,9 +180,65 @@ GROUP BY user_id, sid
 """
 
 
+
+def q_streaming_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join, end to end: error
+    events and click events stream from separate JSON-lines sources;
+    each error joins clicks by the same user within the next 10
+    minutes, and errors whose bound has passed the global watermark
+    emit null-padded (the "error with no follow-up click" shape).
+    Returns matched/unmatched counts. Rows-only: streaming state
+    eviction is not ANSI-SQL-expressible; exact semantics are pinned
+    by tests/test_streaming.py on a hand-built case."""
+    from hr_moderndatapipeline_spark.streaming import stream_stream_join
+
+    wd = _workdir(sf_dir, "ssjoin")
+    lsrc, rsrc = f"{wd}/errors", f"{wd}/clicks"
+    ev = load_table(spark, sf_dir, "events")
+    for src, kind in ((lsrc, "error"), (rsrc, "click")):
+        payload = F.to_json(
+            F.struct(
+                "event_id", "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            )
+        )
+        ev.filter(F.col("event_type") == kind).select(
+            payload.alias("value")
+        ).coalesce(2).write.text(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    lval, _ = parse_with_dlq(file_json_stream(spark, lsrc), "value", schema)
+    rval, _ = parse_with_dlq(file_json_stream(spark, rsrc), "value", schema)
+    left = lval.select(
+        F.col("user_id"), F.to_timestamp("ts").alias("error_ts")
+    )
+    right = rval.select(
+        F.col("user_id"), F.to_timestamp("ts").alias("click_ts")
+    )
+    joined = stream_stream_join(
+        left, right, ["user_id"], "error_ts", "click_ts",
+        within="10 minutes", watermark="1 minute", how="leftOuter",
+    )
+    q = start_append_sink(joined, f"{wd}/out", f"{wd}/cp", available_now=True)
+    q.awaitTermination(300)
+    out = spark.read.schema(
+        "user_id int, error_ts timestamp, click_ts timestamp"
+    ).parquet(f"{wd}/out")
+    return out.groupBy(
+        F.col("click_ts").isNotNull().alias("matched")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 QUERIES = {
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
     "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
+    "streaming_join_enrichment": q_streaming_join_enrichment,
     "session_window_counts": q_session_window_counts,
 }
 
