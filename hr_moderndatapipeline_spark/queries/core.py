@@ -1393,6 +1393,66 @@ FROM orders
 """
 
 
+# ── statistical anomaly flags — ops-monitoring shape ──
+
+
+def q_daily_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose order count deviates ≥2σ from the corpus mean —
+    the data-quality anomaly monitor every ingest pipeline runs.
+    Mean/σ are computed EXPLICITLY from integer SUM(c)/SUM(c²)/n
+    rather than builtin stddev: engines disagree on stddev's
+    accumulation path (Welford vs naive), but from identical exact
+    integers the same closed formula is bit-identical IEEE on both.
+    The stats window runs over the O(#days) aggregate, never the
+    orders table."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy()  # O(#days) rows — the aggregate, not the fact
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_orders").over(w)
+    s2 = F.sum(F.col("n_orders") * F.col("n_orders")).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")) / (
+        n.cast("double") - F.lit(1.0)
+    )
+    z = (F.col("n_orders").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.withColumn("z_score", z)
+        .filter(F.abs(F.col("z_score")) >= 2.0)
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01")).alias("epoch_day"),
+            "n_orders",
+            F.round("z_score", 6).alias("z_score"),
+        )
+        .orderBy("epoch_day")
+    )
+
+
+ORACLE_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n, sum(n_orders) AS s1, sum(n_orders * n_orders) AS s2
+  FROM daily)
+SELECT CAST(datediff('day', DATE '1970-01-01', day) AS INTEGER) AS epoch_day,
+       n_orders,
+       round((CAST(n_orders AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)), 6) AS z_score
+FROM daily, stats
+WHERE abs((CAST(n_orders AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0))) >= 2.0
+ORDER BY epoch_day
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -1438,6 +1498,7 @@ QUERIES = {
     "suppliers_returns_no_urgent": q_suppliers_returns_no_urgent,
     "bloom_filtered_supplier_revenue": q_bloom_filtered_supplier_revenue,
     "customer_running_spend": q_customer_running_spend,
+    "daily_order_anomalies": q_daily_order_anomalies,
 }
 
 ORACLES = {
@@ -1485,4 +1546,5 @@ ORACLES = {
     "suppliers_returns_no_urgent": ORACLE_RETURNS_NO_URGENT,
     "bloom_filtered_supplier_revenue": ORACLE_BLOOM_SUPPLIER_REVENUE,
     "customer_running_spend": ORACLE_RUNNING_SPEND,
+    "daily_order_anomalies": ORACLE_DAILY_ANOMALIES,
 }
