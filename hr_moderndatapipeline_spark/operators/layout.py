@@ -85,6 +85,15 @@ def zorder_cluster(
         *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(cols)],
     ).collect()[0]
+    for i, c in enumerate(cols):
+        if (bounds[f"_lo{i}"] is None) != (bounds[f"_hi{i}"] is None):
+            raise AssertionError(f"inconsistent bounds for {c}")
+    bad = [c for i, c in enumerate(cols) if bounds[f"_lo{i}"] is None]
+    if bad:
+        raise ValueError(
+            f"z-order columns must be numeric and not all-null; got {bad} "
+            "(cast or bucket non-numeric keys first)"
+        )
     scaled = [
         _scaled(F.col(c), bounds[f"_lo{i}"], bounds[f"_hi{i}"], bits)
         for i, c in enumerate(cols)

@@ -71,14 +71,23 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
                         acc["maxs"].append(st.max)
                         acc["nulls"] += st.null_count or 0
             for name, acc in per_col.items():
+                # Non-numeric stats (e.g. byte-array min/max for
+                # strings) index as null -> the column is listed but
+                # never pruned on, matching the safe default for
+                # stats-less columns.
+                try:
+                    lo = float(min(acc["mins"])) if acc["mins"] else None
+                    hi = float(max(acc["maxs"])) if acc["maxs"] else None
+                except (TypeError, ValueError):
+                    lo = hi = None
                 out.append(
                     {
                         "path": path,
                         "column": name,
                         "row_count": acc["rows"],
                         "null_count": acc["nulls"],
-                        "min_val": float(min(acc["mins"])) if acc["mins"] else None,
-                        "max_val": float(max(acc["maxs"])) if acc["maxs"] else None,
+                        "min_val": lo,
+                        "max_val": hi,
                     }
                 )
         yield pd.DataFrame(

@@ -92,3 +92,15 @@ def test_incremental_index_update(spark, tmp_path):
     _os.remove(victim)
     idx3 = update_file_index(spark, idx1, d, ["x"])
     assert victim not in {r["path"] for r in idx3.select("path").collect()}
+
+
+def test_string_column_indexes_as_unprunable(spark, tmp_path):
+    d = str(tmp_path / "s")
+    spark.range(0, 50).selectExpr("id as x", "concat('v', id) as s").coalesce(
+        1
+    ).write.parquet(d)
+    idx = build_file_index(spark, d, ["x", "s"])
+    srow = idx.filter(F.col("column") == "s").collect()[0]
+    assert srow["min_val"] is None and srow["max_val"] is None  # never pruned on
+    xrow = idx.filter(F.col("column") == "x").collect()[0]
+    assert xrow["min_val"] == 0.0 and xrow["max_val"] == 49.0

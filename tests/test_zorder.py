@@ -77,3 +77,9 @@ def test_zorder_handles_nulls_and_constant_columns(spark, tmp_path):
     out = zorder_cluster(df, ["a", "c", "b"], n_files=4, bits=8)
     assert out.count() == 1000
     assert out.columns == ["a", "c", "b"]
+
+
+def test_zorder_rejects_non_numeric_columns(spark):
+    df = spark.range(0, 10).withColumn("s", F.concat(F.lit("a"), F.col("id")))
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_cluster(df, ["s"], n_files=2)
