@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "bloom_filtered_supplier_revenue",  # bloom pre-shuffle join reduction
     "late_shipment_priority",     # correlated EXISTS decorrelation
     "stable_doc_ids",             # two-pass global row numbering
+    "customer_running_spend",     # explicit ROWS-frame running total
+    "daily_order_anomalies",      # z-score anomaly flags over daily counts
 ]
 
 

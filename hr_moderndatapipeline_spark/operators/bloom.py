@@ -140,3 +140,26 @@ def bloom_semi_filter(
     result-identical to joining without the filter — only cheaper."""
     bloom = build_bloom(dim, dim_key, expected_items, fpp)
     return fact.filter(might_contain(bloom, F.col(fact_key)))
+
+
+def bloom_to_json(bloom: dict) -> str:
+    """Serialize a built filter for publication (a config store, a
+    file next to the table, a message) — the cross-stage contract
+    single-query runtime filtering cannot offer."""
+    import json
+
+    return json.dumps(
+        {k: bloom[k] for k in ("words", "n_bits", "n_hashes")}, separators=(",", ":")
+    )
+
+
+def bloom_from_json(payload: str) -> dict:
+    """Inverse of ``bloom_to_json``; the result feeds
+    ``might_contain`` directly."""
+    import json
+
+    bloom = json.loads(payload)
+    missing = {"words", "n_bits", "n_hashes"} - bloom.keys()
+    if missing:
+        raise ValueError(f"not a serialized bloom filter: missing {sorted(missing)}")
+    return bloom

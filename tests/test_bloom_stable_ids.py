@@ -136,3 +136,17 @@ def test_stable_ids_invariant_to_input_partitioning(spark, sf_dir, shuffle_parts
     }
     expected = {d: i for i, d in enumerate(sorted(got))}
     assert got == expected
+
+
+def test_bloom_json_roundtrip(spark):
+    from hr_moderndatapipeline_spark.operators.bloom import (
+        bloom_from_json,
+        bloom_to_json,
+    )
+
+    keys = spark.range(0, 300).withColumnRenamed("id", "k")
+    bloom = build_bloom(keys, "k", expected_items=300)
+    revived = bloom_from_json(bloom_to_json(bloom))
+    assert keys.filter(~might_contain(revived, F.col("k"))).count() == 0
+    with pytest.raises(ValueError):
+        bloom_from_json('{"words": []}')
