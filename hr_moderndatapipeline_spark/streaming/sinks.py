@@ -215,7 +215,14 @@ def publish_snapshot(
     at 100 TB the difference between touching every file and
     touching the few covering the predicate's range. Without
     ``cluster_files`` the file count floats with AQE's coalescing
-    (right at scale); pin it when a fixed layout is wanted."""
+    (right at scale); pin it when a fixed layout is wanted.
+
+    ``cluster_by`` is lexical — tight on the leading column only.
+    When queries filter on SEVERAL columns independently, pre-shape
+    the frame with ``operators.layout.zorder_cluster`` and publish
+    WITHOUT ``cluster_by`` (the Morton layout already is the
+    partitioning); pair with ``sources.fileindex`` for manifest
+    pruning."""
     if cluster_by:
         df = (
             df.repartitionByRange(cluster_files, *cluster_by)
