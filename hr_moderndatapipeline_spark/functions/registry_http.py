@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 from dataclasses import dataclass
 
@@ -29,6 +30,15 @@ from hr_moderndatapipeline_spark.functions.schema_registry import (
 )
 
 _CT = "application/vnd.schemaregistry.v1+json"
+
+
+def _q(segment) -> str:
+    """Percent-encode one path segment: subjects may contain '/',
+    spaces, or non-ASCII, which would otherwise re-route the request
+    (POST /subjects/a/b/versions parses as subject 'a'). The
+    in-process registry accepts such names, so the transports must
+    agree."""
+    return urllib.parse.quote(str(segment), safe="")
 
 
 @dataclass
@@ -62,14 +72,14 @@ class HttpSchemaRegistry:
     ) -> RegisteredSchema:
         out = self._call(
             "POST",
-            f"/subjects/{subject}/versions",
+            f"/subjects/{_q(subject)}/versions",
             {"schema": schema, "schemaType": schema_type},
         )
         # The POST returns only the global id; version comes from the
         # canonical lookup (one extra GET, exactly what confluent's
         # own clients do).
         lookup = self._call(
-            "POST", f"/subjects/{subject}", {"schema": schema, "schemaType": schema_type}
+            "POST", f"/subjects/{_q(subject)}", {"schema": schema, "schemaType": schema_type}
         )
         return RegisteredSchema(
             subject=subject,
@@ -84,10 +94,10 @@ class HttpSchemaRegistry:
         return sorted(self._call("GET", "/subjects"))
 
     def versions(self, subject: str) -> list[int]:
-        return self._call("GET", f"/subjects/{subject}/versions")
+        return self._call("GET", f"/subjects/{_q(subject)}/versions")
 
     def _version(self, subject: str, version: str) -> RegisteredSchema:
-        out = self._call("GET", f"/subjects/{subject}/versions/{version}")
+        out = self._call("GET", f"/subjects/{_q(subject)}/versions/{_q(version)}")
         return RegisteredSchema(
             subject=out["subject"],
             version=out["version"],
@@ -103,22 +113,22 @@ class HttpSchemaRegistry:
         return self._version(subject, str(version))
 
     def schema_by_id(self, schema_id: int) -> str:
-        return self._call("GET", f"/schemas/ids/{schema_id}")["schema"]
+        return self._call("GET", f"/schemas/ids/{_q(schema_id)}")["schema"]
 
     def delete_subject(self, subject: str) -> list[int]:
-        return self._call("DELETE", f"/subjects/{subject}")
+        return self._call("DELETE", f"/subjects/{_q(subject)}")
 
     # ── config ──
     def set_compatibility(self, subject: str, mode: str) -> None:
-        self._call("PUT", f"/config/{subject}", {"compatibility": mode})
+        self._call("PUT", f"/config/{_q(subject)}", {"compatibility": mode})
 
     def get_compatibility(self, subject: str) -> str:
-        return self._call("GET", f"/config/{subject}")["compatibilityLevel"]
+        return self._call("GET", f"/config/{_q(subject)}")["compatibilityLevel"]
 
     def test_compatibility(self, subject: str, schema: str) -> bool:
         out = self._call(
             "POST",
-            f"/compatibility/subjects/{subject}/versions/latest",
+            f"/compatibility/subjects/{_q(subject)}/versions/latest",
             {"schema": schema, "schemaType": "AVRO"},
         )
         return bool(out["is_compatible"])

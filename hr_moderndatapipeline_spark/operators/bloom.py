@@ -66,9 +66,20 @@ def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
 def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
     """Bit position of hash i: pmod(xxhash64(key, i), m). Hashing the
     salt as a second column gives k independent functions; pmod keeps
-    the (possibly negative) 64-bit hash in [0, m)."""
+    the (possibly negative) 64-bit hash in [0, m).
+
+    The key is hashed through its STRING form: xxhash64 is
+    type-sensitive (hash(42 as int) != hash(42 as bigint)), so
+    hashing raw columns would silently break the no-false-negative
+    guarantee whenever build and probe sides store the same key at
+    different widths — the classic int-keyed dim vs bigint-keyed
+    fact. String canonicalization makes equal values hash equal
+    across integral widths; build and probe must still agree on the
+    value's textual form (e.g. don't probe a DOUBLE against an INT
+    build)."""
+    k = key.cast("string")
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+        F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
     ]
 
 

@@ -183,11 +183,17 @@ def domain_mix_weights(
     if target_shares is None:
         target = F.lit(1.0) / F.col("_n_domains")
     else:
-        expr = F
-        items = list(target_shares.items())
-        for name, share in items[:-1]:
-            expr = expr.when(F.col(domain_col) == name, F.lit(float(share)))
-        target = expr.otherwise(F.lit(float(items[-1][1])))
+        if not target_shares:
+            raise ValueError("target_shares must not be empty")
+        # Explicit case per LISTED domain; anything unlisted gets
+        # share 0.0 (weight 0 → excluded from the mix). A catch-all
+        # otherwise() would silently hand the last entry's share to
+        # every unlisted domain.
+        target = F.lit(0.0)
+        for name, share in target_shares.items():
+            target = F.when(F.col(domain_col) == name, F.lit(float(share))).otherwise(
+                target
+            )
     return agg.select(
         domain_col,
         "n_docs",

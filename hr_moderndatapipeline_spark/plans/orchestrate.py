@@ -204,6 +204,9 @@ class Dag:
         (and thus its downstream) rather than letting consumers read
         a silently-empty ctx.results."""
         if t.rehydrate is None:
+            # the documented contract: rehydrate-less skipped tasks
+            # surface None (not a KeyError) to downstream readers
+            ctx.results[t.name] = None
             return TaskResult(t.name, "skipped")
         try:
             value = t.rehydrate(ctx)

@@ -66,8 +66,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_MEMO: dict = {}
 
 
+def _memo_token(spark: SparkSession) -> str:
+    # applicationId is unique per context lifetime; id() values are
+    # reused after GC, which could hand a new session a persisted
+    # frame bound to a dead context.
+    return spark.sparkContext.applicationId
+
+
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = ("pairs", sf_dir, id(spark.sparkContext))
+    key = ("pairs", sf_dir, _memo_token(spark))
     hit = _DEDUP_MEMO.get(key)
     if hit is None:
         from pyspark import StorageLevel
@@ -80,7 +87,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = ("clusters", sf_dir, id(spark.sparkContext))
+    key = ("clusters", sf_dir, _memo_token(spark))
     hit = _DEDUP_MEMO.get(key)
     if hit is None:
         hit = dedup_clusters(_neardup_pairs(spark, sf_dir), "doc_id_a", "doc_id_b")

@@ -53,9 +53,16 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
     for pdf in batches:
         out = []
         for path in pdf["path"]:
-            md = pq.ParquetFile(path).metadata
+            try:
+                md = pq.ParquetFile(path).metadata
+            except FileNotFoundError:
+                # a compaction/vacuum raced this stat (or a stale
+                # manifest lineage is being re-evaluated after one):
+                # a vanished file simply has no manifest rows
+                continue
             per_col: dict[str, dict] = {
-                c: {"rows": 0, "nulls": 0, "mins": [], "maxs": []} for c in columns
+                c: {"rows": 0, "nulls": 0, "mins": [], "maxs": [], "complete": True}
+                for c in columns
             }
             for rg in range(md.num_row_groups):
                 for ci in range(md.row_group(rg).num_columns):
@@ -66,18 +73,28 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
                     acc = per_col[name]
                     acc["rows"] += md.row_group(rg).num_rows
                     st = col.statistics
+                    # null_count is valid whenever statistics exist,
+                    # independent of min/max (an all-null row group
+                    # has nulls but no min/max).
+                    if st is not None:
+                        acc["nulls"] += st.null_count or 0
                     if st is not None and st.has_min_max:
                         acc["mins"].append(st.min)
                         acc["maxs"].append(st.max)
-                        acc["nulls"] += st.null_count or 0
+                    elif st is None or (st.null_count or 0) < md.row_group(rg).num_rows:
+                        # A non-all-null row group WITHOUT min/max
+                        # stats leaves the file's true range unknown:
+                        # publishing the partial range would prune a
+                        # file that still contains matching values.
+                        acc["complete"] = False
             for name, acc in per_col.items():
                 # Non-numeric stats (e.g. byte-array min/max for
-                # strings) index as null -> the column is listed but
-                # never pruned on, matching the safe default for
-                # stats-less columns.
+                # strings) and incomplete coverage index as null ->
+                # the column is listed but never pruned on.
                 try:
-                    lo = float(min(acc["mins"])) if acc["mins"] else None
-                    hi = float(max(acc["maxs"])) if acc["maxs"] else None
+                    ok = acc["complete"] and acc["mins"]
+                    lo = float(min(acc["mins"])) if ok else None
+                    hi = float(max(acc["maxs"])) if ok else None
                 except (TypeError, ValueError):
                     lo = hi = None
                 out.append(
@@ -153,11 +170,16 @@ def read_pruned(
 ) -> DataFrame:
     """Manifest-pruned scan: open only files that might match, then
     keep the exact residual filter (pruning is a superset), so the
-    result equals the unpruned filtered scan."""
+    result equals the unpruned filtered scan — including the empty
+    result when no file can intersect (schema read from one manifest
+    file, zero data rows)."""
     paths = pruned_paths(index, column, lo, hi)
     if not paths:
-        raise FileNotFoundError(
-            f"no files can contain {column} in [{lo}, {hi}] — empty result"
+        any_file = index.select("path").limit(1).collect()
+        if not any_file:
+            raise FileNotFoundError("manifest is empty — no schema to return")
+        return (
+            spark.read.parquet(any_file[0]["path"]).filter(F.lit(False))
         )
     return spark.read.parquet(*paths).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
@@ -182,12 +204,16 @@ def update_file_index(
         for name in names
         if name.endswith(".parquet")
     }
-    known = {r["path"] for r in index.select("path").distinct().collect()}
+    # Materialize the surviving manifest rows NOW (one collect of the
+    # O(#files x cols) metadata — the same movement pruned_paths
+    # already makes): the input index's lineage contains footer reads
+    # of every path it was built from, and re-executing that lineage
+    # after a compaction deleted files would crash on the dead paths.
+    # The returned frame's lineage must not reference removed files.
+    kept_rows = [r for r in index.collect() if r["path"] in on_disk]
+    known = {r["path"] for r in kept_rows}
     fresh = sorted(on_disk - known)
-    # semi-join, not a giant isin literal: at a million files the
-    # literal would be a million-child expression in the plan
-    on_disk_df = spark.createDataFrame([(p,) for p in sorted(on_disk)], "path string")
-    kept = index.join(on_disk_df, "path", "left_semi")
+    kept = spark.createDataFrame(kept_rows, schema=_INDEX_SCHEMA)
     if not fresh:
         return kept
     cols = list(columns)

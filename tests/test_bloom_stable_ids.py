@@ -150,3 +150,13 @@ def test_bloom_json_roundtrip(spark):
     assert keys.filter(~might_contain(revived, F.col("k"))).count() == 0
     with pytest.raises(ValueError):
         bloom_from_json('{"words": []}')
+
+
+def test_bloom_cross_width_keys_no_false_negatives(spark):
+    """xxhash64 is type-sensitive; the string-canonicalized hash must
+    make an int-keyed build match a bigint-keyed probe (the dim-int /
+    fact-bigint case that silently emptied the join before)."""
+    dim = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    fact = spark.range(0, 100).select(F.col("id").cast("bigint").alias("k"))
+    filtered = bloom_semi_filter(fact, dim, "k", "k", expected_items=100)
+    assert filtered.count() == 100  # every key IS in the dim

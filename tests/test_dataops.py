@@ -414,3 +414,29 @@ def test_ann_ivf_kmeans_refinement_recall(spark, sf_dir):
         _ivf(emb, queries, "vec_id", "embedding", k=10, dim=64, refine_iterations=2)
     )
     assert refined >= base - 0.05, f"refined {refined:.2f} < base {base:.2f}"
+
+
+def test_domain_mix_unlisted_domain_gets_zero_share(spark):
+    """Explicit target_shares must not leak the last listed entry's
+    share onto unlisted domains: unlisted -> share 0, weight 0."""
+    from hr_moderndatapipeline_spark.operators.sampling import domain_mix_weights
+
+    df = spark.createDataFrame(
+        [("web", 100), ("books", 50), ("code", 25)], "source string, n int"
+    )
+    out = {
+        r["source"]: (r["target_share"], r["weight"])
+        for r in domain_mix_weights(
+            df, "source", F.col("n"), target_shares={"web": 0.7, "books": 0.3}
+        ).collect()
+    }
+    assert out["web"][0] == 0.7 and out["books"][0] == 0.3
+    assert out["code"] == (0.0, 0.0)
+
+    # single-entry mapping works; empty mapping is an explicit error
+    one = domain_mix_weights(df, "source", F.col("n"), target_shares={"web": 1.0})
+    assert {r["source"]: r["target_share"] for r in one.collect()}["web"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        domain_mix_weights(df, "source", F.col("n"), target_shares={})

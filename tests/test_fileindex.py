@@ -104,3 +104,27 @@ def test_string_column_indexes_as_unprunable(spark, tmp_path):
     assert srow["min_val"] is None and srow["max_val"] is None  # never pruned on
     xrow = idx.filter(F.col("column") == "x").collect()[0]
     assert xrow["min_val"] == 0.0 and xrow["max_val"] == 49.0
+
+
+def test_read_pruned_empty_range_returns_empty_frame(spark, zordered_dir):
+    idx = build_file_index(spark, zordered_dir, ["x"])
+    out = read_pruned(spark, idx, "x", 1e9, 2e9)
+    assert out.count() == 0
+    assert set(out.columns) == {"x", "y", "v"}
+
+
+def test_update_index_survives_deleted_files_without_cache(spark, tmp_path):
+    """The returned manifest's lineage must not re-read removed
+    files: build (NOT cached), delete a file, update, evaluate."""
+    import os as _os
+
+    d = str(tmp_path / "t")
+    spark.range(0, 100).toDF("x").repartition(2).write.parquet(d)
+    idx = build_file_index(spark, d, ["x"])  # lazily defined, uncached
+    victim = sorted(
+        _os.path.join(d, f) for f in _os.listdir(d) if f.endswith(".parquet")
+    )[0]
+    _os.remove(victim)
+    out = update_file_index(spark, idx, d, ["x"])
+    paths = {r["path"] for r in out.collect()}  # would crash pre-fix
+    assert victim not in paths and len(paths) >= 1

@@ -196,6 +196,7 @@ class _StubRegistryHandler:
     def make(reg):
         import json as _json
         from http.server import BaseHTTPRequestHandler
+        from urllib.parse import unquote as _unq
 
         class H(BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence
@@ -214,7 +215,7 @@ class _StubRegistryHandler:
                 return _json.loads(self.rfile.read(n)) if n else {}
 
             def do_GET(self):
-                p = self.path.strip("/").split("/")
+                p = [_unq(x) for x in self.path.strip("/").split("/")]
                 try:
                     if p == ["subjects"]:
                         self._send(200, reg.subjects())
@@ -235,7 +236,7 @@ class _StubRegistryHandler:
                     self._send(404, {"error_code": 40401, "message": str(e)})
 
             def do_POST(self):
-                p = self.path.strip("/").split("/")
+                p = [_unq(x) for x in self.path.strip("/").split("/")]
                 body = self._body()
                 try:
                     if len(p) == 3 and p[0] == "subjects" and p[2] == "versions":
@@ -254,7 +255,7 @@ class _StubRegistryHandler:
                     self._send(409, {"error_code": 409, "message": str(e)})
 
             def do_PUT(self):
-                p = self.path.strip("/").split("/")
+                p = [_unq(x) for x in self.path.strip("/").split("/")]
                 if len(p) == 2 and p[0] == "config":
                     reg.set_compatibility(p[1], self._body()["compatibility"])
                     self._send(200, {"compatibility": reg.get_compatibility(p[1])})
@@ -262,7 +263,7 @@ class _StubRegistryHandler:
                     self._send(404, {"error_code": 404, "message": "not found"})
 
             def do_DELETE(self):
-                p = self.path.strip("/").split("/")
+                p = [_unq(x) for x in self.path.strip("/").split("/")]
                 if len(p) == 2 and p[0] == "subjects":
                     self._send(200, reg.delete_subject(p[1]))
                 else:
@@ -334,3 +335,14 @@ class TestHttpShim:
         out = decode_wire_df(df, "w", local, reader_schema=V2, keep_cols=["k"])
         got = {r.k: r for r in out.collect()}
         assert got[1].score == 0.0 and got[2].score == 1.5
+
+
+def test_http_shim_percent_encodes_subject_paths(http_registry):
+    """Subjects containing '/', spaces, or non-ASCII must round-trip
+    through the REST paths — unencoded they would re-route the
+    request (POST /subjects/a/b/versions parses as subject 'a')."""
+    subject = "orders/value v2 µ"
+    r = http_registry.register(subject, V1)
+    assert r.version == 1
+    assert http_registry.latest(subject).schema_id == r.schema_id
+    assert http_registry.versions(subject) == [1]
