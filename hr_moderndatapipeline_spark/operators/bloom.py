@@ -63,21 +63,53 @@ def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
     return n_words * 64, k
 
 
-def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
-    """Bit position of hash i: pmod(xxhash64(key, i), m). Hashing the
-    salt as a second column gives k independent functions; pmod keeps
-    the (possibly negative) 64-bit hash in [0, m).
+#: Serialized-filter format version. Bump whenever the hash input
+#: canonicalization changes: a probe against a published filter built
+#: by a different canonicalization silently drops every member key,
+#: so the format marker turns that into a loud load-time error.
+_FORMAT = 2
 
-    The key is hashed through its STRING form: xxhash64 is
-    type-sensitive (hash(42 as int) != hash(42 as bigint)), so
-    hashing raw columns would silently break the no-false-negative
-    guarantee whenever build and probe sides store the same key at
-    different widths — the classic int-keyed dim vs bigint-keyed
-    fact. String canonicalization makes equal values hash equal
-    across integral widths; build and probe must still agree on the
-    value's textual form (e.g. don't probe a DOUBLE against an INT
-    build)."""
-    k = key.cast("string")
+#: Key canonicalization kinds (recorded in the filter so the probe
+#: side applies the SAME normalization as the build side):
+#: - "string": cast to string — equal values hash equal across
+#:   integral widths (xxhash64 itself is type-sensitive:
+#:   hash(42 int) != hash(42 bigint), the silent-empty-join trap).
+#: - "timestamp": hash the epoch-micros long — a timestamp's STRING
+#:   form depends on spark.sql.session.timeZone, which may differ
+#:   between the build session and a probe session reviving a
+#:   published filter.
+#: - "float": +0.0 is added first so -0.0 and 0.0 (join-equal under
+#:   Spark's NormalizeFloatingNumbers) hash identically.
+_KIND_STRING = "string"
+_KIND_TIMESTAMP = "timestamp"
+_KIND_FLOAT = "float"
+
+
+def _key_kind(df: DataFrame, key: Column) -> str:
+    from pyspark.sql import types as T
+
+    dt = df.select(key).schema[0].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _KIND_TIMESTAMP
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return _KIND_FLOAT
+    return _KIND_STRING
+
+
+def _canon(key: Column, kind: str) -> Column:
+    if kind == _KIND_TIMESTAMP:
+        return F.unix_micros(key).cast("string")
+    if kind == _KIND_FLOAT:
+        return (key.cast("double") + F.lit(0.0)).cast("string")
+    return key.cast("string")
+
+
+def _positions(key: Column, n_bits: int, n_hashes: int, kind: str) -> list[Column]:
+    """Bit position of hash i: pmod(xxhash64(canon(key), i), m).
+    Hashing the salt as a second column gives k independent
+    functions; pmod keeps the (possibly negative) 64-bit hash in
+    [0, m)."""
+    k = _canon(key, kind)
     return [
         F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
     ]
@@ -100,7 +132,8 @@ def build_bloom(
     100 TB pipeline needs."""
     n_bits, n_hashes = optimal_params(expected_items, fpp)
     key_col = F.col(key) if isinstance(key, str) else key
-    pos = F.explode(F.array(*_positions(key_col, n_bits, n_hashes))).alias("pos")
+    kind = _key_kind(dim, key_col)
+    pos = F.explode(F.array(*_positions(key_col, n_bits, n_hashes, kind))).alias("pos")
     packed = (
         dim.select(pos)
         .select(
@@ -116,16 +149,30 @@ def build_bloom(
     words = [0] * (n_bits // 64)
     for row in packed:
         words[row["word"]] = row["bits"]
-    return {"words": words, "n_bits": n_bits, "n_hashes": n_hashes}
+    return {
+        "format": _FORMAT,
+        "key_kind": kind,
+        "words": words,
+        "n_bits": n_bits,
+        "n_hashes": n_hashes,
+    }
 
 
 def might_contain(bloom: dict, key: Column) -> Column:
     """Membership test as pure column arithmetic against the packed
     words embedded as ONE array literal. True for every inserted key;
-    false-positive rate ~``fpp`` for others."""
+    false-positive rate ~``fpp`` for others. The probe applies the
+    key canonicalization recorded in the filter, so build and probe
+    stay consistent across sessions and configs."""
+    if bloom.get("format") != _FORMAT:
+        raise ValueError(
+            f"bloom filter format {bloom.get('format')!r} != {_FORMAT}: built by an "
+            "incompatible version; rebuild it (probing would drop every member key)"
+        )
     words = F.lit(bloom["words"])
     tests = []
-    for p in _positions(key, bloom["n_bits"], bloom["n_hashes"]):
+    kind = bloom.get("key_kind", _KIND_STRING)
+    for p in _positions(key, bloom["n_bits"], bloom["n_hashes"], kind):
         word = F.element_at(words, (p / 64).cast("int") + 1)
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
@@ -160,7 +207,8 @@ def bloom_to_json(bloom: dict) -> str:
     import json
 
     return json.dumps(
-        {k: bloom[k] for k in ("words", "n_bits", "n_hashes")}, separators=(",", ":")
+        {k: bloom[k] for k in ("format", "key_kind", "words", "n_bits", "n_hashes")},
+        separators=(",", ":"),
     )
 
 
@@ -170,7 +218,11 @@ def bloom_from_json(payload: str) -> dict:
     import json
 
     bloom = json.loads(payload)
-    missing = {"words", "n_bits", "n_hashes"} - bloom.keys()
+    missing = {"format", "key_kind", "words", "n_bits", "n_hashes"} - bloom.keys()
     if missing:
         raise ValueError(f"not a serialized bloom filter: missing {sorted(missing)}")
+    if bloom["format"] != _FORMAT:
+        raise ValueError(
+            f"bloom filter format {bloom['format']!r} != {_FORMAT}: rebuild required"
+        )
     return bloom

@@ -188,12 +188,15 @@ def domain_mix_weights(
         # Explicit case per LISTED domain; anything unlisted gets
         # share 0.0 (weight 0 → excluded from the mix). A catch-all
         # otherwise() would silently hand the last entry's share to
-        # every unlisted domain.
-        target = F.lit(0.0)
+        # every unlisted domain. Flat chained-when (one CaseWhen
+        # node), not nested otherwise() wrapping — a nested tree is
+        # O(#domains) deep and risks analyzer recursion limits on
+        # wide mixes.
+        target = None
         for name, share in target_shares.items():
-            target = F.when(F.col(domain_col) == name, F.lit(float(share))).otherwise(
-                target
-            )
+            case = (F.col(domain_col) == name, F.lit(float(share)))
+            target = F.when(*case) if target is None else target.when(*case)
+        target = target.otherwise(F.lit(0.0))
     return agg.select(
         domain_col,
         "n_docs",

@@ -160,3 +160,33 @@ def test_bloom_cross_width_keys_no_false_negatives(spark):
     fact = spark.range(0, 100).select(F.col("id").cast("bigint").alias("k"))
     filtered = bloom_semi_filter(fact, dim, "k", "k", expected_items=100)
     assert filtered.count() == 100  # every key IS in the dim
+
+
+def test_bloom_timestamp_keys_survive_session_timezone_change(spark):
+    """Timestamp keys hash through epoch micros, not their session-tz
+    string form: a filter built under UTC must still accept the same
+    instants when probed under a different session timezone."""
+    df = spark.range(0, 50).select(
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts")
+    )
+    bloom = build_bloom(df, "ts", expected_items=50)
+    assert bloom["key_kind"] == "timestamp"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        misses = df.filter(~might_contain(bloom, F.col("ts"))).count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert misses == 0
+
+
+def test_bloom_rejects_unversioned_filters(spark):
+    from hr_moderndatapipeline_spark.operators.bloom import bloom_from_json
+
+    legacy = {"words": [0] * 4, "n_bits": 256, "n_hashes": 3}  # pre-format dict
+    with pytest.raises(ValueError, match="format"):
+        might_contain({**legacy, "format": 1}, F.lit(1))
+    import json as _json
+
+    with pytest.raises(ValueError):
+        bloom_from_json(_json.dumps(legacy))
