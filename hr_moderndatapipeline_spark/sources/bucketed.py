@@ -34,6 +34,10 @@ def write_bucketed(
     files per partition, optionally sorted within buckets. Joins and
     aggregations on ``keys`` between tables sharing this layout plan
     without exchanges."""
+    # Pre-shuffle on the bucket keys: without it every input task
+    # writes a file for each bucket it touches (tasks x num_buckets
+    # small files at scale); after it each task owns whole buckets.
+    df = df.repartition(num_buckets, *[str(k) for k in keys])
     w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)

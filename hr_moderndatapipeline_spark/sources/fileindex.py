@@ -45,6 +45,25 @@ _INDEX_SCHEMA = (
 )
 
 
+def _down(v) -> float:
+    """Largest double <= v: int->double rounds to nearest, which for
+    values beyond 2^53 can round UP and shrink the published range —
+    a file whose true min is then wrongly excluded. Outward rounding
+    keeps the manifest range a superset of the true range."""
+    import math as _math
+
+    f = float(v)
+    return _math.nextafter(f, -_math.inf) if f > v else f
+
+
+def _up(v) -> float:
+    """Smallest double >= v (see ``_down``)."""
+    import math as _math
+
+    f = float(v)
+    return _math.nextafter(f, _math.inf) if f < v else f
+
+
 def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
     """mapInPandas worker: one input row per file path; output one
     row per (file, indexed column) from the footer only."""
@@ -93,8 +112,8 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
                 # the column is listed but never pruned on.
                 try:
                     ok = acc["complete"] and acc["mins"]
-                    lo = float(min(acc["mins"])) if ok else None
-                    hi = float(max(acc["maxs"])) if ok else None
+                    lo = _down(min(acc["mins"])) if ok else None
+                    hi = _up(max(acc["maxs"])) if ok else None
                 except (TypeError, ValueError):
                     lo = hi = None
                 out.append(
@@ -148,7 +167,12 @@ def pruned_paths(
 ) -> list[str]:
     """Paths whose [min, max] for ``column`` intersects [lo, hi] —
     plus files with no stats for the column (never prune blind).
-    The manifest is O(#files); this is driver-cheap by design."""
+    The manifest is O(#files); this is driver-cheap by design.
+    A column with NO manifest rows raises KeyError: silently
+    returning zero paths would make a typo'd or never-indexed column
+    read as "no data matches"."""
+    if index.filter(F.col("column") == column).limit(1).count() == 0:
+        raise KeyError(f"column {column!r} is not in this manifest")
     rows = (
         index.filter(F.col("column") == column)
         .filter(

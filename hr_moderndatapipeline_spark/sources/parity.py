@@ -46,8 +46,12 @@ def snapshot_parity_check(spark: SparkSession, target: str) -> dict:
     path = os.path.join(target, version)
 
     spark_pdf = spark.read.parquet(path).toPandas()
+    # recursive glob + hive partitioning: a snapshot published with
+    # partition_by writes key=value/ subdirectories, which the flat
+    # top-level glob would miss entirely
     duck_pdf = duckdb.connect().execute(
-        "SELECT * FROM read_parquet(?)", [os.path.join(path, "*.parquet")]
+        "SELECT * FROM read_parquet(?, hive_partitioning=true)",
+        [os.path.join(path, "**", "*.parquet")],
     ).df()
 
     cols_match = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)

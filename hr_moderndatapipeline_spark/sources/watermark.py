@@ -50,8 +50,14 @@ class FileWatermarkStore:
             return self.default
 
     def set(self, key: str, value: str) -> None:
-        with open(self._path(key), "w") as f:
+        # tmp + atomic rename (same protocol as the snapshot _LATEST
+        # pointer): a torn plain write leaves a truncated timestamp
+        # whose cast evaluates to NULL, silently turning every later
+        # incremental extract into zero rows forever.
+        tmp = self._path(key) + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(value))
+        os.replace(tmp, self._path(key))
 
 
 class MemoryWatermarkStore:

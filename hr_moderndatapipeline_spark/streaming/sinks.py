@@ -15,9 +15,11 @@ syntactically broken). Here:
   target via the engine's batch operators (operators/cdc.upsert_apply,
   operators/scd2.scd2_apply). With Delta available the same callback
   body becomes a MERGE; the versioned-directory commit protocol
-  (write v{n+1}, then atomically publish a _LATEST pointer) is the
-  no-transaction-log fallback and is idempotent under micro-batch
-  replay because the batch id is folded into the version path.
+  (write a FRESH v{n+1}, then atomically publish a _LATEST pointer)
+  is the no-transaction-log fallback; replay idempotency comes from a
+  _BATCH marker recording the last published batch id (a replayed
+  batch is a no-op), never from reusing a version path — overwriting
+  a path the merge lineage is concurrently reading is a crash.
 """
 
 from __future__ import annotations
@@ -199,9 +201,11 @@ def publish_snapshot(
     travel via ``versionAsOf``), so ``version`` becomes a commit
     metadata tag. Without Delta (this container), the fallback is
     the versioned-directory protocol: write ``target/v{n}``, then
-    atomically swing the ``_LATEST`` pointer — idempotent under
-    micro-batch replay because the batch id is folded into the
-    version path.
+    atomically swing the ``_LATEST`` pointer. Streaming callers go
+    through ``_publish_batch_snapshot``, which allocates a FRESH
+    version per publish and deduplicates replays via the ``_BATCH``
+    marker — never overwrite a version directory the current merge
+    lineage may be reading.
 
     ``partition_by`` partitions the physical layout (e.g. by date
     key) so downstream reads prune partitions — the uplift SURVEY.md
@@ -290,13 +294,7 @@ def compact_snapshot(
     n_files = max(
         1, math.ceil(_parquet_bytes(os.path.join(target, version)) / target_file_bytes)
     )
-    numbers = [
-        int(d[1:])
-        for d in os.listdir(target)
-        if d.startswith("v") and d[1:].isdigit() and os.path.isdir(os.path.join(target, d))
-    ]
-    next_n = (max(numbers) + 1) if numbers else 0
-    publish_snapshot(cur.repartition(n_files), target, f"v{next_n}")
+    publish_snapshot(cur.repartition(n_files), target, f"v{_next_free_version(target)}")
     return n_files
 
 
@@ -336,13 +334,7 @@ def forget_keys(
         )
     kept = cur.join(F.broadcast(k), key_col, "left_anti")
     removed = cur.count() - kept.count()
-    numbers = [
-        int(d[1:])
-        for d in os.listdir(target)
-        if d.startswith("v") and d[1:].isdigit() and os.path.isdir(os.path.join(target, d))
-    ]
-    next_n = (max(numbers) + 1) if numbers else 0
-    publish_snapshot(kept, target, f"v{next_n}")
+    publish_snapshot(kept, target, f"v{_next_free_version(target)}")
     if purge_history:
         vacuum_snapshots(target, keep_last=1)
     return removed
@@ -450,6 +442,53 @@ def read_snapshot_version(spark: SparkSession, target: str, version: int) -> Dat
     return spark.read.parquet(os.path.join(target, f"v{version}"))
 
 
+def _next_free_version(target: str) -> int:
+    """First unused v{n} — shared by EVERY parquet-protocol publisher
+    (micro-batches, compaction, delete propagation), so two writers
+    can never allocate the same physical directory. Naming a publish
+    after the BATCH id was the round-5 review's crash loop: after a
+    publish-then-crash-before-checkpoint, the replayed batch read
+    v{b} through _LATEST while overwriting v{b} ('Cannot overwrite a
+    path that is also being read from'), and a compaction's max+1
+    version could collide with the next batch id outright."""
+    if not os.path.isdir(target):
+        return 0
+    numbers = [
+        int(d[1:])
+        for d in os.listdir(target)
+        if d.startswith("v") and d[1:].isdigit() and os.path.isdir(os.path.join(target, d))
+    ]
+    return (max(numbers) + 1) if numbers else 0
+
+
+_BATCH_MARKER = "_BATCH"
+
+
+def _last_published_batch(target: str) -> int | None:
+    try:
+        with open(os.path.join(target, _BATCH_MARKER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _publish_batch_snapshot(df: DataFrame, target: str, batch_id: int) -> None:
+    """Exactly-once publish for foreachBatch: replay of an
+    already-published batch id is a no-op (marker check), and the
+    physical directory is always a FRESH version — the lineage
+    reading the current snapshot never has its own files overwritten
+    underneath it. Marker write is tmp+rename, after the data
+    publish: a crash between the two replays the batch into one
+    extra (content-identical) version, never into corruption."""
+    if _last_published_batch(target) == batch_id:
+        return
+    publish_snapshot(df, target, f"v{_next_free_version(target)}")
+    tmp = os.path.join(target, f".{_BATCH_MARKER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(target, _BATCH_MARKER))
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     target: str,
@@ -488,16 +527,20 @@ def foreach_batch_upsert(
             )
             return
         current = read_snapshot(spark, target)
-        merged = batch if current is None else upsert_apply(
-            current, batch, keys, order_by
-        )
-        # De-dup within the batch as well (a batch can carry several
-        # versions of one key).
-        from hr_moderndatapipeline_spark.operators.relational import latest_per_key
+        if current is None:
+            # first batch: dedup within the batch (it can carry
+            # several versions of one key) — on the TINY batch frame
+            from hr_moderndatapipeline_spark.operators.relational import latest_per_key
 
-        ob = [order_by] if isinstance(order_by, str) else list(order_by)
-        merged = latest_per_key(merged, list(keys), ob)
-        publish_snapshot(merged, target, f"v{batch_id}")
+            ob = [order_by] if isinstance(order_by, str) else list(order_by)
+            merged = latest_per_key(batch, list(keys), ob)
+        else:
+            # upsert_apply's row_number window already keeps exactly
+            # one row per key including intra-batch duplicates; a
+            # second latest_per_key over the merged SNAPSHOT would
+            # re-shuffle the whole table per micro-batch for nothing
+            merged = upsert_apply(current, batch, keys, order_by)
+        _publish_batch_snapshot(merged, target, batch_id)
 
     return _start_foreach_batch(stream, _apply, checkpoint, available_now)
 
@@ -523,7 +566,7 @@ def foreach_batch_scd2(
             merged = scd2_from_history(batch, keys, ts_col)
         else:
             merged = scd2_apply(current, batch, keys, tracked, ts_col)
-        publish_snapshot(merged, target, f"v{batch_id}")
+        _publish_batch_snapshot(merged, target, batch_id)
 
     return _start_foreach_batch(stream, _apply, checkpoint, available_now)
 

@@ -62,6 +62,11 @@ def file_json_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(path)
+    # the documented contract: the file MODIFICATION time stands in
+    # for the broker timestamp. current_timestamp() (processing time)
+    # would stamp a replayed backlog with "now", collapsing every
+    # event-time window fed from this source into the current one.
     return raw.select(
-        F.col("value"), F.current_timestamp().alias("kafka_ts")
+        F.col("value"),
+        F.col("_metadata.file_modification_time").alias("kafka_ts"),
     )

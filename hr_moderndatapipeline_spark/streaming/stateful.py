@@ -66,19 +66,37 @@ def running_totals(
     key_cols: Sequence[tuple[str, str]],
     value_col: str,
     ts_col: str,
+    idle_timeout_minutes: int | None = None,
 ) -> DataFrame:
     """Per-key running (count, sum, last event time) over a stream.
 
     ``key_cols`` is [(name, SparkTypeClassName)], e.g.
     ``[("user_id", "IntegerType")]`` — the output schema must be
     declared, not inferred. Emits one updated row per key per
-    micro-batch (outputMode update semantics)."""
+    micro-batch (outputMode update semantics).
+
+    ``idle_timeout_minutes`` bounds the state store: a key receiving
+    no events for that long has its state evicted (final totals are
+    emitted once on eviction). Leaving it None keeps every key ever
+    seen forever — acceptable for bounded key domains (the dimension
+    tables here), but a HIGH-CARDINALITY stream (user ids, session
+    ids) grows state monotonically until the store OOMs: set a
+    timeout there, exactly the unbounded-state hazard
+    ``dedup_stream``'s watermark bounds."""
     names = [n for n, _ in key_cols]
     out_schema = _output_schema(key_cols)
+    timeout_ms = None if idle_timeout_minutes is None else idle_timeout_minutes * 60_000
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, vsum, last_ms = state.get if state.exists else (0, 0.0, 0)
+            state.remove()
+            row = dict(zip(names, key))
+            row.update({"n_events": n, "value_sum": vsum, "last_ts_ms": last_ms})
+            yield pd.DataFrame([row])
+            return
         if state.exists:
             n, vsum, last_ms = state.get
         else:
@@ -90,6 +108,8 @@ def running_totals(
                 batch_max = pdf[ts_col].max()
                 last_ms = max(last_ms, int(batch_max.value // 1_000_000))
         state.update((n, vsum, last_ms))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         row = dict(zip(names, key))
         row.update({"n_events": n, "value_sum": vsum, "last_ts_ms": last_ms})
         yield pd.DataFrame([row])
@@ -99,5 +119,9 @@ def running_totals(
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -50,7 +50,11 @@ def parse_with_dlq(
             F.col(payload_col), parse_schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
         ),
     )
-    ok: Column = F.col(f"_data.{CORRUPT_COL}").isNull()
+    # A NULL payload (e.g. a Kafka tombstone) parses to a NULL struct
+    # whose corrupt-record field is also NULL — without the
+    # payload-not-null guard it would land in the VALID frame as an
+    # all-null row instead of the DLQ.
+    ok: Column = F.col(payload_col).isNotNull() & F.col(f"_data.{CORRUPT_COL}").isNull()
 
     valid = (
         parsed.filter(ok)

@@ -60,10 +60,10 @@ def test_pruning_skips_files_but_loses_nothing(spark, zordered_dir):
     assert full.exceptAll(pruned).count() == 0
 
 
-def test_unstatted_column_never_prunes(spark, zordered_dir):
+def test_unindexed_column_raises_instead_of_silent_empty(spark, zordered_dir):
     idx = build_file_index(spark, zordered_dir, ["x"])
-    # a column absent from the index yields no rows -> no pruning claim
-    assert pruned_paths(idx.filter(F.col("column") == "nope"), "nope", 0, 1) == []
+    with pytest.raises(KeyError):
+        pruned_paths(idx, "nope", 0, 1)
 
 
 def test_empty_dir_raises(spark, tmp_path):
@@ -128,3 +128,16 @@ def test_update_index_survives_deleted_files_without_cache(spark, tmp_path):
     out = update_file_index(spark, idx, d, ["x"])
     paths = {r["path"] for r in out.collect()}  # would crash pre-fix
     assert victim not in paths and len(paths) >= 1
+
+
+def test_huge_int_stats_round_outward(spark, tmp_path):
+    """int64 values beyond 2^53 have no exact double: the manifest
+    range must round OUTWARD so the true min/max stay inside it and
+    a file containing the probed value is never pruned."""
+    big = (1 << 53) + 1  # float(big) rounds DOWN to 2^53
+    d = str(tmp_path / "big")
+    spark.createDataFrame([(big,), (big + 10,)], "id long").coalesce(1).write.parquet(d)
+    idx = build_file_index(spark, d, ["id"])
+    assert pruned_paths(idx, "id", float(big), float(big)) != []
+    row = idx.collect()[0]
+    assert row["min_val"] <= big <= row["max_val"]

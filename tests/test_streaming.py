@@ -457,3 +457,42 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
 
     with pytest.raises(ValueError):
         stream_stream_join(left, right, ["user_id"], "error_ts", "click_ts", how="rightOuter")
+
+
+def test_null_payload_routes_to_dlq_not_valid(spark):
+    """A NULL payload (Kafka tombstone) must not surface as an
+    all-null VALID row: from_json(NULL) has a NULL corrupt-record
+    field, which the ok-filter alone would misread as valid."""
+    from pyspark.sql import types as T
+
+    raw = spark.createDataFrame(
+        [('{"user_id": 1}',), (None,), ("not json",)], "value string"
+    )
+    schema = T.StructType([T.StructField("user_id", T.IntegerType())])
+    valid, dlq = parse_with_dlq(raw, "value", schema)
+    assert [r["user_id"] for r in valid.collect()] == [1]
+    assert dlq.count() == 2  # the tombstone AND the corrupt row
+
+
+def test_batch_publish_replay_is_noop(spark, tmp_path):
+    """Replaying an already-published batch id (crash after publish,
+    before checkpoint commit) must not write a new version — and must
+    NEVER overwrite a directory the merge lineage reads."""
+    import os
+
+    from hr_moderndatapipeline_spark.streaming.sinks import (
+        _publish_batch_snapshot,
+        read_snapshot,
+    )
+
+    target = str(tmp_path / "t")
+    df = spark.range(0, 10).toDF("k")
+    _publish_batch_snapshot(df, target, batch_id=0)
+    _publish_batch_snapshot(df, target, batch_id=0)  # replay: no-op
+    versions = [d for d in os.listdir(target) if d.startswith("v")]
+    assert versions == ["v0"]
+    # a NEW batch whose id collides with an existing version dir
+    # still publishes to a fresh physical directory
+    _publish_batch_snapshot(spark.range(10, 20).toDF("k"), target, batch_id=1)
+    assert sorted(d for d in os.listdir(target) if d.startswith("v")) == ["v0", "v1"]
+    assert read_snapshot(spark, target).count() == 10
