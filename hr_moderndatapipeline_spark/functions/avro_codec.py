@@ -238,8 +238,13 @@ def avro_encode_udf(schema_json: str):
 
     @F.pandas_udf(T.BinaryType())
     def _encode(s: pd.DataFrame) -> pd.Series:
+        # Arrow->pandas upcasts nullable numerics to float64 + NaN;
+        # NaN is not None, so without this mask a NULL int crashes
+        # int(NaN) and a NULL double silently encodes as the VALUE
+        # NaN on the non-null union branch.
+        clean = s.astype(object).where(pd.notnull(s), None)
         return pd.Series(
-            [encode_record(row, fields) for row in s.to_dict("records")]
+            [encode_record(row, fields) for row in clean.to_dict("records")]
         )
 
     return _encode

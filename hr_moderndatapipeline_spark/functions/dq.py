@@ -42,6 +42,7 @@ class Rule:
     rule_id: str
     kind: str                     # not_null | unique | between | foreign_key | accepted_values
     column: str
+    table: str | None = None
     min: float | None = None
     max: float | None = None
     ref_table: str | None = None
@@ -49,23 +50,30 @@ class Rule:
     values: Sequence[str] = field(default_factory=tuple)
 
 
-def load_rules(spec: str | Mapping) -> list[Rule]:
+def load_rules(spec: str | Mapping, table: str | None = None) -> list[Rule]:
     """Parse a rules spec (YAML path/string or dict) shaped like the
     reference's dq_rules.yaml: ``{table: {rules: [{type, column, ...}]}}``.
-    Returns a flat rule list with generated rule ids."""
+    Returns rules with generated ids, each carrying its ``table`` —
+    pass ``table=`` to select one table's rules (applying a flat
+    multi-table list to a single frame would run other tables' rules
+    against it: missing-column AnalysisExceptions at best, wrong
+    same-named constraints silently at worst)."""
     if isinstance(spec, str):
         if yaml is None:
             raise RuntimeError("pyyaml not available; pass a dict spec")
         with open(spec) as f:
             spec = yaml.safe_load(f)
     rules: list[Rule] = []
-    for table, tdef in spec.items():
+    for tname, tdef in spec.items():
+        if table is not None and tname != table:
+            continue
         for i, r in enumerate(tdef.get("rules", [])):
             rules.append(
                 Rule(
-                    rule_id=f"{table}.{r['type']}.{r.get('column', '*')}.{i}",
+                    rule_id=f"{tname}.{r['type']}.{r.get('column', '*')}.{i}",
                     kind=r["type"],
                     column=r.get("column"),
+                    table=tname,
                     min=r.get("min"),
                     max=r.get("max"),
                     ref_table=r.get("ref_table"),

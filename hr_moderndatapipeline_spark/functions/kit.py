@@ -25,9 +25,12 @@ def null_safe_ratio(num: Column, den: Column) -> Column:
     return F.coalesce(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0))
 
 
-def dec_sum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+def dec_sum(col: Column | str, precision: int = 38, scale: int = 2) -> Column:
     """Exact decimal sum surfaced as double — deterministic under
-    any partitioning / aggregation order."""
+    any partitioning / aggregation order. Precision defaults to the
+    decimal maximum (38): with ANSI off, a value overflowing the cast
+    becomes NULL and F.sum silently DROPS it — at 18,2 a single
+    >=10^16 outlier made the "exact" total quietly wrong."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 

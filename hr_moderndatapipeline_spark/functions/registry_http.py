@@ -126,9 +126,25 @@ class HttpSchemaRegistry:
         return self._call("GET", f"/config/{_q(subject)}")["compatibilityLevel"]
 
     def test_compatibility(self, subject: str, schema: str) -> bool:
-        out = self._call(
-            "POST",
-            f"/compatibility/subjects/{_q(subject)}/versions/latest",
-            {"schema": schema, "schemaType": "AVRO"},
-        )
-        return bool(out["is_compatible"])
+        # In-process parity: a not-yet-existing subject accepts any
+        # schema, and *_TRANSITIVE modes must check EVERY version,
+        # not just latest (a schema compatible with vN but not v1
+        # would otherwise test True and then 409 on register).
+        try:
+            versions = self.versions(subject)
+        except KeyError:
+            return True
+        if not versions:
+            return True
+        mode = self.get_compatibility(subject)
+        against = versions if mode.endswith("_TRANSITIVE") else ["latest"]
+        for v in against:
+            out = self._call(
+                "POST",
+                f"/compatibility/subjects/{_q(subject)}/versions/{_q(v)}",
+                {"schema": schema, "schemaType": "AVRO"},
+            )
+            if not bool(out["is_compatible"]):
+                return False
+        return True
+

@@ -307,8 +307,10 @@ def decode_wire_df(
     """Schema-evolution read: decode a mixed-version wire-format
     column under ``reader_schema``, in ONE pass.
 
-    Every registered schema (O(#versions) metadata) ships in the
-    decode UDF's closure; each record is decoded with its WRITER
+    The registry handle ships in the decode UDF's closure and writer
+    schemas are fetched + parsed lazily per id actually seen (public
+    ``schema_by_id``, works for in-process and REST registries
+    alike); each record is decoded with its WRITER
     schema — resolved per row from the framed id — then projected to
     the reader's field set: fields the writer lacks take the reader
     default, writer-only fields are dropped. No distinct-id collect,
@@ -323,9 +325,6 @@ def decode_wire_df(
     keep = keep_cols or []
     reader_fields = _record_fields(reader_schema)
     out_schema = spark_schema_for(reader_schema)
-    writer_fields_by_id = {
-        sid: _parse_schema(s) for sid, s in registry._by_id.items()  # noqa: SLF001
-    }
     names = list(reader_fields)
     defaults = {n: rf.get("default") for n, rf in reader_fields.items()}
     # Avro schema resolution: a reader field absent from the writer
@@ -334,12 +333,26 @@ def decode_wire_df(
     # nulls (ADVICE r4).
     no_default = frozenset(n for n, rf in reader_fields.items() if "default" not in rf)
 
+    # Writer schemas resolve LAZILY, per id actually present in the
+    # data, through the PUBLIC ``schema_by_id`` — so (a) the decode
+    # genuinely works against either registry implementation
+    # (HttpSchemaRegistry has no ``_by_id`` to enumerate), and (b) an
+    # unsupported schema registered under some UNRELATED subject can
+    # no longer break this topic's decode. The per-executor cache
+    # holds O(#versions-seen) parsed schemas.
+    parsed_cache: dict[int, object] = {}
+
+    def _writer_fields(sid: int):
+        if sid not in parsed_cache:
+            parsed_cache[sid] = _parse_schema(registry.schema_by_id(sid))
+        return parsed_cache[sid]
+
     @F.pandas_udf(out_schema)
     def _decode(wire: pd.Series) -> pd.DataFrame:
         rows = []
         for b in wire:
             sid, payload = wire_decode(bytes(b))
-            rec = decode_record(payload, writer_fields_by_id[sid])
+            rec = decode_record(payload, _writer_fields(sid))
             missing = [n for n in no_default if n not in rec]
             if missing:
                 raise ValueError(

@@ -23,9 +23,12 @@ class ChunkWords:
     Python path against the JVM path."""
 
     def eval(self, text: str, max_words: int):  # noqa: D102
-        words = (text or "").split(" ")
-        if not text or max_words <= 0:
+        # NULL inputs produce no rows (matching the JVM path's
+        # null-propagation); an EMPTY string splits to [''] and emits
+        # one empty chunk, exactly like doc_chunks.
+        if text is None or max_words is None or max_words <= 0:
             return
+        words = text.split(" ")
         for i in range(0, (len(words) - 1) // max_words + 1):
             piece = words[i * max_words : (i + 1) * max_words]
             yield i, " ".join(piece), len(piece)

@@ -68,7 +68,18 @@ class ModelRunner:
                 if m.partition_by:
                     w = w.partitionBy(*m.partition_by)
                 w.parquet(path)
+                written = df.schema
                 df = self.spark.read.parquet(path)
+                # partitionBy re-read infers partition-column types
+                # from directory names (e.g. '00123' -> INT 123) and
+                # moves them to the end; restore the model's declared
+                # types and column order so downstream SQL sees
+                # exactly what the model produced
+                from pyspark.sql import functions as F
+
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in written.fields]
+                )
             df.createOrReplaceTempView(m.name)
             self._results[m.name] = df
         return dict(self._results)

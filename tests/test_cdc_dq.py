@@ -218,3 +218,42 @@ def test_dq_rules_split_is_complete_partition(spark):
     assert (2, "r.not_null.email.0") in by_rule
     assert (3, "r.between.salary.1") in by_rule
     assert (6, "r.fk.dept_id.3") in by_rule
+
+
+def test_avro_encode_preserves_nulls_in_numeric_unions(spark):
+    """Arrow->pandas turns nullable numerics into NaN; the encoder
+    must still take the NULL union branch — a NULL long would crash
+    int(NaN), a NULL double would silently round-trip as NaN."""
+    import json as _json
+
+    from hr_moderndatapipeline_spark.functions.avro_codec import (
+        avro_decode_udf,
+        avro_encode_udf,
+    )
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "b", "type": ["null", "double"]},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(1, 2.5), (None, None)], "a long, b double")
+    enc = avro_encode_udf(schema)
+    dec = avro_decode_udf(schema)
+    out = df.select(dec(enc(F.struct("a", "b"))).alias("r")).select("r.*").collect()
+    got = {(r["a"], r["b"]) for r in out}
+    assert got == {(1, 2.5), (None, None)}
+
+
+def test_chunk_udtf_matches_jvm_on_empty_and_null_text(spark):
+    from hr_moderndatapipeline_spark.functions.udtfs import ChunkWords
+
+    impl = ChunkWords.func()  # the @udtf wrapper hides the raw class
+    rows = list(impl.eval("", 4))
+    assert rows == [(0, "", 1)]  # doc_chunks emits one empty chunk
+    assert list(impl.eval(None, 4)) == []
+    assert list(impl.eval("a b", None)) == []

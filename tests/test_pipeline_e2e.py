@@ -131,3 +131,16 @@ def test_load_rules_yaml_spec():
     assert rules[0].rule_id == "employees.not_null.email.0"
     assert rules[1].min == 0 and rules[1].max == 100
     assert rules[2].ref_table == "departments"
+
+
+def test_load_rules_table_filter_and_attribution():
+    from hr_moderndatapipeline_spark.functions.dq import load_rules
+
+    spec = {
+        "customer": {"rules": [{"type": "not_null", "column": "c_custkey"}]},
+        "orders": {"rules": [{"type": "not_null", "column": "o_orderkey"}]},
+    }
+    all_rules = load_rules(spec)
+    assert {r.table for r in all_rules} == {"customer", "orders"}
+    only = load_rules(spec, table="customer")
+    assert [r.column for r in only] == ["c_custkey"]

@@ -346,3 +346,24 @@ def test_http_shim_percent_encodes_subject_paths(http_registry):
     assert r.version == 1
     assert http_registry.latest(subject).schema_id == r.schema_id
     assert http_registry.versions(subject) == [1]
+
+
+def test_http_test_compatibility_transitive_and_missing_subject(http_registry):
+    """In-process parity: a not-yet-existing subject accepts any
+    schema; *_TRANSITIVE modes check EVERY version, not just latest."""
+    assert http_registry.test_compatibility("never-registered", V1) is True
+    http_registry.set_compatibility("tr-value", "BACKWARD_TRANSITIVE")
+    http_registry.register("tr-value", V1)
+    http_registry.register("tr-value", V2)
+    # V_BAD violates against v1 even if later versions were laxer
+    assert http_registry.test_compatibility("tr-value", V_BAD) is False
+
+
+def test_http_get_compatibility_falls_back_to_global(http_registry):
+    """Subjects without a subject-level override return the global
+    default (Confluent 404s there; the in-process registry returns
+    its default), keeping the two implementations interchangeable."""
+    assert http_registry.get_compatibility("no-override-subject") in {
+        "BACKWARD", "FORWARD", "FULL", "NONE",
+        "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE",
+    }
