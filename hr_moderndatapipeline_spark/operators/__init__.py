@@ -10,6 +10,7 @@ from hr_moderndatapipeline_spark.operators.relational import (  # noqa: F401
 from hr_moderndatapipeline_spark.operators.bloom import (  # noqa: F401
     bloom_semi_filter,
     build_bloom,
+    filter_by_bloom,
     might_contain,
 )
 from hr_moderndatapipeline_spark.operators.layout import (  # noqa: F401

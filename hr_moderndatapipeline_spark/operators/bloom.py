@@ -158,18 +158,15 @@ def build_bloom(
     }
 
 
-def might_contain(bloom: dict, key: Column) -> Column:
-    """Membership test as pure column arithmetic against the packed
-    words embedded as ONE array literal. True for every inserted key;
-    false-positive rate ~``fpp`` for others. The probe applies the
-    key canonicalization recorded in the filter, so build and probe
-    stay consistent across sessions and configs."""
+def _check_format(bloom: dict) -> None:
     if bloom.get("format") != _FORMAT:
         raise ValueError(
             f"bloom filter format {bloom.get('format')!r} != {_FORMAT}: built by an "
             "incompatible version; rebuild it (probing would drop every member key)"
         )
-    words = F.lit(bloom["words"])
+
+
+def _membership(words: Column, bloom: dict, key: Column) -> Column:
     tests = []
     kind = bloom.get("key_kind", _KIND_STRING)
     for p in _positions(key, bloom["n_bits"], bloom["n_hashes"], kind):
@@ -182,6 +179,52 @@ def might_contain(bloom: dict, key: Column) -> Column:
     for t in tests[1:]:
         out = out & t
     return out
+
+
+def might_contain(bloom: dict, key: Column) -> Column:
+    """Membership test as pure column arithmetic against the packed
+    words embedded as ONE array literal. True for every inserted key;
+    false-positive rate ~``fpp`` for others. The probe applies the
+    key canonicalization recorded in the filter, so build and probe
+    stay consistent across sessions and configs.
+
+    The literal form suits filters up to ~1M bits; for the tens of
+    megabytes a 100M-key dim needs, use ``filter_by_bloom``, which
+    ships the words once per executor via a broadcast join instead of
+    inside every serialized task."""
+    _check_format(bloom)
+    return _membership(F.lit(bloom["words"]), bloom, key)
+
+
+#: Above this many packed words (64 KiB of longs) the filter rides a
+#: broadcast exchange instead of a plan literal: a literal is
+#: serialized into EVERY task (Spark's internal runtime filter
+#: broadcasts for the same reason), and a 100M-key / 1% filter is
+#: ~15M words — task-size-limit territory.
+_LITERAL_WORDS_MAX = 8192
+
+
+def filter_by_bloom(
+    df: DataFrame, bloom: dict, key: Column, literal_max_words: int = _LITERAL_WORDS_MAX
+) -> DataFrame:
+    """Keep rows whose key might be in the filter, choosing the
+    cheapest shipping mode for the words: plan literal for small
+    filters, single-row broadcast join (words cross the network once
+    per executor) for large ones. Result rows are identical either
+    way."""
+    _check_format(bloom)
+    if len(bloom["words"]) <= literal_max_words:
+        return df.filter(might_contain(bloom, key))
+    words_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(bloom["words"],)], "_bloom_words array<bigint>"
+        )
+    )
+    return (
+        df.join(words_df)  # 1-row broadcast: no data movement of df
+        .filter(_membership(F.col("_bloom_words"), bloom, key))
+        .drop("_bloom_words")
+    )
 
 
 def bloom_semi_filter(
@@ -197,7 +240,7 @@ def bloom_semi_filter(
     positives ≤ fpp), so composing with the exact join afterwards is
     result-identical to joining without the filter — only cheaper."""
     bloom = build_bloom(dim, dim_key, expected_items, fpp)
-    return fact.filter(might_contain(bloom, F.col(fact_key)))
+    return filter_by_bloom(fact, bloom, F.col(fact_key))
 
 
 def bloom_to_json(bloom: dict) -> str:

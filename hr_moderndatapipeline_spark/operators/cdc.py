@@ -61,10 +61,18 @@ def classify_cdc_ops(
     soft_delete_col: str | None = None,
 ) -> DataFrame:
     """Emit an ``op`` column per versioned row: first version of a
-    key is INSERT, later versions UPDATE, and a version whose
-    soft-delete flag turns true is DELETE (the reference's deletes
-    are ``is_deleted=true`` updates — jobs/bronze/ingest_change_source.py:89-96,
-    SURVEY.md §2.11.4)."""
+    key is INSERT, later versions UPDATE, and EVERY version carrying
+    the soft-delete flag is DELETE (the reference's deletes are
+    ``is_deleted=true`` updates — jobs/bronze/ingest_change_source.py:89-96,
+    SURVEY.md §2.11.4).
+
+    POLICY (cross-engine-pinned by the ``cdc_op_classification``
+    oracle): the flag classifies by STATE, not by transition — a
+    touch-up on an already-deleted record re-emits DELETE (idempotent
+    for appliers), and a key born deleted is DELETE from its first
+    version (it must not be inserted downstream at all). Appliers
+    needing transition events (deleted-ness changed) should diff the
+    flag with ``change_pairs`` instead."""
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     out = df.withColumn("_prev_ts", F.lag(ts_col).over(w))
     op = F.when(F.col("_prev_ts").isNull(), F.lit("INSERT")).otherwise(F.lit("UPDATE"))

@@ -269,13 +269,19 @@ def minhash_index(
     against stored buckets instead of re-shingling 100 TB of
     existing corpus. Carrying the hashed shingle set in the index
     row lets verification run without a second corpus lookup."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
+    # persisted for the same reason as in minhash_dedup_pairs: two
+    # consumers (signatures + the final join) would otherwise re-run
+    # the split+shingle+hash of the WHOLE corpus — the most expensive
+    # map stage of the index build — twice.
     prepped = df.select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("_shh"),
-    ).filter(F.size("_shh") > 0)
+    ).filter(F.size("_shh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(prepped, id_col, "_shh", num_hashes)
     buckets = lsh_bucket_rows(sigs, id_col, "_sig", bands, rows_per_band)
     return buckets.join(prepped, id_col).select(
@@ -367,15 +373,36 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_block: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup candidates: block on the top ``prefix_bits``
     of the signature (docs within small Hamming distance usually
     share a prefix block; multi-table permutation blocking is the
     production extension), then verify Hamming ≤ ``max_hamming``
-    via bit_count(xor)."""
+    via bit_count(xor).
+
+    ``max_block`` caps degenerate hot blocks, mirroring
+    ``lsh_candidate_pairs``'s ``max_bucket``: every token-less doc
+    gets signature 0 and a 100 TB crawl has MILLIONS of empty/
+    boilerplate docs — without the cap they form one block whose
+    self-join is quadratic. Run exact dedup first; capped blocks are
+    its job, not SimHash's."""
     sig = simhash64(df.select(id_col, text_col), id_col, text_col)
     blocked = sig.withColumn("_block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_block")
+        blocked = (
+            blocked.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_block)
+            .drop("_n")
+        )
     a = blocked.select(
         F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_sig_a"), "_block"
     )

@@ -111,12 +111,16 @@ def extract_features(media: DataFrame, batch_fake: bool = True) -> DataFrame:
                 if not batch_fake:  # pragma: no cover - explicit stub boundary
                     raise NotImplementedError("real codecs unavailable; use batch_fake=True")
                 arr = np.frombuffer(payload or b"", dtype=np.uint8).astype(np.float64)
+                true_size = int(arr.size)  # BEFORE the histogram pad:
+                # decode_media reports 0 for empty payloads, and so
+                # must this path ("drop n_bytes == 0" filters rely
+                # on the two agreeing)
                 if arr.size == 0:
                     arr = np.zeros(1)
                 hist = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0]
                 total = hist.sum() or 1
                 feats.append((hist / total).tolist())
-                n_bytes.append(int(arr.size))
+                n_bytes.append(true_size)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

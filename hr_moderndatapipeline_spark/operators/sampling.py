@@ -155,7 +155,12 @@ def weighted_keep(key: Column, keep_prob: Column) -> Column:
     integer arithmetic against a scaled threshold: restatable in ANSI
     SQL, identical across runs, engines, partitionings, and task
     retries — the property ``rand()`` sampling loses on retry."""
-    draw = ((key * F.lit(_KNUTH)) % F.lit(4294967296)) % F.lit(1_000_000)
+    # pmod, not %: Spark's % follows the dividend's sign, so a
+    # negative key (xxhash64-derived ids are negative half the time)
+    # yields a negative draw that is < ANY threshold — rows kept
+    # unconditionally even at keep_prob 0. det_bucket and
+    # training_shuffle already wrap with pmod.
+    draw = F.pmod(F.pmod(key * F.lit(_KNUTH), F.lit(4294967296)), F.lit(1_000_000))
     return draw.cast("double") < keep_prob * F.lit(1_000_000.0)
 
 

@@ -95,6 +95,15 @@ def scd2_apply(
     Multiple versions of one key inside a single batch are applied
     in ``ts_col`` order via ``scd2_from_history`` over the winning
     subset, so intra-batch history is preserved.
+
+    POLICY (cross-engine-pinned by the ``scd2_apply_fold`` oracle):
+    only a batch's LEADING row is no-op-checked against the current
+    dim version; later batch rows are versions by construction — the
+    changes input is a change LOG, and every logged entry (even one
+    restating the same tracked values) is an observed version worth
+    materializing. Callers wanting consecutive-identical collapsing
+    should dedup the change frame first (``latest_per_key`` /
+    ``change_pairs``).
     """
     keys = list(keys)
     biz_cols = [c for c in changes.columns if c != ts_col and c not in keys]

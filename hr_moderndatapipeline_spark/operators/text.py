@@ -63,15 +63,19 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_signal_cols(text: Column) -> dict[str, Column]:
+def quality_signal_cols(text: Column, lang: str = "en") -> dict[str, Column]:
     """The quality-signal expressions as named columns — exposed so
     composite pipelines (corpus curation) can compute them inline in
     the same map stage as other per-row signals instead of joining
-    operator outputs."""
+    operator outputs. The stopword component uses ``lang``'s list:
+    scoring a Spanish corpus against English stopwords would
+    systematically mark fluent Spanish as low-quality."""
     words = F.array_distinct(whitespace_tokens(text))
     n_tokens = token_count(text)
+    if lang not in STOPWORDS:
+        raise ValueError(f"no stopword list for lang {lang!r}: {sorted(STOPWORDS)}")
     stop_hits = F.size(
-        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
     )
     distinct_ratio = F.size(words).cast("double") / n_tokens.cast("double")
     score = (
@@ -254,18 +258,30 @@ def contamination_overlap(
     # counts come from the same pass over the corpus grams — the
     # two-branch alternative (separate totals/shared aggregates joined
     # back) re-derives the shingling lineage twice.
-    return (
+    scored = (
         corpus_grams.join(F.broadcast(eval_grams), "_gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count("_hit").alias("n_shared"),
         )
+    )
+    # "for EVERY corpus document": docs shorter than the n-gram emit
+    # zero gram rows and would vanish from the aggregate — restore
+    # them with zero counts (a caller keeping contamination == 0 docs
+    # must not silently lose every short doc).
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
         .select(
             F.col(id_col),
-            "n_grams",
-            "n_shared",
-            (F.col("n_shared").cast("double") / F.col("n_grams"))
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("n_shared").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
             .alias("contamination"),
         )
     )
@@ -339,7 +355,7 @@ def curate_corpus(
 
     w = Window.partitionBy(text_col)
     wo = w.orderBy(F.col(id_col).asc())
-    q = quality_signal_cols(F.col(text_col))
+    q = quality_signal_cols(F.col(text_col), lang=lang)
     lang_pred = lang_id_cols(F.col(text_col))["predicted_lang"]
     return (
         df.withColumn("_rn", F.row_number().over(wo))
@@ -440,7 +456,8 @@ def corpus_freq_score(
     probes against it instead of rebuilding per batch."""
     toks = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("_tok")
-    )
+    ).filter(F.col("_tok") != "")  # ragged whitespace would make ''
+    # one of the most frequent "tokens", skewing every doc's mean
     lm = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
     joined = toks.join(lm, "_tok")
     return (

@@ -741,13 +741,18 @@ WITH g AS (
   FROM documents),
 corpus_grams AS (SELECT doc_id, unnest(grams) AS gram FROM g),
 eval_grams AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
-totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus_grams GROUP BY doc_id),
+totals AS (SELECT g.doc_id, count(c.gram) AS n_grams
+           FROM g LEFT JOIN corpus_grams c ON g.doc_id = c.doc_id
+           GROUP BY g.doc_id),
 shared AS (
   SELECT c.doc_id, count(*) AS n_shared
   FROM corpus_grams c JOIN eval_grams e ON c.gram = e.gram
   GROUP BY c.doc_id)
-SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
-       CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS contamination
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN t.n_grams > 0
+            THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams
+            ELSE CAST(0.0 AS DOUBLE) END AS contamination
 FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
 """
 
@@ -1023,7 +1028,9 @@ def q_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CORPUS_FREQ = """
 WITH toks AS (
-  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
 lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,

@@ -190,3 +190,17 @@ def test_bloom_rejects_unversioned_filters(spark):
 
     with pytest.raises(ValueError):
         bloom_from_json(_json.dumps(legacy))
+
+
+def test_large_bloom_uses_broadcast_not_literal(spark):
+    """Big filters must ship via broadcast join, not a plan literal
+    serialized into every task."""
+    from hr_moderndatapipeline_spark.operators.bloom import filter_by_bloom
+
+    keys = spark.range(0, 2000).withColumnRenamed("id", "k")
+    bloom = build_bloom(keys, "k", expected_items=2000)
+    out = filter_by_bloom(keys, bloom, F.col("k"), literal_max_words=1)
+    plan = plan_of(out)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert out.count() == 2000  # no false negatives through either path
+    assert out.columns == ["k"]
