@@ -59,6 +59,7 @@ def classify_cdc_ops(
     keys: Sequence[str],
     ts_col: str,
     soft_delete_col: str | None = None,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Emit an ``op`` column per versioned row: first version of a
     key is INSERT, later versions UPDATE, and EVERY version carrying
@@ -73,7 +74,12 @@ def classify_cdc_ops(
     version (it must not be inserted downstream at all). Appliers
     needing transition events (deleted-ness changed) should diff the
     flag with ``change_pairs`` instead."""
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    # ``tiebreak`` makes the per-key order TOTAL when ts alone can
+    # collide (same-microsecond versions): without it INSERT/UPDATE
+    # assignment under a tie is engine/partitioning-dependent.
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
     out = df.withColumn("_prev_ts", F.lag(ts_col).over(w))
     op = F.when(F.col("_prev_ts").isNull(), F.lit("INSERT")).otherwise(F.lit("UPDATE"))
     if soft_delete_col is not None:

@@ -31,7 +31,11 @@ def det_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic pseudo-uniform bucket in [0, buckets) from an
     integer key: (key * 2654435761 mod 2^32) mod buckets. Pure
     64-bit-safe integer arithmetic, restatable in ANSI SQL."""
-    return F.pmod((key * F.lit(_KNUTH)) % F.lit(4294967296), F.lit(buckets))
+    # nested pmod (not a sign-following inner %): for keys whose
+    # product wraps the signed long, wrap-then-pmod equals the exact
+    # product mod 2^32 (2^32 divides 2^64), which is what the DuckDB
+    # HUGEINT oracles compute — an inner % would diverge there.
+    return F.pmod(F.pmod(key * F.lit(_KNUTH), F.lit(4294967296)), F.lit(buckets))
 
 
 def stratified_sample(
@@ -70,7 +74,7 @@ def training_shuffle(
     per-shard window keeps the sort distributed: there is never a
     single-partition global ordering, the shards ARE the parallelism
     at 100 TB."""
-    hv = (F.col(key_col) * F.lit(_KNUTH)) % F.lit(4294967296)
+    hv = F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(4294967296))
     w = Window.partitionBy("shard").orderBy(F.col("_hv").asc(), F.col(key_col).asc())
     return (
         df.withColumn("_hv", hv)

@@ -53,12 +53,22 @@ def scd2_from_history(
     start_col: str = START,
     end_col: str = END,
     current_col: str = CURRENT,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Build the full SCD2 table from a versioned change log: each
     version's validity runs from its own timestamp to the next
     version's timestamp (open-ended for the latest). Single window
-    shuffle on ``keys``."""
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    shuffle on ``keys``.
+
+    PRECONDITION: ``(keys, ts_col)`` — extended by ``tiebreak`` —
+    must identify rows uniquely; SCD2 validity ranges are undefined
+    under same-instant versions, and without a total order the
+    version chain (and therefore is_current) is engine- and
+    partitioning-dependent. Pass the change-log's id column as the
+    tiebreak when timestamps can collide."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
     nxt = F.lead(ts_col).over(w)
     return (
         df.withColumn(start_col, F.col(ts_col))

@@ -39,5 +39,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
+        overlap = out.keys() & m.ORACLES.keys()
+        if overlap:
+            raise ValueError(f"duplicate oracle names: {overlap}")
         out.update(m.ORACLES)
+    # Every oracle must name a real query: an orphaned key (typo, or
+    # a renamed query whose oracle wasn't renamed) would silently
+    # downgrade that query to rows-only — the gate would report
+    # success while hash-checking nothing.
+    q = queries().keys()
+    orphans = out.keys() - q
+    if orphans:
+        raise ValueError(f"oracles without a matching query: {sorted(orphans)}")
     return out

@@ -154,14 +154,16 @@ def q_cdc_op_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "event_type")
         .withColumn("is_del", F.col("event_type") == "error")
     )
-    out = classify_cdc_ops(ev, ["user_id"], "ts", soft_delete_col="is_del")
+    out = classify_cdc_ops(
+        ev, ["user_id"], "ts", soft_delete_col="is_del", tiebreak=["event_id"]
+    )
     return out.select("event_id", "user_id", "ts", "op")
 
 
 ORACLE_CDC_OPS = """
 SELECT event_id, user_id, ts,
        CASE WHEN event_type = 'error' THEN 'DELETE'
-            WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 'INSERT'
+            WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 'INSERT'
             ELSE 'UPDATE' END AS op
 FROM events
 """

@@ -69,7 +69,8 @@ def q_attrition_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = with_period_keys(_t(spark, sf_dir, "orders"), "o_orderdate")
     cust = _t(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(cust),
+        cust,  # SF-growing dim: no forced broadcast — AQE broadcasts
+        # it while it fits and falls back to shuffle at 100 TB scale
         (orders.o_custkey == cust.c_custkey) & (cust.c_acctbal > 0),
         "inner",
     )
@@ -229,7 +230,10 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
-SELECT * FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+-- NOT EXISTS, not NOT IN: one NULL o_custkey would collapse NOT IN
+-- to an empty result while Spark's left_anti (null-ignoring) does not
+SELECT * FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
@@ -316,7 +320,7 @@ FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 DESC LIMIT 10
 def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment", "o_orderkey", "o_totalprice"
     )
     out = topk_per_group(
@@ -404,7 +408,11 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     (util/verify_spark.py:95-99 Debezium-unwrap shape) + aggregate."""
     ev = _t(spark, sf_dir, "events")
     parsed = ev.withColumn(
-        "k_val", F.get_json_object(F.col("props"), "$.k").cast("int")
+        "k_val",
+        # floor(double) then int on BOTH engines: a bare string->int
+        # cast rounds in DuckDB ('6.9' -> 7) but nulls in Spark, and
+        # non-numeric strings ABORT a hard DuckDB cast
+        F.floor(F.get_json_object(F.col("props"), "$.k").cast("double")).cast("int"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -415,8 +423,8 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENT_PROPS_JSON = """
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       CAST(sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INTEGER)) AS BIGINT) AS sum_k,
+       max(CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INTEGER)) AS max_k
 FROM events GROUP BY 1
 """
 
@@ -709,11 +717,11 @@ WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
 first AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY 1),
 joined AS (
   SELECT DISTINCT a.user_id,
-         CAST(date_diff('day', DATE '2024-01-01', f.d0) // 7 AS INTEGER) AS cohort_week,
-         CAST(date_diff('day', f.d0, a.d) // 7 AS INTEGER) AS week_offset
+         CAST(floor(date_diff('day', DATE '2024-01-01', f.d0) / 7.0) AS INTEGER) AS cohort_week,
+         CAST(floor(date_diff('day', f.d0, a.d) / 7.0) AS INTEGER) AS week_offset
   FROM act a JOIN first f ON a.user_id = f.user_id),
 sizes AS (
-  SELECT CAST(date_diff('day', DATE '2024-01-01', d0) // 7 AS INTEGER) AS cohort_week,
+  SELECT CAST(floor(date_diff('day', DATE '2024-01-01', d0) / 7.0) AS INTEGER) AS cohort_week,
          count(DISTINCT user_id) AS n_cohort
   FROM first GROUP BY 1),
 ret AS (
@@ -1037,7 +1045,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(_rev_amount()).cast("double").alias("revenue")
@@ -1108,7 +1116,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the CASE folds into the single aggregate pass."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     amount = _rev_amount()
     promo = F.when(F.col("p_type") == "PROMO", amount).otherwise(
         F.lit(0).cast("decimal(18,2)")
@@ -1333,7 +1341,7 @@ def q_bloom_filtered_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataF
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     return (
-        fact.join(F.broadcast(dim), fact.l_suppkey == dim.s_suppkey)
+        fact.join(dim, fact.l_suppkey == dim.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.sum(price * disc_f).cast("double").alias("revenue"),

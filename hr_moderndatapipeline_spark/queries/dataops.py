@@ -66,6 +66,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_MEMO: dict = {}
 
 
+def release_dedup_memo() -> None:
+    """Unpersist and forget every memoized dedup intermediate — for
+    long-lived sessions that sweep multiple sf_dirs (smoke +
+    correctness + bench in one process would otherwise pin three
+    persisted pair graphs in executor storage for the application
+    lifetime)."""
+    for df in _DEDUP_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — dead-session frames just drop
+            pass
+    _DEDUP_MEMO.clear()
+
+
 def _memo_token(spark: SparkSession) -> str:
     # applicationId is unique per context lifetime; id() values are
     # reused after GC, which could hand a new session a persisted
@@ -216,7 +230,7 @@ reach AS (
 assign AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
 bucketed AS (
   SELECT doc_id, source,
-         ((COALESCE(a.cluster_id, doc_id) * 2654435761) % 4294967296) % 100 AS b
+         ((CAST(COALESCE(a.cluster_id, doc_id) AS HUGEINT) * 2654435761) % 4294967296) % 100 AS b
   FROM documents LEFT JOIN assign a ON doc_id = a.member_id
 )
 SELECT doc_id, source,
@@ -274,7 +288,7 @@ n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * v[i])),
                               (acc, x) -> acc + x)) AS nrm
       FROM e),
-q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 5000),
 c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n),
 scored AS (
   SELECT q_id, c_id,
@@ -288,12 +302,20 @@ WHERE rk <= 10
 """
 
 
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    """FIXED query batch (100 vectors at any corpus size): a query set
+    defined as every-50th-vector grows linearly with the corpus,
+    silently turning the "small broadcast side" into an O(n) frame
+    and brute-force scoring into O(n^2/50)."""
+    return emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000))
+
+
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for every 50th vector as query: broadcast
     queries × one corpus scan, sequential-fold scoring, per-query
     ranking. The correctness baseline for the ANN path."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_queries(emb)
     return ann_bruteforce(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
@@ -302,7 +324,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join instead of cross product). Approximate ⇒ rows-only
     driver check; recall vs brute force is unit-tested."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_queries(emb)
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
@@ -311,7 +333,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe). Approximate ⇒ rows-only driver check; recall vs
     brute force is unit-tested."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_queries(emb)
     return ann_ivf(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
@@ -324,6 +346,8 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB posture: repeated searches never re-train or re-bucket
     the corpus. Approximate ⇒ rows-only driver check; the persisted
     round trip and recall are unit-tested."""
+    import os
+    import shutil
     import tempfile
 
     from hr_moderndatapipeline_spark.operators.similarity import (
@@ -333,7 +357,14 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="ivf_idx_")
+    # fixed per-sf workdir, cleared per run: a fresh mkdtemp per
+    # invocation leaks one full index copy under /tmp per bench or
+    # correctness run
+    root = os.path.join(
+        tempfile.gettempdir(), "hr_mdp_ivf", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
     codebook = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=16)
     codebook.write.mode("overwrite").parquet(f"{root}/codebook")
     ivf_index(emb, codebook, "vec_id", "embedding", dim=64).write.mode(
@@ -342,7 +373,7 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stored_cb = spark.read.parquet(f"{root}/codebook")
     stored_idx = spark.read.parquet(f"{root}/index")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_queries(emb)
     return ivf_probe(queries, stored_idx, stored_cb, "vec_id", "embedding", k=10, dim=64)
 
 
@@ -512,7 +543,7 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STRATIFIED_SAMPLE = """
 SELECT doc_id, source FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 % 100
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100
       < CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50 WHEN 'src2' THEN 0 ELSE 100 END
 """
 
@@ -601,7 +632,7 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TRAINING_SHUFFLE = """
 WITH h AS (
-  SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS hv
+  SELECT doc_id, source, (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
   FROM documents)
 SELECT doc_id, source,
        CAST(hv % 32 AS INTEGER) AS shard,
@@ -1102,7 +1133,7 @@ banded AS (
   FROM scored)
 SELECT doc_id, source, band
 FROM banded
-WHERE CAST((doc_id * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
+WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
       < (CASE WHEN band = 'good' THEN CAST(1.0 AS DOUBLE)
               WHEN band = 'fair' THEN CAST(0.5 AS DOUBLE)
               ELSE CAST(0.1 AS DOUBLE) END) * 1000000.0
