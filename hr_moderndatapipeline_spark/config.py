@@ -26,7 +26,10 @@ def resolve_placeholders(value: str, strict: bool = True) -> str:
     def _sub(m: re.Match) -> str:
         var, default = m.group(1), m.group(2)
         got = os.environ.get(var)
-        if got is not None:
+        # shell ':-' semantics: the default applies when the variable
+        # is unset OR EMPTY — a blank CI secret must fall back (or
+        # fail strict), not resolve to an empty password
+        if got:
             return got
         if default is not None:
             return default

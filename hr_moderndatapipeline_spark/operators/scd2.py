@@ -152,8 +152,15 @@ def scd2_apply(
     effective_change = (
         (F.col("_batch_rn") > 1) | is_new_key | diff
     )
+    # Stale guard: a change row at or before the CURRENT version's
+    # start has already been applied (a replayed batch after a crash
+    # between publish and watermark advance) — re-applying it would
+    # close the current row at an inverted range and duplicate
+    # history. SCD2 apply is forward-only; true late corrections go
+    # through a history recompute (scd2_from_history).
+    not_stale = is_new_key | (F.col(ts_col) > F.col("_t_start"))
 
-    applied = paired.filter(effective_change)
+    applied = paired.filter(effective_change & not_stale)
     drop_aux = ["_batch_rn"] + [f"_t_{k}" for k in keys] + [f"_t_{c}" for c in tracked] + ["_t_start"]
 
     # Phase A: close current rows for every existing key that has an

@@ -36,7 +36,6 @@ from hr_moderndatapipeline_spark.operators.cdc import upsert_apply
 from hr_moderndatapipeline_spark.operators.scd2 import scd2_apply, scd2_from_history
 from hr_moderndatapipeline_spark.sources.watermark import (
     WatermarkStore,
-    advance_watermark,
     incremental_read,
 )
 from hr_moderndatapipeline_spark.streaming.sinks import publish_snapshot, read_snapshot
@@ -70,7 +69,6 @@ class MedallionPipeline:
         self.root = root
         self.spec = spec
         self.store = store
-        self._run = 0
 
     def _path(self, zone: str) -> str:
         return f"{self.root}/{zone}/{self.spec.name}"
@@ -91,18 +89,34 @@ class MedallionPipeline:
         directly (see tests/test_pipeline_e2e.py pruning gate)."""
         return None if df is None else df.drop(PARTITION_COL)
 
-    def _publish(self, df: DataFrame, zone: str) -> None:
+    def _publish(self, df: DataFrame, zone: str, batch_tag: str | None) -> None:
+        """Marker-deduplicated publish into the next FREE version —
+        the same protocol as the streaming foreachBatch sinks: a
+        replayed batch (crash after publish, before the watermark
+        advanced) is a no-op instead of overwriting the directory its
+        own merge lineage is reading, and version numbering can never
+        collide with compact_snapshot/forget_keys (all allocate via
+        _next_free_version). An in-memory run counter (the previous
+        scheme) reused version paths across process restarts."""
+        from hr_moderndatapipeline_spark.streaming.sinks import _publish_batch_snapshot
+
+        from hr_moderndatapipeline_spark.streaming.sinks import (
+            _next_free_version,
+        )
+
+        kwargs = {}
         if self.spec.partition_months:
             from pyspark.sql import functions as F
 
             df = df.withColumn(
                 PARTITION_COL, F.date_format(F.col(self.spec.watermark_col), "yyyy-MM")
             )
-            publish_snapshot(
-                df, self._path(zone), f"v{self._run}", partition_by=[PARTITION_COL]
-            )
+            kwargs["partition_by"] = [PARTITION_COL]
+        target = self._path(zone)
+        if batch_tag is None:  # full refresh: rebuild unconditionally
+            publish_snapshot(df, target, f"v{_next_free_version(target)}", **kwargs)
         else:
-            publish_snapshot(df, self._path(zone), f"v{self._run}")
+            _publish_batch_snapshot(df, target, batch_tag, **kwargs)
 
     def run_increment(self, source: DataFrame, full_refresh: bool = False) -> dict:
         """One incremental run: extract new rows past the watermark,
@@ -112,7 +126,6 @@ class MedallionPipeline:
         from pyspark import StorageLevel
 
         s = self.spec
-        self._run += 1
         wm_key = s.name
         batch = incremental_read(source, s.watermark_col, self.store, wm_key, full_refresh)
         # ONE source scan per run: the extraction feeds the empty
@@ -125,15 +138,33 @@ class MedallionPipeline:
             if batch.isEmpty():
                 return {"extracted": 0, "skipped": True}
 
+            # Batch identity for replay dedup: the (old → new)
+            # watermark pair names this batch's content — a rerun
+            # after a crash-before-advance extracts the same rows and
+            # computes the same tag, so the publishes below no-op.
+            # The max() scalar doubles as the watermark advance.
+            from pyspark.sql import functions as F
+
+            new_wm = batch.agg(F.max(s.watermark_col)).collect()[0][0]
+            # full refresh always rebuilds (tag None bypasses dedup)
+            tag = None if full_refresh else f"{self.store.get(wm_key)}->{new_wm}"
+
             # bronze: latest-row-wins mirror (K2)
             current = None if full_refresh else self.bronze()
-            bronze = batch if current is None else upsert_apply(
-                current, batch, s.keys, [s.watermark_col]
-            )
-            from hr_moderndatapipeline_spark.operators.relational import latest_per_key
+            if current is None:
+                # first load: dedup within the batch — on the batch
+                from hr_moderndatapipeline_spark.operators.relational import (
+                    latest_per_key,
+                )
 
-            bronze = latest_per_key(bronze, list(s.keys), [s.watermark_col])
-            self._publish(bronze, "bronze")
+                bronze = latest_per_key(batch, list(s.keys), [s.watermark_col])
+            else:
+                # upsert_apply already keeps exactly one row per key
+                # (intra-batch dups included); a second latest_per_key
+                # over the merged MIRROR would re-shuffle the whole
+                # table per run for nothing
+                bronze = upsert_apply(current, batch, s.keys, [s.watermark_col])
+            self._publish(bronze, "bronze", tag)
 
             # silver: two-phase SCD2 apply (K3 fixed)
             dim = None if full_refresh else self.silver()
@@ -141,9 +172,10 @@ class MedallionPipeline:
                 silver = scd2_from_history(batch, s.keys, s.watermark_col)
             else:
                 silver = scd2_apply(dim, batch, s.keys, s.tracked, s.watermark_col)
-            self._publish(silver, "silver")
+            self._publish(silver, "silver", tag)
 
-            advance_watermark(batch, s.watermark_col, self.store, wm_key)
+            if new_wm is not None:  # all-NULL watermark col: no advance
+                self.store.set(wm_key, str(new_wm))
             n = batch.count()  # served from cache, no extra source scan
             return {"extracted": n, "skipped": False}
         finally:

@@ -39,6 +39,25 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+    )
+    try:
+        # Delta's MERGE/overwrite paths (sinks.delta_available gates on
+        # jar presence) require the session extension + catalog confs —
+        # the reference sets both (jobs/bronze/bronze_builder.py:57-71).
+        # Without them a jars-equipped deployment would pass the
+        # delta_available gate and then fail at runtime.
+        import delta  # noqa: F401
+
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    except ImportError:
+        pass
+    builder = (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -77,7 +77,15 @@ def incremental_read(
 ) -> DataFrame:
     """Rows newer than the stored watermark (or everything on
     ``--full-refresh``, reference bronze_builder.py:95-98). The
-    filter is declarative → Catalyst pushes it into the scan."""
+    filter is declarative → Catalyst pushes it into the scan.
+
+    BOUNDARY CONTRACT (strictly-greater, reference parity): rows the
+    source commits AT the already-consumed watermark instant after
+    extraction — or with a NULL watermark column — are never
+    extracted. Sources with clock skew or same-instant commit races
+    should stamp a monotonically increasing watermark column (e.g.
+    a sequence or commit LSN) rather than a wall clock; the silver
+    SCD2 apply is additionally replay-safe via its stale guard."""
     if full_refresh:
         return df
     return df.filter(F.col(watermark_col) > F.lit(store.get(key)).cast("timestamp"))

@@ -25,7 +25,12 @@ def progress_summary(query: StreamingQuery) -> dict[str, Any]:
         "num_input_rows": p.get("numInputRows"),
         "input_rows_per_second": p.get("inputRowsPerSecond"),
         "process_rows_per_second": p.get("processedRowsPerSecond"),
-        "state_rows": (p.get("stateOperators") or [{}])[0].get("numRowsTotal")
+        # sum over EVERY stateful operator: a dedup + windowed-agg
+        # chain reports several entries, and the unbounded-growth
+        # culprit is as likely the second as the first
+        "state_rows": sum(
+            op.get("numRowsTotal") or 0 for op in p.get("stateOperators") or []
+        )
         if p.get("stateOperators")
         else None,
     }

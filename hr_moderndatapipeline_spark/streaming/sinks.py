@@ -464,15 +464,17 @@ def _next_free_version(target: str) -> int:
 _BATCH_MARKER = "_BATCH"
 
 
-def _last_published_batch(target: str) -> int | None:
+def _last_published_batch(target: str) -> str | None:
     try:
         with open(os.path.join(target, _BATCH_MARKER)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+            return f.read().strip()
+    except FileNotFoundError:
         return None
 
 
-def _publish_batch_snapshot(df: DataFrame, target: str, batch_id: int) -> None:
+def _publish_batch_snapshot(
+    df: DataFrame, target: str, batch_id: int | str, **publish_kwargs
+) -> None:
     """Exactly-once publish for foreachBatch: replay of an
     already-published batch id is a no-op (marker check), and the
     physical directory is always a FRESH version — the lineage
@@ -480,9 +482,9 @@ def _publish_batch_snapshot(df: DataFrame, target: str, batch_id: int) -> None:
     underneath it. Marker write is tmp+rename, after the data
     publish: a crash between the two replays the batch into one
     extra (content-identical) version, never into corruption."""
-    if _last_published_batch(target) == batch_id:
+    if _last_published_batch(target) == str(batch_id):
         return
-    publish_snapshot(df, target, f"v{_next_free_version(target)}")
+    publish_snapshot(df, target, f"v{_next_free_version(target)}", **publish_kwargs)
     tmp = os.path.join(target, f".{_BATCH_MARKER}.tmp")
     with open(tmp, "w") as f:
         f.write(str(batch_id))

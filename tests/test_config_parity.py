@@ -57,3 +57,18 @@ def test_snapshot_parity_spark_vs_duckdb(spark, tmp_path):
         "columns_match": True,
         "rows_match": True,
     }
+
+
+def test_empty_env_var_takes_default_like_shell():
+    """shell ':-' semantics: an EMPTY variable (blank CI secret) must
+    fall back to the default, not resolve to ''."""
+    import os
+
+    from hr_moderndatapipeline_spark.config import resolve_placeholders
+
+    os.environ["HR_MDP_TEST_EMPTY"] = ""
+    try:
+        assert resolve_placeholders("${HR_MDP_TEST_EMPTY:-fallback}") == "fallback"
+        assert resolve_placeholders("${HR_MDP_TEST_EMPTY:-}") == ""
+    finally:
+        del os.environ["HR_MDP_TEST_EMPTY"]

@@ -144,3 +144,47 @@ def test_load_rules_table_filter_and_attribution():
     assert {r.table for r in all_rules} == {"customer", "orders"}
     only = load_rules(spec, table="customer")
     assert [r.column for r in only] == ["c_custkey"]
+
+
+def test_replayed_increment_is_noop(spark, tmp_path):
+    """Crash between the silver publish and the watermark advance:
+    the rerun extracts the same rows, computes the same batch tag,
+    and must publish NOTHING new (a replay previously re-applied the
+    batch into the SCD2 dim, closing current rows at inverted ranges
+    and duplicating history)."""
+    import glob
+
+    from hr_moderndatapipeline_spark.operators.scd2 import validate_scd2
+    from hr_moderndatapipeline_spark.pipelines import MedallionPipeline, TableSpec
+    from hr_moderndatapipeline_spark.sources.watermark import MemoryWatermarkStore
+
+    spec = TableSpec("emp", ["id"], ["dept"], "updated_at")
+    store = MemoryWatermarkStore()
+    pipe = MedallionPipeline(spark, str(tmp_path), spec, store)
+    src1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "a", "2024-01-02 00:00:00")],
+        "id int, dept string, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    pipe.run_increment(src1)
+    src2 = src1.unionByName(
+        spark.createDataFrame(
+            [(1, "b", "2024-02-01 00:00:00")], "id int, dept string, updated_at string"
+        ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    )
+    pipe.run_increment(src2)
+    wm_after = store.get("emp")
+    silver_versions = set(glob.glob(f"{tmp_path}/silver/emp/v*"))
+
+    # simulate the crash: watermark rolls back to before increment 2
+    store.set("emp", "2024-01-02 00:00:00")
+    out = pipe.run_increment(src2)  # replay of increment 2
+    assert out["skipped"] is False
+    assert set(glob.glob(f"{tmp_path}/silver/emp/v*")) == silver_versions  # no-op
+    assert store.get("emp") == wm_after  # watermark healed forward
+    dim = pipe.silver()
+    assert validate_scd2(dim, ["id"]) == {
+        "keys_without_exactly_one_current": 0,
+        "non_contiguous_ranges": 0,
+        "inverted_ranges": 0,
+    }
+    assert dim.count() == 3  # a(1), b(1-current), a(2-current)
