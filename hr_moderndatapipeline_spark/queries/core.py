@@ -572,7 +572,7 @@ GROUP BY o_orderpriority
 ORACLE_ORDERS_PROFILE = """
 SELECT count(*) AS n_rows,
        count(DISTINCT o_custkey) AS n_customers,
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
        CAST(datediff('day', DATE '1970-01-01', CAST(min(o_orderdate) AS DATE)) AS BIGINT) AS min_date_epoch_day,
        CAST(datediff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS max_date_epoch_day,
        CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS total_price_cents,

@@ -1,0 +1,80 @@
+"""Oracle-side (DuckDB) Arrow-type canon audit.
+
+``tests/test_ts_canon.py`` audits the SPARK output types of every
+oracle-checked query — but the r2-r5 ``orders_profile`` red row lived
+on the OTHER side: DuckDB types an uncast integer ``sum()`` as HUGEINT
+(int128), which fetches as a Python ``int`` via ``fetchall()`` (so the
+local replica passed) but as ``decimal128(38, 0)`` via Arrow — the
+driver's fetch path — where the canon layer renders ``0.0`` vs Spark's
+``0`` and the value hash diverges (VERDICT r5 "What's wrong" #1/#2).
+
+This test closes that blind spot: it executes every ``oracle_sql()``
+statement against DuckDB at sf0.001 and asserts the resulting Arrow
+schema contains only types with one canonical form. Re-introducing an
+uncast integer ``sum()`` (or any other HUGEINT-producing expression)
+in any oracle fails CI by name before it can fail in a driver round.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import __spark_entry__ as entry
+from hr_moderndatapipeline_spark.sources.readers import TABLES
+
+# Timestamp columns proven canon-safe by green driver rounds — keep in
+# sync with tests/test_ts_canon.py's _PROVEN_TS (spark-side allowlist).
+from tests.test_ts_canon import _PROVEN_TS
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _is_canonical(t: pa.DataType) -> bool:
+    if pa.types.is_decimal(t):
+        # decimal128(38, 0) is DuckDB's Arrow rendering of HUGEINT — the
+        # exact type that broke orders_profile. Real money decimals
+        # (e.g. DECIMAL(18,2)) canonicalize identically on both engines.
+        return not (t.precision == 38 and t.scale == 0)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _is_canonical(t.value_type)
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_date(t)
+    )
+
+
+def test_oracle_arrow_schemas_are_canonical(duck):
+    violations: list[str] = []
+    for name, sql in sorted(entry.oracle_sql().items()):
+        tbl = duck.execute(sql).fetch_arrow_table()
+        proven_ts = _PROVEN_TS.get(name, (set(), ""))[0]
+        for field in tbl.schema:
+            t = field.type
+            if pa.types.is_timestamp(t):
+                if field.name not in proven_ts:
+                    violations.append(
+                        f"{name}.{field.name}: unproven TIMESTAMP ({t}) in "
+                        "oracle output — emit epoch-day/second BIGINT or a "
+                        "string on both engines, or prove it in a driver round"
+                    )
+            elif not _is_canonical(t):
+                violations.append(
+                    f"{name}.{field.name}: non-canonical Arrow type {t} "
+                    "(HUGEINT? wrap the expression in CAST(... AS BIGINT))"
+                )
+    assert not violations, "\n".join(violations)

@@ -88,9 +88,17 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            # Fetch through Arrow, NOT fetchall(): the driver's gate hashes
+            # Arrow-fetched values, and the two paths type integers
+            # differently (DuckDB HUGEINT -> Python int natively, but
+            # decimal128(38,0) via Arrow — the r2-r5 orders_profile bug).
+            # Sharing the driver's fetch path makes the replica see what
+            # the driver sees.
             res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            tbl = res.fetch_arrow_table()
+            d_cols = list(tbl.column_names)
+            _py_cols = [c.to_pylist() for c in tbl.columns]
+            d_rows = list(zip(*_py_cols)) if _py_cols else []
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
