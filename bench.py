@@ -148,12 +148,29 @@ def main() -> None:
                 continue
         timings[name] = min(samples[name])
 
+    # Plan fingerprints (VERDICT r5 task 5): one stable token per
+    # query, hashing the operator skeleton + strategy counts at BENCH
+    # scale. A strategy flip (broadcast→SMJ, lost pushdown, a Python
+    # boundary appearing) changes the token even when timing noise
+    # hides the regression — diff `plans` across BENCH_r*.json.
+    from hr_moderndatapipeline_spark.plans.fingerprint import plan_fingerprint
+
+    plans: dict[str, str] = {}
+    for name in BENCH_QUERIES:
+        if name in errors:
+            continue
+        try:
+            plans[name] = plan_fingerprint(all_queries[name](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — fingerprints must never kill the bench
+            plans[name] = f"ERROR: {type(e).__name__}"
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plans": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

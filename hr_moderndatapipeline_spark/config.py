@@ -26,13 +26,17 @@ def resolve_placeholders(value: str, strict: bool = True) -> str:
     def _sub(m: re.Match) -> str:
         var, default = m.group(1), m.group(2)
         got = os.environ.get(var)
-        # shell ':-' semantics: the default applies when the variable
-        # is unset OR EMPTY — a blank CI secret must fall back (or
-        # fail strict), not resolve to an empty password
+        # Shell semantics, exactly (ADVICE r5): ':-' treats unset and
+        # EMPTY alike (a blank CI secret falls back to the default),
+        # but a plain ${VAR} distinguishes them — a legitimately
+        # exported-empty variable resolves to '' and must not raise in
+        # strict mode; only a genuinely UNSET variable does.
         if got:
             return got
         if default is not None:
             return default
+        if got is not None:  # set but empty, no ':-' default
+            return ""
         if strict:
             raise KeyError(f"config references unset environment variable ${{{var}}}")
         return ""

@@ -122,8 +122,21 @@ class HttpSchemaRegistry:
     def set_compatibility(self, subject: str, mode: str) -> None:
         self._call("PUT", f"/config/{_q(subject)}", {"compatibility": mode})
 
-    def get_compatibility(self, subject: str) -> str:
-        return self._call("GET", f"/config/{_q(subject)}")["compatibilityLevel"]
+    def get_compatibility(self, subject: str | None = None) -> str:
+        """Subject-level compatibility with GLOBAL fallback. A real
+        Confluent registry returns HTTP 404 (error 40408) from
+        ``GET /config/{subject}`` when the subject has no override —
+        the common case — so ``?defaultToGlobal=true`` asks the
+        service to resolve the fallback server-side, and the KeyError
+        catch covers registries that predate that parameter by
+        reading the global level from ``GET /config``."""
+        if subject is None:
+            return self._call("GET", "/config")["compatibilityLevel"]
+        try:
+            out = self._call("GET", f"/config/{_q(subject)}?defaultToGlobal=true")
+        except KeyError:
+            out = self._call("GET", "/config")
+        return out["compatibilityLevel"]
 
     def test_compatibility(self, subject: str, schema: str) -> bool:
         # In-process parity: a not-yet-existing subject accepts any

@@ -67,22 +67,29 @@ def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
 #: canonicalization changes: a probe against a published filter built
 #: by a different canonicalization silently drops every member key,
 #: so the format marker turns that into a loud load-time error.
-_FORMAT = 2
+#: (v3: all numeric types share one "numeric" canon — v2 derived the
+#: canon from the DIM side only, so an int dim + double fact hashed
+#: '5' vs '5.0' and emptied the join, ADVICE r5.)
+_FORMAT = 3
 
 #: Key canonicalization kinds (recorded in the filter so the probe
 #: side applies the SAME normalization as the build side):
-#: - "string": cast to string — equal values hash equal across
-#:   integral widths (xxhash64 itself is type-sensitive:
-#:   hash(42 int) != hash(42 bigint), the silent-empty-join trap).
+#: - "numeric": every NumericType is cast through DECIMAL(38,18) then
+#:   string, so values Spark's join coercion treats as equal hash
+#:   identically across int/bigint/double/decimal widths (int 5,
+#:   double 5.0, DECIMAL(10,2) 5.00 all canon to "5.000…0"; -0.0
+#:   canons with +0.0; xxhash64 itself is type-sensitive — the
+#:   silent-empty-join trap). Values outside decimal range
+#:   (|x| ≥ 1e20, NaN, ±Inf) canon to NULL — a shared bucket, so
+#:   mismatches there are false POSITIVES only, never negatives.
 #: - "timestamp": hash the epoch-micros long — a timestamp's STRING
 #:   form depends on spark.sql.session.timeZone, which may differ
 #:   between the build session and a probe session reviving a
 #:   published filter.
-#: - "float": +0.0 is added first so -0.0 and 0.0 (join-equal under
-#:   Spark's NormalizeFloatingNumbers) hash identically.
+#: - "string": plain cast for everything else.
 _KIND_STRING = "string"
 _KIND_TIMESTAMP = "timestamp"
-_KIND_FLOAT = "float"
+_KIND_NUMERIC = "numeric"
 
 
 def _key_kind(df: DataFrame, key: Column) -> str:
@@ -91,16 +98,33 @@ def _key_kind(df: DataFrame, key: Column) -> str:
     dt = df.select(key).schema[0].dataType
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return _KIND_TIMESTAMP
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return _KIND_FLOAT
+    if isinstance(dt, T.NumericType):
+        return _KIND_NUMERIC
     return _KIND_STRING
+
+
+def _check_probe_kind(df: DataFrame, key: Column, bloom: dict) -> None:
+    """Refuse to probe with a column whose canonicalization family
+    differs from the one the filter was built with: the hashes would
+    silently disagree and every member key would miss (the documented
+    'superset of the semi-join' contract would break). int-vs-double
+    and similar joins are fine — both sides are 'numeric'."""
+    probe = _key_kind(df, key)
+    built = bloom.get("key_kind", _KIND_STRING)
+    if probe != built:
+        raise TypeError(
+            f"bloom probe key canonicalizes as {probe!r} but the filter was "
+            f"built from a {built!r} key: probing would miss every member "
+            "key. Cast the probe column (or rebuild the filter) so both "
+            "sides share one canonicalization."
+        )
 
 
 def _canon(key: Column, kind: str) -> Column:
     if kind == _KIND_TIMESTAMP:
         return F.unix_micros(key).cast("string")
-    if kind == _KIND_FLOAT:
-        return (key.cast("double") + F.lit(0.0)).cast("string")
+    if kind == _KIND_NUMERIC:
+        return key.cast("decimal(38,18)").cast("string")
     return key.cast("string")
 
 
@@ -191,7 +215,10 @@ def might_contain(bloom: dict, key: Column) -> Column:
     The literal form suits filters up to ~1M bits; for the tens of
     megabytes a 100M-key dim needs, use ``filter_by_bloom``, which
     ships the words once per executor via a broadcast join instead of
-    inside every serialized task."""
+    inside every serialized task. ``filter_by_bloom`` also validates
+    the probe column's canonicalization kind against the filter's —
+    this bare-Column form cannot see the probe type, so prefer the
+    DataFrame form whenever you have one."""
     _check_format(bloom)
     return _membership(F.lit(bloom["words"]), bloom, key)
 
@@ -213,6 +240,7 @@ def filter_by_bloom(
     per executor) for large ones. Result rows are identical either
     way."""
     _check_format(bloom)
+    _check_probe_kind(df, key, bloom)
     if len(bloom["words"]) <= literal_max_words:
         return df.filter(might_contain(bloom, key))
     words_df = F.broadcast(

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hr_moderndatapipeline_spark.cache import pin
+
 
 def dedup_exact(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
     """Exact dedup: one representative (min id) per distinct content.
@@ -236,7 +238,7 @@ def minhash_dedup_pairs(
     # would re-run the split+shingle+hash lineage. Long arrays cache
     # columnar and small — unlike the string shingles, whose cache
     # build cost more than the recompute it saved.
-    prepped = prepped.persist(StorageLevel.MEMORY_AND_DISK)
+    prepped = pin(prepped, tag="minhash", storage_level=StorageLevel.MEMORY_AND_DISK)
     with_sig = minhash_signatures(prepped, id_col, "_shh", num_hashes)
     cands = lsh_candidate_pairs(with_sig, id_col, "_sig", bands, rows_per_band)
     a = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_shh").alias("_shh_a"))
@@ -281,7 +283,8 @@ def minhash_index(
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("_shh"),
-    ).filter(F.size("_shh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.size("_shh") > 0)
+    prepped = pin(prepped, tag="minhash", storage_level=StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(prepped, id_col, "_shh", num_hashes)
     buckets = lsh_bucket_rows(sigs, id_col, "_sig", bands, rows_per_band)
     return buckets.join(prepped, id_col).select(

@@ -281,6 +281,17 @@ def interval_join(
     )
 
 
+def release_stable_ids_cache(spark=None) -> int:
+    """Unpersist every layout pinned by ``assign_stable_ids`` (for the
+    given session's context, or all of them) and return how many were
+    released. Call between iterations in long-lived sessions — ADVICE
+    r5: repeated invocations would otherwise pin one persisted copy of
+    the table each (see :mod:`hr_moderndatapipeline_spark.cache`)."""
+    from hr_moderndatapipeline_spark.cache import release_pins
+
+    return release_pins(spark, tag="stable_ids")
+
+
 def assign_stable_ids(
     df: DataFrame,
     order_by: Sequence[str],
@@ -307,9 +318,9 @@ def assign_stable_ids(
        parallelism.
 
     ``order_by`` must be a unique key set (ties would make the
-    global order, and therefore the ids, ambiguous). Caller should
-    materialize or write the result, then ``unpersist`` via the
-    returned DataFrame's lineage if memory matters.
+    global order, and therefore the ids, ambiguous). The persisted
+    layout is tracked per application; long-lived sessions free the
+    pinned storage with ``release_stable_ids_cache()``.
 
     Reference parity: the reference numbers rows only in pandas
     (``reset_index``), single-process; this is the distributed
@@ -323,8 +334,10 @@ def assign_stable_ids(
         df.repartitionByRange(n, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
+    from hr_moderndatapipeline_spark.cache import pin
+
+    parts = pin(parts, tag="stable_ids")
     counts = sorted(
         parts.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
     )

@@ -162,27 +162,42 @@ def build_file_index(
     )
 
 
+def _column_rows(index: DataFrame, column: str) -> list:
+    """The column's manifest rows, materialized ONCE. An uncached
+    manifest's lineage re-runs the mapInPandas footer scan over every
+    file on EACH evaluation — the exact listing/footer cost the
+    manifest exists to avoid — so every consumer question (does the
+    column exist? which files intersect? any file for schema?) must
+    derive from this single collect (ADVICE r5). O(#files) rows to
+    the driver, same movement a manifest read always makes."""
+    rows = (
+        index.filter(F.col("column") == column)
+        .select("path", "min_val", "max_val")
+        .collect()
+    )
+    if not rows:
+        # silently returning zero paths would make a typo'd or
+        # never-indexed column read as "no data matches"
+        raise KeyError(f"column {column!r} is not in this manifest")
+    return rows
+
+
+def _intersecting(rows: list, lo: float, hi: float) -> list[str]:
+    """Paths whose [min, max] intersects [lo, hi] — plus files with
+    no stats for the column (never prune blind)."""
+    return sorted(
+        r["path"]
+        for r in rows
+        if r["min_val"] is None or (r["min_val"] <= hi and r["max_val"] >= lo)
+    )
+
+
 def pruned_paths(
     index: DataFrame, column: str, lo: float, hi: float
 ) -> list[str]:
-    """Paths whose [min, max] for ``column`` intersects [lo, hi] —
-    plus files with no stats for the column (never prune blind).
-    The manifest is O(#files); this is driver-cheap by design.
-    A column with NO manifest rows raises KeyError: silently
-    returning zero paths would make a typo'd or never-indexed column
-    read as "no data matches"."""
-    if index.filter(F.col("column") == column).limit(1).count() == 0:
-        raise KeyError(f"column {column!r} is not in this manifest")
-    rows = (
-        index.filter(F.col("column") == column)
-        .filter(
-            F.col("min_val").isNull()
-            | ((F.col("min_val") <= hi) & (F.col("max_val") >= lo))
-        )
-        .select("path")
-        .collect()
-    )
-    return sorted(r["path"] for r in rows)
+    """Paths that MIGHT contain values of ``column`` in [lo, hi].
+    One manifest evaluation; driver-cheap by design (O(#files))."""
+    return _intersecting(_column_rows(index, column), lo, hi)
 
 
 def read_pruned(
@@ -196,15 +211,12 @@ def read_pruned(
     keep the exact residual filter (pruning is a superset), so the
     result equals the unpruned filtered scan — including the empty
     result when no file can intersect (schema read from one manifest
-    file, zero data rows)."""
-    paths = pruned_paths(index, column, lo, hi)
+    file, zero data rows). Evaluates the manifest exactly once."""
+    rows = _column_rows(index, column)
+    paths = _intersecting(rows, lo, hi)
     if not paths:
-        any_file = index.select("path").limit(1).collect()
-        if not any_file:
-            raise FileNotFoundError("manifest is empty — no schema to return")
-        return (
-            spark.read.parquet(any_file[0]["path"]).filter(F.lit(False))
-        )
+        # any manifest row's file carries the table schema
+        return spark.read.parquet(rows[0]["path"]).filter(F.lit(False))
     return spark.read.parquet(*paths).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
     )

@@ -162,6 +162,36 @@ def test_bloom_cross_width_keys_no_false_negatives(spark):
     assert filtered.count() == 100  # every key IS in the dim
 
 
+def test_bloom_int_dim_double_fact_no_false_negatives(spark):
+    """ADVICE r5: v2 derived the canon from the dim side only, so an
+    int dim ('5') probed by a double fact ('5.0') missed every member
+    key and silently emptied the join Spark would happily coerce
+    (5 == 5.0). v3's shared numeric canon must keep them equal."""
+    dim = spark.range(0, 200).select(F.col("id").cast("int").alias("k"))
+    fact = spark.range(0, 200).select(F.col("id").cast("double").alias("k"))
+    filtered = bloom_semi_filter(fact, dim, "k", "k", expected_items=200)
+    assert filtered.count() == 200  # every key IS in the dim
+    # decimal fact against the same int-built filter
+    fact_dec = spark.range(0, 200).select(F.col("id").cast("decimal(10,2)").alias("k"))
+    assert bloom_semi_filter(fact_dec, dim, "k", "k", expected_items=200).count() == 200
+
+
+def test_bloom_probe_kind_mismatch_raises(spark):
+    """Irreconcilable canon families (numeric filter, timestamp or
+    string probe) must raise loudly instead of silently returning an
+    empty superset-of-nothing."""
+    from hr_moderndatapipeline_spark.operators.bloom import filter_by_bloom
+
+    dim = spark.range(0, 50).withColumnRenamed("id", "k")
+    bloom = build_bloom(dim, "k", expected_items=50)
+    ts = spark.range(0, 5).select(F.timestamp_seconds(F.col("id")).alias("k"))
+    with pytest.raises(TypeError, match="canonicalizes"):
+        filter_by_bloom(ts, bloom, F.col("k"))
+    strs = spark.range(0, 5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(TypeError, match="canonicalizes"):
+        filter_by_bloom(strs, bloom, F.col("k"))
+
+
 def test_bloom_timestamp_keys_survive_session_timezone_change(spark):
     """Timestamp keys hash through epoch micros, not their session-tz
     string form: a filter built under UTC must still accept the same

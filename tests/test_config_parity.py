@@ -72,3 +72,20 @@ def test_empty_env_var_takes_default_like_shell():
         assert resolve_placeholders("${HR_MDP_TEST_EMPTY:-}") == ""
     finally:
         del os.environ["HR_MDP_TEST_EMPTY"]
+
+
+def test_set_but_empty_var_resolves_empty_without_default():
+    """ADVICE r5: shell applies ':-' semantics only when ':-' is
+    written. A plain ${VAR} with VAR exported EMPTY (e.g. optional
+    password for local dev) resolves to '' even in strict mode —
+    only a genuinely unset variable raises."""
+    import os
+
+    from hr_moderndatapipeline_spark.config import resolve_placeholders
+
+    os.environ["HR_MDP_TEST_EMPTY2"] = ""
+    try:
+        assert resolve_placeholders("${HR_MDP_TEST_EMPTY2}", strict=True) == ""
+        assert resolve_placeholders("pw=${HR_MDP_TEST_EMPTY2};", strict=True) == "pw=;"
+    finally:
+        del os.environ["HR_MDP_TEST_EMPTY2"]

@@ -193,10 +193,12 @@ class _StubRegistryHandler:
     the local stand-in for a live registry service."""
 
     @staticmethod
-    def make(reg):
+    def make(reg, honor_default_to_global: bool = True):
         import json as _json
         from http.server import BaseHTTPRequestHandler
+        from urllib.parse import parse_qs as _parse_qs
         from urllib.parse import unquote as _unq
+        from urllib.parse import urlsplit as _urlsplit
 
         class H(BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence
@@ -215,7 +217,9 @@ class _StubRegistryHandler:
                 return _json.loads(self.rfile.read(n)) if n else {}
 
             def do_GET(self):
-                p = [_unq(x) for x in self.path.strip("/").split("/")]
+                u = _urlsplit(self.path)
+                p = [_unq(x) for x in u.path.strip("/").split("/")]
+                q = _parse_qs(u.query)
                 try:
                     if p == ["subjects"]:
                         self._send(200, reg.subjects())
@@ -228,8 +232,19 @@ class _StubRegistryHandler:
                                          "schemaType": rs.schema_type})
                     elif len(p) == 3 and p[:2] == ["schemas", "ids"]:
                         self._send(200, {"schema": reg.schema_by_id(int(p[2]))})
+                    elif p == ["config"]:
+                        self._send(200, {"compatibilityLevel": reg.default_compatibility})
                     elif len(p) == 2 and p[0] == "config":
-                        self._send(200, {"compatibilityLevel": reg.get_compatibility(p[1])})
+                        # Confluent-faithful: no subject-level override
+                        # -> 404 (error 40408) unless the client asked
+                        # for server-side fallback via defaultToGlobal.
+                        if p[1] in reg._compat:
+                            self._send(200, {"compatibilityLevel": reg._compat[p[1]]})
+                        elif honor_default_to_global and q.get("defaultToGlobal") == ["true"]:
+                            self._send(200, {"compatibilityLevel": reg.default_compatibility})
+                        else:
+                            self._send(404, {"error_code": 40408,
+                                             "message": "no subject-level compatibility"})
                     else:
                         self._send(404, {"error_code": 404, "message": "not found"})
                 except KeyError as e:
@@ -281,6 +296,28 @@ def http_registry():
 
     backing = SchemaRegistry()
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _StubRegistryHandler.make(backing))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield HttpSchemaRegistry(f"http://127.0.0.1:{srv.server_address[1]}")
+    finally:
+        srv.shutdown()
+
+
+@pytest.fixture()
+def http_registry_no_dtg():
+    """A stub that ignores ?defaultToGlobal (pre-5.x registry shape):
+    GET /config/{subject} 404s whenever no override exists."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from hr_moderndatapipeline_spark.functions.registry_http import HttpSchemaRegistry
+
+    backing = SchemaRegistry()
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        _StubRegistryHandler.make(backing, honor_default_to_global=False),
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -361,9 +398,26 @@ def test_http_test_compatibility_transitive_and_missing_subject(http_registry):
 
 def test_http_get_compatibility_falls_back_to_global(http_registry):
     """Subjects without a subject-level override return the global
-    default (Confluent 404s there; the in-process registry returns
-    its default), keeping the two implementations interchangeable."""
-    assert http_registry.get_compatibility("no-override-subject") in {
-        "BACKWARD", "FORWARD", "FULL", "NONE",
-        "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE",
-    }
+    default. The stub is Confluent-faithful here: GET /config/{s}
+    404s (error 40408) unless ?defaultToGlobal=true, so this test
+    exercises the client's server-side-fallback request."""
+    assert http_registry.get_compatibility("no-override-subject") == "BACKWARD"
+    # subject=None reads the global level directly
+    assert http_registry.get_compatibility() == "BACKWARD"
+    # an actual override still wins over the global default
+    http_registry.set_compatibility("ovr-value", "FULL")
+    assert http_registry.get_compatibility("ovr-value") == "FULL"
+
+
+def test_http_get_compatibility_falls_back_on_strict_404(http_registry_no_dtg):
+    """Registries that predate ?defaultToGlobal 404 regardless; the
+    client must catch it and read GET /config (global) — otherwise
+    test_compatibility raises KeyError in the common no-override case
+    (ADVICE r5, registry_http.py)."""
+    reg = http_registry_no_dtg
+    assert reg.get_compatibility("no-override-subject") == "BACKWARD"
+    # the full test_compatibility path survives the 404 too
+    assert reg.test_compatibility("never-registered", V1) is True
+    reg.register("plain-value", V1)
+    assert reg.test_compatibility("plain-value", V2) is True
+    assert reg.test_compatibility("plain-value", V_BAD) is False
