@@ -135,11 +135,15 @@ def lsh_signature(vec: Column, planes: list[list[float]], dim: int) -> Column:
 
 
 def _table_buckets_udf(tables: int, planes_per_table: int, dim: int):
-    """Arrow-batched bucket computation for all LSH tables at once:
-    one (batch × dim) @ (dim × tables·planes) matmul, sign bits
-    packed per table. The per-row JVM alternative is tables×planes
-    literal-array dot folds — orders of magnitude slower for a dense
-    numeric kernel."""
+    """Arrow-batched bucket computation for all LSH tables at once,
+    vectorized across (rows × planes) but accumulated SEQUENTIALLY
+    over the dimension index: each step is ``acc += v[d] * plane[d]``
+    in order d=0..dim-1, the exact fold order of the DuckDB oracle's
+    ``list_reduce`` — so a dot product that lands within float error
+    of zero gets the SAME sign bit on both engines (a plain numpy
+    matmul uses pairwise/SIMD accumulation and could flip the bucket).
+    The per-row JVM alternative is tables×planes literal-array dot
+    folds — orders of magnitude slower for a dense numeric kernel."""
     import numpy as np
 
     flat = np.array(
@@ -153,7 +157,10 @@ def _table_buckets_udf(tables: int, planes_per_table: int, dim: int):
         import numpy as np
 
         m = np.array(vecs.tolist(), dtype=np.float64)
-        bits = (m @ flat.T) > 0
+        dots = np.zeros((len(m), flat.shape[0]), dtype=np.float64)
+        for d in range(flat.shape[1]):  # sequential fold, oracle order
+            dots += np.outer(m[:, d], flat[:, d])
+        bits = dots > 0
         packed = (bits.reshape(len(m), tables, planes_per_table).astype(np.int64) * shifts).sum(axis=2)
         return pd.Series(list(packed))
 

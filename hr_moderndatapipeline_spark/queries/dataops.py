@@ -302,6 +302,59 @@ WHERE rk <= 10
 """
 
 
+def _lsh_oracle_sql(tables: int = 10, planes_per_table: int = 6, dim: int = 64) -> str:
+    """DuckDB oracle for ``ann_lsh_topk`` (VERDICT r5 task 6): the
+    hyperplanes are deterministic (hash-derived, no RNG state), so
+    they pin as SQL literals, and both bucket assignment and cosine
+    scoring re-express as the same SEQUENTIAL fold the Spark side
+    computes — ``_table_buckets_udf`` accumulates over the dimension
+    index in d=0..63 order precisely so its sign bits are
+    bit-identical to this ``list_reduce``. ``repr(float)`` literals
+    round-trip to the identical double on parse."""
+    from hr_moderndatapipeline_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(tables):
+        for p, plane in enumerate(_hyperplanes(planes_per_table, dim, seed=t)):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {p}, CAST({vec} AS DOUBLE[]))")
+    values = ",\n".join(rows)
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, {n}), i -> {a}[i] * {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    dot_vp = fold.format(n=dim + 1, a="e.v", b="pl.pv")
+    dot_vv = fold.format(n=dim + 1, a="v", b="v")
+    dot_qc = fold.format(n=dim + 1, a="qv", b="cv")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({dot_vv}) AS nrm FROM e),
+planes(tbl, p, pv) AS (VALUES
+{values}),
+sigs AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(sum(CASE WHEN {dot_vp} > 0
+                       THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes pl
+  GROUP BY e.vec_id, pl.tbl),
+cands AS (
+  SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS c_id
+  FROM sigs qs JOIN sigs cs ON qs.tbl = cs.tbl AND qs.bucket = cs.bucket
+  WHERE qs.vec_id % 50 = 0 AND qs.vec_id < 5000 AND cs.vec_id <> qs.vec_id),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0 AND vec_id < 5000),
+c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n),
+scored AS (
+  SELECT cands.q_id, cands.c_id,
+         round({dot_qc} / (qn * cn), 6) AS cosine
+  FROM cands JOIN q ON cands.q_id = q.q_id JOIN c ON cands.c_id = c.c_id)
+SELECT q_id, c_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM scored)
+WHERE rk <= 10
+"""
+
+
 def _ann_queries(emb: DataFrame) -> DataFrame:
     """FIXED query batch (100 vectors at any corpus size): a query set
     defined as every-50th-vector grows linearly with the corpus,
@@ -321,8 +374,11 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (the scale path: signature
-    bucket join instead of cross product). Approximate ⇒ rows-only
-    driver check; recall vs brute force is unit-tested."""
+    bucket join instead of cross product). Approximate vs brute force
+    (recall unit-tested), but DETERMINISTIC given the pinned planes —
+    so it carries a full DuckDB oracle (``_lsh_oracle_sql``), with
+    bucket sign bits computed by the same sequential fold on both
+    engines."""
     emb = _emb(spark, sf_dir)
     queries = _ann_queries(emb)
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64)
@@ -1240,7 +1296,10 @@ ORACLES = {
     "domain_mix_weights": ORACLE_DOMAIN_MIX,
     "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
     "stable_doc_ids": ORACLE_STABLE_DOC_IDS,
-    # minhash_dedup_pairs / simhash_near_pairs / ann_lsh_topk /
-    # ann_ivf_topk / ivf_probe_topk: rows-only (non-SQL engine-native
-    # hashing / persisted-index lifecycle).
+    # Deterministic hyperplanes pin as literals; bucket + cosine are
+    # the same sequential fold on both engines (VERDICT r5 task 6).
+    "ann_lsh_topk": _lsh_oracle_sql(),
+    # minhash_dedup_pairs / simhash_near_pairs / ann_ivf_topk /
+    # ivf_probe_topk: rows-only (non-SQL engine-native hashing /
+    # persisted-index lifecycle).
 }
