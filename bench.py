@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "stable_doc_ids",             # two-pass global row numbering
     "customer_running_spend",     # explicit ROWS-frame running total
     "daily_order_anomalies",      # z-score anomaly flags over daily counts
+    "part_profit_by_nation_year", # Q9-shape 5-table join, LIKE-pruned fact
+    "salted_lineitem_order_revenue",  # skew-salted big-big SMJ (salting cost ledger)
+    "quality_zscore_by_source",   # per-source feature normalization (broadcast stats)
 ]
 
 

@@ -355,3 +355,92 @@ def assign_stable_ids(
         )
         .drop("_pid", "_offset")
     )
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    int_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score of an EXACT-INTEGER-valued column — the
+    feature-normalization step of a training-data pipeline (normalize
+    a quality/length/score signal within each source before mixing
+    sources).
+
+    Determinism contract: ``int_col`` must be integral. Group
+    mean/σ derive from integer SUM / SUM-of-squares / COUNT — exact
+    under any accumulation order — and the z closed formula is then
+    identical IEEE math on every engine (builtin ``stddev`` is NOT
+    cross-engine deterministic: Welford vs naive accumulate
+    differently). z is scale-invariant, so integer-scaled fixed-point
+    signals (score × 10) z-score identically to their float form.
+
+    Scale shape: one partial-combined shuffle of O(#groups) stat rows
+    + a broadcast join back onto the rows — the row side is never
+    shuffled, never windowed. Groups with n ≤ 1 or zero variance
+    yield NULL (no group to normalize against).
+    """
+    keys = list(group_cols)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(int_col).alias("_s1"),
+        F.sum(F.col(int_col) * F.col(int_col)).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    z = (F.col(int_col).cast("double") - s1 / n) / F.sqrt(var)
+    return (
+        df.join(F.broadcast(stats), keys)
+        .withColumn(
+            out_col,
+            F.when((F.col("_n") > 1) & (var > 0), F.round(z, 6)).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+        .drop("_n", "_s1", "_s2")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: a hot fact key (the null/default
+    FK, the one mega-customer) floods a single reducer in a plain
+    shuffle join. Scatter each fact row to one of ``n_salts``
+    deterministic buckets (hash of the WHOLE row, so a hot key's rows
+    spread across buckets) and replicate the dim side once per salt;
+    the join key becomes (key, salt) and the hot key's work lands on
+    ``n_salts`` reducers. Result-identical to the plain join — the
+    oracle for ``salted_lineitem_order_revenue`` IS the plain join.
+
+    Trade-off ledger (why this is not the default): the dim side
+    shuffles ``n_salts``× its size, and the ``merge`` hint pins a
+    sort-merge plan. Use when a key's heat is known ahead of time or
+    AQE's runtime skew split is unavailable (foreachBatch, non-AQE
+    engines); otherwise let AQE (`spark.sql.adaptive.skewJoin`)
+    split skewed partitions from observed sizes. Broadcast-able dims
+    never need salting — there is no shuffle to skew.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
+    ).cast("int")
+    f = fact.withColumn("_fsalt", salt)
+    d = dim.withColumn(
+        "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = f.join(
+        d.hint("merge"),
+        (F.col(fact_key) == F.col(dim_key)) & (F.col("_fsalt") == F.col("_dsalt")),
+        how,
+    )
+    return joined.drop("_fsalt", "_dsalt")

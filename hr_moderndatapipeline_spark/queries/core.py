@@ -1461,6 +1461,132 @@ ORDER BY epoch_day
 """
 
 
+def q_part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the corpus):
+    lineitem×part×supplier×orders×nation with a part-NAME substring
+    filter, revenue grouped by supplier nation × order year. A
+    different join graph from Q5 (`local_supplier_volume`): part and
+    nation broadcast, the LIKE filter pushes into the part scan and
+    prunes lineitem BEFORE the only big-big join (li⋈orders for the
+    year) — the shape Catalyst's join reordering must get right at
+    100 TB, where filtering after the orders join would shuffle the
+    whole fact table for rows the part filter discards."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev_amount()).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_PART_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate whose
+    branches span BOTH join sides (brand × size band × quantity band).
+    One broadcast join + one disjunctive filter; Catalyst extracts
+    the cross-branch common conjuncts for pushdown below the join
+    (CNF conversion), so each side's scan still prunes — the
+    disjunction itself must NOT force a full-fact scan-then-join at
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 10)
+            & qty.between(20, 45)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev_amount()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_DISJUNCTIVE_PART_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
+def q_salted_lineitem_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-big shuffle join (lineitem⋈orders) through the
+    explicit skew-salting operator: each lineitem row scatters to one
+    of 8 salt buckets, orders replicate 8×, and the join runs on
+    (orderkey, salt) so a hot orderkey would spread over 8 reducers.
+    Result-identical to the plain join — that plain join IS the
+    oracle — and the plan is gated to sort-merge on the salted key
+    (a broadcast would mean the demonstration silently degenerated)."""
+    from hr_moderndatapipeline_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(_rev_amount()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SALTED_REVENUE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -1507,6 +1633,9 @@ QUERIES = {
     "bloom_filtered_supplier_revenue": q_bloom_filtered_supplier_revenue,
     "customer_running_spend": q_customer_running_spend,
     "daily_order_anomalies": q_daily_order_anomalies,
+    "part_profit_by_nation_year": q_part_profit_by_nation_year,
+    "disjunctive_part_revenue": q_disjunctive_part_revenue,
+    "salted_lineitem_order_revenue": q_salted_lineitem_order_revenue,
 }
 
 ORACLES = {
@@ -1555,4 +1684,7 @@ ORACLES = {
     "bloom_filtered_supplier_revenue": ORACLE_BLOOM_SUPPLIER_REVENUE,
     "customer_running_spend": ORACLE_RUNNING_SPEND,
     "daily_order_anomalies": ORACLE_DAILY_ANOMALIES,
+    "part_profit_by_nation_year": ORACLE_PART_PROFIT,
+    "disjunctive_part_revenue": ORACLE_DISJUNCTIVE_PART_REVENUE,
+    "salted_lineitem_order_revenue": ORACLE_SALTED_REVENUE,
 }

@@ -503,6 +503,59 @@ FROM t
 """
 
 
+def q_quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source feature normalization (training-prep): the quality
+    score z-scored WITHIN each source, so a lenient source's docs and
+    a strict source's docs rank on the same scale before mixing. The
+    score is carried as an exact integer (component points 4/3/3, no
+    float sum), group stats are integer SUM/SUM² via
+    ``grouped_zscore`` — O(#sources) stat rows shuffle, the corpus
+    side only broadcasts-joins, never re-shuffles."""
+    from hr_moderndatapipeline_spark.operators.relational import grouped_zscore
+
+    docs = _docs(spark, sf_dir)
+    cols = quality_signal_cols(F.col("text"))
+    n_tokens = cols["n_tokens"]
+    distinct_ratio = cols["distinct_ratio"]
+    stop_hits = cols["stopword_hits"]
+    q10 = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), 4).otherwise(0)
+        + F.when(distinct_ratio > 0.3, 3).otherwise(0)
+        + F.when(stop_hits >= 2, 3).otherwise(0)
+    ).cast("long")
+    scored = docs.select("doc_id", "source", q10.alias("q10"))
+    return grouped_zscore(scored, ["source"], "q10", out_col="z_quality").select(
+        "doc_id", "source", "q10", "z_quality"
+    )
+
+
+ORACLE_QUALITY_ZSCORE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN len(str_split(text, ' ')) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+              + CASE WHEN CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                          / CAST(len(str_split(text, ' ')) AS DOUBLE) > 0.3 THEN 3 ELSE 0 END
+              + CASE WHEN len(list_intersect(list_distinct(str_split(text, ' ')),
+                                             ['the','a','of','and','to','in','is'])) >= 2 THEN 3 ELSE 0 END
+              AS BIGINT) AS q10
+  FROM documents),
+stats AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(q10) AS BIGINT) AS s1,
+         CAST(sum(q10 * q10) AS BIGINT) AS s2
+  FROM t GROUP BY source)
+SELECT doc_id, t.source, q10,
+       CASE WHEN n > 1
+                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0) > 0
+            THEN round((CAST(q10 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)), 6)
+            ELSE NULL END AS z_quality
+FROM t JOIN stats ON t.source = stats.source
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_heuristic(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -1236,6 +1289,7 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
+    "quality_zscore_by_source": q_quality_zscore_by_source,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "text_normalize": q_text_normalize,
@@ -1272,6 +1326,7 @@ ORACLES = {
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "token_stats": ORACLE_TOKEN_STATS,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "quality_zscore_by_source": ORACLE_QUALITY_ZSCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

@@ -235,10 +235,61 @@ def q_streaming_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming exact dedup end to end
+    (``dedup_stream`` → ``dropDuplicatesWithinWatermark``): the first
+    2000 events are serialized with every 4th payload DUPLICATED,
+    streamed from JSON-lines files, deduplicated on event_id with a
+    1-hour watermark, and appended to a checkpointed sink. At 100 TB/
+    day the dedup state holds only the watermark window's keys — the
+    plain streaming ``dropDuplicates`` alternative accumulates every
+    key forever and OOMs. Returns total vs distinct sunk counts
+    (equal iff the dedup held). Rows-only: streaming state eviction
+    is not ANSI-SQL-expressible; semantics pinned by
+    tests/test_streaming.py."""
+    wd = _workdir(sf_dir, "dedup")
+    src = f"{wd}/src"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.to_json(
+        F.struct(
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+    )
+    base = ev.select(payload.alias("value"), "event_id")
+    dupes = base.filter(F.col("event_id") % 4 == 0)
+    base.unionAll(dupes).select("value").coalesce(2).write.text(src)
+
+    from hr_moderndatapipeline_spark.streaming import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    valid, _ = parse_with_dlq(file_json_stream(spark, src), "value", schema)
+    typed = valid.withColumn("ts", F.to_timestamp("ts"))
+    deduped = dedup_stream(typed, ["event_id"], "ts", watermark="1 hour")
+    q = start_append_sink(deduped, f"{wd}/out", f"{wd}/cp", available_now=True)
+    q.awaitTermination(300)
+
+    out = spark.read.schema(
+        "event_id long, user_id int, event_type string, ts timestamp"
+    ).parquet(f"{wd}/out")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
 QUERIES = {
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
     "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
     "streaming_join_enrichment": q_streaming_join_enrichment,
+    "streaming_dedup_events": q_streaming_dedup_events,
     "session_window_counts": q_session_window_counts,
 }
 
