@@ -67,21 +67,25 @@ def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
 #: canonicalization changes: a probe against a published filter built
 #: by a different canonicalization silently drops every member key,
 #: so the format marker turns that into a loud load-time error.
-#: (v3: all numeric types share one "numeric" canon — v2 derived the
+#: (v3 unified all numerics through DECIMAL(38,18) — v2 derived the
 #: canon from the DIM side only, so an int dim + double fact hashed
-#: '5' vs '5.0' and emptied the join, ADVICE r5.)
-_FORMAT = 3
+#: '5' vs '5.0' and emptied the join, ADVICE r5. v4 keeps the unified
+#: numeric canon but routes it through DOUBLE: the BigDecimal
+#: cast+format sat on the probe's per-row hot path and tripled the
+#: bloom query's bench time.)
+_FORMAT = 4
 
 #: Key canonicalization kinds (recorded in the filter so the probe
 #: side applies the SAME normalization as the build side):
-#: - "numeric": every NumericType is cast through DECIMAL(38,18) then
-#:   string, so values Spark's join coercion treats as equal hash
-#:   identically across int/bigint/double/decimal widths (int 5,
-#:   double 5.0, DECIMAL(10,2) 5.00 all canon to "5.000…0"; -0.0
-#:   canons with +0.0; xxhash64 itself is type-sensitive — the
-#:   silent-empty-join trap). Values outside decimal range
-#:   (|x| ≥ 1e20, NaN, ±Inf) canon to NULL — a shared bucket, so
-#:   mismatches there are false POSITIVES only, never negatives.
+#: - "numeric": every NumericType canons as ``(CAST(x AS DOUBLE) +
+#:   0.0)`` stringified. This aligns EXACTLY with Spark's own join
+#:   coercion for mixed numeric widths (an int-vs-double join
+#:   compares the double casts), so join-equal values hash equal:
+#:   int 5, double 5.0, DECIMAL(10,2) 5.00 all canon to "5.0";
+#:   +0.0 absorbs -0.0 (join-equal under NormalizeFloatingNumbers).
+#:   Integral keys beyond 2^53 may collide in the double — false
+#:   POSITIVES only (the exact join removes them), never negatives,
+#:   and cheap codegen arithmetic instead of BigDecimal formatting.
 #: - "timestamp": hash the epoch-micros long — a timestamp's STRING
 #:   form depends on spark.sql.session.timeZone, which may differ
 #:   between the build session and a probe session reviving a
@@ -124,7 +128,7 @@ def _canon(key: Column, kind: str) -> Column:
     if kind == _KIND_TIMESTAMP:
         return F.unix_micros(key).cast("string")
     if kind == _KIND_NUMERIC:
-        return key.cast("decimal(38,18)").cast("string")
+        return (key.cast("double") + F.lit(0.0)).cast("string")
     return key.cast("string")
 
 
