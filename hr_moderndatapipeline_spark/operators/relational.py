@@ -404,43 +404,7 @@ def grouped_zscore(
     )
 
 
-def salted_join(
-    fact: DataFrame,
-    dim: DataFrame,
-    fact_key: str,
-    dim_key: str,
-    n_salts: int = 8,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-safe shuffle equi-join: a hot fact key (the null/default
-    FK, the one mega-customer) floods a single reducer in a plain
-    shuffle join. Scatter each fact row to one of ``n_salts``
-    deterministic buckets (hash of the WHOLE row, so a hot key's rows
-    spread across buckets) and replicate the dim side once per salt;
-    the join key becomes (key, salt) and the hot key's work lands on
-    ``n_salts`` reducers. Result-identical to the plain join — the
-    oracle for ``salted_lineitem_order_revenue`` IS the plain join.
-
-    Trade-off ledger (why this is not the default): the dim side
-    shuffles ``n_salts``× its size, and the ``merge`` hint pins a
-    sort-merge plan. Use when a key's heat is known ahead of time or
-    AQE's runtime skew split is unavailable (foreachBatch, non-AQE
-    engines); otherwise let AQE (`spark.sql.adaptive.skewJoin`)
-    split skewed partitions from observed sizes. Broadcast-able dims
-    never need salting — there is no shuffle to skew.
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
-    ).cast("int")
-    f = fact.withColumn("_fsalt", salt)
-    d = dim.withColumn(
-        "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    joined = f.join(
-        d.hint("merge"),
-        (F.col(fact_key) == F.col(dim_key)) & (F.col("_fsalt") == F.col("_dsalt")),
-        how,
-    )
-    return joined.drop("_fsalt", "_dsalt")
+# NOTE: salted_join (skew-mitigated equi-join) lives ABOVE with the
+# other join helpers — round 6 nearly added a duplicate here; the
+# round-4 operator already covers the fact/dim salting shape and its
+# driver entry is queries/core.py q_salted_lineitem_order_revenue.

@@ -1556,17 +1556,24 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 
 def q_salted_lineitem_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The big-big shuffle join (lineitem⋈orders) through the
-    explicit skew-salting operator: each lineitem row scatters to one
-    of 8 salt buckets, orders replicate 8×, and the join runs on
-    (orderkey, salt) so a hot orderkey would spread over 8 reducers.
-    Result-identical to the plain join — that plain join IS the
-    oracle — and the plan is gated to sort-merge on the salted key
-    (a broadcast would mean the demonstration silently degenerated)."""
+    round-4 skew-salting operator (`operators/relational.py
+    salted_join`): each lineitem row scatters to one of 8
+    deterministic salt buckets, orders replicate 8×, and the join
+    runs on (orderkey, salt) so a hot orderkey would spread over 8
+    reducers. Result-identical to the plain join — that plain join IS
+    the oracle — and the plan is gated to sort-merge on the salted
+    key (the `merge` hint pins it; an auto-broadcast of the 8×
+    replicated dim at test scale would silently degenerate the
+    demonstration)."""
     from hr_moderndatapipeline_spark.operators.relational import salted_join
 
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+        .hint("merge")
+    )
+    j = salted_join(li, o, ["l_orderkey"], n_salts=8)
     return (
         j.groupBy("o_orderpriority")
         .agg(

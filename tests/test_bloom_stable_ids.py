@@ -176,6 +176,24 @@ def test_bloom_int_dim_double_fact_no_false_negatives(spark):
     assert bloom_semi_filter(fact_dec, dim, "k", "k", expected_items=200).count() == 200
 
 
+def test_bloom_edge_numeric_keys_no_false_negatives(spark):
+    """v4 double-canon edge values: ±0.0 fold together, NaN/±Inf and
+    beyond-2^53 integrals canon deterministically — membership of
+    every inserted key must hold for all of them."""
+    vals = [
+        0.0, -0.0, 1.5, -1.5, float(2**53) + 2.0, 1e300,
+        float("inf"), float("-inf"), float("nan"),
+    ]
+    dim = spark.createDataFrame([(v,) for v in vals], "k double")
+    bloom = build_bloom(dim, "k", expected_items=16)
+    assert dim.filter(~might_contain(bloom, F.col("k"))).count() == 0
+    # -0.0 and +0.0 are join-equal: a +0.0-only filter accepts -0.0
+    only_pos = spark.createDataFrame([(0.0,)], "k double")
+    b2 = build_bloom(only_pos, "k", expected_items=4)
+    neg = spark.createDataFrame([(-0.0,)], "k double")
+    assert neg.filter(might_contain(b2, F.col("k"))).count() == 1
+
+
 def test_bloom_probe_kind_mismatch_raises(spark):
     """Irreconcilable canon families (numeric filter, timestamp or
     string probe) must raise loudly instead of silently returning an

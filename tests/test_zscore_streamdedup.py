@@ -60,38 +60,29 @@ def test_streaming_dedup_events_drops_injected_duplicates(spark, sf_dir):
     assert row["n_rows"] == row["n_distinct"] == expected
 
 
-def test_salted_join_result_identical_and_smj(spark, sf_dir):
+def test_salted_query_matches_plain_join_and_pins_smj(spark, sf_dir):
+    """The driver query for the (round-4) salted_join operator:
+    grouped revenue equals the plain join's, and the plan is
+    sort-merge on the salted key — an auto-broadcast of the 8×
+    replicated dim would silently degenerate the skew spreading."""
     from tests.test_plan_quality import plan_of
 
-    from hr_moderndatapipeline_spark.operators.relational import salted_join
+    from hr_moderndatapipeline_spark.queries.core import (
+        q_salted_lineitem_order_revenue,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    salted = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
-    plain = li.join(o, li.l_orderkey == o.o_orderkey)
-    # result-identical (multiset) to the plain join
-    cols = ["l_orderkey", "l_linenumber", "o_orderpriority"]
-    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
-    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
-    # the salt columns never leak
-    assert "_fsalt" not in salted.columns and "_dsalt" not in salted.columns
-    # plan: sort-merge on (key, salt); a broadcast would mean the
-    # skew-spreading silently degenerated
-    plan = plan_of(salted)
+    out = q_salted_lineitem_order_revenue(spark, sf_dir)
+    assert "_salt" not in out.columns  # salt never leaks
+    plan = plan_of(out)
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
-
-
-def test_salted_join_left_keeps_unmatched(spark):
-    from hr_moderndatapipeline_spark.operators.relational import salted_join
-
-    f = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k long, v string")
-    d = spark.createDataFrame([(1, "x"), (2, "y")], "dk long, w string")
-    out = salted_join(f, d, "k", "dk", n_salts=3, how="left").collect()
-    assert len(out) == 3
-    unmatched = [r for r in out if r["k"] == 99][0]
-    assert unmatched["w"] is None
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        salted_join(f, d, "k", "dk", how="full")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    got = {r["o_orderpriority"]: r["n_lines"] for r in out.collect()}
+    want = {r["o_orderpriority"]: r["count"] for r in plain.collect()}
+    assert got == want
