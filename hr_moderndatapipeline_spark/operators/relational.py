@@ -379,28 +379,41 @@ def grouped_zscore(
     Scale shape: one partial-combined shuffle of O(#groups) stat rows
     + a broadcast join back onto the rows — the row side is never
     shuffled, never windowed. Groups with n ≤ 1 or zero variance
-    yield NULL (no group to normalize against).
+    yield NULL (no group to normalize against). The join back is
+    NULL-SAFE on the group keys: a null group (unknown source) is a
+    group like any other — a plain equality join would silently DROP
+    every null-keyed row from the output.
     """
     keys = list(group_cols)
+    reserved = {"_n", "_s1", "_s2"} | {f"_gzk_{k}" for k in keys}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"grouped_zscore reserves column names {sorted(clash)}")
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(int_col).alias("_s1"),
         F.sum(F.col(int_col) * F.col(int_col)).alias("_s2"),
     )
+    for k in keys:  # rename so the null-safe condition is unambiguous
+        stats = stats.withColumnRenamed(k, f"_gzk_{k}")
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"_gzk_{k}"))
+        cond = eq if cond is None else (cond & eq)
     n = F.col("_n").cast("double")
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
     var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
     z = (F.col(int_col).cast("double") - s1 / n) / F.sqrt(var)
     return (
-        df.join(F.broadcast(stats), keys)
+        df.join(F.broadcast(stats), cond)
         .withColumn(
             out_col,
             F.when((F.col("_n") > 1) & (var > 0), F.round(z, 6)).otherwise(
                 F.lit(None).cast("double")
             ),
         )
-        .drop("_n", "_s1", "_s2")
+        .drop("_n", "_s1", "_s2", *[f"_gzk_{k}" for k in keys])
     )
 
 

@@ -552,7 +552,7 @@ SELECT doc_id, t.source, q10,
                        / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
                               / (CAST(n AS DOUBLE) - 1.0)), 6)
             ELSE NULL END AS z_quality
-FROM t JOIN stats ON t.source = stats.source
+FROM t JOIN stats ON t.source IS NOT DISTINCT FROM stats.source
 """
 
 

@@ -44,3 +44,16 @@ def test_skeleton_and_counts_see_the_join_strategy(spark, sf_dir):
     assert any(n.startswith("BroadcastHashJoin") for n in nodes)
     # skeleton holds node names only — no exprIds/paths that churn
     assert all("#" not in n and "/" not in n for n in nodes)
+
+
+def test_bench_queries_all_exist():
+    """Every BENCH_QUERIES name must resolve — a typo'd entry would
+    silently land in the bench's errors field and drop the query from
+    the round's timing record."""
+    import bench
+
+    import __spark_entry__ as entry
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in entry.queries()]
+    assert not missing, f"bench names not in queries(): {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)

@@ -26,6 +26,27 @@ def test_grouped_zscore_matches_closed_form(spark):
     assert math.isclose(got[("b", 30)], round(10 / math.sqrt(200), 6))
 
 
+def test_grouped_zscore_keeps_null_group_rows(spark):
+    """A null group key is a group like any other: a plain equality
+    join-back would silently drop every null-keyed row."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 3), ("a", 5), ("a", 7)],
+        "g string, v long",
+    )
+    rows = grouped_zscore(df, ["g"], "v").collect()
+    assert len(rows) == 4  # nothing dropped
+    nulls = {r["v"]: r["z"] for r in rows if r["g"] is None}
+    assert nulls[1] is not None and nulls[1] < 0 < nulls[3]
+
+
+def test_grouped_zscore_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1, 0)], "g string, v long, _n long")
+    with _pytest.raises(ValueError, match="reserves"):
+        grouped_zscore(df, ["g"], "v")
+
+
 def test_grouped_zscore_degenerate_groups_are_null(spark):
     df = spark.createDataFrame(
         [("solo", 7), ("flat", 5), ("flat", 5), ("flat", 5)],
