@@ -1594,6 +1594,76 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: ONE dimension (nation) playing TWO roles in
+    the same query — the customer's nation routes market membership
+    (region = ASIA via n2→region) while the supplier's nation (n1)
+    is the share numerator. Role-played dims must join under
+    distinct aliases without column ambiguity, and both stay
+    broadcast; the share is a conditional-aggregate ratio per order
+    year over exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cn_rkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_cn_key"))
+        .join(F.broadcast(r), F.col("_cn_rkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sn_key"))
+    )
+    amount = _rev_amount()
+    target = F.when(F.col("supp_nation") == "NATION_5", amount).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(target).cast("double").alias("target_revenue"),
+        F.sum(amount).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        "target_revenue",
+        "total_revenue",
+        F.round(F.col("target_revenue") / F.col("total_revenue"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+ORACLE_NATION_MARKET_SHARE = """
+WITH j AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+         n1.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * CAST(1 - l_discount AS DECIMAL(18,2)) AS amount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA')
+SELECT CAST(o_year AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN amount
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS target_revenue,
+       CAST(sum(amount) AS DOUBLE) AS total_revenue,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN amount
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(amount) AS DOUBLE), 6) AS mkt_share
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -1643,6 +1713,7 @@ QUERIES = {
     "part_profit_by_nation_year": q_part_profit_by_nation_year,
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "salted_lineitem_order_revenue": q_salted_lineitem_order_revenue,
+    "nation_market_share": q_nation_market_share,
 }
 
 ORACLES = {
@@ -1694,4 +1765,5 @@ ORACLES = {
     "part_profit_by_nation_year": ORACLE_PART_PROFIT,
     "disjunctive_part_revenue": ORACLE_DISJUNCTIVE_PART_REVENUE,
     "salted_lineitem_order_revenue": ORACLE_SALTED_REVENUE,
+    "nation_market_share": ORACLE_NATION_MARKET_SHARE,
 }

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 _INDEX_SCHEMA = (
     "path string, column string, row_count long, null_count long, "
-    "min_val double, max_val double"
+    "min_val double, max_val double, min_str string, max_str string"
 )
 
 
@@ -107,15 +107,32 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
                         # file that still contains matching values.
                         acc["complete"] = False
             for name, acc in per_col.items():
-                # Non-numeric stats (e.g. byte-array min/max for
-                # strings) and incomplete coverage index as null ->
-                # the column is listed but never pruned on.
-                try:
-                    ok = acc["complete"] and acc["mins"]
-                    lo = _down(min(acc["mins"])) if ok else None
-                    hi = _up(max(acc["maxs"])) if ok else None
-                except (TypeError, ValueError):
-                    lo = hi = None
+                # Numeric stats publish as outward-rounded doubles;
+                # string/byte stats publish as strings (parquet
+                # byte-array min/max order == UTF-8 code-point order,
+                # and writer-side truncation keeps min a prefix-lower
+                # / max an incremented-upper bound, so the published
+                # range stays a SUPERSET of the true range). Anything
+                # else (mixed, undecodable, incomplete coverage)
+                # indexes as null -> listed but never pruned on.
+                lo = hi = lo_s = hi_s = None
+                ok = acc["complete"] and acc["mins"]
+                if ok:
+                    try:
+                        mn, mx = min(acc["mins"]), max(acc["maxs"])
+                        if isinstance(mn, bool) or isinstance(mx, bool):
+                            pass
+                        elif isinstance(mn, (int, float)) and isinstance(mx, (int, float)):
+                            lo, hi = _down(mn), _up(mx)
+                        else:
+                            if isinstance(mn, bytes):
+                                mn = mn.decode("utf-8")  # strict: fail -> null
+                            if isinstance(mx, bytes):
+                                mx = mx.decode("utf-8")
+                            if isinstance(mn, str) and isinstance(mx, str):
+                                lo_s, hi_s = mn, mx
+                    except (TypeError, ValueError, UnicodeDecodeError):
+                        lo = hi = lo_s = hi_s = None
                 out.append(
                     {
                         "path": path,
@@ -124,6 +141,8 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
                         "null_count": acc["nulls"],
                         "min_val": lo,
                         "max_val": hi,
+                        "min_str": lo_s,
+                        "max_str": hi_s,
                     }
                 )
         yield pd.DataFrame(
@@ -135,6 +154,8 @@ def _footer_stats(batches: Iterator[pd.DataFrame], columns: Sequence[str]):
                 "null_count",
                 "min_val",
                 "max_val",
+                "min_str",
+                "max_str",
             ],
         )
 
@@ -145,8 +166,10 @@ def build_file_index(
     """Manifest DataFrame for every ``*.parquet`` under ``data_dir``
     (one row per file × indexed column). Footer reads run on
     executors via an Arrow-batched ``mapInPandas`` over the
-    parallelized path list — numeric columns only (min/max cast to
-    double for interval pruning)."""
+    parallelized path list. Numeric columns publish outward-rounded
+    double min/max; string columns publish string min/max (UTF-8
+    code-point order == parquet byte order, truncation-safe bounds);
+    other types index with null stats and are never pruned on."""
     paths = sorted(
         os.path.join(root, name)
         for root, _, names in os.walk(data_dir)
@@ -172,7 +195,7 @@ def _column_rows(index: DataFrame, column: str) -> list:
     the driver, same movement a manifest read always makes."""
     rows = (
         index.filter(F.col("column") == column)
-        .select("path", "min_val", "max_val")
+        .select("path", "min_val", "max_val", "min_str", "max_str")
         .collect()
     )
     if not rows:
@@ -182,20 +205,37 @@ def _column_rows(index: DataFrame, column: str) -> list:
     return rows
 
 
-def _intersecting(rows: list, lo: float, hi: float) -> list[str]:
-    """Paths whose [min, max] intersects [lo, hi] — plus files with
-    no stats for the column (never prune blind)."""
+def _intersecting(rows: list, lo, hi) -> list[str]:
+    """Paths whose stat range intersects [lo, hi] — plus files with
+    no stats for the column (never prune blind). String bounds prune
+    on the string stats, numeric bounds on the double stats; a
+    bounds/stat-kind mismatch is a loud TypeError, because the
+    RESIDUAL filter would otherwise cast the column and silently
+    drop rows (string col >= 5.0 null-casts to false)."""
+    is_str = isinstance(lo, str) or isinstance(hi, str)
+    if is_str and not (isinstance(lo, str) and isinstance(hi, str)):
+        raise TypeError("mixed string/numeric bounds")
+    mn_f, mx_f = ("min_str", "max_str") if is_str else ("min_val", "max_val")
+    other_mn = "min_val" if is_str else "min_str"
+    if any(r[mn_f] is None and r[other_mn] is not None for r in rows):
+        kind = "numeric" if is_str else "string"
+        want = "string" if is_str else "numeric"
+        raise TypeError(
+            f"column carries {kind} statistics but the bounds are {want} — "
+            "pruning would be blind and the residual filter would null-cast"
+        )
     return sorted(
         r["path"]
         for r in rows
-        if r["min_val"] is None or (r["min_val"] <= hi and r["max_val"] >= lo)
+        if r[mn_f] is None or (r[mn_f] <= hi and r[mx_f] >= lo)
     )
 
 
 def pruned_paths(
-    index: DataFrame, column: str, lo: float, hi: float
+    index: DataFrame, column: str, lo: float | str, hi: float | str
 ) -> list[str]:
-    """Paths that MIGHT contain values of ``column`` in [lo, hi].
+    """Paths that MIGHT contain values of ``column`` in [lo, hi] —
+    numeric or string bounds, matching the column's stat kind.
     One manifest evaluation; driver-cheap by design (O(#files))."""
     return _intersecting(_column_rows(index, column), lo, hi)
 
@@ -204,8 +244,8 @@ def read_pruned(
     spark: SparkSession,
     index: DataFrame,
     column: str,
-    lo: float,
-    hi: float,
+    lo: float | str,
+    hi: float | str,
 ) -> DataFrame:
     """Manifest-pruned scan: open only files that might match, then
     keep the exact residual filter (pruning is a superset), so the

@@ -141,3 +141,52 @@ def test_huge_int_stats_round_outward(spark, tmp_path):
     assert pruned_paths(idx, "id", float(big), float(big)) != []
     row = idx.collect()[0]
     assert row["min_val"] <= big <= row["max_val"]
+
+
+@pytest.fixture(scope="module")
+def string_keyed_dir(spark, tmp_path_factory):
+    """Files range-clustered on a string date key — disjoint per-file
+    key ranges, the partition-pruning-without-partitions shape."""
+    d = str(tmp_path_factory.mktemp("sidx") / "t")
+    df = (
+        spark.range(0, 3650)
+        .withColumn("day", F.date_format(F.date_add(F.lit("2015-01-01"), F.col("id").cast("int")), "yyyy-MM-dd"))
+        .withColumn("v", F.col("id") * 7)
+    )
+    df.repartitionByRange(10, "day").sortWithinPartitions("day").write.parquet(d)
+    return d
+
+
+def test_string_stats_prune_files_and_lose_nothing(spark, string_keyed_dir):
+    idx = build_file_index(spark, string_keyed_dir, ["day"]).cache()
+    all_files = glob.glob(f"{string_keyed_dir}/*.parquet")
+    kept = pruned_paths(idx, "day", "2016-02-01", "2016-03-15")
+    assert 0 < len(kept) < len(all_files)  # most files skipped
+    pruned = read_pruned(spark, idx, "day", "2016-02-01", "2016-03-15")
+    full = spark.read.parquet(string_keyed_dir).filter(
+        (F.col("day") >= "2016-02-01") & (F.col("day") <= "2016-03-15")
+    )
+    assert pruned.select("id", "day", "v").exceptAll(full.select("id", "day", "v")).count() == 0
+    assert full.select("id", "day", "v").exceptAll(pruned.select("id", "day", "v")).count() == 0
+
+
+def test_bounds_kind_mismatch_raises(spark, string_keyed_dir, zordered_dir):
+    sidx = build_file_index(spark, string_keyed_dir, ["day"])
+    with pytest.raises(TypeError, match="statistics"):
+        pruned_paths(sidx, "day", 0.0, 10.0)  # numeric bounds, string stats
+    nidx = build_file_index(spark, zordered_dir, ["x"])
+    with pytest.raises(TypeError, match="statistics"):
+        pruned_paths(nidx, "x", "a", "z")  # string bounds, numeric stats
+
+
+def test_string_index_incremental_update(spark, string_keyed_dir, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "t2")
+    shutil.copytree(string_keyed_dir, d)
+    idx = build_file_index(spark, d, ["day"])
+    extra = spark.range(0, 10).withColumn("day", F.lit("2030-01-01")).withColumn("v", F.col("id"))
+    extra.coalesce(1).write.mode("append").parquet(d)
+    idx2 = update_file_index(spark, idx, d, ["day"])
+    kept = pruned_paths(idx2, "day", "2029-12-31", "2030-12-31")
+    assert len(kept) == 1  # only the appended file can match
