@@ -236,6 +236,86 @@ def ann_lsh(
     )
 
 
+def lsh_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    tables: int = 10,
+    planes_per_table: int = 6,
+) -> DataFrame:
+    """Build the persistent hyperplane-LSH INDEX: one row per
+    (vector, table) — ``(c_id, _cv, _cn, tbl, bucket)`` — with the
+    vector and its precomputed norm carried so probes score without a
+    second corpus lookup. The planes are hash-derived from
+    ``(tables, planes_per_table, dim)``, so persist those three
+    numbers with the index; a probe with different parameters would
+    silently hash into disjoint buckets. Publish partitioned/bucketed
+    by (tbl, bucket); incremental query batches then call
+    ``lsh_probe`` — the corpus is signed ONCE, not re-hashed per
+    search run (mirrors ``minhash_index``/``ivf_index``)."""
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    c = (
+        rebalance(corpus)
+        .select(F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cn", l2_norm(F.col("_cv"), dim))
+    )
+    buckets = _table_buckets_udf(tables, planes_per_table, dim)
+    return c.select(
+        "c_id", "_cv", "_cn", F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket")
+    )
+
+
+def lsh_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    tables: int = 10,
+    planes_per_table: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a query batch against a prebuilt ``lsh_index`` (SAME
+    (tables, planes_per_table, dim) as the build): sign the queries,
+    equi-join stored buckets on (tbl, bucket), dedup candidate pairs,
+    score with the prenormed sequential-fold cosine, rank. Work
+    scales with the collided buckets; the corpus is never re-signed.
+    Result is identical to ``ann_lsh`` with the same parameters
+    (asserted in tests), so the one-shot query's DuckDB oracle also
+    verifies this path."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn("_qn", l2_norm(F.col("_qv"), dim))
+    )
+    buckets = _table_buckets_udf(tables, planes_per_table, dim)
+    qb = q.select(
+        "q_id", "_qv", "_qn", F.posexplode(buckets(F.col("_qv"))).alias("tbl", "bucket")
+    )
+    cands = (
+        index.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
+            round_digits,
+        ),
+    ).select("q_id", "c_id", "cosine")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
 def ivf_codebook(
     corpus: DataFrame,
     id_col: str,

@@ -384,6 +384,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
+def q_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index LSH path: ``lsh_index`` (corpus signed
+    once) probed by the fixed query batch. Same parameters as
+    ``ann_lsh_topk`` ⇒ identical result (asserted in tests), so it
+    shares that query's DuckDB oracle — the index/probe split itself
+    is what this entry exercises."""
+    from hr_moderndatapipeline_spark.operators.similarity import lsh_index, lsh_probe
+
+    emb = _emb(spark, sf_dir)
+    queries = _ann_queries(emb)
+    index = lsh_index(emb, "vec_id", "embedding", dim=64)
+    return lsh_probe(queries, index, "vec_id", "embedding", k=10, dim=64)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (inverted centroid lists +
     multi-probe). Approximate ⇒ rows-only driver check; recall vs
@@ -1284,6 +1298,7 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "lsh_probe_topk": q_lsh_probe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ivf_probe_topk": q_ivf_probe_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1354,6 +1369,9 @@ ORACLES = {
     # Deterministic hyperplanes pin as literals; bucket + cosine are
     # the same sequential fold on both engines (VERDICT r5 task 6).
     "ann_lsh_topk": _lsh_oracle_sql(),
+    # identical parameters ⇒ identical result to ann_lsh_topk; the
+    # index/probe split is the thing under test
+    "lsh_probe_topk": _lsh_oracle_sql(),
     # minhash_dedup_pairs / simhash_near_pairs / ann_ivf_topk /
     # ivf_probe_topk: rows-only (non-SQL engine-native hashing /
     # persisted-index lifecycle).

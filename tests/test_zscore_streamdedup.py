@@ -107,3 +107,23 @@ def test_salted_query_matches_plain_join_and_pins_smj(spark, sf_dir):
     got = {r["o_orderpriority"]: r["n_lines"] for r in out.collect()}
     want = {r["o_orderpriority"]: r["count"] for r in plain.collect()}
     assert got == want
+
+
+def test_lsh_index_probe_equals_one_shot(spark, sf_dir):
+    """The persisted LSH index/probe split must return EXACTLY the
+    one-shot ann_lsh result for the same parameters — same planes,
+    same candidates, same prenormed fold scores, same ranks."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        ann_lsh,
+        lsh_index,
+        lsh_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    one_shot = ann_lsh(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    idx = lsh_index(emb, "vec_id", "embedding", dim=64)
+    probed = lsh_probe(queries, idx, "vec_id", "embedding", k=5, dim=64)
+    a = sorted(map(tuple, one_shot.collect()))
+    b = sorted(map(tuple, probed.collect()))
+    assert a == b and len(a) > 0
