@@ -12,7 +12,7 @@ driver and pinned by unit tests with planted duplicates instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hr_moderndatapipeline_spark.operators.dedup import (
@@ -85,6 +85,31 @@ def _memo_token(spark: SparkSession) -> str:
     # reused after GC, which could hand a new session a persisted
     # frame bound to a dead context.
     return spark.sparkContext.applicationId
+
+
+def _q10_expr():
+    """Quality score as an EXACT INTEGER (component points 4/3/3 —
+    no float sum): shared by the z-score normalization and the
+    keep-best dedup policy so 'quality' means one thing."""
+    cols = quality_signal_cols(F.col("text"))
+    n_tokens, distinct_ratio, stop_hits = (
+        cols["n_tokens"], cols["distinct_ratio"], cols["stopword_hits"],
+    )
+    return (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), 4).otherwise(0)
+        + F.when(distinct_ratio > 0.3, 3).otherwise(0)
+        + F.when(stop_hits >= 2, 3).otherwise(0)
+    ).cast("long")
+
+
+#: The same integer quality score in DuckDB SQL — keep in lockstep
+#: with ``_q10_expr``.
+_Q10_CASE_SQL = """CAST(CASE WHEN len(str_split(text, ' ')) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+              + CASE WHEN CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                          / CAST(len(str_split(text, ' ')) AS DOUBLE) > 0.3 THEN 3 ELSE 0 END
+              + CASE WHEN len(list_intersect(list_distinct(str_split(text, ' ')),
+                                             ['the','a','of','and','to','in','is'])) >= 2 THEN 3 ELSE 0 END
+              AS BIGINT)"""
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,6 +221,67 @@ def q_dedup_drop_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+def q_dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor policy: within each near-dup cluster
+    keep the HIGHEST-QUALITY member (exact-integer q10; ties break on
+    doc_id), not the arbitrary min-id representative — the policy a
+    real curation pipeline wants when near-dups differ in cleanliness
+    (one crawl of the page is boilerplate-stripped, its twin is not).
+    Same pair graph / cluster map as the other dedup entries (shared
+    memo). Scale shape: quality joins onto the TINY cluster frame
+    (clustered members only), the keep-best window runs over that
+    frame, and the corpus side sees one broadcast anti-join — never
+    shuffles."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source", _q10_expr().alias("q10"))
+    clusters = _neardup_clusters(spark, sf_dir)
+    member_q = scored.join(
+        F.broadcast(clusters), scored.doc_id == clusters.member_id
+    ).select("doc_id", "cluster_id", "q10")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q10").desc(), F.col("doc_id").asc()
+    )
+    dropped = (
+        member_q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
+    return scored.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "source", "q10"
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS words FROM documents),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.9),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+assign AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT doc_id, source, {_Q10_CASE_SQL} AS q10 FROM documents),
+member_q AS (
+  SELECT q.doc_id, assign.cluster_id, q.q10
+  FROM q JOIN assign ON q.doc_id = assign.member_id),
+dropped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY q10 DESC, doc_id) AS rk
+    FROM member_q)
+  WHERE rk > 1)
+SELECT doc_id, source, q10
+FROM q
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,30 +614,16 @@ def q_quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hr_moderndatapipeline_spark.operators.relational import grouped_zscore
 
     docs = _docs(spark, sf_dir)
-    cols = quality_signal_cols(F.col("text"))
-    n_tokens = cols["n_tokens"]
-    distinct_ratio = cols["distinct_ratio"]
-    stop_hits = cols["stopword_hits"]
-    q10 = (
-        F.when((n_tokens >= 20) & (n_tokens <= 1000), 4).otherwise(0)
-        + F.when(distinct_ratio > 0.3, 3).otherwise(0)
-        + F.when(stop_hits >= 2, 3).otherwise(0)
-    ).cast("long")
-    scored = docs.select("doc_id", "source", q10.alias("q10"))
+    scored = docs.select("doc_id", "source", _q10_expr().alias("q10"))
     return grouped_zscore(scored, ["source"], "q10", out_col="z_quality").select(
         "doc_id", "source", "q10", "z_quality"
     )
 
 
-ORACLE_QUALITY_ZSCORE = """
+ORACLE_QUALITY_ZSCORE = f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(CASE WHEN len(str_split(text, ' ')) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
-              + CASE WHEN CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
-                          / CAST(len(str_split(text, ' ')) AS DOUBLE) > 0.3 THEN 3 ELSE 0 END
-              + CASE WHEN len(list_intersect(list_distinct(str_split(text, ' ')),
-                                             ['the','a','of','and','to','in','is'])) >= 2 THEN 3 ELSE 0 END
-              AS BIGINT) AS q10
+         {_Q10_CASE_SQL} AS q10
   FROM documents),
 stats AS (
   SELECT source, count(*) AS n,
@@ -1293,6 +1365,7 @@ QUERIES = {
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,
+    "dedup_keep_best_survivors": q_dedup_keep_best_survivors,
     "leakage_safe_split": q_leakage_safe_split,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1336,6 +1409,7 @@ ORACLES = {
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,
+    "dedup_keep_best_survivors": ORACLE_DEDUP_KEEP_BEST,
     "leakage_safe_split": ORACLE_LEAKAGE_SPLIT,
     "ann_bruteforce_topk": _ANN_ORACLE_FOLD,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
