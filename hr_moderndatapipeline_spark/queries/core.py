@@ -1664,6 +1664,43 @@ ORDER BY 1
 """
 
 
+#: TPC-H Q22 shape — ONE SQL text for both engines: scalar subqueries
+#: (Catalyst executes them as separate subquery jobs and injects
+#: literals — no per-row re-execution, no nested-loop join) composed
+#: with NOT EXISTS (decorrelated to an anti hash join). The
+#: above-average-balance comparison cross-multiplies EXACT INTEGER
+#: cents (bal·n > sum) instead of comparing against an engine-typed
+#: AVG (Spark avg(decimal)→decimal, DuckDB→double — a boundary row
+#: could flip).
+IDLE_RICH_SQL = """
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(bal_cents) AS BIGINT) AS s
+          FROM seg WHERE bal_cents > 0)
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+FROM seg
+WHERE bal_cents * (SELECT n FROM stats) > (SELECT s FROM stats)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in target segments with an
+    above-segment-average balance and NO orders — scalar subqueries +
+    NOT EXISTS in one statement, the same SQL text the oracle runs
+    (`IDLE_RICH_SQL`)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(IDLE_RICH_SQL)
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -1714,6 +1751,7 @@ QUERIES = {
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "salted_lineitem_order_revenue": q_salted_lineitem_order_revenue,
     "nation_market_share": q_nation_market_share,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES = {
@@ -1766,4 +1804,5 @@ ORACLES = {
     "disjunctive_part_revenue": ORACLE_DISJUNCTIVE_PART_REVENUE,
     "salted_lineitem_order_revenue": ORACLE_SALTED_REVENUE,
     "nation_market_share": ORACLE_NATION_MARKET_SHARE,
+    "idle_rich_customers": IDLE_RICH_SQL,
 }
