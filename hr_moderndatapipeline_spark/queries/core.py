@@ -1691,6 +1691,38 @@ ORDER BY c_mktsegment
 """
 
 
+#: TPC-H Q15 shape — ONE SQL text for both engines: a revenue-per-
+#: supplier aggregate consumed TWICE (as the join input and inside a
+#: scalar MAX subquery — Catalyst plans the second use as a reused/
+#: separate subquery job, never a per-row re-aggregation). Revenue is
+#: carried as an EXACT integer (amount has 4 decimal places; ×10000
+#: is integral, so the BIGINT cast is lossless — a cents cast would
+#: TRUNCATE sub-cent digits in Spark but ROUND them in DuckDB).
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2)) * 10000) AS BIGINT)
+           AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue — an aggregate view joined to its own scalar MAX
+    (`TOP_SUPPLIER_SQL`, same text on both engines)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TOP_SUPPLIER_SQL)
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers in target segments with an
     above-segment-average balance and NO orders — scalar subqueries +
@@ -1752,6 +1784,7 @@ QUERIES = {
     "salted_lineitem_order_revenue": q_salted_lineitem_order_revenue,
     "nation_market_share": q_nation_market_share,
     "idle_rich_customers": q_idle_rich_customers,
+    "top_supplier": q_top_supplier,
 }
 
 ORACLES = {
@@ -1805,4 +1838,5 @@ ORACLES = {
     "salted_lineitem_order_revenue": ORACLE_SALTED_REVENUE,
     "nation_market_share": ORACLE_NATION_MARKET_SHARE,
     "idle_rich_customers": IDLE_RICH_SQL,
+    "top_supplier": TOP_SUPPLIER_SQL,
 }
