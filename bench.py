@@ -84,6 +84,11 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # 1-minute loadavg at start (the bench's own load shows at end):
+    # sustained ambient windows on this shared host inflate every
+    # query together (round-6 measured a uniform 1.4x); recording the
+    # context lets a cross-round diff distinguish load from code.
+    load_start = round(os.getloadavg()[0], 1)
     spark = get_spark("bench")
 
     all_queries = qmod.queries()
@@ -175,6 +180,8 @@ def main() -> None:
         "queries": timings,
         "plans": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 1),
     }
     if errors:
         out["errors"] = errors
