@@ -42,6 +42,12 @@ def main() -> int:
         f"{sum(nq[q] for q in shared):.2f}s; median per-query ratio "
         f"{ambient:.2f}x (sustained load shows here as a uniform shift)"
     )
+    for side, label in ((old, "old"), (new, "new")):
+        if "loadavg_start" in side:
+            print(
+                f"  {label} host loadavg: {side['loadavg_start']} -> "
+                f"{side.get('loadavg_end', '?')}"
+            )
 
     plan_changes = [
         q for q in shared if q in op and q in np_ and op[q] != np_[q]
