@@ -38,3 +38,32 @@ def progress_summary(query: StreamingQuery) -> dict[str, Any]:
 
 def all_progress(spark: SparkSession) -> list[dict[str, Any]]:
     return [progress_summary(q) for q in spark.streams.active]
+
+
+def write_with_metrics(
+    df,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    metrics: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Write ``df`` and return observed metrics from THE SAME pass —
+    row count plus any named aggregate expressions (``metrics`` maps
+    name -> Column). The reference accounts pipeline row counts by
+    re-counting after the write (jobs/bronze/bronze_builder.py logs
+    ``df.count()`` — a second full scan); Spark's ``Observation`` API
+    rides the write job itself, so at 100 TB the accounting is free.
+
+    Returns e.g. ``{"n_rows": 123, "null_keys": 0}`` — feed it to the
+    same logging/alerting sink as ``progress_summary``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = dict(metrics or {})
+    obs = Observation()
+    named = [F.count(F.lit(1)).alias("n_rows")] + [
+        c.alias(name) for name, c in metrics.items()
+    ]
+    df.observe(obs, *named).write.format(fmt).mode(mode).save(path)
+    return dict(obs.get)
