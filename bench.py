@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "part_profit_by_nation_year", # Q9-shape 5-table join, LIKE-pruned fact
     "salted_lineitem_order_revenue",  # skew-salted big-big SMJ (salting cost ledger)
     "quality_zscore_by_source",   # per-source feature normalization (broadcast stats)
+    "min_cost_supplier",          # Q2-shape correlated scalar-MIN decorrelation
+    "nation_trade_volume",        # Q7-shape 5-join bilateral volume (broadcast dims)
+    "large_volume_customers",     # Q18-shape HAVING semi-join + fact re-aggregation
 ]
 
 

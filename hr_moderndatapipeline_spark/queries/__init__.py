@@ -21,9 +21,10 @@ from hr_moderndatapipeline_spark.queries import (
     core,
     dataops,
     streaming_queries,
+    tpch_extra,
 )
 
-_MODULES = (core, cdc_queries, dataops, streaming_queries)
+_MODULES = (core, cdc_queries, dataops, streaming_queries, tpch_extra)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

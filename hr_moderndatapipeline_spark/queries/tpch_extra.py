@@ -1,0 +1,262 @@
+"""Decision-support query shapes completing the TPC-H-style family
+(SURVEY.md §2.3-§2.7): correlated scalar subqueries, EXISTS
+semi-joins with interval predicates, multi-nation trade volume,
+group-vs-global HAVING, NOT IN anti-subqueries, IN-with-HAVING, and
+two-level nested IN subqueries.
+
+Each query is ONE SQL text executed verbatim on both engines (Spark
+via temp views, DuckDB as the oracle) — the dialect subset used
+(CTEs, correlated subqueries, INTERVAL literals, DECIMAL casts,
+year()) parses identically on both. All money/quantity aggregates go
+through the repo's integer canon (DECIMAL -> cents BIGINT) so the
+order-insensitive value hash is exact across engines.
+
+Spark-first notes per query are in each docstring; the plans are
+audited by tests/test_plan_audit_all.py like every other batch query
+(no CartesianProduct, no row-Python).
+
+Reference parity: the reference's analytics layer is dbt SQL over a
+warehouse (dbt/models/gold/*.sql); these shapes extend the same
+"SQL-on-tables" surface the reference exposes to its users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hr_moderndatapipeline_spark.sources.readers import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ── Q2 shape: cheapest supplier per part (correlated scalar MIN) ──
+
+MIN_COST_SUPPLIER_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+           AS min_price_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, c.min_price_cents
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE p.p_size <= 5
+  AND c.min_price_cents = (SELECT MIN(c2.min_price_cents)
+                           FROM cost c2
+                           WHERE c2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_suppkey
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier(s) offering
+    its minimum observed price — an aggregate CTE consumed twice, once
+    as a join input and once inside a correlated scalar-MIN subquery.
+    Catalyst rewrites the correlated subquery into an aggregate +
+    join (RewriteCorrelatedScalarSubquery), so the plan is two
+    hash-aggregates over one lineitem scan shape — no per-row
+    re-execution. At 100 TB the CTE aggregate is the only big
+    shuffle; part/supplier joins broadcast."""
+    _views(spark, sf_dir, "part", "supplier", "lineitem")
+    return spark.sql(MIN_COST_SUPPLIER_SQL)
+
+
+# ── Q4 shape: EXISTS semi-join with an interval predicate ──
+
+PRIORITY_LATE_EXISTS_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def q_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one year) with at least one line item
+    shipped >90 days after the order date, counted by priority. The
+    dataset has no l_commitdate/l_receiptdate, so the canonical
+    "commit < receipt" predicate becomes ship-vs-order-date lag —
+    same EXISTS-with-non-key-residual shape. Catalyst plans a
+    LeftSemi join on l_orderkey with the interval comparison as a
+    residual; the date filter on orders is pushed to the scan."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(PRIORITY_LATE_EXISTS_SQL)
+
+
+# ── Q7 shape: bilateral trade volume between two nations ──
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l.l_discount AS DECIMAL(18,2)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two specific nations
+    (both directions), by supplier nation, customer nation, and ship
+    year. Five joins, but only lineitem⋈orders is a real shuffle:
+    customer/supplier/nation all qualify for broadcast, and the
+    disjunctive nation filter prunes most build rows before the big
+    join probes them."""
+    _views(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    return spark.sql(NATION_TRADE_VOLUME_SQL)
+
+
+# ── Q11 shape: groups exceeding a global-share threshold ──
+
+IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  GROUP BY l_partkey)
+SELECT l_partkey, value_cents
+FROM pv
+WHERE value_cents * 1500 > (SELECT SUM(value_cents) FROM pv)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds 1/1500 of
+    the total — a per-group aggregate compared against an uncorrelated
+    global scalar over the SAME aggregate (CTE reused twice). The
+    threshold comparison is pure integer arithmetic
+    (value*1000 > total) rather than a float fraction, so both
+    engines agree exactly and no double→int cast (which truncates on
+    Spark but rounds on DuckDB) ever happens. One shuffle for the
+    groupBy; the scalar is an O(#parts) rollup of the reused CTE."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(IMPORTANT_PARTS_SQL)
+
+
+# ── Q16 shape: supplier variety with a NOT IN anti-subquery ──
+
+SUPPLIER_PART_VARIETY_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    surviving (brand, type, size) combination, excluding
+    negative-balance suppliers via NOT IN. s_suppkey is non-null so
+    NOT IN is a plain LeftAnti (broadcast — supplier is tiny);
+    the part-side predicates push to the part scan before the join.
+    count(DISTINCT) partial-aggregates per partition first."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(SUPPLIER_PART_VARIETY_SQL)
+
+
+# ── Q18 shape: IN-subquery with HAVING (large-volume orders) ──
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS total_price_cents,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS sum_qty_e2
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY total_price_cents DESC, o.o_orderkey
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders whose total quantity
+    exceeds a threshold — an IN subquery that is itself a grouped
+    HAVING over the fact table, then a re-join and re-aggregation of
+    the survivors. Catalyst plans the IN as a LeftSemi on
+    o_orderkey; at 100 TB the HAVING aggregate shuffles lineitem
+    once on its natural key and the semi-join reuses that key, so
+    AQE can chain the exchanges. Quantities ride the integer canon
+    (qty×100 as BIGINT) for cross-engine hash equality."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(LARGE_VOLUME_CUSTOMERS_SQL)
+
+
+# ── Q20 shape: two-level nested IN subqueries ──
+
+EXCESS_QTY_SUPPLIERS_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that moved a large volume of
+    'red*' parts — IN nested inside IN, each level collapsing to a
+    semi-join. The inner part filter broadcasts (part is a dim);
+    the grouped HAVING aggregates lineitem only for matching parts
+    (filter applied before the shuffle); the outer IN is a broadcast
+    semi-join into the tiny supplier table."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(EXCESS_QTY_SUPPLIERS_SQL)
+
+
+QUERIES = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "priority_late_exists": q_priority_late_exists,
+    "nation_trade_volume": q_nation_trade_volume,
+    "important_parts": q_important_parts,
+    "supplier_part_variety": q_supplier_part_variety,
+    "large_volume_customers": q_large_volume_customers,
+    "excess_qty_suppliers": q_excess_qty_suppliers,
+}
+
+ORACLES = {
+    "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
+    "priority_late_exists": PRIORITY_LATE_EXISTS_SQL,
+    "nation_trade_volume": NATION_TRADE_VOLUME_SQL,
+    "important_parts": IMPORTANT_PARTS_SQL,
+    "supplier_part_variety": SUPPLIER_PART_VARIETY_SQL,
+    "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
+    "excess_qty_suppliers": EXCESS_QTY_SUPPLIERS_SQL,
+}
