@@ -1401,6 +1401,43 @@ FROM orders
 """
 
 
+# ── trailing 30-day spend — RANGE (value-based) window frame ──
+
+
+def q_customer_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer at each order — a RANGE
+    frame over the epoch-day integer (``rangeBetween(-29, 0)``), the
+    value-based sibling of ``customer_running_spend``'s ROWS frame.
+    Ordering by an integer day key gives RANGE frames identical
+    semantics on both engines (tied days form one peer group whose
+    rows all see the same trailing sum) and sidesteps Spark's lack
+    of interval RANGE frames. One shuffle on o_custkey; each
+    partition evaluates its frame with a sliding two-pointer pass."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("order_epoch_day"),
+        F.sum(cents).over(w).alias("trailing_30d_cents"),
+    )
+
+
+ORACLE_TRAILING_SPEND = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INTEGER) AS order_epoch_day,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INTEGER)
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS trailing_30d_cents
+FROM orders
+"""
+
+
 # ── statistical anomaly flags — ops-monitoring shape ──
 
 
@@ -1778,6 +1815,7 @@ QUERIES = {
     "suppliers_returns_no_urgent": q_suppliers_returns_no_urgent,
     "bloom_filtered_supplier_revenue": q_bloom_filtered_supplier_revenue,
     "customer_running_spend": q_customer_running_spend,
+    "customer_trailing_spend": q_customer_trailing_spend,
     "daily_order_anomalies": q_daily_order_anomalies,
     "part_profit_by_nation_year": q_part_profit_by_nation_year,
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
@@ -1832,6 +1870,7 @@ ORACLES = {
     "suppliers_returns_no_urgent": ORACLE_RETURNS_NO_URGENT,
     "bloom_filtered_supplier_revenue": ORACLE_BLOOM_SUPPLIER_REVENUE,
     "customer_running_spend": ORACLE_RUNNING_SPEND,
+    "customer_trailing_spend": ORACLE_TRAILING_SPEND,
     "daily_order_anomalies": ORACLE_DAILY_ANOMALIES,
     "part_profit_by_nation_year": ORACLE_PART_PROFIT,
     "disjunctive_part_revenue": ORACLE_DISJUNCTIVE_PART_REVENUE,
