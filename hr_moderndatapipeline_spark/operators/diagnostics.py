@@ -1,0 +1,130 @@
+"""Pre-flight skew and partition diagnostics.
+
+At 100 TB the difference between a 40-minute and a 14-hour join is
+usually one hot key. These helpers answer "is this key skewed, and
+how badly?" BEFORE the shuffle is paid for, with bounded driver
+movement: everything aggregates distributively and only O(top) /
+O(#partitions) summary rows ever reach the driver.
+
+The outputs plug straight into the repo's mitigations: a
+``recommended_salt`` > 1 feeds ``operators/skewjoin.salted_join``'s
+salt factor; a lopsided ``partition_size_report`` motivates
+``repartitionByRange`` or AQE skew-split thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> dict:
+    """Frequency profile of a prospective shuffle/join key.
+
+    One groupBy shuffle on the key builds per-key counts; a second
+    aggregation over those counts (O(#keys) rows, still distributed)
+    yields the skew summary. Only ``top`` heavy-hitter rows and one
+    summary row are collected.
+
+    Returns: n_keys, total_rows, max_count, avg_count,
+    skew_factor (max/avg), p50/p90/p99 of per-key counts
+    (approximate — this is a diagnostic, not a result),
+    top_keys [{key…, count}], and recommended_salt = ceil(max_count
+    / target_rows_per_task), clamped to >= 1 — the salt factor at
+    which the hottest key's rows spread into tasks of the target
+    size."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__cnt").alias("total_rows"),
+        F.max("__cnt").alias("max_count"),
+        F.percentile_approx("__cnt", [0.5, 0.9, 0.99], 10_000).alias("pcts"),
+    ).first()
+    top_rows = counts.orderBy(F.col("__cnt").desc(), *keys).limit(top).collect()
+    n_keys = summary["n_keys"]
+    total = summary["total_rows"] or 0
+    mx = summary["max_count"] or 0
+    avg = (total / n_keys) if n_keys else 0.0
+    return {
+        "keys": keys,
+        "n_keys": n_keys,
+        "total_rows": total,
+        "max_count": mx,
+        "avg_count": avg,
+        "skew_factor": (mx / avg) if avg else 0.0,
+        "p50_count": summary["pcts"][0] if n_keys else None,
+        "p90_count": summary["pcts"][1] if n_keys else None,
+        "p99_count": summary["pcts"][2] if n_keys else None,
+        "top_keys": [
+            {**{k: r[k] for k in keys}, "count": r["__cnt"]} for r in top_rows
+        ],
+        "recommended_salt": max(1, -(-mx // target_rows_per_task)),
+    }
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | str,
+    top: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> dict:
+    """Both sides' skew profiles plus the join's worst-case task:
+    for the shared heavy hitters, the output rows a single shuffle
+    task would materialize (left_count × right_count on that key) —
+    the number that actually decides whether the join finishes.
+    Driver movement: 2 summary rows + 2×top key rows."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    lrep = key_skew_report(left, keys, top, target_rows_per_task)
+    rrep = key_skew_report(right, keys, top, target_rows_per_task)
+    rmap = {tuple(k[c] for c in keys): k["count"] for k in rrep["top_keys"]}
+    hot = []
+    for k in lrep["top_keys"]:
+        kt = tuple(k[c] for c in keys)
+        if kt in rmap:
+            hot.append(
+                {
+                    **{c: k[c] for c in keys},
+                    "left_count": k["count"],
+                    "right_count": rmap[kt],
+                    "output_rows": k["count"] * rmap[kt],
+                }
+            )
+    hot.sort(key=lambda h: -h["output_rows"])
+    return {
+        "keys": keys,
+        "left": lrep,
+        "right": rrep,
+        "hot_join_keys": hot,
+        "max_task_output_rows": hot[0]["output_rows"] if hot else 0,
+    }
+
+
+def partition_size_report(df: DataFrame) -> dict:
+    """Rows per physical partition AS CURRENTLY PARTITIONED — the
+    post-shuffle balance check. Distributive count keyed by
+    ``spark_partition_id()``; O(#partitions) rows to the driver.
+    Empty partitions (pure scheduling overhead) are reported —
+    ``n_partitions`` counts only non-empty ones, ``rdd_partitions``
+    the physical total."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = sorted((r["cnt"] for r in rows), reverse=True)
+    total = sum(counts)
+    return {
+        "rdd_partitions": df.rdd.getNumPartitions(),
+        "n_partitions": len(counts),
+        "total_rows": total,
+        "max_rows": counts[0] if counts else 0,
+        "min_rows": counts[-1] if counts else 0,
+        "imbalance": (counts[0] * len(counts) / total) if total else 0.0,
+    }

@@ -147,7 +147,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total — a per-group aggregate compared against an uncorrelated
     global scalar over the SAME aggregate (CTE reused twice). The
     threshold comparison is pure integer arithmetic
-    (value*1000 > total) rather than a float fraction, so both
+    (value*1500 > total) rather than a float fraction, so both
     engines agree exactly and no double→int cast (which truncates on
     Spark but rounds on DuckDB) ever happens. One shuffle for the
     groupBy; the scalar is an O(#parts) rollup of the reused CTE."""
@@ -241,6 +241,141 @@ def q_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(EXCESS_QTY_SUPPLIERS_SQL)
 
 
+# ── LATERAL subquery: per-outer-row dependent top-k ──
+
+REGION_TOP_NATIONS_SQL = """
+SELECT r.r_name, t.n_name, t.n_supp
+FROM region r,
+LATERAL (
+  SELECT n.n_name, COUNT(s.s_suppkey) AS n_supp
+  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_supp DESC, n.n_name
+  LIMIT 2
+) t
+ORDER BY r.r_name, t.n_supp DESC, t.n_name
+"""
+
+
+def q_region_top_nations_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 `DecorrelateInnerQuery`):
+    for each region, its top-2 nations by supplier count. The
+    correlated LIMIT decorrelates to a ranked window over the joined
+    aggregate — per-group top-k without a driver loop. All tables
+    here are dims; at 100 TB the same shape against a fact inner
+    query keeps the outer side broadcast."""
+    _views(spark, sf_dir, "region", "nation", "supplier")
+    return spark.sql(REGION_TOP_NATIONS_SQL)
+
+
+# ── GROUPING SETS with GROUPING() markers ──
+
+SEGMENT_PRIORITY_GROUPING_SETS_SQL = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(GROUPING(c.c_mktsegment) AS INTEGER) AS g_seg,
+       CAST(GROUPING(o.o_orderpriority) AS INTEGER) AS g_pri,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+                        (c.c_mktsegment), (o.o_orderpriority), ())
+ORDER BY g_seg, g_pri, c.c_mktsegment, o.o_orderpriority
+"""
+
+
+def q_segment_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind status_cube's
+    CUBE) with GROUPING() null-vs-rollup disambiguation markers —
+    one Expand + one aggregate, not four scans. The NULL a rollup
+    row carries is distinguishable from a NULL group value only via
+    GROUPING(); surfacing both markers makes the contract testable
+    cross-engine."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(SEGMENT_PRIORITY_GROUPING_SETS_SQL)
+
+
+# ── Recursive CTE: gap-filled monthly calendar spine ──
+
+MONTHLY_ORDER_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+  WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+)
+SELECT CAST(year(m) AS INTEGER) AS year, CAST(month(m) AS INTEGER) AS month,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS order_count
+FROM months LEFT JOIN (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n
+  FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+) c ON c.mo = months.m
+ORDER BY year, month
+"""
+
+
+def q_monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 UnionLoop): a month-granular calendar
+    spine from min to max order date, left-joined to per-month counts
+    so empty months report 0 — the gap-filled time spine every
+    reporting layer needs. Recursing by MONTH keeps the iteration
+    count O(#months) (~80 here), inside Spark's default 100-level
+    recursion limit and independent of data volume; the fact-side
+    aggregate is a single groupBy. A day-granular spine should use
+    sequence()/explode instead — recursion depth must never scale
+    with data."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(MONTHLY_ORDER_SPINE_SQL)
+
+
+# ── sequence()/explode daily spine — the non-recursive scale path ──
+
+
+def q_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granular gap-filled spine via ``sequence() + explode`` —
+    the scale-correct sibling of ``monthly_order_spine``: one row of
+    bounds, one generator expression, zero recursion (a recursive
+    CTE here would need ~2,400 sequential iterations). The oracle
+    uses DuckDB's generate_series — same relation, engine-native
+    generator on each side. Spine and per-day counts join on the
+    epoch-day integer; empty days report 0."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL '1' DAY"))).alias("d")
+    ).select(F.datediff("d", F.lit("1970-01-01")).alias("epoch_day"))
+    per_day = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias("epoch_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(per_day, "epoch_day", "left")
+        .select("epoch_day", F.coalesce("n", F.lit(0)).cast("bigint").alias("order_count"))
+        .orderBy("epoch_day")
+    )
+
+
+DAILY_ORDER_SPINE_SQL = """
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', d) AS INTEGER) AS epoch_day
+  FROM bounds, LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL '1' DAY)) AS d) g),
+per_day AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+           AS epoch_day,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT s.epoch_day, CAST(COALESCE(p.n, 0) AS BIGINT) AS order_count
+FROM spine s LEFT JOIN per_day p ON p.epoch_day = s.epoch_day
+ORDER BY s.epoch_day
+"""
+
+
 QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "priority_late_exists": q_priority_late_exists,
@@ -249,6 +384,10 @@ QUERIES = {
     "supplier_part_variety": q_supplier_part_variety,
     "large_volume_customers": q_large_volume_customers,
     "excess_qty_suppliers": q_excess_qty_suppliers,
+    "region_top_nations_lateral": q_region_top_nations_lateral,
+    "segment_priority_grouping_sets": q_segment_priority_grouping_sets,
+    "monthly_order_spine": q_monthly_order_spine,
+    "daily_order_spine": q_daily_order_spine,
 }
 
 ORACLES = {
@@ -259,4 +398,8 @@ ORACLES = {
     "supplier_part_variety": SUPPLIER_PART_VARIETY_SQL,
     "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
     "excess_qty_suppliers": EXCESS_QTY_SUPPLIERS_SQL,
+    "region_top_nations_lateral": REGION_TOP_NATIONS_SQL,
+    "segment_priority_grouping_sets": SEGMENT_PRIORITY_GROUPING_SETS_SQL,
+    "monthly_order_spine": MONTHLY_ORDER_SPINE_SQL,
+    "daily_order_spine": DAILY_ORDER_SPINE_SQL,
 }
