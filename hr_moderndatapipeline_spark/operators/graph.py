@@ -1,0 +1,90 @@
+"""Iterative graph algorithms on DataFrames: PageRank.
+
+The one operator class where Spark's declarative model needs help is
+ITERATION: each power-iteration step is a join + aggregate, and
+naively chaining N of them builds a 2^N-ish logical plan that stalls
+the optimizer long before the data is the problem. The fix is the
+standard Spark pattern: ``localCheckpoint`` every few steps to
+truncate lineage, keeping the per-step plan constant-size.
+
+Scale posture: per iteration exactly one shuffle (contributions
+grouped by destination); ranks and degrees co-partition on the
+vertex key so the rank⋈edges join reuses the previous step's
+partitioning; dangling-node mass is a single scalar aggregate (the
+one sanctioned driver scalar per step — same class as the watermark
+scalar in sources/watermark.py).
+
+Reference parity: the reference has no graph operator; this extends
+the engine the way its users would need for link-style corpus
+analysis (page/domain authority scoring in web-crawl curation —
+the classic quality prior for pretraining data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Classic damped PageRank over a directed edge list (duplicate
+    edges are collapsed). Returns (vertex, rank); ranks sum to 1.
+
+    Dangling vertices (no out-edges) spread their mass uniformly —
+    the standard stochastic-matrix completion, so total mass is
+    conserved and the result is a true probability distribution."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    verts = verts.repartition("vertex").localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # rank ⋈ edges joins on the vertex key every step: co-partition
+    # once and the per-step shuffle is only the contribution groupBy
+    links = (
+        e.join(out_deg, "src")
+        .select(F.col("src").alias("vertex"), "dst", "deg")
+        .repartition("vertex")
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).repartition("vertex")
+
+    teleport = (1.0 - damping) / n
+    for i in range(iterations):
+        with_deg = ranks.join(links, "vertex", "left")
+        # mass of dangling vertices this step — one scalar to the driver
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .select(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contribs = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = teleport + damping * dangling / n
+        ranks = (
+            verts.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1360,8 +1360,36 @@ FROM documents
 """
 
 
+def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = each
+    user's consecutive (from_type, to_type) pairs) — the authority
+    score of each funnel state. Iterative DataFrame power iteration
+    with lineage truncation (operators/graph.py); genuinely
+    non-SQL-expressible, so this is a rows-only entry pinned by
+    tests/test_graph.py's exact reference-agreement checks. Ranks
+    are rounded to 1e-9 for cross-run display stability."""
+    from pyspark.sql import Window
+
+    from hr_moderndatapipeline_spark.operators.graph import pagerank
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    edges = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("to_type").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=10)
+        .select("vertex", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "vertex")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "event_type_pagerank": q_event_type_pagerank,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,

@@ -1,0 +1,56 @@
+"""PageRank: agreement with a pure-Python power iteration on a known
+graph, mass conservation, dangling handling, duplicate-edge collapse."""
+
+from __future__ import annotations
+
+from hr_moderndatapipeline_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, damping=0.85, iterations=10):
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in verts if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = {v: base for v in verts}
+        for s, ds in out.items():
+            share = damping * rank[s] / len(ds)
+            for d in ds:
+                new[d] += share
+        rank = new
+    return rank
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has in-degree 0
+    ("c", "e"),  # e is dangling (no out-edges)
+    ("a", "b"),  # duplicate edge must collapse
+]
+
+
+def test_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    want = _py_pagerank(EDGES, iterations=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_pagerank_is_a_distribution(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    rows = pagerank(df, iterations=6, checkpoint_every=2).collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in rows)
+
+
+def test_pagerank_sink_accumulates(spark):
+    # chain a -> b -> c: the sink c must outrank b, b outrank a
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=20).collect()}
+    assert got["c"] > got["b"] > got["a"]
