@@ -31,7 +31,12 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 MANIFEST_NAME = "_jsonl_manifest.json"
@@ -91,6 +96,72 @@ class ManifestJsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ManifestJsonlReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> "ManifestJsonlStreamReader":
+        return ManifestJsonlStreamReader(schema, self.options)
+
+
+class ManifestJsonlStreamReader(DataSourceStreamReader):
+    """Streaming flavor: the manifest is an append-only log of files;
+    the offset is simply HOW MANY manifest entries have been
+    consumed. Each micro-batch covers entries [start, end) — one
+    InputPartition per new file, read on EXECUTORS — so a producer
+    appends a file + manifest entry and the running query picks it
+    up at the next trigger. Offsets are replayable: the same
+    [start, end) always denotes the same files (append-only
+    contract), which is exactly what checkpoint recovery replays.
+    The driver's only work per trigger is one manifest read."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.dir = options["path"]
+
+    def _manifest(self) -> dict:
+        with open(os.path.join(self.dir, MANIFEST_NAME)) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        return {"entries": 0}
+
+    def latestOffset(self) -> dict:
+        return {"entries": len(self._manifest()["files"])}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = self._manifest()["files"]
+        return [
+            _JsonlPartition(os.path.join(self.dir, f["path"]))
+            for f in files[start["entries"] : end["entries"]]
+        ]
+
+    def read(self, partition: _JsonlPartition) -> Iterator[tuple]:
+        names = [f.name for f in self.schema.fields]
+        with open(partition.path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    yield tuple(rec.get(n) for n in names)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — files are the durable log
+
+
+def append_jsonl_batch(path: str, rows: list[dict]) -> None:
+    """Producer side of the streaming contract: write the new file
+    FIRST, then append its manifest entry (readers key off the
+    manifest, so a half-written file is never visible)."""
+    m_path = os.path.join(path, MANIFEST_NAME)
+    with open(m_path) as fh:
+        manifest = json.load(fh)
+    name = f"part-{len(manifest['files'])}.jsonl"
+    with open(os.path.join(path, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r, sort_keys=True) + "\n")
+    manifest["files"].append({"path": name, "rows": len(rows)})
+    tmp = m_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, m_path)
 
 
 def register_jsonl_source(spark: SparkSession) -> None:

@@ -53,6 +53,35 @@ def test_jsonl_source_composes_with_sql(spark, tmp_path):
     assert [(r["tag"], r["n"]) for r in out] == [("a", 2)]
 
 
+def test_jsonl_stream_source_picks_up_appended_files(spark, tmp_path):
+    from hr_moderndatapipeline_spark.sources.pyds import append_jsonl_batch
+
+    feed = str(tmp_path / "stream_feed")
+    write_jsonl_dataset(
+        feed, SCHEMA, [[{"id": 1, "score": 0.5, "tag": "a", "ok": True}]]
+    )
+    register_jsonl_source(spark)
+    q = (
+        spark.readStream.format("manifest_jsonl")
+        .option("path", feed)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM pyds_stream").first()["c"] == 1
+        append_jsonl_batch(feed, [{"id": 2, "score": 1.0, "tag": "b", "ok": False},
+                                  {"id": 3, "score": 2.0, "tag": "b", "ok": True}])
+        q.processAllAvailable()
+        got = spark.sql("SELECT id FROM pyds_stream ORDER BY id").collect()
+        assert [r["id"] for r in got] == [1, 2, 3]
+    finally:
+        q.stop()
+
+
 def test_jsonl_source_rejects_unknown_type(spark, tmp_path):
     write_jsonl_dataset(str(tmp_path / "bad"), {"id": "uuid"}, [[{"id": 1}]])
     register_jsonl_source(spark)
