@@ -35,7 +35,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -100,6 +102,97 @@ class ManifestJsonlDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "ManifestJsonlStreamReader":
         return ManifestJsonlStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> ManifestJsonlWriter:
+        return ManifestJsonlWriter(schema, self.options, overwrite)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Two-phase commit, the API's intended shape: every task writes
+    its partition to a uniquely-named ``.tmp`` file and reports it in
+    a WriterCommitMessage; only the DRIVER's ``commit()`` renames the
+    reported files into place and publishes the manifest (atomic
+    replace). A failed/speculative task's ``.tmp`` is simply never
+    committed — readers key off the manifest, so partial output is
+    invisible by construction (same write-then-publish contract as
+    ``append_jsonl_batch``). Assumes writer and committer share a
+    filesystem, like every local path in this repo."""
+
+    _SPARK_TO_MANIFEST = {"long": "bigint", "bigint": "bigint", "double": "double",
+                          "string": "string", "boolean": "boolean"}
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.dir = options["path"]
+        self.overwrite = overwrite
+        self.names = [f.name for f in schema.fields]
+        self.types = {}
+        for f in schema.fields:
+            t = self._SPARK_TO_MANIFEST.get(f.dataType.simpleString())
+            if t is None:
+                raise ValueError(
+                    f"manifest_jsonl cannot write column {f.name!r} of type "
+                    f"{f.dataType.simpleString()} (supported: bigint, double, "
+                    "string, boolean)"
+                )
+            self.types[f.name] = t
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator) -> _JsonlCommit:
+        import uuid
+
+        tmp = f"task-{uuid.uuid4().hex}.jsonl.tmp"
+        rows = 0
+        with open(os.path.join(self.dir, tmp), "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps({n: row[n] for n in self.names}, sort_keys=True) + "\n"
+                )
+                rows += 1
+        return _JsonlCommit(tmp, rows)
+
+    def commit(self, messages) -> None:
+        m_path = os.path.join(self.dir, MANIFEST_NAME)
+        old_files: list[dict] = []
+        if os.path.exists(m_path) and not self.overwrite:
+            with open(m_path) as fh:
+                old_files = json.load(fh)["files"]
+        elif os.path.exists(m_path) and self.overwrite:
+            with open(m_path) as fh:
+                doomed = [f["path"] for f in json.load(fh)["files"]]
+        else:
+            doomed = []
+        if not self.overwrite:
+            doomed = []
+        start = len(old_files)
+        new_files = []
+        for i, msg in enumerate(sorted(messages, key=lambda m: m.path)):
+            final = f"part-{start + i}.jsonl"
+            os.replace(os.path.join(self.dir, msg.path), os.path.join(self.dir, final))
+            new_files.append({"path": final, "rows": msg.rows})
+        manifest = {"schema": self.types, "files": old_files + new_files}
+        tmp = m_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, m_path)
+        for p in doomed:  # overwrite: drop the files the old manifest listed
+            if p not in {f["path"] for f in new_files}:
+                try:
+                    os.remove(os.path.join(self.dir, p))
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            try:
+                os.remove(os.path.join(self.dir, msg.path))
+            except FileNotFoundError:
+                pass
+
 
 class ManifestJsonlStreamReader(DataSourceStreamReader):
     """Streaming flavor: the manifest is an append-only log of files;
@@ -144,6 +237,13 @@ class ManifestJsonlStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — files are the durable log
+
+
+def read_manifest_files(path: str) -> set[str]:
+    """The file names the manifest currently claims — what a reader
+    will actually see (anything else on disk is uncommitted)."""
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return {f["path"] for f in json.load(fh)["files"]}
 
 
 def append_jsonl_batch(path: str, rows: list[dict]) -> None:

@@ -82,6 +82,48 @@ def test_jsonl_stream_source_picks_up_appended_files(spark, tmp_path):
         q.stop()
 
 
+def test_jsonl_writer_roundtrip_append_overwrite(spark, tmp_path):
+    register_jsonl_source(spark)
+    out = str(tmp_path / "written")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 0.5).alias("score"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("tag"),
+        (F.col("id") % 2 == 0).alias("ok"),
+    ).repartition(3)
+
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    back = spark.read.format("manifest_jsonl").option("path", out).load()
+    assert back.count() == 10
+    assert back.select(F.sum("id")).first()[0] == 45
+
+    # append doubles the data
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    assert spark.read.format("manifest_jsonl").option("path", out).load().count() == 20
+
+    # overwrite resets to one copy and removes stale files
+    df.write.format("manifest_jsonl").option("path", out).mode("overwrite").save()
+    back = spark.read.format("manifest_jsonl").option("path", out).load()
+    assert back.count() == 10
+    import os
+
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    from hr_moderndatapipeline_spark.sources.pyds import read_manifest_files
+
+    assert on_disk == read_manifest_files(out)
+
+
+def test_jsonl_writer_rejects_unsupported_column(spark, tmp_path):
+    register_jsonl_source(spark)
+    df = spark.range(3).select(F.col("id"), F.array(F.lit(1)).alias("xs"))
+    try:
+        df.write.format("manifest_jsonl").option(
+            "path", str(tmp_path / "nope")
+        ).mode("append").save()
+        raise AssertionError("array column must be rejected")
+    except Exception as e:  # noqa: BLE001
+        assert "xs" in str(e)
+
+
 def test_jsonl_source_rejects_unknown_type(spark, tmp_path):
     write_jsonl_dataset(str(tmp_path / "bad"), {"id": "uuid"}, [[{"id": 1}]])
     register_jsonl_source(spark)
