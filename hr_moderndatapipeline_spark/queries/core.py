@@ -421,6 +421,38 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` extraction — the engine-native successor to
+    per-access ``get_json_object`` string re-parsing (at 100 TB the
+    payload parses once per row, not once per extracted field; the
+    variant's shredded encoding also keeps extraction JVM-side).
+    Shape: decile histogram of the payload's ``k`` counter per event
+    type. The oracle reads the same JSON with DuckDB's native
+    extractor — VARIANT is an encoding choice, not a semantics
+    change, which is exactly what the cross-engine hash proves."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", F.floor(k / 10).cast("int").alias("k_decile"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "k_decile")
+    )
+
+
+ORACLE_EVENT_PROPS_VARIANT = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS INTEGER)
+         AS k_decile,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 ORACLE_EVENT_PROPS_JSON = """
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INTEGER)) AS BIGINT) AS sum_k,
@@ -1788,6 +1820,7 @@ QUERIES = {
     "segment_set_ops": q_segment_set_ops,
     "lineitem_scalar_kit": q_lineitem_scalar_kit,
     "event_props_json": q_event_props_json,
+    "event_props_variant": q_event_props_variant,
     "event_hourly_window": q_event_hourly_window,
     "error_window_clicks": q_error_window_clicks,
     "orders_profile": q_orders_profile,
@@ -1843,6 +1876,7 @@ ORACLES = {
     "segment_set_ops": ORACLE_SEGMENT_SET_OPS,
     "lineitem_scalar_kit": ORACLE_LINEITEM_SCALAR_KIT,
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
+    "event_props_variant": ORACLE_EVENT_PROPS_VARIANT,
     "event_hourly_window": ORACLE_EVENT_HOURLY_WINDOW,
     "error_window_clicks": ORACLE_ERROR_WINDOW_CLICKS,
     "orders_profile": ORACLE_ORDERS_PROFILE,

@@ -1,0 +1,70 @@
+"""Round-6 property tests: PageRank agreement with a pure-Python
+power iteration on random graphs, and skew-report accounting
+invariants on random key distributions.
+
+Spark-cheap strategy: hypothesis drives the INPUT generation, but
+each case runs a bounded number of Spark jobs (examples are capped
+low because a Spark round trip is ~100 ms, not ~1 µs)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st_
+
+from hr_moderndatapipeline_spark.operators.diagnostics import key_skew_report
+from hr_moderndatapipeline_spark.operators.graph import pagerank
+
+_vertex = st_.integers(min_value=0, max_value=7)
+_edges = st_.lists(
+    st_.tuples(_vertex, _vertex), min_size=1, max_size=20
+)
+
+
+def _py_pagerank(edges, damping=0.85, iterations=8):
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out: dict = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(iterations):
+        dangling = sum(rank[v] for v in verts if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = {v: base for v in verts}
+        for s, ds in out.items():
+            share = damping * rank[s] / len(ds)
+            for d in ds:
+                new[d] += share
+        rank = new
+    return rank
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges)
+def test_pagerank_matches_reference_on_random_graphs(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    want = _py_pagerank(edges, iterations=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st_.lists(st_.integers(min_value=0, max_value=5), min_size=1, max_size=60)
+)
+def test_skew_report_accounting_invariants(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    rep = key_skew_report(df, "k", top=3, target_rows_per_task=10)
+    from collections import Counter
+
+    want = Counter(keys)
+    assert rep["total_rows"] == len(keys)
+    assert rep["n_keys"] == len(want)
+    assert rep["max_count"] == max(want.values())
+    assert rep["top_keys"][0]["count"] == max(want.values())
+    assert rep["recommended_salt"] == -(-max(want.values()) // 10)
+    # top keys are a true top slice of the histogram
+    top_counts = sorted((k["count"] for k in rep["top_keys"]), reverse=True)
+    assert top_counts == sorted(want.values(), reverse=True)[: len(top_counts)]
