@@ -303,3 +303,37 @@ def test_corpus_freq_quality_stays_jvm_side(spark, sf_dir):
     plan = plan_of(dataops.q_corpus_freq_quality(spark, sf_dir))
     assert "HashAggregate" in plan  # map-side partials for both aggs
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_min_cost_supplier_single_lineitem_scan(spark, sf_dir):
+    """The Q2 shape is written as window-over-CTE precisely so the
+    fact table is scanned ONCE; the correlated-subquery form
+    decorrelates to a second full scan + aggregate (measured: 2
+    scans, 7 exchanges). Pin the single scan."""
+    import re
+
+    from hr_moderndatapipeline_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.q_min_cost_supplier(spark, sf_dir))
+    # formatted mode lists each scan operator once with its Location
+    scans = re.findall(r"Location:[^\n]*lineitem", plan)
+    assert len(scans) == 1, plan
+
+
+def test_nation_trade_volume_fact_never_shuffled_for_joins(spark, sf_dir):
+    """Q7 shape: all four dimension joins must broadcast; the only
+    exchange below the aggregate is lineitem⋈orders traffic."""
+    from hr_moderndatapipeline_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.q_nation_trade_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_variant_extraction_stays_jvm_side(spark, sf_dir):
+    """parse_json/variant_get are catalyst expressions, not UDFs —
+    the payload never crosses into Python."""
+    from hr_moderndatapipeline_spark.queries import core as _core
+
+    plan = plan_of(_core.q_event_props_variant(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
