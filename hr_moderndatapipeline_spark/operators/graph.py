@@ -60,19 +60,24 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).repartition("vertex")
+    # dangling vertex set is static — compute once, so the per-step
+    # mass scalar is a semi-join against it, not a probe of the full
+    # edge list (which the contribution join already pays for)
+    dangling_verts = verts.join(
+        out_deg.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+    ).localCheckpoint(eager=True)
 
     teleport = (1.0 - damping) / n
     for i in range(iterations):
-        with_deg = ranks.join(links, "vertex", "left")
         # mass of dangling vertices this step — one scalar to the driver
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
+            ranks.join(dangling_verts, "vertex", "left_semi")
             .select(F.sum("rank"))
             .first()[0]
             or 0.0
         )
         contribs = (
-            with_deg.filter(F.col("deg").isNotNull())
+            ranks.join(links, "vertex")
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
