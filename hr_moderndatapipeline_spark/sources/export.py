@@ -107,7 +107,9 @@ def read_shards_for_range(
     intersects [lo, hi] — the manifest-driven pruned read a training
     loader does to fetch a key slice without listing the directory.
     Returns an empty frame with the exported schema if nothing
-    intersects."""
+    intersects. Files whose key stats are absent (all-null key
+    column) are never matched — a ranged read by key is only
+    meaningful over non-null keys."""
     m = read_shard_manifest(out_dir)
     hit = [
         os.path.join(out_dir, f["path"])
