@@ -285,7 +285,51 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom Python DataSource (sources/pyds.py) on the
+    driver surface: a slice of events exported as a manifest-JSONL
+    feed BY the source's own two-phase-commit writer, then streamed
+    back through its offset-tracked stream reader (one micro-batch
+    per manifest window) into a checkpointed parquet sink, plus a
+    second producer append picked up by a later trigger. Returns
+    per-event-type counts over everything the stream delivered —
+    rows-only (custom source execution is not ANSI-SQL)."""
+    from hr_moderndatapipeline_spark.sources.pyds import (
+        append_jsonl_batch,
+        register_jsonl_source,
+    )
+    from hr_moderndatapipeline_spark.streaming.sinks import start_append_sink
+
+    wd = _workdir(sf_dir, "pyds")
+    feed, out, cp = f"{wd}/feed", f"{wd}/out", f"{wd}/cp"
+    register_jsonl_source(spark)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev.select(
+        "event_id", "user_id", "event_type", F.col("value").alias("score")
+    ).write.format("manifest_jsonl").option("path", feed).mode("append").save()
+
+    stream = spark.readStream.format("manifest_jsonl").option("path", feed).load()
+    q = start_append_sink(stream, out, cp, available_now=True)
+    q.awaitTermination(300)
+    # producer appends after the first drain; a fresh availableNow
+    # run resumes from the checkpointed offset and reads ONLY the new file
+    append_jsonl_batch(
+        feed,
+        [{"event_id": -1, "user_id": -1, "event_type": "synthetic", "score": 0.0}],
+    )
+    stream2 = spark.readStream.format("manifest_jsonl").option("path", feed).load()
+    q2 = start_append_sink(stream2, out, cp, available_now=True)
+    q2.awaitTermination(300)
+
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, score double"
+    ).parquet(out)
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 QUERIES = {
+    "streaming_custom_source": q_streaming_custom_source,
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
     "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
     "streaming_join_enrichment": q_streaming_join_enrichment,

@@ -132,3 +132,23 @@ def test_jsonl_source_rejects_unknown_type(spark, tmp_path):
         raise AssertionError("unsupported manifest type must fail loudly")
     except Exception as e:  # noqa: BLE001
         assert "uuid" in str(e)
+
+
+def test_streaming_custom_source_query_exactly_once(spark):
+    """The driver-surface entry: second availableNow run resumes from
+    the checkpointed offset — the first feed's rows must not be
+    delivered twice, and the late-appended file must arrive."""
+    from pyspark.sql import functions as F
+
+    from hr_moderndatapipeline_spark.queries.streaming_queries import (
+        q_streaming_custom_source,
+    )
+
+    out = q_streaming_custom_source(spark, "/root/testdata/sf0.001")
+    rows = {r["event_type"]: r["n_rows"] for r in out.collect()}
+    assert rows.pop("synthetic") == 1
+    assert sum(rows.values()) == (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_id") < 2000)
+        .count()
+    )
