@@ -1,0 +1,83 @@
+"""AQE engagement proofs: these pin that the runtime re-planning the
+100 TB posture leans on (SCALING.md) actually fires on this build —
+skewed shuffle partitions get split, and undersized ones coalesced.
+Thresholds are lowered to make local data 'big'; the assertions read
+the FINAL adaptive plan, not the initial one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _final_plan(df) -> str:
+    df.collect()  # AQE finalizes the plan only on execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _with_confs(spark, confs):
+    old = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore(spark, old):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            # keep the join a real shuffle join, not a broadcast
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        # one hot key carrying ~90% of rows, with a wide payload
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 20_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        joined = left.join(right, "k").groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+        plan = _final_plan(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        _restore(spark, old)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.shuffle.partitions": "64",
+        },
+    )
+    try:
+        # 64 configured shuffle partitions for a few KB of data:
+        # the final plan must read a coalesced shuffle
+        df = (
+            spark.range(1000)
+            .groupBy((F.col("id") % 7).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _final_plan(df)
+        assert "AQEShuffleRead coalesced" in plan, plan
+    finally:
+        _restore(spark, old)
