@@ -81,3 +81,24 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
         assert "AQEShuffleRead coalesced" in plan, plan
     finally:
         _restore(spark, old)
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Partition-pruned fact reads driven by a dim filter at RUNTIME
+    (the fact-side predicate doesn't exist statically) — the scan
+    must carry a dynamicpruning subquery, the mechanism that turns
+    a 100 TB date-partitioned scan into a few partitions."""
+    fact_dir = str(tmp_path / "fact_parts")
+    spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 20).alias("pt")
+    ).write.partitionBy("pt").parquet(fact_dir)
+    dim = spark.range(20).select(
+        F.col("id").alias("pt"), F.when(F.col("id") < 3, "hot").otherwise("cold").alias("cls")
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim.filter(F.col("cls") == "hot"), "pt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.first()["n"] == sum(1 for i in range(50_000) if i % 20 < 3)
