@@ -1470,6 +1470,34 @@ FROM orders
 """
 
 
+# ── join-key frequency histogram (skew diagnosis primitive) ──
+
+
+def q_orderkey_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts over the lineitem⋈orders join key: how many
+    orderkeys carry 1,2,…,N line items. This is the distributed
+    histogram `operators/diagnostics.key_skew_report` summarizes —
+    two cascaded aggregations, each with map-side partials, O(#keys)
+    then O(#distinct-fanouts) rows. Reading it answers the pre-join
+    question at any scale: a long tail here means salt before you
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("fanout"))
+    return (
+        per_key.groupBy("fanout")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("fanout")
+    )
+
+
+ORACLE_ORDERKEY_FANOUT = """
+SELECT fanout, count(*) AS n_keys
+FROM (SELECT l_orderkey, count(*) AS fanout FROM lineitem GROUP BY l_orderkey)
+GROUP BY fanout
+ORDER BY fanout
+"""
+
+
 # ── statistical anomaly flags — ops-monitoring shape ──
 
 
@@ -1850,6 +1878,7 @@ QUERIES = {
     "customer_running_spend": q_customer_running_spend,
     "customer_trailing_spend": q_customer_trailing_spend,
     "daily_order_anomalies": q_daily_order_anomalies,
+    "orderkey_fanout_histogram": q_orderkey_fanout_histogram,
     "part_profit_by_nation_year": q_part_profit_by_nation_year,
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "salted_lineitem_order_revenue": q_salted_lineitem_order_revenue,
@@ -1906,6 +1935,7 @@ ORACLES = {
     "customer_running_spend": ORACLE_RUNNING_SPEND,
     "customer_trailing_spend": ORACLE_TRAILING_SPEND,
     "daily_order_anomalies": ORACLE_DAILY_ANOMALIES,
+    "orderkey_fanout_histogram": ORACLE_ORDERKEY_FANOUT,
     "part_profit_by_nation_year": ORACLE_PART_PROFIT,
     "disjunctive_part_revenue": ORACLE_DISJUNCTIVE_PART_REVENUE,
     "salted_lineitem_order_revenue": ORACLE_SALTED_REVENUE,
