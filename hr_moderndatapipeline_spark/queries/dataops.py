@@ -502,10 +502,7 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB posture: repeated searches never re-train or re-bucket
     the corpus. Approximate ⇒ rows-only driver check; the persisted
     round trip and recall are unit-tested."""
-    import os
-    import shutil
-    import tempfile
-
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
     from hr_moderndatapipeline_spark.operators.similarity import (
         ivf_codebook,
         ivf_index,
@@ -513,14 +510,11 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    # fixed per-sf workdir, cleared per run: a fresh mkdtemp per
-    # invocation leaks one full index copy under /tmp per bench or
-    # correctness run
-    root = os.path.join(
-        tempfile.gettempdir(), "hr_mdp_ivf", sf_dir.strip("/").replace("/", "_")
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
+    # fixed per-(application, sf) workdir, cleared per run: a fresh
+    # mkdtemp per invocation leaks one full index copy per call, and
+    # a per-sf-only path lets concurrent processes clear each other
+    # mid-read (observed: suite vs report generator)
+    root = process_workdir(spark, "hr_mdp_ivf", sf_dir)
     codebook = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=16)
     codebook.write.mode("overwrite").parquet(f"{root}/codebook")
     ivf_index(emb, codebook, "vec_id", "embedding", dim=64).write.mode(

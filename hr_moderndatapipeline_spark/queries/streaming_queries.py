@@ -13,10 +13,6 @@ sinks are re-created per run under a content-keyed temp dir.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,15 +38,14 @@ PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-def _workdir(sf_dir: str, name: str) -> str:
-    """Fresh work dir per (run, query): stale state must never leak
-    into checkpoints or sinks."""
-    root = os.path.join(
-        tempfile.gettempdir(), "hr_mdp_stream", name, sf_dir.strip("/").replace("/", "_")
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    return root
+def _workdir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Fresh work dir per (application, query, sf): stale state must
+    never leak into checkpoints or sinks, and concurrent processes
+    (driver gate vs user bench) must not clear each other's dirs —
+    hence the applicationId scoping (functions/workdirs.py)."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+
+    return process_workdir(spark, "hr_mdp_stream", name, sf_dir)
 
 
 def _events_payloads(spark: SparkSession, sf_dir: str, corrupt_every: int | None) -> DataFrame:
@@ -71,7 +66,7 @@ def q_streaming_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 10th payload corrupted) → file stream → from_json split →
     valid rows to a checkpointed parquet append sink, invalid to a
     JSON DLQ sink → both read back. Returns per-route counts."""
-    wd = _workdir(sf_dir, "dlq")
+    wd = _workdir(spark, sf_dir, "dlq")
     src, valid_out, dlq_out = f"{wd}/src", f"{wd}/valid", f"{wd}/dlq"
     _events_payloads(spark, sf_dir, corrupt_every=10).coalesce(4).write.text(src)
 
@@ -96,7 +91,7 @@ def q_streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     through foreachBatch two-phase apply into a versioned snapshot;
     returns per-user version/current counts (equals the batch
     scd2_from_history on the same slice — asserted in tests)."""
-    wd = _workdir(sf_dir, "scd2")
+    wd = _workdir(spark, sf_dir, "scd2")
     src, target = f"{wd}/src", f"{wd}/target"
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
     payload = F.to_json(
@@ -192,7 +187,7 @@ def q_streaming_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_streaming.py on a hand-built case."""
     from hr_moderndatapipeline_spark.streaming import stream_stream_join
 
-    wd = _workdir(sf_dir, "ssjoin")
+    wd = _workdir(spark, sf_dir, "ssjoin")
     lsrc, rsrc = f"{wd}/errors", f"{wd}/clicks"
     ev = load_table(spark, sf_dir, "events")
     for src, kind in ((lsrc, "error"), (rsrc, "click")):
@@ -247,7 +242,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equal iff the dedup held). Rows-only: streaming state eviction
     is not ANSI-SQL-expressible; semantics pinned by
     tests/test_streaming.py."""
-    wd = _workdir(sf_dir, "dedup")
+    wd = _workdir(spark, sf_dir, "dedup")
     src = f"{wd}/src"
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     payload = F.to_json(
@@ -300,7 +295,7 @@ def q_streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hr_moderndatapipeline_spark.streaming.sinks import start_append_sink
 
-    wd = _workdir(sf_dir, "pyds")
+    wd = _workdir(spark, sf_dir, "pyds")
     feed, out, cp = f"{wd}/feed", f"{wd}/out", f"{wd}/cp"
     register_jsonl_source(spark)
 
