@@ -32,6 +32,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "centroid_classify": "k centroids broadcast against the corpus; "
     "O(n*k) assignment is the operator",
     "tfidf_top_terms": "1-row corpus doc-count broadcast into the scorer",
+    "monthly_order_spine": "recursive year spine (≈7 rows) crossed with a "
+    "12-row literal month dim — bounded by the schema's date span",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 
