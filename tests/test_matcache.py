@@ -75,3 +75,21 @@ def test_cache_ignores_stale_tmp(spark, tmp_path):
     os.makedirs(os.path.join(root, key + ".tmp"))  # simulated crash debris
     assert cache.get_or_compute(df).first()["n"] == 100
     assert key in cache.entries()
+
+
+def test_cache_key_stable_across_rebuilds(spark, tmp_path):
+    """Rebuilding the same logical query allocates fresh expression
+    ids — the key must not see them (the whole point of the exprId
+    normalization: a restarted pipeline hits yesterday's cache)."""
+    src = str(tmp_path / "src")
+    _write_input(spark, src, 2)
+
+    def build():
+        return (
+            spark.read.parquet(src)
+            .filter(F.col("id") >= 5)
+            .groupBy((F.col("id") % 3).alias("b"))
+            .agg(F.sum("v").alias("s"))
+        )
+
+    assert cache_key(build()) == cache_key(build())
