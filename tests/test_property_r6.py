@@ -68,3 +68,32 @@ def test_skew_report_accounting_invariants(spark, keys):
     # top keys are a true top slice of the histogram
     top_counts = sorted((k["count"] for k in rep["top_keys"]), reverse=True)
     assert top_counts == sorted(want.values(), reverse=True)[: len(top_counts)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st_.lists(
+        st_.integers(min_value=-1_000_000, max_value=1_000_000),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    ),
+    st_.integers(min_value=1, max_value=5),
+)
+def test_export_manifest_invariants_on_random_keys(spark, tmp_path_factory, keys, shards):
+    from hr_moderndatapipeline_spark.sources.export import export_training_shards
+
+    out = str(tmp_path_factory.mktemp("shards") / "out")
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    m = export_training_shards(df, out, key="k", num_shards=shards)
+    assert m["total_rows"] == len(keys)
+    assert sum(f["rows"] for f in m["files"]) == len(keys)
+    # non-empty files' outward-rounded ranges never properly overlap
+    ivs = sorted(
+        (f["key_min"], f["key_max"]) for f in m["files"] if f["rows"]
+    )
+    for (_, hi1), (lo2, _) in zip(ivs, ivs[1:]):
+        assert hi1 <= lo2 + 1
+    # round trip preserves the key multiset
+    back = spark.read.parquet(out)
+    assert sorted(r["k"] for r in back.collect()) == sorted(keys)
