@@ -170,6 +170,9 @@ ORDER BY 1, 2
 # ── W1 — latest-per-key dedup (tests/delta_reader_spark.py:59-65) ──
 
 def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 latest-per-key dedup: each customer's most recent order via a
+    ROW_NUMBER window (one shuffle on o_custkey; ties broken by orderkey)
+    — reference tests/delta_reader_spark.py:59-65."""
     orders = _t(spark, sf_dir, "orders")
     return latest_per_key(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
 
@@ -186,6 +189,8 @@ WHERE rn = 1
 # ── W2 — per-key change pairs via lag (bronze_reader before/after) ──
 
 def q_event_change_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 change pairs: per-user (prev_type -> type) transitions via lag()
+    over the time-ordered event stream — one window shuffle on user_id."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
     out = change_pairs(ev, ["user_id"], ["ts", "event_id"], ["event_type", "value"])
     return out.select(
@@ -209,6 +214,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # ── J3 — semi / anti joins (FK-validity membership) ──
 
 def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 LEFT SEMI join: customers having at least one order — no
+    fact-side data duplicated, plans as a semi-join probe."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return cust.join(
@@ -222,6 +229,8 @@ SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 LEFT ANTI join: customers with NO orders — the orphaned-dim
+    check; broadcastable probe side."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return cust.join(
@@ -266,6 +275,8 @@ GROUP BY 1
 # ── J4 — self-join (manager-hierarchy shape, hr_oltp_ddl.sql:45) ──
 
 def q_nation_pairs_same_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 self-join: distinct nation pairs within a region (n1 < n2 to
+    dedup the symmetric pair) — tiny-dim self-join, broadcast both sides."""
     n = _t(spark, sf_dir, "nation")
     a = n.alias("a")
     b = n.alias("b")
@@ -293,6 +304,8 @@ FROM nation a JOIN nation b
 # ── A6 — duplicate-key detection (DQ uniqueness as groupBy) ──
 
 def q_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 duplicate detection: custkeys appearing more than once via
+    groupBy+HAVING — the exact-dup primitive on a key column."""
     return duplicate_keys(_t(spark, sf_dir, "orders"), ["o_custkey"])
 
 
@@ -304,6 +317,9 @@ SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1 HAVING count(*) > 1
 # ── O-topk — global top-k (TakeOrderedAndProject) ──
 
 def q_top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 global top-k: top-10 customers by summed order revenue —
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver),
+    never a full sort."""
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("revenue"))
     return topk(rev, [F.col("revenue"), F.col("o_custkey")], 10)
@@ -318,6 +334,8 @@ FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 DESC LIMIT 10
 # ── top-k per group ──
 
 def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 grouped top-k: top-3 orders per market segment via a ranked
+    window (WindowGroupLimit keeps k rows per partition pre-shuffle)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
@@ -973,6 +991,8 @@ FROM events c JOIN events e
 # ── distinct aggregate ──
 
 def q_distinct_customers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 distinct-count per group: exact countDistinct(custkey) by order
+    priority — expands to a two-phase aggregate with map-side partials."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -989,6 +1009,8 @@ FROM orders GROUP BY 1
 # ── pivot ──
 
 def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: total quantity per returnflag pivoted across linestatus
+    columns — one groupBy then a width-#statuses pivot aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     p = (
@@ -1240,6 +1262,8 @@ FROM orders GROUP BY 1
 # ── deterministic sample (replaces ORDER BY random(), O4) ──
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 deterministic sampling: keep rows where pmod(xxhash64(key), 100)
+    < rate — partitioning-invariant, reproducible without a seed table."""
     from hr_moderndatapipeline_spark.operators.relational import deterministic_sample
 
     orders = _t(spark, sf_dir, "orders")

@@ -361,6 +361,9 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── SimHash near-dup (rows-only: engine-native xxhash64 sign sums) ──
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sign-sum signatures (exploded
+    token xxhash64, codegen aggregation), banded join, Hamming verify —
+    rows-only (engine-native hashing; recall pinned in unit tests)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     return simhash_near_pairs(recrawl, "doc_id", "text", max_hamming=3)
@@ -530,6 +533,8 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── embedding-cosine near-dup pairs within label blocks ──
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked salted self-join with
+    exact cosine verify — the vector analogue of the text near-dup path."""
     return neardup_pairs_by_cosine(
         _emb(spark, sf_dir), "vec_id", "embedding", "label", threshold=0.9, dim=64
     )
@@ -553,6 +558,8 @@ WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1
 # ── text analysis ──
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per document: whitespace tokens, BPE-ish regex
+    pieces, char/byte counts — pure JVM expressions, no Python."""
     return token_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
@@ -570,6 +577,8 @@ FROM documents
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length/punctuation/stopword-ratio
+    features combined into one 0-1 score, all column arithmetic."""
     return quality_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
@@ -637,6 +646,8 @@ FROM t JOIN stats ON t.source IS NOT DISTINCT FROM stats.source
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-ID heuristic: profile overlap against per-language
+    character-trigram tables broadcast to executors."""
     return lang_id_heuristic(_docs(spark, sf_dir), "doc_id", "text")
 
 
@@ -659,6 +670,8 @@ FROM h
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: polynomial hash over the token
+    stream reduced to one 64-bit value per doc — order-sensitive, exact."""
     return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
@@ -675,6 +688,8 @@ FROM documents
 # ── text preprocessing: normalize / chunk ──
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: lowercase, collapse whitespace, strip
+    punctuation — the curation pre-pass, pure string expressions."""
     from hr_moderndatapipeline_spark.operators.text import normalize_text
 
     return normalize_text(_docs(spark, sf_dir), "doc_id", "text")
@@ -691,6 +706,8 @@ SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS n_chars_norm FRO
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget chunking: split documents into word-window chunks
+    with overlap via sequence()+explode (generator, not Python)."""
     from hr_moderndatapipeline_spark.operators.text import doc_chunks
 
     return doc_chunks(_docs(spark, sf_dir), "doc_id", "text", max_words=32)
@@ -857,6 +874,8 @@ FROM v, unnest(range(0, len(e))) AS u(r)
 # ── text hygiene: repetition / PII / contamination / tf-idf / vocab ──
 
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score: repeated-ngram mass per document (exploded
+    n-grams, grouped max-frequency ratio) — the boilerplate/loop signal."""
     from hr_moderndatapipeline_spark.operators.text import repetition_score
 
     return repetition_score(_docs(spark, sf_dir), "doc_id", "text", ngram=3)
@@ -978,6 +997,9 @@ FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: corpus document frequencies joined
+    back to per-doc term counts; 1-row corpus size broadcast (allowlisted
+    tiny-side nested loop)."""
     from hr_moderndatapipeline_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
@@ -1003,6 +1025,8 @@ FROM scored WHERE rank <= 3
 
 
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global term frequencies, top terms by count —
+    explode + two-phase aggregate, bounded output."""
     from hr_moderndatapipeline_spark.operators.text import vocab_top_terms
 
     return vocab_top_terms(_docs(spark, sf_dir), "text", k=100)
@@ -1172,7 +1196,10 @@ FROM a
 
 
 def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-driven frame sampling rows for video media."""
+    """Metadata-driven frame sampling for video media: deterministic
+    frame timestamps every 1000ms from each asset's duration metadata
+    (decode stubbed per the multimodal contract; the Arrow-batched
+    plumbing and row fan-out are real and oracle-checked)."""
     media = fake_media_from_documents(_docs(spark, sf_dir))
     return sample_frames(media, every_ms=1000)
 

@@ -1,0 +1,69 @@
+"""Surface-contract meta-tests: standards every queries() entry must
+meet, independent of its semantics."""
+
+from __future__ import annotations
+
+from hr_moderndatapipeline_spark.queries import oracle_sql, queries
+
+
+def test_every_query_documented():
+    """Docstrings carry the parity citations and scale notes the
+    surface is reviewed by — an undocumented query is unreviewable."""
+    thin = [
+        name
+        for name, fn in queries().items()
+        if not (fn.__doc__ and len(fn.__doc__.strip()) > 60)
+    ]
+    assert not thin, f"undocumented queries: {thin}"
+
+
+def test_bench_queries_subset_of_surface():
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in queries()]
+    assert not missing, f"bench names not in queries(): {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_oracles_reference_known_tables_only():
+    """Oracle SQL may only name the driver's pre-registered views —
+    a typo'd table fails at driver time, not review time."""
+    import re
+
+    from hr_moderndatapipeline_spark.sources.readers import TABLES
+
+    known = set(TABLES)
+    for name, sql in oracle_sql().items():
+        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", sql, re.I):
+            t = m.group(1).lower()
+            # CTE names and derived-table keywords are fine; only
+            # flag identifiers that LOOK like base tables but aren't
+            if t in known or t in {"lateral", "unnest", "generate_series"}:
+                continue
+            assert t in sql.lower().split("with", 1)[-1] or t in known, (
+                name,
+                t,
+            )
+
+
+def test_rows_only_set_is_intentional():
+    """Every oracle-less query must be one of the documented
+    non-SQL classes (streaming execution, engine-native hashing,
+    iterative) — additions to this set are a deliberate decision."""
+    allowed = {
+        "ann_ivf_topk",
+        "ivf_probe_topk",
+        "minhash_dedup_pairs",
+        "simhash_near_pairs",
+        "event_type_pagerank",
+        "streaming_custom_source",
+        "streaming_dedup_events",
+        "streaming_dlq_roundtrip",
+        "streaming_join_enrichment",
+        "streaming_scd2_snapshot",
+    }
+    actual = set(queries()) - set(oracle_sql())
+    assert actual == allowed, (
+        f"rows-only drift: unexpected={actual - allowed}, "
+        f"missing={allowed - actual}"
+    )
