@@ -1,0 +1,214 @@
+"""Product quantization (PQ) ANN: 8-byte codes instead of 256-byte
+vectors — the memory tier below IVF in a real vector stack.
+
+Why it earns its place next to ann_bruteforce/LSH/IVF
+(operators/similarity.py): at 100 TB of embeddings the corpus can't
+hold float vectors in RAM; PQ stores one small int PER SUBSPACE per
+vector (m=8 codes for dim=64 → 32× compression at k≤256) and scores
+a query against the ENTIRE corpus with one lookup-table gather per
+code — the classic ADC (asymmetric distance computation) scan of
+Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011; public method).
+
+Spark-first layout:
+- training: per-subspace codebooks from deterministic hash-seeded
+  representatives (same no-RNG discipline as ivf_codebook), optional
+  exact Lloyd refinement per subspace;
+- encode: one Arrow-batched pass, codebooks broadcast as a numpy
+  (m, k, d_sub) tensor — O(m·k·d_sub) scalars, model not data;
+- probe: the query batch's LUTs (q, m, k) broadcast; the corpus
+  scan gathers LUT[code] per subspace and sums — corpus codes are
+  never shuffled, only per-partition top-k candidates move
+  (mapInPandas + global window, mirroring ann_bruteforce's shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.similarity import as_double_vec
+
+
+def _subspace_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d = dim // m
+    return [(i * d, (i + 1) * d) for i in range(m)]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    refine_iterations: int = 2,
+    max_train: int = 4096,
+) -> DataFrame:
+    """Train per-subspace codebooks: ``(sub int, cluster int,
+    _cv array<double>)`` with len(_cv) == dim/m. ONE bounded driver
+    collect: a deterministic hash-ordered training sample of at most
+    ``max_train`` vectors (codebook training is an O(k·d) model fit —
+    a capped representative sample is the standard practice; the
+    corpus itself is never collected). Seeds are the first k sample
+    rows per subspace ordering; refinement is exact Lloyd on the
+    sample's subvector slices."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    slices = _subspace_slices(dim, m)
+    train_rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"), as_double_vec(F.col(vec_col)).alias("_v")
+        )
+        .withColumn("_hk", F.xxhash64(F.col("_id")))
+        .orderBy("_hk")
+        .limit(max_train)
+        .collect()
+    )
+    pts_full = np.array([r["_v"] for r in train_rows])
+    if len(pts_full) < k:
+        raise ValueError(f"need at least k={k} training vectors, got {len(pts_full)}")
+    out = []
+    for sub, (lo, hi) in enumerate(slices):
+        pts = pts_full[:, lo:hi]
+        # deterministic per-subspace seed order: rotate the sample
+        cents = pts[(np.arange(k) + sub) % len(pts)].copy()
+        for _ in range(max(0, refine_iterations)):
+            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = pts[mask].mean(axis=0)
+        out.extend(
+            (sub, i, [float(x) for x in cents[i]]) for i in range(k)
+        )
+    return spark.createDataFrame(out, "sub int, cluster int, _cv array<double>")
+
+
+def _codebook_tensor(codebooks: DataFrame):
+    import numpy as np
+
+    rows = codebooks.collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["cluster"] for r in rows) + 1
+    d = len(rows[0]["_cv"])
+    t = np.zeros((m, k, d))
+    for r in rows:
+        t[r["sub"], r["cluster"]] = r["_cv"]
+    return t
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Encode each vector to ``(id, codes array<int>)`` — nearest
+    centroid per subspace, one Arrow-batched pass, codebook tensor
+    broadcast."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    tensor = _codebook_tensor(codebooks)
+    bc = spark.sparkContext.broadcast(tensor)
+    slices = _subspace_slices(dim, m)
+
+    def encode(batches):
+        import numpy as np
+
+        t = bc.value
+        for pdf in batches:
+            vecs = np.array(list(pdf["_v"]))
+            codes = np.empty((len(pdf), len(slices)), dtype=np.int32)
+            for sub, (lo, hi) in enumerate(slices):
+                sv = vecs[:, lo:hi]
+                d2 = ((sv[:, None, :] - t[sub][None, :, :]) ** 2).sum(axis=2)
+                codes[:, sub] = d2.argmin(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
+
+    shaped = corpus.select(
+        F.col(id_col).alias("_id"), as_double_vec(F.col(vec_col)).alias("_v")
+    )
+    return shaped.mapInPandas(encode, schema="_id long, codes array<int>").select(
+        F.col("_id").alias(id_col), "codes"
+    )
+
+
+def pq_probe(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """ADC scan: per query, an inner-product lookup table against
+    every centroid (q, m, k_cb) is broadcast; the corpus pass sums
+    LUT[sub, code] per vector and keeps per-partition top-k, then a
+    ranked window takes the global top-k. The corpus codes never
+    shuffle; only candidates (≤ partitions × q × k rows) move.
+    Returns (q_id, c_id, score, rk) with approximate inner-product
+    scores — recall vs exact search is pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    tensor = _codebook_tensor(codebooks)
+    slices = _subspace_slices(dim, m)
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), as_double_vec(F.col(vec_col)).alias("_v")
+    ).collect()
+    q_ids = np.array([r["_qid"] for r in q_rows])
+    q_vecs = np.array([r["_v"] for r in q_rows])
+    # LUT[q, sub, cluster] = <query_subvector, centroid>
+    lut = np.stack(
+        [
+            np.stack(
+                [q_vecs[:, lo:hi] @ tensor[sub].T for sub, (lo, hi) in enumerate(slices)],
+                axis=1,
+            )
+        ]
+    )[0]
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+
+    def scan(batches):
+        qi, tbl = bc.value
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]))  # (n, m)
+            n = len(pdf)
+            if n == 0:
+                continue
+            # scores[q, n] = sum over sub of tbl[q, sub, codes[n, sub]]
+            scores = np.zeros((len(qi), n))
+            for sub in range(codes.shape[1]):
+                scores += tbl[:, sub, codes[:, sub]]
+            top = min(k, n)
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q, out_c, out_s = [], [], []
+            for qrow in range(len(qi)):
+                for j in idx[qrow]:
+                    out_q.append(int(qi[qrow]))
+                    out_c.append(int(pdf["_id"].iloc[j]))
+                    out_s.append(float(scores[qrow, j]))
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "score": out_s})
+
+    cand = encoded.select(F.col(id_col).alias("_id"), "codes").mapInPandas(
+        scan, schema="q_id long, c_id long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("q_id", "rk")
+    )

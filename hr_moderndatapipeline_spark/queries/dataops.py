@@ -1408,9 +1408,41 @@ def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN lifecycle (operators/pq.py): train
+    per-subspace codebooks once, encode the corpus to 8-byte codes,
+    persist both to parquet, then answer a query batch with the ADC
+    scan purely from the stored tables — 32× less state than float
+    vectors, corpus codes never shuffled. Approximate ⇒ rows-only
+    driver check; recall vs exact inner-product search and bitwise
+    encode determinism are pinned in tests/test_pq.py."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_probe,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = process_workdir(spark, "hr_mdp_pq", sf_dir)
+    cb = pq_codebooks(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    cb.write.mode("overwrite").parquet(f"{root}/codebooks")
+    pq_encode(emb, cb, "vec_id", "embedding", dim=64, m=8).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/codes")
+
+    stored_cb = spark.read.parquet(f"{root}/codebooks")
+    stored_codes = spark.read.parquet(f"{root}/codes")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_probe(
+        queries, stored_codes, stored_cb, "vec_id", "embedding", k=10, dim=64, m=8
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "event_type_pagerank": q_event_type_pagerank,
+    "pq_probe_topk": q_pq_probe_topk,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,

@@ -56,6 +56,7 @@ def test_rows_only_set_is_intentional():
         "minhash_dedup_pairs",
         "simhash_near_pairs",
         "event_type_pagerank",
+        "pq_probe_topk",
         "streaming_custom_source",
         "streaming_dedup_events",
         "streaming_dlq_roundtrip",

@@ -1,0 +1,80 @@
+"""Product quantization: encode/probe round trip, recall vs exact
+search, compression contract, and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.pq import (
+    pq_codebooks,
+    pq_encode,
+    pq_probe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _exact_ip_topk(queries_rows, corpus_rows, k=10):
+    """Pure-numpy exact inner-product top-k (self included) — the
+    same metric pq_probe approximates, so recall is apples-to-apples."""
+    import numpy as np
+
+    qi = [r["vec_id"] for r in queries_rows]
+    qv = np.array([r["embedding"] for r in queries_rows], dtype=float)
+    ci = np.array([r["vec_id"] for r in corpus_rows])
+    cv = np.array([r["embedding"] for r in corpus_rows], dtype=float)
+    scores = qv @ cv.T
+    out = {}
+    for row, q in enumerate(qi):
+        top = np.argsort(-scores[row])[:k]
+        out[q] = set(int(ci[j]) for j in top)
+    return out
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    emb = _emb(spark)
+    cb = pq_codebooks(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    assert cb.count() == 8 * 16
+    enc1 = pq_encode(emb, cb, "vec_id", "embedding", dim=64, m=8)
+    enc2 = pq_encode(emb, cb, "vec_id", "embedding", dim=64, m=8)
+    rows1 = {r["vec_id"]: tuple(r["codes"]) for r in enc1.collect()}
+    rows2 = {r["vec_id"]: tuple(r["codes"]) for r in enc2.collect()}
+    assert rows1 == rows2  # deterministic end to end
+    assert all(len(c) == 8 for c in rows1.values())
+    assert all(0 <= x < 16 for c in rows1.values() for x in c)
+    assert len(rows1) == emb.count()
+
+
+def test_pq_probe_recall_beats_random_and_finds_self(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)  # 20 queries
+    cb = pq_codebooks(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    enc = pq_encode(emb, cb, "vec_id", "embedding", dim=64, m=8)
+    got = pq_probe(queries, enc, cb, "vec_id", "embedding", k=10, dim=64, m=8)
+    approx = {}
+    for r in got.collect():
+        approx.setdefault(r["q_id"], set()).add(r["c_id"])
+    assert all(len(v) == 10 for v in approx.values())
+
+    exact = _exact_ip_topk(queries.collect(), emb.collect(), k=10)
+
+    recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # random 10-of-500 would overlap ~0.02; PQ must be far above it
+    assert mean_recall >= 0.3, f"mean recall {mean_recall}"
+    # the quantized query should still retrieve itself (top-10)
+    self_hits = sum(1 for q in approx if q in approx[q])
+    assert self_hits >= len(approx) * 0.8
+
+
+def test_pq_codebook_requires_enough_vectors(spark):
+    tiny = _emb(spark).limit(5)
+    try:
+        pq_codebooks(tiny, "vec_id", "embedding", dim=64, m=8, k=16)
+        raise AssertionError("k > corpus must fail loudly")
+    except ValueError as e:
+        assert "training vectors" in str(e)
