@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",        # exact cosine top-k
     "ann_lsh_topk",               # LSH ANN
     "ann_ivf_topk",               # IVF ANN
+    "pq_probe_topk",              # product-quantization ADC scan
     "gold_summary_sql",           # SQL model DAG
     "debezium_unwrap",            # CDC envelope handling
     "corpus_curation",            # composed curation: dedup+quality+lang, 1 shuffle
