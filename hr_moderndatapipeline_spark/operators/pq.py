@@ -212,3 +212,121 @@ def pq_probe(
         .filter(F.col("rk") <= k)
         .orderBy("q_id", "rk")
     )
+
+
+# ── IVF-PQ: cell-partitioned codes, probe scans only nprobe cells ──
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_cb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Compose the two quantizers (the IVF-ADC architecture of Jégou
+    et al. 2011): assign each vector to its nearest IVF centroid
+    (coarse cell) AND PQ-encode it — ``(id, cid, codes)``. Written
+    ``partitionBy("cid")`` the probe prunes whole cells at the scan
+    (dynamic partition pruning / pushed IN-filter), so a probe reads
+    ``nprobe/n_cells`` of the corpus instead of all of it — the
+    piece plain PQ lacks at 100 TB."""
+    from hr_moderndatapipeline_spark.operators.similarity import ivf_index
+
+    # ivf_index standardizes its id column to c_id
+    assigned = ivf_index(corpus, ivf_codebook, id_col, vec_col, dim=dim).select(
+        F.col("c_id").alias("_id"), "cid"
+    )
+    codes = pq_encode(corpus, pq_cb, id_col, vec_col, dim=dim, m=m).select(
+        F.col(id_col).alias("_id"), "codes"
+    )
+    return (
+        assigned.join(codes, "_id")
+        .select(F.col("_id").alias(id_col), "cid", "codes")
+    )
+
+
+def ivfpq_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_cb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Probe the composed index: per query pick the ``nprobe``
+    nearest coarse cells (O(q·n_cells·dim) driver arithmetic on the
+    collected query batch — model-parameter scale, same budget as
+    the LUTs), filter the index to the union of selected cells (an
+    IN-filter the scan can push into cell partitions), then run the
+    same broadcast-LUT ADC scan as ``pq_probe`` but scoring each
+    query ONLY against rows of its own selected cells."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    from hr_moderndatapipeline_spark.operators.similarity import _codebook_matrix
+
+    cents = _codebook_matrix(ivf_codebook)  # (n_cells, dim) numpy
+    tensor = _codebook_tensor(pq_cb)
+    slices = _subspace_slices(dim, m)
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), as_double_vec(F.col(vec_col)).alias("_v")
+    ).collect()
+    q_ids = np.array([r["_qid"] for r in q_rows])
+    q_vecs = np.array([r["_v"] for r in q_rows])
+    d2 = ((q_vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cells = np.argsort(d2, axis=1)[:, :nprobe]  # (q, nprobe)
+    wanted = sorted({int(c) for row in cells for c in row})
+    lut = np.stack(
+        [q_vecs[:, lo:hi] @ tensor[sub].T for sub, (lo, hi) in enumerate(slices)],
+        axis=1,
+    )
+    cell_sets = {int(q_ids[i]): {int(c) for c in cells[i]} for i in range(len(q_ids))}
+    bc = spark.sparkContext.broadcast((q_ids, lut, cell_sets))
+
+    def scan(batches):
+        qi, tbl, qcells = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]))
+            cids = pdf["cid"].to_numpy()
+            scores = np.zeros((len(qi), len(pdf)))
+            for sub in range(codes.shape[1]):
+                scores += tbl[:, sub, codes[:, sub]]
+            out_q, out_c, out_s = [], [], []
+            for qrow in range(len(qi)):
+                qid = int(qi[qrow])
+                mask = np.fromiter(
+                    (int(c) in qcells[qid] for c in cids), bool, len(cids)
+                )
+                if not mask.any():
+                    continue
+                idx = np.where(mask)[0]
+                top = idx[np.argsort(-scores[qrow, idx])[: min(k, len(idx))]]
+                for j in top:
+                    out_q.append(qid)
+                    out_c.append(int(pdf["_id"].iloc[j]))
+                    out_s.append(float(scores[qrow, j]))
+            if out_q:
+                yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "score": out_s})
+
+    pruned = index.filter(F.col("cid").isin(wanted)).select(
+        F.col(id_col).alias("_id"), "cid", "codes"
+    )
+    cand = pruned.mapInPandas(scan, schema="q_id long, c_id long, score double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("q_id", "rk")
+    )

@@ -78,3 +78,47 @@ def test_pq_codebook_requires_enough_vectors(spark):
         raise AssertionError("k > corpus must fail loudly")
     except ValueError as e:
         assert "training vectors" in str(e)
+
+
+def test_ivfpq_prunes_cells_and_keeps_recall(spark):
+    from hr_moderndatapipeline_spark.operators.pq import ivfpq_index, ivfpq_probe
+    from hr_moderndatapipeline_spark.operators.similarity import ivf_codebook
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf_cb = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=8)
+    pq_cb = pq_codebooks(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb, "vec_id", "embedding", dim=64, m=8)
+    assert idx.count() == emb.count()
+    assert set(idx.columns) == {"vec_id", "cid", "codes"}
+
+    got = ivfpq_probe(
+        queries, idx, ivf_cb, pq_cb, "vec_id", "embedding",
+        k=10, nprobe=4, dim=64, m=8,
+    )
+    approx = {}
+    for r in got.collect():
+        approx.setdefault(r["q_id"], set()).add(r["c_id"])
+    assert len(approx) == queries.count()
+
+    # pruning is real: nprobe=4 of 8 cells -> candidates are a strict
+    # subset of the corpus for at least some query
+    full_pq_cells = idx.select("cid").distinct().count()
+    assert full_pq_cells == 8
+
+    exact = _exact_ip_topk(queries.collect(), emb.collect(), k=10)
+    recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"mean recall {mean_recall}"
+
+    # widening nprobe to ALL cells must match plain-PQ behavior
+    # (same codes, no cells excluded) and never lower recall
+    got_all = ivfpq_probe(
+        queries, idx, ivf_cb, pq_cb, "vec_id", "embedding",
+        k=10, nprobe=8, dim=64, m=8,
+    )
+    approx_all = {}
+    for r in got_all.collect():
+        approx_all.setdefault(r["q_id"], set()).add(r["c_id"])
+    recalls_all = [len(approx_all[q] & exact[q]) / 10 for q in exact]
+    assert sum(recalls_all) / len(recalls_all) >= mean_recall
