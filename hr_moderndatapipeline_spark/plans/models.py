@@ -44,7 +44,17 @@ class ModelRunner:
     spark: SparkSession
     models: Sequence[Model]
     table_root: str | None = None  # required for "table" materializations
+    #: When True, a table model whose (normalized plan, input files)
+    #: key matches the sidecar key of its existing materialization is
+    #: NOT rewritten — the dbt "state:modified" freshness skip, done
+    #: engine-side via plans/matcache.cache_key. Because the key
+    #: includes upstream FILES, rewriting any upstream model flips
+    #: downstream keys and the recompute cascades correctly.
+    #: Nondeterministic models (cache_key refuses) always rebuild.
+    freshness_skip: bool = False
     _results: dict[str, DataFrame] = field(default_factory=dict)
+    #: model names skipped as fresh on the last run() (observability)
+    skipped: list[str] = field(default_factory=list)
 
     def order(self) -> list[Model]:
         by_name = {m.name: m for m in self.models}
@@ -58,16 +68,45 @@ class ModelRunner:
     def run(self) -> dict[str, DataFrame]:
         """Materialize every model in dependency order; returns
         name → DataFrame of the materialized relation."""
+        self.skipped = []
         for m in self.order():
             df = self.spark.sql(m.sql)
             if m.materialization == "table":
                 if not self.table_root:
                     raise ValueError(f"model {m.name}: table materialization needs table_root")
                 path = os.path.join(self.table_root, m.name)
+                key = None
+                if self.freshness_skip:
+                    try:
+                        from hr_moderndatapipeline_spark.plans.matcache import cache_key
+
+                        key = cache_key(df)
+                    except ValueError:
+                        key = None  # nondeterministic model: always rebuild
+                keyfile = os.path.join(path, "_model_key")
+                if (
+                    key is not None
+                    and os.path.exists(keyfile)
+                    and open(keyfile).read() == key
+                ):
+                    self.skipped.append(m.name)
+                    written = df.schema
+                    df = self.spark.read.parquet(path)
+                    from pyspark.sql import functions as F
+
+                    df = df.select(
+                        *[F.col(f.name).cast(f.dataType) for f in written.fields]
+                    )
+                    df.createOrReplaceTempView(m.name)
+                    self._results[m.name] = df
+                    continue
                 w = df.write.mode("overwrite")
                 if m.partition_by:
                     w = w.partitionBy(*m.partition_by)
                 w.parquet(path)
+                if key is not None:
+                    with open(keyfile, "w") as fh:  # underscore name: invisible to readers
+                        fh.write(key)
                 written = df.schema
                 df = self.spark.read.parquet(path)
                 # partitionBy re-read infers partition-column types

@@ -45,3 +45,55 @@ def test_table_materialization_partitioned(spark, sf_dir, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM orders_by_year").collect()[0]["n"] == out[
         "orders_by_year"
     ].count()
+
+
+def test_freshness_skip_and_upstream_cascade(spark, tmp_path):
+    """freshness_skip: an unchanged table model is NOT rewritten on
+    rerun; rewriting its upstream input flips the key and forces the
+    rebuild (the dbt state:modified contract, engine-side)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    ).write.mode("overwrite").parquet(src)
+    spark.read.parquet(src).createOrReplaceTempView("fresh_src")
+    model = Model(
+        name="fresh_agg",
+        sql="SELECT g, count(*) AS n FROM fresh_src GROUP BY g",
+        materialization="table",
+    )
+    root = str(tmp_path / "tables")
+    r1 = ModelRunner(spark, [model], table_root=root, freshness_skip=True)
+    r1.run()
+    assert r1.skipped == []
+    files1 = {
+        f: os.path.getmtime(os.path.join(root, "fresh_agg", f))
+        for f in os.listdir(os.path.join(root, "fresh_agg"))
+        if f.endswith(".parquet")
+    }
+
+    r2 = ModelRunner(spark, [model], table_root=root, freshness_skip=True)
+    out = r2.run()
+    assert r2.skipped == ["fresh_agg"]
+    assert out["fresh_agg"].count() == 5
+    files2 = {
+        f: os.path.getmtime(os.path.join(root, "fresh_agg", f))
+        for f in os.listdir(os.path.join(root, "fresh_agg"))
+        if f.endswith(".parquet")
+    }
+    assert files1 == files2  # untouched on disk
+
+    # upstream rewrite -> key flips -> model rebuilds
+    time.sleep(1.1)
+    spark.range(200).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    ).write.mode("overwrite").parquet(src)
+    spark.read.parquet(src).createOrReplaceTempView("fresh_src")
+    r3 = ModelRunner(spark, [model], table_root=root, freshness_skip=True)
+    out3 = r3.run()
+    assert r3.skipped == []
+    assert out3["fresh_agg"].agg(F.sum("n")).first()[0] == 200
