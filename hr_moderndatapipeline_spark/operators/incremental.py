@@ -121,3 +121,88 @@ def incremental_fold(
     if state is None:
         raise ValueError("no batches")
     return state
+
+
+def ewma_update(
+    state: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Incremental maintenance of the per-key EWMA feature state
+    (operators/relational.py ewma_features) — the order-SENSITIVE
+    sibling of the decomposable aggregates above. EWMA is a
+    sequential recurrence, so it is not merge-in-any-order; but a
+    left-to-right fold IS exactly composable across a time split:
+
+        fold(b1 ++ b2) == fold(b2, seed=fold(b1))
+
+    bit-for-bit (the very same operation sequence), so folding daily
+    batches into a persisted O(keys) state table reproduces the
+    full-history recompute EXACTLY — no approximation, no
+    quantization. That exactness is pinned by a split-vs-one-shot
+    property test and a DuckDB oracle that recomputes from scratch.
+
+    Contract: batches must advance in event time. A batch containing
+    a key's event EARLIER than that key's ``last_ts`` state would
+    silently violate the recurrence order, so it raises loudly
+    instead (the resample_fill guard pattern), naming the key's
+    regression. Replaying the SAME batch is therefore also refused —
+    idempotent replay needs the journal/versioned-publish machinery
+    (streaming/sinks.py), not silent re-folding.
+
+    State schema (also what's returned): keys…, n_events BIGINT,
+    last_ts, ewma DOUBLE. Pass ``state=None`` to bootstrap (then
+    this is exactly ``ewma_features`` on the batch). One shuffle on
+    the keys per batch; state is never scanned beyond its O(keys)
+    rows.
+    """
+    from hr_moderndatapipeline_spark.operators.relational import ewma_features
+
+    if state is None:
+        return ewma_features(
+            batch, keys, ts_col, value_col, alpha=alpha, tiebreak_col=tiebreak_col
+        )
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    kcols = list(keys)
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    tb = tiebreak_col or ts_col
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col), F.col(tb), F.col(value_col)))
+    )
+    bagg = batch.groupBy(*kcols).agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.min(ts_col).alias("_bmin"),
+        F.max(ts_col).alias("_bmax"),
+        ordered.alias("_evs"),
+    )
+    joined = state.join(bagg, kcols, "full_outer").withColumn(
+        "_vals", F.expr(f"transform(_evs, s -> CAST(s.{value_col} AS DOUBLE))")
+    )
+    lam = f"(acc, v) -> CAST({a} AS DOUBLE) * v + CAST({b} AS DOUBLE) * acc"
+    seed_guarded = (
+        f"IF(last_ts IS NULL OR _bmin >= last_ts, ewma, "
+        f"CAST(raise_error(concat('ewma_update: batch regresses behind state ("
+        f"batch min ', CAST(_bmin AS STRING), ' < state last_ts ', "
+        f"CAST(last_ts AS STRING), '); batches must advance in event time')) "
+        f"AS DOUBLE))"
+    )
+    new_ewma = F.expr(
+        f"CASE WHEN _evs IS NULL THEN ewma "
+        f"WHEN ewma IS NULL THEN "
+        f"aggregate(slice(_vals, 2, greatest(size(_vals) - 1, 0)), "
+        f"element_at(_vals, 1), {lam}) "
+        f"ELSE aggregate(_vals, {seed_guarded}, {lam}) END"
+    )
+    return joined.select(
+        *kcols,
+        (F.coalesce(F.col("n_events"), F.lit(0)) + F.coalesce(F.col("_bn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        F.coalesce(F.col("_bmax"), F.col("last_ts")).alias("last_ts"),
+        new_ewma.alias("ewma"),
+    )

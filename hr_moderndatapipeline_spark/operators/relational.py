@@ -421,3 +421,70 @@ def grouped_zscore(
 # other join helpers — round 6 nearly added a duplicate here; the
 # round-4 operator already covers the fact/dim salting shape and its
 # driver entry is queries/core.py q_salted_lineitem_order_revenue.
+
+
+def ewma_features(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+    max_events: int = 10_000_000,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    feature-store smoothing state (s_1 = v_1; s_i = alpha*v_i +
+    (1-alpha)*s_{i-1} over the key's events in time order), emitted
+    as the key's CURRENT value alongside its event count and last
+    timestamp.
+
+    The recurrence is a strict sequential fold, so it is evaluated
+    as one: events are collected per key in (ts, tiebreak) order and
+    folded with ``aggregate()`` seeded by the first element — a
+    JVM-codegen higher-order function, no Python. Because the fold
+    order and parenthesization are FIXED, the resulting double is
+    bit-identical on any engine that folds the same list (DuckDB's
+    ``list_reduce`` oracle — the doc_fingerprint argument, extended
+    to floats); no quantization needed. Both coefficient literals
+    are materialized in Python once and injected into both engines
+    via shortest-round-trip repr, so neither side recomputes
+    ``1 - alpha`` in its own arithmetic.
+
+    One shuffle on the keys. Per-key state is that key's event
+    history — same boundedness contract as ``resample_fill``, with
+    the same loud guard: a key exceeding ``max_events`` fails fast
+    inside the expression rather than silently OOMing its task. For
+    unbounded streams maintain the EWMA incrementally instead
+    (operators/incremental.py's partial-fold pattern: the EWMA merge
+    of two time-split partials is alpha-weighted composition).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    kcols = list(keys)
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    tb = tiebreak_col or ts_col
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col), F.col(tb), F.col(value_col)))
+    )
+    agg = df.groupBy(*kcols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(ts_col).alias("last_ts"),
+        ordered.alias("_evs"),
+    )
+    vals = F.transform(F.col("_evs"), lambda s: s[value_col].cast("double"))
+    # the max_events guard is threaded through the fold's SEED (a
+    # scalar raise_error can be cast to double; an array-typed one
+    # cannot) — a violating key errors loudly with its size instead
+    # of silently folding an unbounded list
+    fold = F.expr(
+        f"aggregate(slice(_vals, 2, greatest(size(_vals) - 1, 0)), "
+        f"IF(size(_vals) <= {max_events}, element_at(_vals, 1), "
+        f"CAST(raise_error(concat('ewma_features: key exceeds "
+        f"max_events={max_events} (got ', CAST(size(_vals) AS STRING), "
+        f"' events); pre-aggregate or raise the budget')) AS DOUBLE)), "
+        f"(acc, v) -> CAST({a} AS DOUBLE) * v + CAST({b} AS DOUBLE) * acc)"
+    )
+    return (
+        agg.withColumn("_vals", vals)
+        .select(*kcols, "n_events", "last_ts", fold.alias("ewma"))
+    )

@@ -220,3 +220,105 @@ def domain_mix_weights(
             / F.col("n_tokens").cast("double")
         ).alias("weight"),
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Modeling via Importance
+    Resampling"): featurize each document as hashed-unigram counts,
+    fit bag-of-buckets unigram distributions for the TARGET slice
+    (rows where ``target`` is true) and the RAW corpus, and score
+    every document with the importance log-weight
+
+        log w(d) = sum_tokens [ log p_target(b) - log p_raw(b) ]
+
+    under add-one smoothing. High-weight documents look like the
+    target domain; resample by weight (``weighted_keep`` /
+    ``quality_topk_per_source``) to shift the training mixture.
+
+    Engineering for cross-engine exactness and 100 TB:
+
+    - Token → bucket via the polynomial char fold mod 1e9+7 then mod
+      ``buckets`` (the ``doc_fingerprint`` hash): pure integer
+      arithmetic restatable in ANSI SQL, unlike xxhash64.
+    - The per-bucket log-ratio is quantized ONCE to integer
+      micro-nats (``floor(lr*1e6 + 0.5)``); each document's weight is
+      then an INTEGER sum of (count × quantized ratio) — associative,
+      order-independent, bit-identical on any engine. The only
+      engine-trusted float op is ``ln`` of identical doubles (≤1 ulp
+      divergence, absorbed by the 1e-6 quantum — the
+      event_type_pagerank ppb argument).
+    - Shuffle ledger: one map-side-combinable aggregation of the
+      exploded tokens into O(buckets) rows per distribution, an
+      unpartitioned window ONLY over that O(buckets) aggregate (the
+      domain_mix_weights precedent, never the corpus), a BROADCAST
+      of the O(buckets) ratio table back onto the token stream, and
+      one groupBy on the doc id. The corpus is never joined to
+      itself and never passes through a single partition.
+    """
+    tok_hash = F.expr(
+        f"aggregate(transform(sequence(1, length(_tok)), "
+        f"i -> cast(ascii(substring(_tok, i, 1)) as bigint)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    toks = (
+        df.select(
+            F.col(id_col),
+            target.alias("_is_target"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        )
+        .filter(F.length("_tok") > 0)
+        .select(
+            id_col, "_is_target", F.pmod(tok_hash, F.lit(buckets)).alias("_b")
+        )
+    )
+    raw = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = toks.filter(F.col("_is_target")).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    w = Window.partitionBy()  # over the O(buckets) aggregate only
+    stats = (
+        raw.join(tgt, "_b", "left")
+        .select("_b", "r_cnt", F.coalesce(F.col("t_cnt"), F.lit(0)).alias("t_cnt"))
+        .withColumn("_R", F.sum("r_cnt").over(w))
+        .withColumn("_T", F.sum("t_cnt").over(w))
+    )
+    b = F.lit(float(buckets))
+    lr = stats.select(
+        "_b",
+        F.floor(
+            (
+                F.log((F.col("t_cnt") + F.lit(1.0)) / (F.col("_T") + b))
+                - F.log((F.col("r_cnt") + F.lit(1.0)) / (F.col("_R") + b))
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        toks.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("logweight_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("logweight_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("logweight_micro"),
+        )
+    )

@@ -287,6 +287,69 @@ def contamination_overlap(
     )
 
 
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication census (the signal behind
+    suffix-array training-data dedup — Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — re-expressed
+    set-wise over word n-grams): per document, how many of its n-gram
+    POSITIONS are covered by an n-gram occurring ≥ ``min_dup`` times
+    corpus-wide. High ``dup_ratio`` docs are boilerplate-heavy or
+    templated and the usual first cut in curation.
+
+    Dataflow: positional shingles (NOT distinct — a doc repeating its
+    own 8-gram counts every occurrence, exactly like the substring
+    view) → corpus-wide occurrence count as an unordered window over
+    the gram key → per-doc aggregate. ONE shuffle on the gram key, no
+    join-back and no second pass over the shingling lineage. Hot
+    grams concentrate on one reducer the same way they would under
+    groupBy+join; at 100 TB the mitigations are the standard ones
+    (length-gated grams, or pre-hashing grams to fixed-width keys via
+    xxhash64 when cross-engine comparability isn't needed).
+
+    Short docs (< ngram words) emit zero positions and are restored
+    with zero counts, mirroring contamination_overlap's contract."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(words) >= ngram, F.sequence(F.lit(1), F.size(words) - (ngram - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, ngram)))
+    pos = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_gram"))
+    scored = (
+        pos.withColumn("_c", cnt)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.when(F.col("_c") >= min_dup, 1).otherwise(0)).alias(
+                "n_dup_positions"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_positions"), F.lit(0)).alias("n_positions"),
+            F.coalesce(F.col("n_dup_positions"), F.lit(0)).alias("n_dup_positions"),
+            F.when(
+                F.coalesce(F.col("n_positions"), F.lit(0)) > 0,
+                F.col("n_dup_positions").cast("double") / F.col("n_positions"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -823,6 +823,64 @@ FROM j
 """
 
 
+# ── per-key EWMA smoothing state (sequential fold) ──
+
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's current exponentially-smoothed event value
+    (operators/relational.py ewma_features, alpha=0.2) with event
+    count and last timestamp — the classic feature-store smoothing
+    state. The recurrence is evaluated as the strict sequential fold
+    it is (JVM ``aggregate()`` over the (ts, event_id)-ordered
+    collect), so the double is bit-identical to DuckDB's
+    ``list_reduce`` over the same ordered list — no quantization."""
+    from hr_moderndatapipeline_spark.operators.relational import ewma_features
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_features(
+        ev, ["user_id"], "ts", "value", alpha=0.2, tiebreak_col="event_id"
+    )
+
+
+ORACLE_USER_VALUE_EWMA = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(ts) AS last_ts,
+       list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                   (acc, v) -> CAST({0.2!r} AS DOUBLE) * v
+                               + CAST({1.0 - 0.2!r} AS DOUBLE) * acc) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
+def q_ewma_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EWMA state maintenance proven against the
+    full-history recompute (operators/incremental.py ewma_update):
+    events split at a mid-span cut, the first half bootstraps the
+    state, the second half folds INTO it — and because a seeded
+    left-to-right fold composes exactly (fold(b1 ++ b2) ==
+    fold(b2, seed=fold(b1)), same operation sequence), the oracle is
+    simply the one-shot recompute over all events. Any drift in the
+    incremental path — wrong seed branch, misordered batch, n/ts
+    bookkeeping — breaks the hash."""
+    from hr_moderndatapipeline_spark.operators.incremental import ewma_update
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    state = ewma_update(
+        None, ev.filter(F.col("ts") < cut), ["user_id"], "ts", "value",
+        alpha=0.2, tiebreak_col="event_id",
+    )
+    return ewma_update(
+        state, ev.filter(F.col("ts") >= cut), ["user_id"], "ts", "value",
+        alpha=0.2, tiebreak_col="event_id",
+    )
+
+
+# the one-shot recompute IS the incremental query's oracle (exact
+# seeded-fold composition — see q_ewma_incremental_state)
+ORACLE_EWMA_INCREMENTAL = ORACLE_USER_VALUE_EWMA
+
+
 # ── analytic window breadth: ntile / percent_rank / cume_dist ──
 
 def q_customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,6 +1364,59 @@ SELECT year,
        COALESCE(CAST(sum(attrition_count) AS DOUBLE)
                 / NULLIF(CAST(sum(total_orders) AS DOUBLE), 0.0), 0.0) AS attrition_rate
 FROM monthly GROUP BY 1
+"""
+
+
+def q_model_freshness_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model runner's freshness skip made gate-visible (round-7
+    candidate 2 from SURVEY §2.16): a two-model staging→gold DAG is
+    materialized into a process workdir TWICE with
+    ``freshness_skip=True``. Run 1 writes both tables (the workdir
+    is cleared by process_workdir, so nothing can be fresh); run 2
+    finds both (plan, input-files) sidecar keys unchanged and must
+    skip both rebuilds — that count is emitted as the constant
+    ``models_skipped_rerun`` column, so a broken key (run 2
+    rebuilding: 0) or a false-fresh bug on run 1 flips the hash
+    against the oracle's literal 2. The gold rows themselves are
+    integer counts ⇒ hash-exact. Skip semantics (cascade on upstream
+    change, nondeterministic refusal) are pinned in
+    tests/test_orchestrate.py; this entry is the driver-visible
+    happy path."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.plans import Model, ModelRunner
+    from hr_moderndatapipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    models = (
+        Model(
+            "stg_orders_fresh",
+            "SELECT o_orderstatus, o_orderpriority FROM orders",
+            (),
+            "table",
+        ),
+        Model(
+            "gold_status_priority_fresh",
+            "SELECT o_orderstatus AS status, o_orderpriority AS priority, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM stg_orders_fresh GROUP BY 1, 2",
+            ("stg_orders_fresh",),
+            "table",
+        ),
+    )
+    root = process_workdir(spark, "hr_mdp_modelskip", sf_dir)
+    ModelRunner(spark, models, table_root=root, freshness_skip=True).run()
+    rerun = ModelRunner(spark, models, table_root=root, freshness_skip=True)
+    out = rerun.run()
+    return out["gold_status_priority_fresh"].withColumn(
+        "models_skipped_rerun", F.lit(len(rerun.skipped)).cast("int")
+    )
+
+
+ORACLE_MODEL_FRESHNESS_SKIP = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(2 AS INTEGER) AS models_skipped_rerun
+FROM orders GROUP BY 1, 2
 """
 
 
@@ -1857,6 +1968,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
+    "model_freshness_skip": q_model_freshness_skip,
     "attrition_by_segment": q_attrition_by_segment,
     "attrition_rollup": q_attrition_rollup,
     "pricing_summary": q_pricing_summary,
@@ -1881,6 +1993,8 @@ QUERIES = {
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "customer_balance_distribution": q_customer_balance_distribution,
     "user_hourly_resampled": q_user_hourly_resampled,
+    "user_value_ewma": q_user_value_ewma,
+    "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
@@ -1914,6 +2028,7 @@ QUERIES = {
 ORACLES = {
     "attrition_monthly": ORACLE_ATTRITION_MONTHLY,
     "gold_summary_sql": ORACLE_GOLD_SUMMARY,
+    "model_freshness_skip": ORACLE_MODEL_FRESHNESS_SKIP,
     "attrition_by_segment": ORACLE_ATTRITION_BY_SEGMENT,
     "attrition_rollup": ORACLE_ATTRITION_ROLLUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
@@ -1938,6 +2053,8 @@ ORACLES = {
     "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
     "user_hourly_resampled": ORACLE_USER_HOURLY_RESAMPLED,
+    "user_value_ewma": ORACLE_USER_VALUE_EWMA,
+    "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "cohort_retention": ORACLE_COHORT_RETENTION,

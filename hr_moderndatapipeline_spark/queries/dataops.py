@@ -970,6 +970,42 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_overlap(docs, eval_set, "doc_id", "text", ngram=8)
 
 
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census over the documents table
+    (operators/text.py duplicated_ngram_spans): per doc, the count
+    and share of 8-gram positions whose gram occurs ≥2 times
+    corpus-wide — the Lee-et-al.-style dedup signal as a curation
+    column. Integer counts + one IEEE division ⇒ hash-exact."""
+    from hr_moderndatapipeline_spark.operators.text import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _docs(spark, sf_dir), "doc_id", "text", ngram=8, min_dup=2
+    )
+
+
+ORACLE_DUP_NGRAM_SPANS = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(str_split(text, ' ')) >= 8
+              THEN list_transform(range(1, len(str_split(text, ' ')) - 6),
+                     i -> array_to_string(list_slice(str_split(text, ' '), i, i + 7), ' '))
+              ELSE [] END AS grams
+  FROM documents),
+pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+counted AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS cnt FROM pos),
+agg AS (SELECT doc_id, count(*) AS n_positions,
+               sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM counted GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_positions, 0) AS BIGINT) AS n_positions,
+       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_positions,
+       CASE WHEN COALESCE(a.n_positions, 0) > 0
+            THEN CAST(a.n_dup AS DOUBLE) / a.n_positions
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 ORACLE_CONTAMINATION = """
 WITH g AS (
   SELECT doc_id,
@@ -1317,6 +1353,61 @@ FROM tot
 """
 
 
+# ── DSIR importance weights toward a target slice ──
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py dsir_logweights;
+    Xie et al. 2023): hashed-unigram importance log-weights scoring
+    every document's resemblance to the target slice (here the
+    ``src0`` source playing the high-quality domain). The per-bucket
+    log-ratio is quantized once to integer micro-nats, so each doc's
+    weight is an exact integer sum — hash-stable across engines."""
+    from hr_moderndatapipeline_spark.operators.sampling import dsir_logweights
+
+    return dsir_logweights(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        target=F.col("source") == "src0",
+        buckets=4096,
+    )
+
+
+ORACLE_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, (source = 'src0') AS is_target,
+         unnest(str_split(text, ' ')) AS tok
+  FROM documents),
+tk AS (
+  SELECT doc_id, is_target,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(tok) + 1),
+                                      i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS b
+  FROM toks WHERE length(tok) > 0),
+raw AS (SELECT b, count(*) AS r_cnt FROM tk GROUP BY b),
+tgt AS (SELECT b, count(*) AS t_cnt FROM tk WHERE is_target GROUP BY b),
+stats AS (
+  SELECT r.b, r.r_cnt, COALESCE(t.t_cnt, 0) AS t_cnt,
+         sum(r.r_cnt) OVER () AS R_tot,
+         sum(COALESCE(t.t_cnt, 0)) OVER () AS T_tot
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b),
+lr AS (
+  SELECT b,
+         CAST(floor((ln((t_cnt + 1.0) / (T_tot + 4096.0))
+                     - ln((r_cnt + 1.0) / (R_tot + 4096.0))) * 1000000.0 + 0.5)
+              AS BIGINT) AS lr_micro
+  FROM stats),
+doc AS (
+  SELECT tk.doc_id, count(*) AS n_tokens, sum(lr.lr_micro) AS logw
+  FROM tk JOIN lr ON tk.b = lr.b GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(doc.logw, 0) AS BIGINT) AS logweight_micro
+FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id
+"""
+
+
 # ── deterministic weighted sampling by quality band ──
 
 def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,10 +1476,17 @@ def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (edges = each
     user's consecutive (from_type, to_type) pairs) — the authority
     score of each funnel state. Iterative DataFrame power iteration
-    with lineage truncation (operators/graph.py); genuinely
-    non-SQL-expressible, so this is a rows-only entry pinned by
-    tests/test_graph.py's exact reference-agreement checks. Ranks
-    are rounded to 1e-9 for cross-run display stability."""
+    with lineage truncation (operators/graph.py). Oracle-backed
+    since round 6 (the round-7 candidate list's item 3, done
+    early): the FIXED 10-step iteration unrolls into a chain of
+    DuckDB CTEs (``_pagerank_oracle_sql``) mirroring graph.py's
+    IEEE evaluation order step for step, and BOTH sides quantize
+    ranks to integer parts-per-billion (``floor(rank*1e9 + 0.5)``)
+    — coarse enough to absorb the ~1e-14 summation-order divergence
+    between engines, fine enough that a wrong damping factor, a
+    missed dangling-mass term, or an off-by-one iteration flips the
+    hash. Exact FP agreement with a pure-Python reference stays
+    pinned in tests/test_graph.py."""
     from pyspark.sql import Window
 
     from hr_moderndatapipeline_spark.operators.graph import pagerank
@@ -1403,8 +1501,105 @@ def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pagerank(edges, iterations=10)
-        .select("vertex", F.round("rank", 9).alias("rank"))
-        .orderBy(F.col("rank").desc(), "vertex")
+        .select(
+            "vertex",
+            F.floor(F.col("rank") * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rank_ppb"),
+        )
+        .orderBy(F.col("rank_ppb").desc(), "vertex")
+    )
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10) -> str:
+    """Unroll the fixed-step power iteration into a CTE chain DuckDB
+    can run — one (dangling-mass, contributions, ranks) triple per
+    step, with the same parenthesization as operators/graph.py:
+
+    - Spark computes ``base = teleport + damping*dangling/n`` in
+      Python (left-to-right: ``(damping*dangling)/n`` then add), so
+      the SQL writes ``((1-d)/n) + ((d*dm)/n)`` explicitly;
+    - per-vertex rank is ``base + d*COALESCE(c, 0.0)`` — the same
+      coalesce graph.py applies after its left join;
+    - ``deg`` is an integer count on both engines, so ``rank/deg``
+      is the identical double division.
+
+    Recursion depth is the ITERATION COUNT (10), never the data —
+    the same depth-vs-data rule the recursive calendar spine
+    documents (monthly_order_spine). Every per-step CTE is ``AS
+    MATERIALIZED``: DuckDB inlines plain CTEs at each reference, and
+    ``r{i}`` references ``r{i-1}`` twice (through ``d{i}`` and
+    ``c{i}``), so un-materialized the plan doubles per step — 2^10
+    copies of the base scan and an effectively hung query."""
+    sql = ["""
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS dst
+  FROM events),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs WHERE dst IS NOT NULL),
+verts AS MATERIALIZED (SELECT src AS vertex FROM edges UNION SELECT dst AS vertex FROM edges),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT vertex, 1.0 / n AS rank FROM verts CROSS JOIN nv)"""]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql.append(f""",
+d{i} AS MATERIALIZED (SELECT COALESCE(sum(rank), 0.0) AS dm FROM {prev}
+         WHERE vertex NOT IN (SELECT src FROM outdeg)),
+c{i} AS MATERIALIZED (SELECT e.dst AS vertex, sum(r.rank / o.deg) AS c
+         FROM {prev} r JOIN edges e ON e.src = r.vertex
+         JOIN outdeg o ON o.src = e.src
+         GROUP BY e.dst),
+r{i} AS MATERIALIZED (SELECT v.vertex,
+                (((1.0 - {damping}) / nv.n) + (({damping} * d{i}.dm) / nv.n))
+                + ({damping} * COALESCE(c{i}.c, 0.0)) AS rank
+         FROM verts v CROSS JOIN nv CROSS JOIN d{i}
+         LEFT JOIN c{i} ON c{i}.vertex = v.vertex)""")
+        prev = f"r{i}"
+    sql.append(f"""
+SELECT vertex,
+       CAST(floor(rank * 1000000000.0 + 0.5) AS BIGINT) AS rank_ppb
+FROM {prev}
+""")
+    return "".join(sql)
+
+
+def q_ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed-index lifecycle (operators/pq.py, the FAISS
+    IVFADC architecture; round-7 candidate 4 done early): train the
+    coarse IVF codebook and the PQ sub-codebooks, build the composed
+    index (cell id + 8-byte code per vector), persist it
+    ``partitionBy("cid")`` so a probe's nprobe cell selection prunes
+    whole partitions at the scan, then answer a fixed query batch
+    purely from the stored tables. Approximate ⇒ rows-only driver
+    check; recall floor vs exact search and nprobe monotonicity are
+    pinned in tests/test_pq.py."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_probe,
+        pq_codebooks,
+    )
+    from hr_moderndatapipeline_spark.operators.similarity import ivf_codebook
+
+    emb = _emb(spark, sf_dir)
+    root = process_workdir(spark, "hr_mdp_ivfpq", sf_dir)
+    ivf_cb = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=16)
+    ivf_cb.write.mode("overwrite").parquet(f"{root}/ivf_codebook")
+    pq_cb = pq_codebooks(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    pq_cb.write.mode("overwrite").parquet(f"{root}/pq_codebooks")
+    ivfpq_index(emb, ivf_cb, pq_cb, "vec_id", "embedding", dim=64, m=8).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{root}/index")
+
+    stored_ivf = spark.read.parquet(f"{root}/ivf_codebook")
+    stored_pq = spark.read.parquet(f"{root}/pq_codebooks")
+    stored_index = spark.read.parquet(f"{root}/index")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivfpq_probe(
+        queries, stored_index, stored_ivf, stored_pq,
+        "vec_id", "embedding", k=10, nprobe=4, dim=64, m=8,
     )
 
 
@@ -1443,6 +1638,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
+    "ivfpq_probe_topk": q_ivfpq_probe_topk,
+    "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "dsir_importance_weights": q_dsir_importance_weights,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,
@@ -1527,7 +1725,13 @@ ORACLES = {
     # identical parameters ⇒ identical result to ann_lsh_topk; the
     # index/probe split is the thing under test
     "lsh_probe_topk": _lsh_oracle_sql(),
+    # Fixed-step power iteration unrolled into a CTE chain; both
+    # sides quantize to integer ppb (round-7 candidate 3, done early).
+    "event_type_pagerank": _pagerank_oracle_sql(),
+    "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
+    "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     # minhash_dedup_pairs / simhash_near_pairs / ann_ivf_topk /
-    # ivf_probe_topk: rows-only (non-SQL engine-native hashing /
-    # persisted-index lifecycle).
+    # ivf_probe_topk / pq_probe_topk / ivfpq_probe_topk: rows-only
+    # (non-SQL engine-native hashing / persisted approximate-index
+    # lifecycle).
 }

@@ -323,12 +323,87 @@ def q_streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end to end
+    (streaming/stateful.py ewma_stream, applyInPandasWithState):
+    the first 2000 events are split at their event-time midpoint
+    into two JSON-lines producer drops; the first is drained into a
+    checkpointed update-mode foreachBatch sink, then the second
+    arrives and a RESTARTED query folds it into the state-store
+    EWMA recovered from the checkpoint — the streaming face of
+    ewma_incremental_state's seeded-fold composition (which
+    tests/test_streaming.py pins as bitwise-equal to the batch
+    fold). Returns each user's final (n_events, last_ts_ms, ewma)
+    state. Rows-only: state-store execution is not
+    ANSI-SQL-expressible."""
+    from pyspark.sql import Window
+
+    from hr_moderndatapipeline_spark.streaming.stateful import ewma_stream
+
+    wd = _workdir(spark, sf_dir, "ewma")
+    src, out, cp = f"{wd}/src", f"{wd}/out", f"{wd}/cp"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.to_json(
+        F.struct(
+            "event_id", "user_id", "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        )
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    # one source dir, two producer drops: the second run restarts from
+    # the checkpoint and sees only the new subdirectory's files
+    for name, part in (("b0", ev.filter(F.col("ts") < cut)),
+                       ("b1", ev.filter(F.col("ts") >= cut))):
+        part.select(payload.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{src}/{name}")
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.IntegerType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("ts", T.StringType()),
+            ]
+        )
+        valid, _ = parse_with_dlq(
+            file_json_stream(spark, f"{src}/*"), "value", schema
+        )
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        state = ewma_stream(
+            typed, [("user_id", "IntegerType")], "value", "ts", alpha=0.2
+        )
+
+        def _sink(batch, _bid):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            state.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    back = spark.read.schema(
+        "user_id int, n_events long, last_ts_ms long, ewma double"
+    ).parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        back.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "last_ts_ms", "ewma")
+    )
+
+
 QUERIES = {
     "streaming_custom_source": q_streaming_custom_source,
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
     "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
     "streaming_join_enrichment": q_streaming_join_enrichment,
     "streaming_dedup_events": q_streaming_dedup_events,
+    "streaming_ewma_state": q_streaming_ewma_state,
     "session_window_counts": q_session_window_counts,
 }
 

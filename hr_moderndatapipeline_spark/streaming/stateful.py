@@ -125,3 +125,95 @@ def running_totals(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def ewma_stream(
+    stream: DataFrame,
+    key_cols: Sequence[tuple[str, str]],
+    value_col: str,
+    ts_col: str,
+    alpha: float = 0.2,
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming face of the EWMA feature state
+    (operators/relational.py ewma_features /
+    operators/incremental.py ewma_update): per-key exponential
+    smoothing maintained in the state store across micro-batches,
+    emitting the updated (n_events, last_ts_ms, ewma) row per key
+    per batch.
+
+    Within a micro-batch the rows are folded in (ts, value) order;
+    across batches the fold seeds from stored state — the exact
+    seeded-fold composition ewma_update proves against the one-shot
+    recompute. The equality therefore holds whenever batches advance
+    in event time (the file/Kafka-offset replay order); late events
+    that jump behind stored ``last_ts_ms`` are folded in ARRIVAL
+    order like every streaming EWMA — flagged here rather than
+    raised, since a stream can't reject history it already passed.
+    The pandas fold uses the same IEEE mul/add sequence as the JVM
+    ``aggregate()`` fold, so agreement is bitwise, not approximate.
+
+    ``idle_timeout_minutes`` bounds state exactly as in
+    ``running_totals`` (eviction emits the key's final state once).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    names = [n for n, _ in key_cols]
+    fields = [T.StructField(n, getattr(T, t)(), True) for n, t in key_cols]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_ts_ms", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_ts_ms", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    timeout_ms = None if idle_timeout_minutes is None else idle_timeout_minutes * 60_000
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    def _row(key: tuple, n: int, last_ms: int, s: float | None) -> pd.DataFrame:
+        row = dict(zip(names, key))
+        row.update({"n_events": n, "last_ts_ms": last_ms, "ewma": s})
+        return pd.DataFrame([row])
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                n, last_ms, s = state.get
+                state.remove()
+                yield _row(key, n, last_ms, s)
+            return
+        n, last_ms, s = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            for v in pdf[value_col].astype("float64"):
+                s = float(v) if s is None else a * float(v) + b * s
+            n += len(pdf)
+            last_ms = max(last_ms, int(pdf[ts_col].max().value // 1_000_000))
+        state.update((n, last_ms, s))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield _row(key, n, last_ms, s)
+
+    return stream.groupBy(*names).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

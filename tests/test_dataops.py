@@ -260,6 +260,60 @@ def test_repetition_score_planted(spark):
     assert out[2]["n_grams"] == 0 and out[2]["dup_gram_ratio"] == 0.0
 
 
+def test_dsir_logweights_ranks_target_like_docs(spark):
+    from hr_moderndatapipeline_spark.operators.sampling import dsir_logweights
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "tgt"),   # target slice
+        (1, "alpha beta gamma gamma", "tgt"),        # target slice
+        (2, "alpha beta gamma", "web"),              # target-like raw doc
+        (3, "zebra yak xylo walrus", "web"),         # off-target raw doc
+        (4, "", "web"),                              # empty: zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logweights(
+            df, "doc_id", "text", target=F.col("source") == "tgt", buckets=64
+        ).collect()
+    }
+    # target-like doc scores strictly above the off-target doc
+    assert out[2]["logweight_micro"] > out[3]["logweight_micro"]
+    # tokens the target never uses pull the weight negative
+    assert out[3]["logweight_micro"] < 0
+    assert out[4]["n_tokens"] == 0 and out[4]["logweight_micro"] == 0
+    assert out[2]["n_tokens"] == 3
+
+
+def test_duplicated_ngram_spans_planted(spark):
+    from hr_moderndatapipeline_spark.operators.text import duplicated_ngram_spans
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, base),                              # 3 positions, all shared with doc 1
+        (1, base),                              # exact dup of doc 0
+        (2, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),  # 3 positions, all unique
+        (3, "x y"),                             # too short: 0 positions
+        (4, " ".join(["r"] * 10)),              # self-repeating: 3 identical grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_spans(
+            df, "doc_id", "text", ngram=8, min_dup=2
+        ).collect()
+    }
+    # cross-doc duplication: every position of docs 0/1 is a dup
+    assert out[0]["n_positions"] == 3 and out[0]["n_dup_positions"] == 3
+    assert out[0]["dup_ratio"] == 1.0 and out[1]["dup_ratio"] == 1.0
+    # unique doc: positions counted, none duplicated
+    assert out[2]["n_positions"] == 3 and out[2]["n_dup_positions"] == 0
+    # short doc restored with zeros (left-join contract)
+    assert out[3]["n_positions"] == 0 and out[3]["dup_ratio"] == 0.0
+    # SELF-repetition counts positionally (the substring-view semantics)
+    assert out[4]["n_positions"] == 3 and out[4]["n_dup_positions"] == 3
+
+
 def test_pii_redact_planted(spark):
     from hr_moderndatapipeline_spark.operators.text import pii_redact
 

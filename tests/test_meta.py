@@ -53,12 +53,13 @@ def test_rows_only_set_is_intentional():
     allowed = {
         "ann_ivf_topk",
         "ivf_probe_topk",
+        "ivfpq_probe_topk",
         "minhash_dedup_pairs",
         "simhash_near_pairs",
-        "event_type_pagerank",
         "pq_probe_topk",
         "streaming_custom_source",
         "streaming_dedup_events",
+        "streaming_ewma_state",
         "streaming_dlq_roundtrip",
         "streaming_join_enrichment",
         "streaming_scd2_snapshot",

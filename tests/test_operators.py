@@ -210,6 +210,105 @@ def test_resample_fill_max_slots_guard(spark):
     assert ok.count() == 87_601
 
 
+def test_ewma_features_matches_reference_fold(spark):
+    """The JVM aggregate() fold must equal a pure-Python EWMA over
+    the same (ts, tiebreak)-ordered values — exactly (no approx),
+    since both are the identical sequential IEEE fold."""
+    import datetime as dt
+
+    from hr_moderndatapipeline_spark.operators.relational import ewma_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0 + dt.timedelta(hours=2), 3, 30.0),
+        ("u1", t0, 1, 10.0),
+        ("u1", t0 + dt.timedelta(hours=1), 2, 0.5),
+        ("u1", t0 + dt.timedelta(hours=2), 2, 20.0),  # ts tie → id 2 first
+        ("u2", t0, 4, 7.0),                           # single event: ewma = v
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    out = {
+        r["k"]: r
+        for r in ewma_features(
+            df, ["k"], "ts", "v", alpha=0.3, tiebreak_col="id"
+        ).collect()
+    }
+    s = 10.0
+    for v in [0.5, 20.0, 30.0]:  # time order with the id tiebreak
+        s = 0.3 * v + (1.0 - 0.3) * s
+    assert out["u1"]["ewma"] == s and out["u1"]["n_events"] == 4
+    assert out["u2"]["ewma"] == 7.0 and out["u2"]["n_events"] == 1
+
+
+def test_ewma_features_max_events_guard(spark):
+    import pytest
+
+    from hr_moderndatapipeline_spark.operators.relational import ewma_features
+
+    df = spark.range(100).select(
+        F.lit("k").alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(Exception, match="max_events"):
+        ewma_features(df, ["k"], "ts", "v", max_events=10).collect()
+    assert ewma_features(df, ["k"], "ts", "v", max_events=100).count() == 1
+
+
+def test_ewma_update_split_equals_one_shot(spark, sf_dir):
+    """Seeded-fold composition is EXACT: folding the events table in
+    1, 2, and 3 time-ordered batches must produce bit-identical
+    state (ewma, n_events, last_ts) for every key."""
+    from hr_moderndatapipeline_spark.operators.incremental import ewma_update
+    from hr_moderndatapipeline_spark.operators.relational import ewma_features
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    one = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["ewma"])
+        for r in ewma_features(
+            ev, ["user_id"], "ts", "value", alpha=0.2, tiebreak_col="event_id"
+        ).collect()
+    }
+    for cuts in (["2024-01-16"], ["2024-01-10", "2024-01-20"]):
+        bounds = [None, *cuts, None]
+        state = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            b = ev
+            if lo:
+                b = b.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+            if hi:
+                b = b.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+            state = ewma_update(
+                state, b, ["user_id"], "ts", "value",
+                alpha=0.2, tiebreak_col="event_id",
+            )
+        got = {
+            r["user_id"]: (r["n_events"], r["last_ts"], r["ewma"])
+            for r in state.collect()
+        }
+        assert got == one  # exact, including the doubles
+
+
+def test_ewma_update_refuses_time_regression(spark):
+    import datetime as dt
+
+    import pytest
+
+    from hr_moderndatapipeline_spark.operators.incremental import ewma_update
+
+    t0 = dt.datetime(2024, 1, 10)
+    early = spark.createDataFrame(
+        [("k", t0, 1.0)], "k string, ts timestamp, v double"
+    )
+    late = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(days=1), 2.0)], "k string, ts timestamp, v double"
+    )
+    state = ewma_update(None, late, ["k"], "ts", "v")
+    with pytest.raises(Exception, match="advance in event time"):
+        ewma_update(state, early, ["k"], "ts", "v").collect()
+
+
 def test_jdbc_scan_end_to_end_on_derby(spark):
     """S1 integration: a REAL spark.read.jdbc round trip against the
     embedded Derby that ships with Spark — full extract, then an

@@ -221,6 +221,74 @@ def test_sessionized_counts_batch(spark):
     assert got == [(1, 1), (1, 2), (2, 1)]
 
 
+def test_ewma_stream_matches_batch_fold_across_restart(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState) must equal the BATCH
+    ewma_features fold bit-for-bit after two runs over time-ordered
+    micro-batches — the seeded-fold composition ewma_update proves,
+    here carried through the state-store checkpoint."""
+    from hr_moderndatapipeline_spark.operators.relational import ewma_features
+    from hr_moderndatapipeline_spark.streaming.stateful import ewma_stream
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    b0 = [
+        {"user_id": 1, "value": 10.0, "ts": "2024-01-01 00:00:00"},
+        {"user_id": 1, "value": 0.5, "ts": "2024-01-01 01:00:00"},
+        {"user_id": 2, "value": 7.0, "ts": "2024-01-01 02:00:00"},
+    ]
+    b1 = [
+        {"user_id": 1, "value": 20.0, "ts": "2024-01-01 03:00:00"},
+        {"user_id": 1, "value": 30.0, "ts": "2024-01-01 04:00:00"},
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    write_events(src, "b0.jsonl", b0)
+
+    def run():
+        emitted: list = []
+
+        def sink(batch, _bid):
+            emitted.extend(batch.collect())
+
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", schema)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        out = ewma_stream(typed, [("user_id", "IntegerType")], "value", "ts")
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["user_id"]: r for r in emitted}
+
+    got1 = run()
+    assert got1[1]["n_events"] == 2 and got1[2]["ewma"] == 7.0
+    write_events(src, "b1.jsonl", b1)
+    got2 = run()
+
+    batch_df = spark.createDataFrame(
+        [(d["user_id"], float(d["value"]), d["ts"]) for d in b0 + b1],
+        "user_id int, value double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {
+        r["user_id"]: r
+        for r in ewma_features(
+            batch_df, ["user_id"], "ts", "value", alpha=0.2
+        ).collect()
+    }
+    assert got2[1]["ewma"] == expect[1]["ewma"]  # bitwise, not approx
+    assert got2[1]["n_events"] == expect[1]["n_events"] == 4
+    assert 2 not in got2  # unchanged key emits nothing on restart
+
+
 def test_running_totals_state_survives_restart(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per-key
     running totals must accumulate ACROSS restarts — the state store

@@ -59,6 +59,10 @@ _PROVEN_TS: dict[str, tuple[set[str], str]] = {
     ),
     "shipping_priority": ({"o_orderdate"}, "driver r2-r4"),
     "user_hourly_resampled": ({"slot_ts"}, "driver r2-r4"),
+    # max(ts) over the events table — passthrough of the exact column
+    # proven by event_change_pairs / cdc_op_classification r1-r4.
+    "user_value_ewma": ({"last_ts"}, "passthrough class, driver r1-r4"),
+    "ewma_incremental_state": ({"last_ts"}, "passthrough class, driver r1-r4"),
 }
 
 
