@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "min_cost_supplier",          # Q2-shape correlated scalar-MIN decorrelation
     "nation_trade_volume",        # Q7-shape 5-join bilateral volume (broadcast dims)
     "large_volume_customers",     # Q18-shape HAVING semi-join + fact re-aggregation
+    "ivfpq_probe_topk",           # IVF-PQ composed index build+persist+probe
+    "duplicate_ngram_spans",      # corpus-wide positional n-gram dup census
+    "event_type_pagerank",        # 10-step iterative power iteration
+    "dsir_importance_weights",    # DSIR hashed-unigram importance weights
 ]
 
 
