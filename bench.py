@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "duplicate_ngram_spans",      # corpus-wide positional n-gram dup census
     "event_type_pagerank",        # 10-step iterative power iteration
     "dsir_importance_weights",    # DSIR hashed-unigram importance weights
+    "bucketed_colocated_revenue", # bucketBy publish + zero-exchange SMJ
 ]
 
 

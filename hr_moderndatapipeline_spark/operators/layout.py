@@ -104,3 +104,35 @@ def zorder_cluster(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def publish_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """Publish ``df`` as a hash-BUCKETED (and optionally
+    bucket-sorted) catalog table — the write-time half of the
+    co-located join: two facts bucketed on their join key with the
+    SAME bucket count are read back already partitioned by that key,
+    so their join plans with ZERO Exchange on either side (gated by
+    tests/test_zorder.py). At 100 TB this converts every repeated
+    fact×fact join on the key (the daily orders×lineitem pattern)
+    from two full shuffles per run into none — the shuffle is paid
+    ONCE at publish time and amortized over every subsequent join,
+    which is why warehouses bucket their largest co-joined tables
+    (SCALING.md "joins fact×fact" row).
+
+    Uses ``bucketBy`` + ``saveAsTable``: bucket metadata lives in
+    the session catalog (parquet files alone carry no bucket spec —
+    a plain ``.parquet(path)`` read of the same files joins WITH
+    shuffles). The table is dropped first so republish is
+    idempotent."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*list(sort_cols))
+    w.saveAsTable(table)

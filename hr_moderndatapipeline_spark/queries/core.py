@@ -1420,6 +1420,56 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact×fact join via write-time bucketing
+    (operators/layout.py publish_bucketed): orders and lineitem are
+    published as catalog tables hash-bucketed on the order key with
+    the same bucket count, then joined WITHOUT ANY Exchange on
+    either input (the merge hint pins SMJ so the demonstration
+    doesn't degenerate into a broadcast at small sf; the zero-
+    shuffle-join property is plan-gated in tests/test_zorder.py).
+    The publish pays the shuffle once; every later join on the key
+    is shuffle-free — the SCALING.md fact×fact prescription,
+    executed. Money sums accumulate in DECIMAL → DOUBLE, so results
+    are partitioning-independent."""
+    from hr_moderndatapipeline_spark.operators.layout import publish_bucketed
+
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    t_orders, t_li = f"b_orders_{app}", f"b_lineitem_{app}"
+    publish_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t_orders, "o_orderkey", 8, sort_cols=("o_orderkey",),
+    )
+    publish_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        t_li, "l_orderkey", 8, sort_cols=("l_orderkey",),
+    )
+    li, orders = spark.table(t_li), spark.table(t_orders)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(price * disc_f).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_BUCKETED_COLOCATED = """
+SELECT o_orderstatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 # ── correlated EXISTS — late-shipment priority census (TPC-H Q4 shape) ──
 
 _LATE_SHIPMENT_SQL = """
@@ -1969,6 +2019,7 @@ QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
     "model_freshness_skip": q_model_freshness_skip,
+    "bucketed_colocated_revenue": q_bucketed_colocated_revenue,
     "attrition_by_segment": q_attrition_by_segment,
     "attrition_rollup": q_attrition_rollup,
     "pricing_summary": q_pricing_summary,
@@ -2029,6 +2080,7 @@ ORACLES = {
     "attrition_monthly": ORACLE_ATTRITION_MONTHLY,
     "gold_summary_sql": ORACLE_GOLD_SUMMARY,
     "model_freshness_skip": ORACLE_MODEL_FRESHNESS_SKIP,
+    "bucketed_colocated_revenue": ORACLE_BUCKETED_COLOCATED,
     "attrition_by_segment": ORACLE_ATTRITION_BY_SEGMENT,
     "attrition_rollup": ORACLE_ATTRITION_ROLLUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

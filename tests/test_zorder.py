@@ -83,3 +83,34 @@ def test_zorder_rejects_non_numeric_columns(spark):
     df = spark.range(0, 10).withColumn("s", F.concat(F.lit("a"), F.col("id")))
     with pytest.raises(ValueError, match="numeric"):
         zorder_cluster(df, ["s"], n_files=2)
+
+
+def test_bucketed_join_has_no_exchange_on_either_side(spark):
+    """publish_bucketed + same-bucket-count join must plan with ZERO
+    Exchange below the join (the shuffle was paid at publish time);
+    the same data joined from plain frames shuffles both sides."""
+    from hr_moderndatapipeline_spark.operators.layout import publish_bucketed
+    from hr_moderndatapipeline_spark.plans.fingerprint import plan_of, plan_skeleton
+
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    publish_bucketed(left, "t_buck_l", "k", 4, sort_cols=("k",))
+    publish_bucketed(right, "t_buck_r", "k", 4, sort_cols=("k",))
+    try:
+        bl, br = spark.table("t_buck_l"), spark.table("t_buck_r")
+        joined = bl.hint("merge").join(br, "k")
+        nodes = plan_skeleton(plan_of(joined))
+        assert sum(n.startswith("SortMergeJoin") for n in nodes) == 1
+        assert not any(n.startswith("Exchange") for n in nodes), nodes
+        # control: identical join WITHOUT bucket metadata shuffles both sides
+        plain_nodes = plan_skeleton(plan_of(left.hint("merge").join(right, "k")))
+        assert sum(n.startswith("Exchange") for n in plain_nodes) == 2
+        # and the result is identical either way
+        assert sorted(r["k"] for r in joined.collect()) == list(range(1000))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_buck_l")
+        spark.sql("DROP TABLE IF EXISTS t_buck_r")
