@@ -322,3 +322,69 @@ def dsir_logweights(
             .alias("logweight_micro"),
         )
     )
+
+
+#: second multiplicative mixer (xxhash32 prime 2) so the per-rank
+#: draws of one anchor decorrelate; same plain-arithmetic
+#: cross-engine rationale as _KNUTH
+_MIX2 = 2246822519
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    n_items: int,
+    k: int = 4,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    metric-learning training pairs: each anchor gets ``k`` pseudo-
+    random partner ids drawn WITHOUT ``rand()`` —
+
+        neg = (id + 1 + mix(id, rank) mod (n-1)) mod n
+
+    — so the draw can never return the anchor itself, is identical
+    across runs, engines, partitionings, and task retries (the
+    ``weighted_keep`` argument), and is restatable in ANSI SQL for
+    the oracle. Ids must be dense ``[0, n_items)`` — exactly what
+    ``assign_stable_ids`` produces; compose with it for tables
+    without dense keys.
+
+    With ``label_col``, each pair is joined back to the corpus for
+    the partner's label and flagged ``is_false_negative`` when the
+    labels collide — the standard filter/debias signal in-batch
+    negative mining needs. The join-back is a plain equi-join on the
+    id (shuffle or broadcast by size); the k-way explode is map-side.
+    """
+    if n_items < 2:
+        raise ValueError("negative sampling needs at least 2 items")
+    acols = [F.col(id_col)]
+    if label_col:
+        acols.append(F.col(label_col).alias("anchor_label"))
+    ex = df.select(
+        *acols,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+    )
+    draw = F.pmod(
+        F.pmod(
+            F.col(id_col) * F.lit(_KNUTH) + F.col("neg_rank") * F.lit(_MIX2),
+            F.lit(4294967296),
+        ),
+        F.lit(n_items - 1),
+    )
+    out = ex.withColumn(
+        "neg_id", F.pmod(F.col(id_col) + 1 + draw, F.lit(n_items))
+    )
+    if not label_col:
+        return out.select(id_col, "neg_rank", "neg_id")
+    lbl = df.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    )
+    return out.join(lbl, "neg_id").select(
+        F.col(id_col),
+        "neg_rank",
+        "neg_id",
+        "anchor_label",
+        "neg_label",
+        (F.col("anchor_label") == F.col("neg_label")).alias("is_false_negative"),
+    )

@@ -1408,6 +1408,43 @@ FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id
 """
 
 
+# ── deterministic negative sampling for contrastive pairs ──
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative pairs over the embeddings
+    corpus (operators/sampling.py negative_samples): 4 deterministic
+    uniform partners per anchor, self-exclusion by construction,
+    label join-back with the ``is_false_negative`` collision flag.
+    The corpus size is the query's one sanctioned driver scalar
+    (the watermark-read class)."""
+    from hr_moderndatapipeline_spark.operators.sampling import negative_samples
+
+    emb = _emb(spark, sf_dir)
+    return negative_samples(
+        emb, "vec_id", n_items=emb.count(), k=4, label_col="label"
+    )
+
+
+ORACLE_NEGATIVE_SAMPLES = """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+ex AS (SELECT vec_id, label AS anchor_label,
+              unnest(range(0, 4)) AS neg_rank
+       FROM embeddings),
+d AS (SELECT vec_id, anchor_label, neg_rank,
+             (vec_id + 1 +
+              (CAST(vec_id AS HUGEINT) * 2654435761
+               + CAST(neg_rank AS HUGEINT) * 2246822519)
+              % 4294967296 % (n.n - 1)) % n.n AS neg_id
+      FROM ex CROSS JOIN n)
+SELECT d.vec_id, CAST(d.neg_rank AS INTEGER) AS neg_rank,
+       CAST(d.neg_id AS BIGINT) AS neg_id,
+       d.anchor_label,
+       e.label AS neg_label,
+       d.anchor_label = e.label AS is_false_negative
+FROM d JOIN embeddings e ON e.vec_id = CAST(d.neg_id AS BIGINT)
+"""
+
+
 # ── deterministic weighted sampling by quality band ──
 
 def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,6 +1678,7 @@ QUERIES = {
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "dsir_importance_weights": q_dsir_importance_weights,
+    "negative_samples": q_negative_samples,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,
@@ -1730,6 +1768,7 @@ ORACLES = {
     "event_type_pagerank": _pagerank_oracle_sql(),
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
+    "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     # minhash_dedup_pairs / simhash_near_pairs / ann_ivf_topk /
     # ivf_probe_topk / pq_probe_topk / ivfpq_probe_topk: rows-only
     # (non-SQL engine-native hashing / persisted approximate-index

@@ -260,6 +260,26 @@ def test_repetition_score_planted(spark):
     assert out[2]["n_grams"] == 0 and out[2]["dup_gram_ratio"] == 0.0
 
 
+def test_negative_samples_never_self_and_flags_collisions(spark):
+    from hr_moderndatapipeline_spark.operators.sampling import negative_samples
+
+    n = 20
+    df = spark.range(n).select(
+        F.col("id").alias("vid"), (F.col("id") % 3).alias("lbl")
+    )
+    out = negative_samples(df, "vid", n_items=n, k=3, label_col="lbl").collect()
+    assert len(out) == n * 3  # every (anchor, rank) pair present
+    for r in out:
+        assert r["neg_id"] != r["vid"]          # self-exclusion by construction
+        assert 0 <= r["neg_id"] < n
+        assert r["is_false_negative"] == (r["anchor_label"] == r["neg_label"])
+    # deterministic: a second evaluation draws the same partners
+    again = negative_samples(df, "vid", n_items=n, k=3, label_col="lbl").collect()
+    assert sorted((r["vid"], r["neg_rank"], r["neg_id"]) for r in out) == sorted(
+        (r["vid"], r["neg_rank"], r["neg_id"]) for r in again
+    )
+
+
 def test_dsir_logweights_ranks_target_like_docs(spark):
     from hr_moderndatapipeline_spark.operators.sampling import dsir_logweights
 

@@ -97,3 +97,71 @@ def test_export_manifest_invariants_on_random_keys(spark, tmp_path_factory, keys
     # round trip preserves the key multiset
     back = spark.read.parquet(out)
     assert sorted(r["k"] for r in back.collect()) == sorted(keys)
+
+
+_doc_texts = st_.lists(
+    st_.lists(
+        st_.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_texts)
+def test_dup_ngram_spans_conservation_on_random_docs(spark, texts):
+    """Position accounting must be conserved on ANY corpus: each doc
+    emits max(len-n+1, 0) positions, dup positions never exceed
+    positions, and a doc duplicated verbatim has dup_ratio 1 wherever
+    it has positions at all (its twin matches every gram)."""
+    from hr_moderndatapipeline_spark.operators.text import duplicated_ngram_spans
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (len(texts), texts[0])  # verbatim twin of doc 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_spans(df, "doc_id", "text", ngram=n).collect()
+    }
+    assert len(out) == len(rows)
+    for i, t in rows:
+        words = [w for w in t.split(" ") if w]
+        expect_pos = max(len(words) - n + 1, 0)
+        assert out[i]["n_positions"] == expect_pos
+        assert 0 <= out[i]["n_dup_positions"] <= expect_pos
+    if out[0]["n_positions"] > 0:
+        assert out[0]["dup_ratio"] == 1.0 and out[len(texts)]["dup_ratio"] == 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_texts)
+def test_dsir_weight_accounting_on_random_docs(spark, texts):
+    """DSIR invariants on any corpus: n_tokens matches the doc's
+    whitespace token count, tokenless docs weigh 0, and with the
+    target set to the WHOLE corpus every bucket has t_cnt == r_cnt
+    and T == R, so each log-ratio is exactly ln(x)-ln(x) = 0 and
+    every document's weight is exactly 0."""
+    from pyspark.sql import functions as F
+
+    from hr_moderndatapipeline_spark.operators.sampling import dsir_logweights
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logweights(
+            df, "doc_id", "text", target=F.lit(True), buckets=16
+        ).collect()
+    }
+    for i, t in rows:
+        n_tok = len([w for w in t.split(" ") if w])
+        assert out[i]["n_tokens"] == n_tok
+        if n_tok == 0:
+            assert out[i]["logweight_micro"] == 0
+        else:
+            # target == raw corpus: ln(p_t/p_r) differs per bucket only
+            # through identical counts, so lr == 0 exactly -> weight 0
+            assert out[i]["logweight_micro"] == 0
