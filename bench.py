@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "event_type_pagerank",        # 10-step iterative power iteration
     "dsir_importance_weights",    # DSIR hashed-unigram importance weights
     "bucketed_colocated_revenue", # bucketBy publish + zero-exchange SMJ
+    "hard_negative_mining",       # cross-label exact top-k (contrastive pairs)
 ]
 
 

@@ -66,22 +66,35 @@ def ann_bruteforce(
     k: int = 10,
     dim: int = 64,
     round_digits: int = 6,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector. Queries are
     broadcast (they are the small side by construction); the corpus
     streams through map-side scoring, and only the per-query top-k
     shuffle (tiny) follows. Self-matches excluded.
 
+    With ``exclude_label_col``, candidates sharing the query's label
+    are dropped BEFORE ranking — top-k becomes HARD-NEGATIVE MINING
+    (the nearest wrong-label items, the high-signal negatives
+    contrastive training wants); the filter runs map-side inside the
+    same scoring stage, costing nothing extra.
+
     Returns (q_id, c_id, cosine, rk)."""
     from hr_moderndatapipeline_spark.operators.relational import rebalance
 
+    lbl = [F.col(exclude_label_col).alias("_qlbl")] if exclude_label_col else []
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
+            F.col(id_col).alias("q_id"),
+            as_double_vec(F.col(vec_col)).alias("_qv"),
+            *lbl,
         ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     )
+    clbl = [F.col(exclude_label_col).alias("_clbl")] if exclude_label_col else []
     c = rebalance(corpus).select(
-        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("c_id"),
+        as_double_vec(F.col(vec_col)).alias("_cv"),
+        *clbl,
     ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     scored = (
         c.crossJoin(q)
@@ -96,6 +109,8 @@ def ann_bruteforce(
             ),
         )
     )
+    if exclude_label_col:
+        scored = scored.filter(F.col("_clbl") != F.col("_qlbl"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))

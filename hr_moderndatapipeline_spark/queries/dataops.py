@@ -461,6 +461,42 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bruteforce(emb, queries, "vec_id", "embedding", k=10, dim=64)
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 nearest CROSS-label neighbors (the confusable
+    wrong-class items a random negative sampler almost never finds —
+    the complement of ``negative_samples``'s uniform draws). Same
+    broadcast-queries/one-corpus-scan shape as ann_bruteforce; the
+    label-mismatch filter runs map-side inside the scoring stage."""
+    emb = _emb(spark, sf_dir)
+    queries = _ann_queries(emb)
+    return ann_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5, dim=64,
+        exclude_label_col="label",
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * v[i])),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM e),
+q AS (SELECT vec_id AS q_id, label AS ql, v AS qv, nrm AS qn FROM n
+      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+c AS (SELECT vec_id AS c_id, label AS cl, v AS cv, nrm AS cn FROM n),
+scored AS (
+  SELECT q_id, c_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[i] * cv[i])),
+                           (acc, x) -> acc + x) / (qn * cn), 6) AS cosine
+  FROM q, c WHERE c_id <> q_id AND cl <> ql)
+SELECT q_id, c_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM scored)
+WHERE rk <= 5
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (the scale path: signature
     bucket join instead of cross product). Approximate vs brute force
@@ -1679,6 +1715,7 @@ QUERIES = {
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
+    "hard_negative_mining": q_hard_negative_mining,
     "jaccard_pairs_by_source": q_jaccard_pairs_by_source,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_drop_survivors": q_dedup_drop_survivors,
@@ -1769,6 +1806,7 @@ ORACLES = {
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVES,
     # minhash_dedup_pairs / simhash_near_pairs / ann_ivf_topk /
     # ivf_probe_topk / pq_probe_topk / ivfpq_probe_topk: rows-only
     # (non-SQL engine-native hashing / persisted approximate-index

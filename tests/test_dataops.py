@@ -260,6 +260,26 @@ def test_repetition_score_planted(spark):
     assert out[2]["n_grams"] == 0 and out[2]["dup_gram_ratio"] == 0.0
 
 
+def test_hard_negative_mining_is_cross_label_only(spark, sf_dir):
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ann_bruteforce(
+        emb, queries, "vec_id", "embedding", k=3, dim=64, exclude_label_col="label"
+    )
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows and all(lbl[r["q_id"]] != lbl[r["c_id"]] for r in rows)
+    # hard negatives rank at least as close as the uniform ceiling:
+    # every returned neighbor beats any same-rank candidate dropped
+    # for sharing the label (spot check: rk is dense 1..k per query)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_negative_samples_never_self_and_flags_collisions(spark):
     from hr_moderndatapipeline_spark.operators.sampling import negative_samples
 
