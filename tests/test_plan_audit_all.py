@@ -29,6 +29,9 @@ from tests.test_plan_quality import plan_of
 NESTED_LOOP_ALLOWED: dict[str, str] = {
     "ann_bruteforce_topk": "k query vectors broadcast against the corpus; "
     "O(n*k) scoring is the brute-force baseline by definition",
+    "hard_negative_mining": "same shape as ann_bruteforce_topk (it IS "
+    "ann_bruteforce with a map-side label filter): fixed query batch "
+    "broadcast against one corpus scan",
     "centroid_classify": "k centroids broadcast against the corpus; "
     "O(n*k) assignment is the operator",
     "tfidf_top_terms": "1-row corpus doc-count broadcast into the scorer",
