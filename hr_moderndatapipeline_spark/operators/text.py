@@ -543,3 +543,129 @@ def corpus_freq_score(
             ),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Bigram-interpolated language-model score — the bigram-order
+    upgrade of ``corpus_freq_score`` toward a real CCNet/KenLM-style
+    perplexity filter (Wenzek et al. 2020 filter corpora by LM
+    perplexity; the reference has no LM machinery at all — this is
+    beyond-reference capability for training-data curation). Each
+    document is scored by the corpus's own interpolated bigram model
+
+        p(w | v) = lam * c(v,w)/c(v,·) + (1-lam) * (c(w)+1)/(N+V)
+
+    and emits ``logprob_micro`` = the integer micro-nat sum of
+    ``ln p(w_i | w_{i-1})`` over its token positions i >= 2, plus
+    ``n_bigrams`` and the per-bigram mean (one exact-integer
+    division). Low (very negative) means = improbable token
+    sequences: OCR noise, shuffled text, gibberish; suspiciously
+    high means = boilerplate loops.
+
+    Cross-engine exactness (the dsir_logweights argument): the only
+    float ops — two integer-ratio divisions, one multiply-add, one
+    ``ln`` — happen ONCE per observed (v,w) pair while building the
+    O(observed bigrams) model table, and are quantized there to
+    integer micro-nats; every per-document number is then an
+    associative BIGINT sum, bit-identical on any engine or
+    partitioning. Unseen bigrams never occur in self-scoring (the
+    model is fit on the same corpus), so no backoff row is needed.
+
+    Shuffle ledger for 100 TB: one map-side-combinable count on the
+    bigram key, a groupBy over the O(observed-bigram) table for the
+    context totals c(v,·), one unpartitioned window over the
+    O(vocab) unigram aggregate for N and V (the domain_mix_weights
+    precedent — never the corpus), one equi-join of the token stream
+    against the model table on the bigram key (Zipf-headed; AQE skew
+    split handles the hot grams), and one groupBy on the doc id. The
+    corpus never self-joins. At steady state, publish the quantized
+    model table once and reuse it across batches — scoring new data
+    is then a single join + groupBy."""
+    from pyspark.sql import Window
+
+    toks_arr = F.array_compact(
+        F.transform(
+            whitespace_tokens(F.col(text_col)),
+            lambda t: F.when(t != "", t),
+        )
+    )
+    d = df.select(F.col(id_col), toks_arr.alias("_toks"))
+    # sequence(1, size-1) would DESCEND for size<2 (Spark generates
+    # descending sequences when start>stop) — guard to an empty list.
+    pair_expr = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> struct(element_at(_toks, i) as prev, "
+            "element_at(_toks, i + 1) as tok))"
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
+    pairs = d.select(
+        F.col(id_col), F.explode(pair_expr).alias("_bg")
+    ).select(id_col, F.col("_bg.prev").alias("_prev"), F.col("_bg.tok").alias("_tok"))
+
+    uni = (
+        d.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_uc"))
+    )
+    w = Window.partitionBy()  # over the O(vocab) aggregate only
+    uni = uni.withColumn("_N", F.sum("_uc").over(w)).withColumn(
+        "_V", F.count(F.lit(1)).over(w)
+    )
+    bi = pairs.groupBy("_prev", "_tok").agg(F.count(F.lit(1)).alias("_bc"))
+    ctx = bi.groupBy("_prev").agg(F.sum("_bc").alias("_cv"))
+    model = (
+        bi.join(ctx, "_prev")
+        .join(uni, "_tok")
+        .select(
+            "_prev",
+            "_tok",
+            F.floor(
+                F.log(
+                    F.lit(lam)
+                    * (F.col("_bc").cast("double") / F.col("_cv").cast("double"))
+                    + F.lit(1.0 - lam)
+                    * (
+                        (F.col("_uc") + F.lit(1)).cast("double")
+                        / (F.col("_N") + F.col("_V")).cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("_lp_micro"),
+        )
+    )
+    scored = (
+        pairs.join(model, ["_prev", "_tok"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp_micro").alias("logprob_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("logprob_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("logprob_micro"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("logprob_micro").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_lp_micro"),
+        )
+    )

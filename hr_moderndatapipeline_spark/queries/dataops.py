@@ -1707,8 +1707,60 @@ def q_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── bigram-interpolated LM quality score ──
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-interpolated LM score per document (operators/text.py
+    bigram_lm_score): the CCNet-style perplexity filter signal at
+    bigram order, integer micro-nat sums for cross-engine
+    bit-identity."""
+    from hr_moderndatapipeline_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir), "doc_id", "text", lam=0.7)
+
+
+# The SQL restates the exact pipeline: quantize ln p(w|v) to integer
+# micro-nats ONCE per observed bigram, then integer-sum per doc.
+# (1.0 - 0.7) is written as the SUBTRACTION so both engines use the
+# same IEEE double (0.30000000000000004, not the literal 0.3).
+ORACLE_BIGRAM_LM = """
+WITH d AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+pairs AS (
+  SELECT doc_id, bg[1] AS prev, bg[2] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+        FROM d WHERE len(toks) >= 2)),
+uni AS (
+  SELECT tok, count(*) AS uc
+  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+tot AS (SELECT sum(uc) AS n, count(*) AS v FROM uni),
+bi AS (SELECT prev, tok, count(*) AS bc FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(bc) AS cv FROM bi GROUP BY 1),
+model AS (
+  SELECT b.prev, b.tok,
+         CAST(floor(ln(0.7 * (CAST(b.bc AS DOUBLE) / CAST(c.cv AS DOUBLE))
+                       + (1.0 - 0.7) * (CAST(u.uc + 1 AS DOUBLE)
+                                        / CAST(t.n + t.v AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+  FROM bi b JOIN ctx c ON b.prev = c.prev JOIN uni u ON b.tok = u.tok, tot t),
+scored AS (
+  SELECT p.doc_id, count(*) AS nb, sum(m.lp_micro) AS lp
+  FROM pairs p JOIN model m ON p.prev = m.prev AND p.tok = m.tok
+  GROUP BY 1)
+SELECT dd.doc_id,
+       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.lp, 0) AS BIGINT) AS logprob_micro,
+       CASE WHEN s.nb > 0 THEN CAST(s.lp AS DOUBLE) / CAST(s.nb AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS mean_lp_micro
+FROM documents dd LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "bigram_lm_score": q_bigram_lm_score,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -1760,6 +1812,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "bigram_lm_score": ORACLE_BIGRAM_LM,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

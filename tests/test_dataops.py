@@ -534,3 +534,30 @@ def test_domain_mix_unlisted_domain_gets_zero_share(spark):
 
     with _pytest.raises(ValueError):
         domain_mix_weights(df, "source", F.col("n"), target_shares={})
+
+
+def test_bigram_lm_score_planted(spark):
+    """Natural repeated phrasing scores higher per bigram than a
+    shuffled-word doc over the same vocabulary; counting invariants
+    hold (n_bigrams == tokens - 1; <2-token docs score 0)."""
+    from hr_moderndatapipeline_spark.operators.text import bigram_lm_score
+
+    fluent = "the cat sat on the mat"
+    rows = [
+        (0, fluent),
+        (1, fluent),
+        (2, fluent),
+        (3, "mat the on sat cat the"),  # same unigrams, unseen-order bigrams
+        (4, "solo"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert out[0]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 5
+    assert out[4]["n_bigrams"] == 0 and out[4]["logprob_micro"] == 0
+    assert out[5]["n_bigrams"] == 0 and out[5]["logprob_micro"] == 0
+    # the majority phrasing is more probable under the corpus bigram
+    # model than the shuffled word order
+    assert out[0]["mean_lp_micro"] > out[3]["mean_lp_micro"]
+    # repeated docs score identically (pure function of text)
+    assert out[0]["logprob_micro"] == out[1]["logprob_micro"] == out[2]["logprob_micro"]
