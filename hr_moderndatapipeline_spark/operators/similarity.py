@@ -695,3 +695,70 @@ def neardup_pairs_by_cosine(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "cosine")
     )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    sign_bits: int = 4,
+    dim: int = 64,
+    round_digits: int = 6,
+    salt: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): drop every
+    vector that has a semantically-similar LOWER-ID neighbor in its
+    block; keep the rest. Blocks are the sign bits of the first
+    ``sign_bits`` dimensions — a deterministic, engine-restatable
+    stand-in for SemDeDup's k-means cell assignment (same role:
+    bound the candidate set so scoring is never all-pairs). Survivor
+    rule is greedy-by-min-id over the blocked pair set — a pure
+    anti-join, not connected components: d survives iff no d' < d in
+    its block with cosine >= threshold. That makes the output a
+    deterministic set-algebra function of the pair relation (the
+    dedup_drop_survivors contrast: that one propagates through
+    clusters; this one is SemDeDup's per-cluster greedy keep).
+
+    Scale: the block key bounds candidates exactly like the label
+    block in neardup_pairs_by_cosine (salted ``salt`` ways against
+    hot blocks); survivors come from one broadcast-able anti-join of
+    the O(drops) id set back onto the corpus. Nothing all-pairs, no
+    driver movement. Recall caveat (documented, same class as
+    SimHash): a near-dup pair straddling a sign-bit boundary is
+    missed; real deployments raise recall with multiple sign-bit
+    tables exactly like ann_lsh's multi-table OR-construction."""
+    sign_terms = " + ".join(
+        f"(CASE WHEN element_at(_v, {i + 1}) > 0D THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE 0L END)"
+        for i in range(sign_bits)
+    )
+    d = (
+        df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+        .withColumn("_blk", F.expr(sign_terms))
+        .withColumn("_nrm", l2_norm(F.col("_v"), dim))
+    )
+    a = d.toDF(f"{id_col}_a", "_va", "_blk", "_na").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
+    )
+    b = d.toDF(f"{id_col}_b", "_vb", "_blk", "_nb").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    drops = (
+        a.join(b, ["_blk", "_salt"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .filter(
+            F.round(
+                cosine_prenormed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
+                ),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col(f"{id_col}_b").alias(id_col))
+        .distinct()
+    )
+    return d.join(drops, id_col, "left_anti").select(
+        F.col(id_col), F.col("_blk").alias("block")
+    )

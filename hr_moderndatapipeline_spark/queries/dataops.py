@@ -1758,9 +1758,51 @@ FROM documents dd LEFT JOIN scored s USING (doc_id)
 """
 
 
+# ── SemDeDup-style semantic pruning ──
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup survivors (operators/similarity.py
+    semantic_dedup_survivors): sign-bit blocked greedy-by-min-id
+    pruning of semantically redundant embeddings — the SemDeDup
+    pattern with an engine-restatable block key."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    return semantic_dedup_survivors(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4, sign_bits=4
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 5),
+                 i -> CAST(CASE WHEN v[i] > 0 THEN 1 << (i - 1)
+                           ELSE 0 END AS BIGINT))),
+               (acc, x) -> acc + x) AS BIGINT) AS block,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+  FROM e),
+drops AS (
+  SELECT DISTINCT bb.vec_id
+  FROM b a JOIN b bb ON a.block = bb.block AND a.vec_id < bb.vec_id
+  WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i -> a.v[i] * bb.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * bb.nrm), 6) >= 0.4)
+SELECT b.vec_id, b.block
+FROM b ANTI JOIN drops d ON b.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
+    "semantic_dedup_survivors": q_semantic_dedup,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -1813,6 +1855,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "bigram_lm_score": ORACLE_BIGRAM_LM,
+    "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

@@ -561,3 +561,27 @@ def test_bigram_lm_score_planted(spark):
     assert out[0]["mean_lp_micro"] > out[3]["mean_lp_micro"]
     # repeated docs score identically (pure function of text)
     assert out[0]["logprob_micro"] == out[1]["logprob_micro"] == out[2]["logprob_micro"]
+
+
+
+def test_semantic_dedup_survivors_planted(spark):
+    """A planted duplicate vector (identical direction ⇒ cosine 1,
+    same sign block) is dropped in favor of its lower id; an
+    orthogonal vector survives."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    dim = 8
+    base = [1.0, 2.0, 3.0, 4.0, 1.0, 1.0, 1.0, 1.0]
+    scaled = [x * 2.0 for x in base]  # same direction, cosine == 1
+    other = [-1.0, 5.0, -2.0, 1.0, 0.5, -1.0, 2.0, 1.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, scaled), (3, other)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup_survivors(
+        df, "vec_id", "embedding", threshold=0.9, sign_bits=4, dim=dim
+    )
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert ids == [1, 3]
