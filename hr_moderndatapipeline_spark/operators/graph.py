@@ -93,3 +93,41 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate each undirected triangle exactly once as an ordered
+    (a < b < c) row — the third classic graph primitive alongside
+    pagerank and the dedup connected components (triangle density is
+    the standard cohesion/spam signal in link-graph curation).
+
+    Algorithm: canonicalize to an oriented edge list (min, max) with
+    self-loops and duplicates collapsed, then close wedges — join
+    E(a,b) ⋈ E(b,c) to form the 2-path a<b<c and semi-join the
+    closing edge E(a,c). Orientation means each triangle appears via
+    exactly ONE wedge, so no post-hoc dedup and no 6× fanout.
+
+    Scale: two shuffles on edge endpoints; the wedge join's fanout is
+    Σ deg²(b) over the HIGH endpoint — at web scale the further
+    refinement is degree-ordering instead of id-ordering (orient
+    edges low-degree → high-degree, bounding wedge centers by
+    arboricity; Suri & Vassilvitskii 2011). Id-orientation keeps the
+    result a pure set-algebra function of the edge relation (ANSI
+    restatable), which the oracle gate needs; the degree-ordered
+    variant changes only the orientation key, not the plan shape."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = ab.join(bc, "b")
+    return (
+        wedges.join(ac, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )

@@ -1799,10 +1799,57 @@ FROM b ANTI JOIN drops d ON b.vec_id = d.vec_id
 """
 
 
+# ── triangle enumeration over the user co-occurrence graph ──
+
+def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the user co-presence graph (operators/graph.py
+    triangle_enumerate): edge = two users sharing >= 4 distinct
+    (event_type, hour) cells; triangles are the cohesion signal on
+    top. Graph build is one equi-join on the cell key (AQE splits
+    hot cells) + one count shuffle; enumeration is the oriented
+    wedge-close join — each triangle produced exactly once."""
+    from hr_moderndatapipeline_spark.operators.graph import triangle_enumerate
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    occ = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("_h"),
+    ).distinct()
+    a = occ.toDF("u", "event_type", "_h")
+    b = occ.toDF("v", "event_type", "_h")
+    edges = (
+        a.join(b, ["event_type", "_h"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 4)
+        .select("u", "v")
+    )
+    return triangle_enumerate(edges, "u", "v")
+
+
+ORACLE_USER_TRIANGLES = """
+WITH occ AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v, count(*) AS w
+  FROM occ a JOIN occ b
+    ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2),
+edges AS (SELECT u, v FROM pairs WHERE w >= 4)
+SELECT ab.u AS a, ab.v AS b, bc.v AS c
+FROM edges ab JOIN edges bc ON ab.v = bc.u
+WHERE EXISTS (SELECT 1 FROM edges ac WHERE ac.u = ab.u AND ac.v = bc.v)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
     "semantic_dedup_survivors": q_semantic_dedup,
+    "user_triangles": q_user_triangles,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -1856,6 +1903,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP,
+    "user_triangles": ORACLE_USER_TRIANGLES,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

@@ -54,3 +54,20 @@ def test_pagerank_sink_accumulates(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
     got = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=20).collect()}
     assert got["c"] > got["b"] > got["a"]
+
+
+def test_triangle_enumerate_k4_and_orientation(spark):
+    """K4 yields its 4 triangles exactly once each regardless of input
+    edge direction/duplication; an open wedge yields none."""
+    from hr_moderndatapipeline_spark.operators.graph import triangle_enumerate
+
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(1, 5) for j in range(1, 5) if i != j]
+        + [(1, 1), (2, 2)],  # self-loops dropped
+        "src long, dst long",
+    )
+    tris = sorted(tuple(r) for r in triangle_enumerate(k4).collect())
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+    wedge = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_enumerate(wedge).count() == 0
