@@ -488,3 +488,107 @@ def ewma_features(
         agg.withColumn("_vals", vals)
         .select(*kcols, "n_events", "last_ts", fold.alias("ewma"))
     )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    max_slots: int = 1_000_000,
+) -> DataFrame:
+    """Per-key time-series resampling with LINEAR interpolation — the
+    gap-fill sibling of ``resample_fill`` (that one carries the last
+    observation forward; this one draws the line between the
+    bracketing observations, the standard treatment for continuous
+    signals). Slot aggregation must be order-independent for
+    cross-engine exactness, so the caller passes a DECIMAL value
+    column (the user_hourly_resampled convention); the interpolation
+    itself is one fixed-shape double expression
+
+        prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+
+    evaluated identically on any engine (no reassociation — Catalyst
+    preserves IEEE evaluation order).
+
+    Output per grid slot: ``value`` (observed or interpolated,
+    DOUBLE; NULL outside the first/last observation), ``method``
+    ('observed' | 'interp' | 'edge'). Two shuffles on the keys (slot
+    aggregate, then the two windows share one partitioning); the
+    grid explodes map-side from each key's span, guarded by
+    ``max_slots`` exactly like resample_fill."""
+    kcols = list(keys)
+    slot = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+    )
+    per_slot = (
+        df.withColumn("_slot", slot)
+        .groupBy(*kcols, "_slot")
+        .agg(F.sum(value_col).alias("_v"))
+    )
+    spans = per_slot.groupBy(*kcols).agg(
+        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
+    )
+    n_slots = (
+        (F.unix_timestamp("_hi") - F.unix_timestamp("_lo")) / F.lit(step_seconds)
+    ).cast("long") + 1
+    hi_checked = F.when(n_slots <= max_slots, F.col("_hi")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"linear_interpolate: key span exceeds max_slots={max_slots} "
+                    f"at step={step_seconds}s (got "
+                ),
+                n_slots.cast("string"),
+                F.lit(" slots); raise max_slots or coarsen the step"),
+            )
+        ).cast("timestamp")
+    )
+    grid = spans.select(
+        *kcols,
+        F.explode(
+            F.sequence(
+                F.col("_lo"), hi_checked, F.expr(f"INTERVAL {step_seconds} SECONDS")
+            )
+        ).alias("slot_ts"),
+    )
+    joined = grid.join(
+        per_slot.withColumnRenamed("_slot", "slot_ts"), [*kcols, "slot_ts"], "left"
+    )
+    back = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("slot_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("slot_ts").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("_v").isNotNull(), F.col("slot_ts"))
+    w = (
+        joined.withColumn("_pv", F.last("_v", ignorenulls=True).over(back))
+        .withColumn("_pt", F.last(obs_ts, ignorenulls=True).over(back))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(fwd))
+        .withColumn("_nt", F.first(obs_ts, ignorenulls=True).over(fwd))
+    )
+    frac = (
+        (F.unix_timestamp("slot_ts") - F.unix_timestamp("_pt")).cast("double")
+        / (F.unix_timestamp("_nt") - F.unix_timestamp("_pt")).cast("double")
+    )
+    interp = F.col("_pv").cast("double") + (
+        F.col("_nv").cast("double") - F.col("_pv").cast("double")
+    ) * frac
+    return w.select(
+        *kcols,
+        "slot_ts",
+        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("value"),
+        F.when(F.col("_v").isNotNull(), F.lit("observed"))
+        .when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("method"),
+    )

@@ -2015,6 +2015,61 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(IDLE_RICH_SQL)
 
 
+def q_user_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series with LINEAR interpolation across gaps
+    (operators/relational.py linear_interpolate) — the continuous-
+    signal treatment, vs the carry-forward of user_hourly_resampled.
+    Slot sums accumulate in DECIMAL (order-independent); the
+    interpolation expression is one fixed-shape double computation,
+    identical on both engines."""
+    from hr_moderndatapipeline_spark.operators.relational import linear_interpolate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    return linear_interpolate(ev, ["user_id"], "ts", "v", step_seconds=3600)
+
+
+ORACLE_USER_HOURLY_INTERPOLATED = """
+WITH slots AS (
+  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS slot,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM slots GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '3600 seconds')) AS slot_ts
+  FROM spans),
+j AS (
+  SELECT g.user_id, g.slot_ts, s.v
+  FROM grid g LEFT JOIN slots s ON s.user_id = g.user_id AND s.slot = g.slot_ts),
+w AS (
+  SELECT user_id, slot_ts, v,
+         last_value(v IGNORE NULLS) OVER back AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN slot_ts END IGNORE NULLS)
+           OVER back AS pt,
+         first_value(v IGNORE NULLS) OVER fwd AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN slot_ts END IGNORE NULLS)
+           OVER fwd AS nt
+  FROM j
+  WINDOW back AS (PARTITION BY user_id ORDER BY slot_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY slot_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, slot_ts,
+       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              CAST(pv AS DOUBLE)
+              + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                * (CAST(date_diff('second', pt, slot_ts) AS DOUBLE)
+                   / CAST(date_diff('second', pt, nt) AS DOUBLE))
+            ELSE CAST(NULL AS DOUBLE) END AS value,
+       CASE WHEN v IS NOT NULL THEN 'observed'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS method
+FROM w
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -2044,6 +2099,7 @@ QUERIES = {
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "customer_balance_distribution": q_customer_balance_distribution,
     "user_hourly_resampled": q_user_hourly_resampled,
+    "user_hourly_interpolated": q_user_hourly_interpolated,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2105,6 +2161,7 @@ ORACLES = {
     "orders_above_customer_avg": ORACLE_ORDERS_ABOVE_AVG,
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
     "user_hourly_resampled": ORACLE_USER_HOURLY_RESAMPLED,
+    "user_hourly_interpolated": ORACLE_USER_HOURLY_INTERPOLATED,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,

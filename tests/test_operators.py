@@ -483,3 +483,31 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
         ).collect()
     }
     assert got1 == truth
+
+
+def test_linear_interpolate_planted_gap(spark):
+    """A 3-hour gap between observations 10 and 40 fills with the
+    straight line (20, 30); observed slots pass through exactly."""
+    from decimal import Decimal
+
+    from hr_moderndatapipeline_spark.operators.relational import linear_interpolate
+
+    rows = [
+        (1, "2024-01-01 00:30:00", Decimal("10.00")),
+        (1, "2024-01-01 03:15:00", Decimal("40.00")),
+        (2, "2024-01-01 05:00:00", Decimal("7.00")),  # single point: no grid gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, v decimal(18,2)").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = linear_interpolate(df, ["user_id"], "ts", "v", step_seconds=3600)
+    got = {
+        (r["user_id"], r["slot_ts"].hour): (r["value"], r["method"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (10.0, "observed")
+    assert got[(1, 1)] == (20.0, "interp")
+    assert got[(1, 2)] == (30.0, "interp")
+    assert got[(1, 3)] == (40.0, "observed")
+    assert got[(2, 5)] == (7.0, "observed")
+    assert len(got) == 5
