@@ -669,3 +669,72 @@ def bigram_lm_score(
             .alias("mean_lp_micro"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Apply a hashed bag-of-words LINEAR classifier per document —
+    the fasttext/Phi-style "quality classifier at scale" pattern:
+    token → hash bucket → weight, document score = Σ weights, keep
+    if the margin clears the gate. In production the weight table is
+    learned offline and broadcast; here weights are a fixed integer
+    mix of the bucket id (w_micro(b) = ((b·2654435761 + 40503) mod
+    1000001) − 500000, i.e. uniform in [−0.5, 0.5] micro-quantized)
+    so the whole scorer — hash, weight, sum — is exact integer
+    arithmetic restatable in ANSI SQL, which is what lets the oracle
+    gate hash-verify the APPLICATION machinery (the part that must
+    scale; swapping in learned weights changes one column
+    expression, not the plan).
+
+    Plan: explode → per-token integer expressions → one groupBy on
+    the doc id. No joins, no weight-table shuffle, nothing Python.
+    Token → bucket is the polynomial char fold mod 1e9+7 (the
+    dsir_logweights / doc_fingerprint hash), mod ``buckets``."""
+    tok_hash = F.expr(
+        "aggregate(transform(sequence(1, length(_tok)), "
+        "i -> cast(ascii(substring(_tok, i, 1)) as bigint)), "
+        "0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    w_micro = (
+        F.pmod(F.col("_b") * F.lit(2654435761) + F.lit(40503), F.lit(1000001))
+        - F.lit(500000)
+    ).cast("bigint")
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("_tok")
+        )
+        .filter(F.col("_tok") != "")
+        .select(id_col, F.pmod(tok_hash, F.lit(buckets)).alias("_b"))
+        .withColumn("_w", w_micro)
+    )
+    scored = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_w").alias("score_micro"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("score_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("score_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("score_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("margin"),
+            F.when(
+                F.coalesce(F.col("score_micro"), F.lit(0)) >= 0, F.lit("keep")
+            )
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+        )
+    )

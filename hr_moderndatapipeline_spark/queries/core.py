@@ -2027,7 +2027,15 @@ def q_user_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
     )
-    return linear_interpolate(ev, ["user_id"], "ts", "v", step_seconds=3600)
+    out = linear_interpolate(ev, ["user_id"], "ts", "v", step_seconds=3600)
+    # epoch-seconds canon for the cross-engine hash (timestamp wire
+    # types are the audited hazard class; see test_oracle_arrow_canon)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("slot_ts").cast("bigint").alias("slot_epoch_s"),
+        "value",
+        "method",
+    )
 
 
 ORACLE_USER_HOURLY_INTERPOLATED = """
@@ -2055,7 +2063,7 @@ w AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          fwd AS (PARTITION BY user_id ORDER BY slot_ts
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-SELECT user_id, slot_ts,
+SELECT user_id, CAST(epoch(slot_ts) AS BIGINT) AS slot_epoch_s,
        CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
               CAST(pv AS DOUBLE)

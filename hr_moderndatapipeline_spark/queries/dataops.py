@@ -1845,11 +1845,49 @@ WHERE EXISTS (SELECT 1 FROM edges ac WHERE ac.u = ab.u AND ac.v = bc.v)
 """
 
 
+# ── hashed linear classifier application ──
+
+def q_classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier applied per document
+    (operators/text.py hashed_linear_score): the fasttext-style
+    quality-gate application machinery, integer-exact."""
+    from hr_moderndatapipeline_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_CLASSIFIER_GATE = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents)),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(tok) + 1),
+                            i -> CAST(ord(tok[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS b
+  FROM toks),
+w AS (SELECT doc_id, ((b * 2654435761 + 40503) % 1000001) - 500000 AS wm FROM h),
+scored AS (
+  SELECT doc_id, count(*) AS nt, sum(wm) AS sm FROM w GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.sm, 0) AS BIGINT) AS score_micro,
+       CASE WHEN s.nt > 0
+            THEN CAST(s.sm AS DOUBLE) / (CAST(s.nt AS DOUBLE) * 1000000.0)
+            ELSE CAST(0.0 AS DOUBLE) END AS margin,
+       CASE WHEN coalesce(s.sm, 0) >= 0 THEN 'keep' ELSE 'drop' END AS decision
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
     "semantic_dedup_survivors": q_semantic_dedup,
     "user_triangles": q_user_triangles,
+    "classifier_quality_gate": q_classifier_quality_gate,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -1904,6 +1942,7 @@ ORACLES = {
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP,
     "user_triangles": ORACLE_USER_TRIANGLES,
+    "classifier_quality_gate": ORACLE_CLASSIFIER_GATE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

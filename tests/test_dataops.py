@@ -585,3 +585,20 @@ def test_semantic_dedup_survivors_planted(spark):
     )
     ids = sorted(r["vec_id"] for r in out.collect())
     assert ids == [1, 3]
+
+
+def test_hashed_linear_score_invariants(spark):
+    """Scorer is a pure function of text (identical docs score the
+    same), margins stay within the weight range [-0.5, 0.5], empty
+    docs gate to keep with zero score."""
+    from hr_moderndatapipeline_spark.operators.text import hashed_linear_score
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, ""), (3, "zq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in hashed_linear_score(df, "doc_id", "text").collect()}
+    assert out[0]["score_micro"] == out[1]["score_micro"]
+    assert out[0]["n_tokens"] == 3
+    assert out[2] == (2, 0, 0, 0.0, "keep")
+    for r in out.values():
+        assert -0.5 <= r["margin"] <= 0.5
+        assert r["decision"] == ("keep" if r["score_micro"] >= 0 else "drop")
