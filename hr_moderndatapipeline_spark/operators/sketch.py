@@ -1,0 +1,122 @@
+"""Count-min sketch: a MERGEABLE bounded-memory frequency sketch.
+
+The reference's profiling queries count exact term frequencies with a
+full groupBy (reference `jobs/gold/gold_builder.py` aggregation
+shapes); at 100 TB an exact global vocabulary count is a giant
+shuffle whose result is mostly tail. The count-min sketch (Cormode &
+Muthukrishnan 2005) bounds state at ``depth x width`` counters while
+guaranteeing ``estimate >= true count`` — the standard streaming /
+distributed answer, and the same mergeable-state pattern as
+`operators/incremental.py` (sketches sum elementwise, so per-batch
+or per-partition sketches fold into one without recomputation).
+
+Cross-engine exactness: the usual CMS uses xxhash/murmur, which DuckDB
+lacks — so like ``dsir_logweights`` and ``hashed_linear_score`` this
+implementation hashes tokens with the polynomial char fold mod 1e9+7
+and derives the ``depth`` row hashes by integer mixing:
+
+    b_i = ((h * (2654435761 + i) + 40503 * (i + 1)) % 1000000007) % width
+
+All operands stay under 2^62 (h < 2^30, multiplier < 2^32), so the
+arithmetic is exact BIGINT on Spark and DuckDB alike and the whole
+sketch — build, merge, estimate — is hash-verifiable by the oracle
+gate.
+
+Shuffle ledger (the 100 TB posture):
+- build: explode tokens map-side, one map-side-combinable groupBy on
+  (row, bucket) — output O(depth*width) rows regardless of corpus
+  size; the corpus shuffles ONCE, into a bounded keyspace.
+- merge: union + same groupBy over O(depth*width) inputs — trivial.
+- estimate: the sketch (<= depth*width rows) is BROADCAST onto the
+  query token stream; min-over-depth is a codegen aggregate. The
+  query stream never shuffles against the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_P = 1_000_000_007
+_MIX_A = 2_654_435_761
+_MIX_C = 40_503
+
+
+def _poly_hash(col_name: str) -> Column:
+    """Polynomial char fold mod 1e9+7 — the repo's cross-engine token
+    hash (same expression as `doc_fingerprint` / `dsir_logweights`)."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({col_name})), "
+        f"i -> cast(ascii(substring({col_name}, i, 1)) as bigint)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % {_P})"
+    )
+
+
+def _bucket(h: Column, i: int, width: int) -> Column:
+    return F.pmod(
+        F.pmod(h * F.lit(_MIX_A + i) + F.lit(_MIX_C * (i + 1)), F.lit(_P)),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame, text_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a count-min sketch of whitespace-token frequencies.
+
+    Returns the sketch as O(depth*width) rows ``(row_idx, bucket,
+    cnt)`` — absent (row, bucket) cells are zero. Deterministic,
+    partitioning-invariant (counts are order-independent sums).
+    """
+    toks = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .select(_poly_hash("_tok").alias("_h"))
+    )
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_bucket(F.col("_h"), i, width) for i in range(depth)])
+        ).alias("row_idx", "bucket")
+    )
+    return cells.groupBy("row_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width) by
+    elementwise sum — the mergeable-state law: ``cms(A U B) ==
+    merge(cms(A), cms(B))`` exactly (pinned by a property test)."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for each row of ``queries``: the
+    classic min-over-rows readout. Adds ``cms_est`` (BIGINT,
+    guaranteed >= the true count; missing cells read 0).
+
+    The sketch side is broadcast — it is at most depth*width rows by
+    construction — so the query stream keeps its partitioning."""
+    q = queries.withColumn("_h", _poly_hash(token_col))
+    cells = q.select(
+        *queries.columns,
+        F.posexplode(
+            F.array(*[_bucket(F.col("_h"), i, width) for i in range(depth)])
+        ).alias("row_idx", "bucket"),
+    )
+    joined = cells.join(
+        F.broadcast(sketch), ["row_idx", "bucket"], "left"
+    ).withColumn("_c", F.coalesce(F.col("cnt"), F.lit(0)))
+    return joined.groupBy(*queries.columns).agg(
+        F.min("_c").cast("bigint").alias("cms_est")
+    )

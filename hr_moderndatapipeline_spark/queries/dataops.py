@@ -1882,12 +1882,96 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+# ── count-min sketch term frequencies ──
+
+def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch readout vs exact counts (operators/sketch.py):
+    build a depth=4 x width=256 sketch over all document tokens, then
+    estimate the 20 most frequent tokens and emit the CMS guarantee
+    surface (estimate >= exact, overcount = collisions). The window
+    ranking runs over the O(vocab) exact aggregate, never the corpus
+    (the domain_mix_weights precedent)."""
+    from hr_moderndatapipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sketch = cms_build(docs, "text", depth=4, width=256)
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    top = (
+        exact.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("exact_cnt").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= 20)
+        .select("token", "exact_cnt")
+    )
+    est = cms_estimate(sketch, top, "token", depth=4, width=256)
+    return est.select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+ORACLE_CMS_TERM_FREQS = """
+WITH toks AS (
+  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+h AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(tok) + 1),
+                            i -> CAST(ord(tok[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS h,
+         tok
+  FROM toks),
+cells AS (
+  SELECT r.i AS row_idx,
+         ((h * (2654435761 + r.i) + 40503 * (r.i + 1)) % 1000000007) % 256 AS bucket
+  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r),
+sk AS (SELECT row_idx, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (SELECT tok AS token, count(*) AS exact_cnt FROM h GROUP BY 1),
+top AS (
+  SELECT token, exact_cnt,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(token) + 1),
+                            i -> CAST(ord(token[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS qh
+  FROM exact ORDER BY exact_cnt DESC, token ASC LIMIT 20),
+qcells AS (
+  SELECT token, exact_cnt, r.i AS row_idx,
+         ((qh * (2654435761 + r.i) + 40503 * (r.i + 1)) % 1000000007) % 256 AS bucket
+  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r),
+est AS (
+  SELECT q.token, q.exact_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+  FROM qcells q LEFT JOIN sk s USING (row_idx, bucket)
+  GROUP BY 1, 2)
+SELECT token,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
     "semantic_dedup_survivors": q_semantic_dedup,
     "user_triangles": q_user_triangles,
     "classifier_quality_gate": q_classifier_quality_gate,
+    "cms_term_frequencies": q_cms_term_frequencies,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -1943,6 +2027,7 @@ ORACLES = {
     "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP,
     "user_triangles": ORACLE_USER_TRIANGLES,
     "classifier_quality_gate": ORACLE_CLASSIFIER_GATE,
+    "cms_term_frequencies": ORACLE_CMS_TERM_FREQS,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

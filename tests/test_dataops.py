@@ -602,3 +602,39 @@ def test_hashed_linear_score_invariants(spark):
     for r in out.values():
         assert -0.5 <= r["margin"] <= 0.5
         assert r["decision"] == ("keep" if r["score_micro"] >= 0 else "drop")
+
+
+def test_cms_guarantee_and_merge_law(spark):
+    """CMS invariants: estimate >= true count for every token (the
+    one-sided error guarantee), and elementwise merge of per-batch
+    sketches equals the sketch of the union (mergeable-state law),
+    partitioning-invariant."""
+    from hr_moderndatapipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(i, f"w{i % 7} w{i % 3} common") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sketch = cms_build(df, "text", depth=4, width=16)  # tiny -> collisions
+    exact = (
+        df.selectExpr("explode(split(text, ' ')) AS token")
+        .where("token <> ''")
+        .groupBy("token")
+        .count()
+    )
+    est = cms_estimate(sketch, exact, "token", depth=4, width=16)
+    for r in est.collect():
+        assert r["cms_est"] >= r["count"], r
+
+    b1, b2 = df.filter("doc_id < 25"), df.filter("doc_id >= 25")
+    merged = cms_merge(
+        cms_build(b1, "text", depth=4, width=16),
+        cms_build(b2, "text", depth=4, width=16),
+    )
+    full = cms_build(df.repartition(7), "text", depth=4, width=16)
+    as_map = lambda s: {  # noqa: E731
+        (r["row_idx"], r["bucket"]): r["cnt"] for r in s.collect()
+    }
+    assert as_map(merged) == as_map(full)
