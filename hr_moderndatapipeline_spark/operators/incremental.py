@@ -206,3 +206,38 @@ def ewma_update(
         F.coalesce(F.col("_bmax"), F.col("last_ts")).alias("last_ts"),
         new_ewma.alias("ewma"),
     )
+
+
+def incremental_join_delta(
+    l_old: DataFrame,
+    dl: DataFrame,
+    r_old: DataFrame,
+    dr: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Delta of an inner equi-join under INSERT-ONLY deltas — the
+    join half of incremental view maintenance (the aggregate half is
+    ``incremental_fold``). The multiset identity
+
+        d(L JOIN R) = (dL JOIN R_old) UNION ALL (L_old JOIN dR)
+                      UNION ALL (dL JOIN dR)
+
+    is exact: appending the delta to the old view reproduces the
+    full recompute row-for-row (pinned by a property test with
+    duplicates and deltas on BOTH sides). Deletes ride the
+    delete-propagation operator (streaming/sinks.py); an update is a
+    delete + insert.
+
+    100 TB posture: each term shuffles at most one delta against one
+    snapshot — the snapshots are never joined to each other. With
+    snapshots bucketed on the join keys (operators/layout.py
+    publish_bucketed) only the deltas move at all, and a small dL
+    broadcasts. A nightly batch maintains a 100 TB join view by
+    scanning the day's inserts, not the decade's rows.
+    """
+    kcols = list(keys)
+    return (
+        dl.join(r_old, kcols, "inner")
+        .unionByName(l_old.join(dr, kcols, "inner"))
+        .unionByName(dl.join(dr, kcols, "inner"))
+    )

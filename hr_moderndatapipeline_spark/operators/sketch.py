@@ -120,3 +120,75 @@ def cms_estimate(
     return joined.groupBy(*queries.columns).agg(
         F.min("_c").cast("bigint").alias("cms_est")
     )
+
+
+def histogram_build(
+    df: DataFrame, value_col: str, lo: int, hi: int, nbins: int
+) -> DataFrame:
+    """Equi-width histogram over an INTEGER value column: O(nbins)
+    rows ``(bin_idx, cnt)`` — the other classic mergeable sketch
+    (merge = elementwise sum, same law as ``cms_merge``; fold
+    per-batch histograms instead of rescanning history). Values are
+    clamped into the edge bins, so the state is total over any input.
+
+    Pure integer bin math — ``((v - lo) * nbins) div (hi - lo)`` —
+    exact and identical on Spark and DuckDB, hence oracle-checkable,
+    unlike engine-native approx_percentile sketches (KLL here, t-digest
+    there) whose internals differ. One map-side-combinable shuffle
+    into the bounded keyspace."""
+    if hi <= lo or nbins <= 0:
+        raise ValueError(f"need hi > lo and nbins > 0, got [{lo},{hi}) x {nbins}")
+    raw = F.expr(
+        f"(CAST({value_col} AS BIGINT) - {lo}) * {nbins} DIV {hi - lo}"
+    )
+    bin_idx = F.greatest(
+        F.lit(0).cast("bigint"), F.least(F.lit(nbins - 1).cast("bigint"), raw)
+    )
+    return (
+        df.select(bin_idx.alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs_ppm: "list[int]", lo: int, hi: int, nbins: int
+) -> DataFrame:
+    """Quantile readout from a histogram: for each q (integer parts
+    per million — float q's would poison the cross-engine hash) find
+    the first bin where the cumulative count reaches ceil(q*N/1e6)
+    and report its upper edge as the estimate (true quantile lies
+    within one bin width, the standard equi-width bound).
+
+    The readout collapses the O(nbins) state to ONE row (sorted
+    struct array + total), explodes the literal q list, and walks the
+    array with a sequential ``aggregate`` fold — no non-equi join, so
+    the plan stays nested-loop-free (the audit's invariant), and the
+    same left-to-right fold is restated in DuckDB as ``list_reduce``.
+    Everything after the histogram shuffle touches O(nbins) data."""
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin_idx"), F.col("cnt")))
+        ).alias("_arr"),
+        F.sum("cnt").cast("bigint").alias("_n"),
+    )
+    q = packed.select(
+        F.explode(F.array(*[F.lit(int(v)).cast("bigint") for v in qs_ppm])).alias(
+            "q_ppm"
+        ),
+        "_arr",
+        "_n",
+    )
+    thresh = "CAST((q_ppm * _n + 999999) DIV 1000000 AS BIGINT)"
+    found = F.expr(
+        "aggregate(_arr, struct(CAST(0 AS BIGINT) AS cum, CAST(-1 AS BIGINT) AS hit), "
+        "(acc, s) -> IF(acc.hit >= 0, acc, "
+        f"IF(acc.cum + s.cnt >= {thresh}, "
+        "struct(acc.cum + s.cnt AS cum, s.bin_idx AS hit), "
+        "struct(acc.cum + s.cnt AS cum, CAST(-1 AS BIGINT) AS hit))), "
+        "acc -> acc.hit)"
+    )
+    est = F.expr(f"CAST({lo} + (bin_idx + 1) * {hi - lo} DIV {nbins} AS BIGINT)")
+    return q.select("q_ppm", found.alias("bin_idx")).select(
+        "q_ppm", "bin_idx", est.alias("est_upper")
+    )

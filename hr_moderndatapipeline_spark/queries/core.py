@@ -2078,6 +2078,135 @@ FROM w
 """
 
 
+# ── histogram quantiles (mergeable sketch readout) ──
+
+def q_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimates of the order price
+    distribution (operators/sketch.py): 512 integer-cent bins over
+    [0, 60M), read out at p25/p50/p75/p99 — the mergeable-state
+    alternative to engine-native percentile sketches, exact and
+    identical on both engines."""
+    from hr_moderndatapipeline_spark.operators.sketch import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    cents = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents")
+    )
+    hist = histogram_build(cents, "price_cents", lo=0, hi=60_000_000, nbins=512)
+    return histogram_quantiles(
+        hist, [250_000, 500_000, 750_000, 990_000], lo=0, hi=60_000_000, nbins=512
+    )
+
+
+ORACLE_PRICE_HISTOGRAM_QUANTILES = """
+WITH v AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+  FROM orders),
+b AS (SELECT greatest(0, least(511, ((c - 0) * 512) // 60000000)) AS bin_idx FROM v),
+h AS (SELECT bin_idx, count(*) AS cnt FROM b GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+cum AS (SELECT bin_idx, sum(cnt) OVER (ORDER BY bin_idx) AS cum FROM h),
+qs(q_ppm) AS (VALUES (CAST(250000 AS BIGINT)), (CAST(500000 AS BIGINT)),
+                     (CAST(750000 AS BIGINT)), (CAST(990000 AS BIGINT))),
+sel AS (
+  SELECT q.q_ppm, min(c.bin_idx) AS bin_idx
+  FROM qs q CROSS JOIN n CROSS JOIN cum c
+  WHERE c.cum >= (q.q_ppm * n.n + 999999) // 1000000
+  GROUP BY 1)
+SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+       CAST(bin_idx AS BIGINT) AS bin_idx,
+       CAST(0 + ((bin_idx + 1) * 60000000) // 512 AS BIGINT) AS est_upper
+FROM sel
+"""
+
+
+# ── gaps-and-islands: per-user consecutive-day activity streaks ──
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gaps-and-islands: collapse each user's distinct
+    activity days into consecutive-day streaks (day number minus
+    row_number is constant within an island) and profile them. Two
+    key shuffles (distinct, then the per-user window+rollup share the
+    user partitioning); all-integer output."""
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) - F.row_number().over(w)
+    streaks = (
+        days.withColumn("_g", grp)
+        .groupBy("user_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").cast("bigint").alias("longest_days"),
+        F.sum("_len").cast("bigint").alias("active_days"),
+    )
+
+
+ORACLE_USER_ACTIVITY_STREAKS = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+g AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days),
+s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_days,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM s GROUP BY 1
+"""
+
+
+# ── incremental join-view maintenance ──
+
+def q_ivm_order_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the orders x customer join
+    (operators/incremental.py incremental_join_delta): the view built
+    from pre-1997 orders plus the MAINTAINED delta for the later
+    batch must reproduce the full-recompute join row-for-row — which
+    is exactly what the oracle (a plain join) hash-checks."""
+    from hr_moderndatapipeline_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").alias("_y"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    l_old, dl = o.filter(F.col("_y") < 1997), o.filter(F.col("_y") >= 1997)
+    view_old = l_old.join(c, "o_custkey", "inner")
+    delta = incremental_join_delta(l_old, dl, c, c.filter(F.lit(False)), ["o_custkey"])
+    return view_old.unionByName(delta).select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "price_cents"
+    )
+
+
+ORACLE_IVM_ORDER_CUSTOMER_JOIN = """
+SELECT o_orderkey, o_custkey, c_mktsegment,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
@@ -2108,6 +2237,9 @@ QUERIES = {
     "customer_balance_distribution": q_customer_balance_distribution,
     "user_hourly_resampled": q_user_hourly_resampled,
     "user_hourly_interpolated": q_user_hourly_interpolated,
+    "price_histogram_quantiles": q_price_histogram_quantiles,
+    "user_activity_streaks": q_user_activity_streaks,
+    "ivm_order_customer_join": q_ivm_order_customer_join,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2170,6 +2302,9 @@ ORACLES = {
     "customer_balance_distribution": ORACLE_BALANCE_DISTRIBUTION,
     "user_hourly_resampled": ORACLE_USER_HOURLY_RESAMPLED,
     "user_hourly_interpolated": ORACLE_USER_HOURLY_INTERPOLATED,
+    "price_histogram_quantiles": ORACLE_PRICE_HISTOGRAM_QUANTILES,
+    "user_activity_streaks": ORACLE_USER_ACTIVITY_STREAKS,
+    "ivm_order_customer_join": ORACLE_IVM_ORDER_CUSTOMER_JOIN,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,

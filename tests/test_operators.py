@@ -511,3 +511,66 @@ def test_linear_interpolate_planted_gap(spark):
     assert got[(1, 3)] == (40.0, "observed")
     assert got[(2, 5)] == (7.0, "observed")
     assert len(got) == 5
+
+
+def test_incremental_join_delta_identity(spark):
+    """Appending the maintained delta to the old join view reproduces
+    the full recompute exactly — multiset semantics (duplicates kept),
+    deltas on BOTH sides."""
+    from hr_moderndatapipeline_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    l_old = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, lv string"
+    )
+    dl = spark.createDataFrame([(1, "c"), (3, "d")], "k long, lv string")
+    r_old = spark.createDataFrame([(1, "X"), (3, "Y")], "k long, rv string")
+    dr = spark.createDataFrame([(1, "Z"), (2, "W")], "k long, rv string")
+
+    old_view = l_old.join(r_old, "k", "inner")
+    delta = incremental_join_delta(l_old, dl, r_old, dr, ["k"])
+    maintained = sorted(map(tuple, old_view.unionByName(delta).collect()))
+    full = sorted(
+        map(tuple, l_old.unionByName(dl).join(r_old.unionByName(dr), "k").collect())
+    )
+    assert maintained == full
+
+
+def test_histogram_quantiles_planted(spark):
+    """Histogram invariants on a known distribution: merge law holds,
+    and each quantile estimate's bin really is the first bin whose
+    cumulative count reaches ceil(q*N/1e6)."""
+    from hr_moderndatapipeline_spark.operators.sketch import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    # 100 values 0..99 -> bins of width 10 with 10 values each
+    df = spark.range(100).selectExpr("id AS v")
+    hist = histogram_build(df, "v", lo=0, hi=100, nbins=10)
+    got = {
+        r["q_ppm"]: (r["bin_idx"], r["est_upper"])
+        for r in histogram_quantiles(
+            hist, [100_000, 500_000, 990_000], lo=0, hi=100, nbins=10
+        ).collect()
+    }
+    # ceil(.1*100)=10 -> bin 0 (cum 10); ceil(.5*100)=50 -> bin 4;
+    # ceil(.99*100)=99 -> bin 9
+    assert got == {100_000: (0, 10), 500_000: (4, 50), 990_000: (9, 100)}
+
+    h1 = histogram_build(df.filter("v < 37"), "v", lo=0, hi=100, nbins=10)
+    h2 = histogram_build(df.filter("v >= 37"), "v", lo=0, hi=100, nbins=10)
+    from hr_moderndatapipeline_spark.operators.sketch import cms_merge
+
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            h1.selectExpr("0L AS row_idx", "bin_idx AS bucket", "cnt"),
+            h2.selectExpr("0L AS row_idx", "bin_idx AS bucket", "cnt"),
+        ).collect()
+    }
+    full = {
+        (0, r["bin_idx"]): r["cnt"] for r in hist.collect()
+    }
+    assert merged == full
