@@ -128,3 +128,48 @@ def partition_size_report(df: DataFrame) -> dict:
         "min_rows": counts[-1] if counts else 0,
         "imbalance": (counts[0] * len(counts) / total) if total else 0.0,
     }
+
+
+def histogram_drift(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    """Distribution drift between two snapshots of the same metric,
+    as L1 / total-variation distance over matched equi-width
+    histograms (operators/sketch.histogram_build) — the monitoring
+    primitive behind "did this feed's shape change since yesterday?"
+
+    Integer-exact and scale-safe: each side is first normalized to
+    truncated parts-per-million shares (``cnt * 1e6 DIV n`` — the
+    intermediate stays under 2^63 for any n up to 10^12 rows, where
+    the naive cross-product form ``cnt_a*n_b`` overflows at ~10^9),
+    then the per-bin absolute differences are summed.  All math over
+    O(nbins) rows; the inputs are already bounded sketch state, so
+    drift over a 100 TB feed costs two histogram scans and pennies
+    here.  tv_ppm is in [0, 1e6]: 0 = identical shapes, 1e6 =
+    disjoint support."""
+    a = hist_a.select("bin_idx", F.col("cnt").alias("cnt_a"))
+    b = hist_b.select("bin_idx", F.col("cnt").alias("cnt_b"))
+    j = (
+        a.join(b, "bin_idx", "full_outer")
+        .select(
+            "bin_idx",
+            F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("bigint").alias("cnt_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # over the O(nbins) histogram rows only
+    shares = j.select(
+        F.sum("cnt_a").over(w).cast("bigint").alias("n_a"),
+        F.sum("cnt_b").over(w).cast("bigint").alias("n_b"),
+        "cnt_a",
+        "cnt_b",
+    ).select(
+        "n_a",
+        "n_b",
+        F.expr("cnt_a * 1000000 DIV n_a").alias("p_a"),
+        F.expr("cnt_b * 1000000 DIV n_b").alias("p_b"),
+    )
+    return shares.groupBy("n_a", "n_b").agg(
+        F.sum(F.abs(F.col("p_a") - F.col("p_b"))).cast("bigint").alias("l1_ppm"),
+        F.expr("CAST(sum(abs(p_a - p_b)) DIV 2 AS BIGINT)").alias("tv_ppm"),
+    )

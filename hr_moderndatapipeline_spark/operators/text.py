@@ -738,3 +738,51 @@ def hashed_linear_score(
             .alias("decision"),
         )
     )
+
+
+def token_entropy_by_group(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Shannon entropy of each group's token distribution, in integer
+    micro-nats — the corpus-diversity signal (a source whose entropy
+    collapses is usually template spam; one whose entropy jumps has a
+    contamination or scrape-change problem). Pairs with
+    ``histogram_drift`` on the monitoring side.
+
+    H(g) = sum_t cnt_t * term_t DIV n_g,  term_t = floor(-ln(cnt_t/n_g)*1e6 + 0.5)
+
+    The ``dsir_logweights`` exactness pattern: each per-token log is
+    quantized ONCE to integer micro-nats, so the final sum is exact
+    integer arithmetic in any order; the only engine-trusted float op
+    is ``ln`` of identical doubles (<=1 ulp, absorbed by the 1e-6
+    quantum). Shuffle ledger: one map-side-combinable groupBy on
+    (group, token) — O(groups x vocab) state — then one rollup on the
+    group; an unpartitioned window never appears and the corpus never
+    self-joins."""
+    toks = (
+        df.select(F.col(group_col), F.explode(whitespace_tokens(F.col(text_col))).alias("_tok"))
+        .filter(F.col("_tok") != "")
+    )
+    counts = toks.groupBy(group_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(group_col)
+    per_tok = counts.select(
+        group_col,
+        "_c",
+        F.sum("_c").over(wg).cast("bigint").alias("_n"),
+    ).withColumn(
+        "_term",
+        F.floor(
+            -F.log(F.col("_c").cast("double") / F.col("_n").cast("double"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return per_tok.groupBy(group_col).agg(
+        F.max("_n").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.expr("CAST(sum(_c * _term) DIV max(_n) AS BIGINT)").alias(
+            "entropy_micronat"
+        ),
+    )

@@ -2169,6 +2169,53 @@ FROM s GROUP BY 1
 """
 
 
+# ── distribution drift monitor ──
+
+def q_price_drift_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape drift of the order-price distribution between the
+    pre-1997 and 1997+ eras (operators/diagnostics.histogram_drift):
+    L1 / total-variation distance over matched 64-bin histograms —
+    the daily 'did this feed change shape?' monitor, all integer."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import histogram_drift
+    from hr_moderndatapipeline_spark.operators.sketch import histogram_build
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("_y"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    build = lambda d: histogram_build(  # noqa: E731
+        d, "price_cents", lo=0, hi=60_000_000, nbins=64
+    )
+    return histogram_drift(
+        build(o.filter(F.col("_y") < 1997)), build(o.filter(F.col("_y") >= 1997))
+    )
+
+
+ORACLE_PRICE_DRIFT_BY_ERA = """
+WITH v AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN year(CAST(o_orderdate AS DATE)) < 1997 THEN 'a' ELSE 'b' END AS era
+  FROM orders),
+b AS (SELECT era, greatest(0, least(63, (c * 64) // 60000000)) AS bin_idx FROM v),
+h AS (SELECT era, bin_idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+p AS (SELECT bin_idx,
+             CAST(coalesce(sum(cnt) FILTER (era = 'a'), 0) AS BIGINT) AS cnt_a,
+             CAST(coalesce(sum(cnt) FILTER (era = 'b'), 0) AS BIGINT) AS cnt_b
+      FROM h GROUP BY 1),
+t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a, CAST(sum(cnt_b) AS BIGINT) AS n_b FROM p),
+s AS (SELECT n_a, n_b,
+             (cnt_a * 1000000) // n_a AS p_a,
+             (cnt_b * 1000000) // n_b AS p_b
+      FROM p CROSS JOIN t)
+SELECT n_a, n_b,
+       CAST(sum(abs(p_a - p_b)) AS BIGINT) AS l1_ppm,
+       CAST(sum(abs(p_a - p_b)) // 2 AS BIGINT) AS tv_ppm
+FROM s GROUP BY 1, 2
+"""
+
+
 # ── incremental join-view maintenance ──
 
 def q_ivm_order_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2240,6 +2287,7 @@ QUERIES = {
     "price_histogram_quantiles": q_price_histogram_quantiles,
     "user_activity_streaks": q_user_activity_streaks,
     "ivm_order_customer_join": q_ivm_order_customer_join,
+    "price_drift_by_era": q_price_drift_by_era,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2305,6 +2353,7 @@ ORACLES = {
     "price_histogram_quantiles": ORACLE_PRICE_HISTOGRAM_QUANTILES,
     "user_activity_streaks": ORACLE_USER_ACTIVITY_STREAKS,
     "ivm_order_customer_join": ORACLE_IVM_ORDER_CUSTOMER_JOIN,
+    "price_drift_by_era": ORACLE_PRICE_DRIFT_BY_ERA,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,

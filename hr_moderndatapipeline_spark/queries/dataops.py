@@ -1965,6 +1965,77 @@ FROM est
 """
 
 
+# ── per-source token entropy (corpus diversity monitor) ──
+
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution in integer
+    micro-nats (operators/text.py token_entropy_by_group) — collapsed
+    entropy flags template spam, a jump flags a scrape change."""
+    from hr_moderndatapipeline_spark.operators.text import token_entropy_by_group
+
+    return token_entropy_by_group(_docs(spark, sf_dir), "source", "text")
+
+
+ORACLE_SOURCE_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+t AS (
+  SELECT c.source, c.c, n.n,
+         CAST(floor(-ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS term
+  FROM c JOIN n USING (source))
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(c * term) // max(n) AS BIGINT) AS entropy_micronat
+FROM t GROUP BY 1
+"""
+
+
+# ── conjunctive keyword search ──
+
+def q_keyword_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing ALL query terms (AND-semantics keyword
+    search): explode to distinct (doc, term) postings filtered to the
+    query set map-side, then one groupBy counting matched terms — the
+    posting-intersection plan, never a self-join. Returns doc_id with
+    each term's occurrence count as relevance signal."""
+    terms = ["join", "hash", "vector"]
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_matched"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .filter(F.col("_matched") == len(terms))
+        .select("doc_id", "total_tf")
+    )
+
+
+ORACLE_KEYWORD_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+m AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('join', 'hash', 'vector')
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM m GROUP BY doc_id HAVING count(*) = 3
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
@@ -1972,6 +2043,8 @@ QUERIES = {
     "user_triangles": q_user_triangles,
     "classifier_quality_gate": q_classifier_quality_gate,
     "cms_term_frequencies": q_cms_term_frequencies,
+    "source_token_entropy": q_source_token_entropy,
+    "keyword_search_conjunctive": q_keyword_search_conjunctive,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -2028,6 +2101,8 @@ ORACLES = {
     "user_triangles": ORACLE_USER_TRIANGLES,
     "classifier_quality_gate": ORACLE_CLASSIFIER_GATE,
     "cms_term_frequencies": ORACLE_CMS_TERM_FREQS,
+    "source_token_entropy": ORACLE_SOURCE_TOKEN_ENTROPY,
+    "keyword_search_conjunctive": ORACLE_KEYWORD_SEARCH,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

@@ -638,3 +638,38 @@ def test_cms_guarantee_and_merge_law(spark):
         (r["row_idx"], r["bucket"]): r["cnt"] for r in s.collect()
     }
     assert as_map(merged) == as_map(full)
+
+
+def test_histogram_drift_bounds(spark):
+    """tv_ppm is 0 for identical histograms and 1e6 for disjoint
+    support (up to ppm truncation); asymmetric totals normalize."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import histogram_drift
+    from hr_moderndatapipeline_spark.operators.sketch import histogram_build
+
+    a = spark.range(100).selectExpr("id AS v")
+    ha = histogram_build(a, "v", lo=0, hi=200, nbins=8)
+    same = histogram_drift(ha, ha).collect()[0]
+    assert (same["l1_ppm"], same["tv_ppm"]) == (0, 0)
+
+    b = spark.range(100, 150).selectExpr("id + 100 AS v")  # 200..249 -> clamped bin 7
+    hb = histogram_build(b, "v", lo=0, hi=200, nbins=8)
+    disj = histogram_drift(ha, hb).collect()[0]
+    assert disj["n_a"] == 100 and disj["n_b"] == 50
+    assert disj["tv_ppm"] == 1_000_000
+
+
+def test_token_entropy_known_distribution(spark):
+    """Uniform 4-token distribution -> H = ln 4 micro-nats (exact to
+    the quantum); single-token group -> 0."""
+    import math
+
+    from hr_moderndatapipeline_spark.operators.text import token_entropy_by_group
+
+    rows = [("u", "a b c d"), ("k", "x x x x")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in token_entropy_by_group(df, "source", "text").collect()}
+    assert out["k"]["entropy_micronat"] == 0
+    assert out["k"]["vocab_size"] == 1
+    expect = math.floor(math.log(4) * 1e6 + 0.5)  # each term quantized, p=1/4
+    assert abs(out["u"]["entropy_micronat"] - expect) <= 4  # DIV truncation
+    assert out["u"]["n_tokens"] == 4 and out["u"]["vocab_size"] == 4
