@@ -88,6 +88,14 @@ BENCH_QUERIES = [
     "dsir_importance_weights",    # DSIR hashed-unigram importance weights
     "bucketed_colocated_revenue", # bucketBy publish + zero-exchange SMJ
     "hard_negative_mining",       # cross-label exact top-k (contrastive pairs)
+    "classifier_quality_gate",    # hashed linear classifier application
+    "cms_term_frequencies",       # count-min sketch build + readout
+    "price_histogram_quantiles",  # mergeable histogram quantile readout
+    "price_drift_by_era",         # histogram L1/TV drift monitor
+    "source_token_entropy",       # per-source token entropy (micro-nats)
+    "user_activity_streaks",      # gaps-and-islands streak rollup
+    "ivm_order_customer_join",    # incremental join-view maintenance
+    "keyword_search_conjunctive", # posting-intersection AND search
 ]
 
 

@@ -173,3 +173,41 @@ def histogram_drift(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
         F.sum(F.abs(F.col("p_a") - F.col("p_b"))).cast("bigint").alias("l1_ppm"),
         F.expr("CAST(sum(abs(p_a - p_b)) DIV 2 AS BIGINT)").alias("tv_ppm"),
     )
+
+
+def join_cardinality_report(
+    left: DataFrame, right: DataFrame, keys: "list[str] | str"
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE paying for it: for
+    inner equi-joins, |L JOIN R| = sum over shared keys of
+    cnt_l * cnt_r — computable exactly from the two per-key count
+    aggregates (O(#keys) rows each), i.e. two cheap pre-aggregations
+    instead of the join itself.  The companion to key_skew_report:
+    ``max_key_pairs`` is the single worst key's output (the task that
+    will straggle), ``join_rows`` the total to provision for.
+
+    One row out: left_rows, right_rows, left_keys, right_keys,
+    shared_keys, join_rows, max_key_pairs. All exact integers (this
+    is not an estimate for inner equi-joins — it is the answer)."""
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    lc = left.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_cl"))
+    rc = right.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_cr"))
+    j = lc.join(rc, kcols, "full_outer").select(
+        F.coalesce("_cl", F.lit(0)).cast("bigint").alias("_cl"),
+        F.coalesce("_cr", F.lit(0)).cast("bigint").alias("_cr"),
+    )
+    return j.agg(
+        F.sum("_cl").cast("bigint").alias("left_rows"),
+        F.sum("_cr").cast("bigint").alias("right_rows"),
+        F.sum(F.when(F.col("_cl") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("left_keys"),
+        F.sum(F.when(F.col("_cr") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("right_keys"),
+        F.sum(F.when((F.col("_cl") > 0) & (F.col("_cr") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("shared_keys"),
+        F.sum(F.col("_cl") * F.col("_cr")).cast("bigint").alias("join_rows"),
+        F.max(F.col("_cl") * F.col("_cr")).cast("bigint").alias("max_key_pairs"),
+    )

@@ -786,3 +786,77 @@ def token_entropy_by_group(
             "entropy_micronat"
         ),
     )
+
+
+def build_vocab(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked token vocabulary ``(token, token_id, cnt)``
+    with contiguous ids from 1 (0 is reserved for OOV/unk) — the
+    tokenizer-dictionary build step of a training pipeline.  Rank
+    order is (count desc, token asc): fully deterministic, so the
+    id assignment is reproducible across runs and engines.  One
+    map-side-combinable groupBy; the ranking window runs over the
+    O(vocab) aggregate only, never the corpus."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    rk = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.select(
+        "token",
+        F.row_number().over(rk).cast("bigint").alias("token_id"),
+        "cnt",
+    )
+
+
+def dictionary_encode(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode each document as its vocabulary-id sequence (the
+    token->id mapping applied positionally): ``token_ids``
+    array<bigint> in document order, OOV tokens mapped to id 0, plus
+    ``n_tokens`` and ``n_oov``. Documents with no tokens keep an
+    empty array.
+
+    Plan: posexplode to (doc, pos, token), BROADCAST the vocabulary
+    onto the token stream (a vocab is O(100k) rows — dictionary joins
+    must never shuffle the corpus), then one groupBy on the doc id
+    re-assembling the sequence via sort_array over (pos, id) structs
+    — order restored without a window over the corpus."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.filter(whitespace_tokens(F.col(text_col)), lambda t: t != "")
+        ).alias("_pos", "token"),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    return (
+        mapped.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_pos").isNotNull(),
+                        F.struct(
+                            F.col("_pos").alias("pos"),
+                            F.coalesce(F.col("token_id"), F.lit(0))
+                            .cast("bigint")
+                            .alias("tid"),
+                        ),
+                    )
+                )
+            ).alias("_seq"),
+        )
+        .select(
+            id_col,
+            F.expr("transform(_seq, s -> s.tid)").alias("token_ids"),
+            F.size("_seq").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(size(filter(_seq, s -> s.tid = 0)) AS BIGINT)"
+            ).alias("n_oov"),
+        )
+    )

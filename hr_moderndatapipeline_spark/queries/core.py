@@ -2216,6 +2216,43 @@ FROM s GROUP BY 1, 2
 """
 
 
+# ── join cardinality pre-flight ──
+
+def q_orders_lineitem_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-flight size of the orders x lineitem equi-join from
+    the two per-key count aggregates alone
+    (operators/diagnostics.join_cardinality_report) — the join is
+    never executed; sum(cnt_l * cnt_r) IS its cardinality."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import (
+        join_cardinality_report,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return join_cardinality_report(o, l, "orderkey")
+
+
+ORACLE_ORDERS_LINEITEM_JOIN_SIZE = """
+WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(coalesce(cl, 0) AS BIGINT) AS cl, CAST(coalesce(cr, 0) AS BIGINT) AS cr
+  FROM lc FULL OUTER JOIN rc USING (k))
+SELECT CAST(sum(cl) AS BIGINT) AS left_rows,
+       CAST(sum(cr) AS BIGINT) AS right_rows,
+       CAST(sum(CASE WHEN cl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS left_keys,
+       CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS right_keys,
+       CAST(sum(CASE WHEN cl > 0 AND cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_keys,
+       CAST(sum(cl * cr) AS BIGINT) AS join_rows,
+       CAST(max(cl * cr) AS BIGINT) AS max_key_pairs
+FROM j
+"""
+
+
 # ── incremental join-view maintenance ──
 
 def q_ivm_order_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2288,6 +2325,7 @@ QUERIES = {
     "user_activity_streaks": q_user_activity_streaks,
     "ivm_order_customer_join": q_ivm_order_customer_join,
     "price_drift_by_era": q_price_drift_by_era,
+    "orders_lineitem_join_size": q_orders_lineitem_join_size,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2354,6 +2392,7 @@ ORACLES = {
     "user_activity_streaks": ORACLE_USER_ACTIVITY_STREAKS,
     "ivm_order_customer_join": ORACLE_IVM_ORDER_CUSTOMER_JOIN,
     "price_drift_by_era": ORACLE_PRICE_DRIFT_BY_ERA,
+    "orders_lineitem_join_size": ORACLE_ORDERS_LINEITEM_JOIN_SIZE,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,

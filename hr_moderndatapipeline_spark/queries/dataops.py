@@ -2036,6 +2036,63 @@ FROM m GROUP BY doc_id HAVING count(*) = 3
 """
 
 
+# ── vocabulary build + dictionary encoding ──
+
+def q_dictionary_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-dictionary pipeline (operators/text.py build_vocab +
+    dictionary_encode): frequency-ranked vocab (min_count=2, OOV->0)
+    applied positionally to every document. The driver row carries an
+    ORDER-SENSITIVE integer digest of each id sequence (the
+    polynomial fold), so the oracle hash-verifies both the id
+    assignment and the positional encoding without shipping arrays."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        build_vocab,
+        dictionary_encode,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab(docs, "text", min_count=2)
+    enc = dictionary_encode(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr(
+            "aggregate(token_ids, CAST(0 AS BIGINT), "
+            "(acc, t) -> (acc * 31 + t) % 1000000007)"
+        ).alias("ids_hash"),
+    )
+
+
+ORACLE_DICTIONARY_ENCODE = """
+WITH lists AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS lst
+  FROM documents),
+toks AS (
+  SELECT doc_id, lst[u.i] AS tok, u.i AS pos
+  FROM lists, unnest(range(1, len(lst) + 1)) AS u(i)),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS token_id
+  FROM counts WHERE cnt >= 2),
+mapped AS (
+  SELECT t.doc_id, t.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS tid
+  FROM toks t LEFT JOIN vocab v USING (tok)),
+seqs AS (
+  SELECT doc_id, list(tid ORDER BY pos) AS ids,
+         count(*) AS n_tokens,
+         sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+  FROM mapped GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), s.ids),
+                                 (acc, t) -> (acc * 31 + t) % 1000000007), 0)
+            AS BIGINT) AS ids_hash
+FROM documents d LEFT JOIN seqs s USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
@@ -2045,6 +2102,7 @@ QUERIES = {
     "cms_term_frequencies": q_cms_term_frequencies,
     "source_token_entropy": q_source_token_entropy,
     "keyword_search_conjunctive": q_keyword_search_conjunctive,
+    "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
@@ -2103,6 +2161,7 @@ ORACLES = {
     "cms_term_frequencies": ORACLE_CMS_TERM_FREQS,
     "source_token_entropy": ORACLE_SOURCE_TOKEN_ENTROPY,
     "keyword_search_conjunctive": ORACLE_KEYWORD_SEARCH,
+    "dictionary_encode_digest": ORACLE_DICTIONARY_ENCODE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
     "dedup_drop_survivors": ORACLE_DEDUP_DROP,

@@ -673,3 +673,45 @@ def test_token_entropy_known_distribution(spark):
     expect = math.floor(math.log(4) * 1e6 + 0.5)  # each term quantized, p=1/4
     assert abs(out["u"]["entropy_micronat"] - expect) <= 4  # DIV truncation
     assert out["u"]["n_tokens"] == 4 and out["u"]["vocab_size"] == 4
+
+
+def test_dictionary_encode_planted(spark):
+    """Id assignment is frequency-ranked (count desc, token asc from
+    1), OOV maps to 0, order is positional, empty docs get empty
+    sequences."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        build_vocab,
+        dictionary_encode,
+    )
+
+    rows = [(0, "b a b c b a"), (1, "a rare b"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {r["token"]: r["token_id"] for r in build_vocab(df, "text", min_count=2).collect()}
+    assert vocab == {"b": 1, "a": 2}  # b x4, a x3; c/rare below min_count
+    enc = {
+        r["doc_id"]: r
+        for r in dictionary_encode(
+            df, "doc_id", "text", build_vocab(df, "text", min_count=2)
+        ).collect()
+    }
+    assert enc[0]["token_ids"] == [1, 2, 1, 0, 1, 2]
+    assert (enc[0]["n_tokens"], enc[0]["n_oov"]) == (6, 1)
+    assert enc[1]["token_ids"] == [2, 0, 1]
+    assert enc[2]["token_ids"] == [] and enc[2]["n_tokens"] == 0
+
+
+def test_join_cardinality_exact(spark):
+    """The report's join_rows equals the actual inner-join count,
+    with one-sided keys and duplicates on both sides."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import (
+        join_cardinality_report,
+    )
+
+    l = spark.createDataFrame([(1,), (1,), (2,), (4,)], "k long")
+    r = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "k long")
+    rep = join_cardinality_report(l, r, "k").collect()[0]
+    actual = l.join(r, "k", "inner").count()
+    assert rep["join_rows"] == actual == 7
+    assert rep["left_rows"] == 4 and rep["right_rows"] == 5
+    assert (rep["left_keys"], rep["right_keys"], rep["shared_keys"]) == (3, 3, 2)
+    assert rep["max_key_pairs"] == 6
