@@ -2216,6 +2216,76 @@ FROM s GROUP BY 1, 2
 """
 
 
+# ── audience overlap: pairwise event-type set intersections ──
+
+def q_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap (+ Jaccard in ppm) between
+    event types. The scalable plan: one shuffle to distinct
+    (user, type), collect each user's small type set, explode the
+    C(set,2) pairs MAP-SIDE (bounded by #types^2, not users^2), then
+    aggregate over the O(#types^2) pair keyspace — the corpus is
+    never self-joined. Per-type totals broadcast back onto the tiny
+    pair table."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("_ts")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ts, (x, i) -> "
+                    "transform(slice(_ts, i + 2, size(_ts)), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.type_a", "_p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+ORACLE_EVENT_TYPE_OVERLAP = """
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+c AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+SELECT type_a, type_b,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST((n_both * 1000000) // (ca.n + cb.n - n_both) AS BIGINT) AS jaccard_ppm
+FROM p JOIN c ca ON type_a = ca.event_type
+       JOIN c cb ON type_b = cb.event_type
+"""
+
+
 # ── join cardinality pre-flight ──
 
 def q_orders_lineitem_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2326,6 +2396,7 @@ QUERIES = {
     "ivm_order_customer_join": q_ivm_order_customer_join,
     "price_drift_by_era": q_price_drift_by_era,
     "orders_lineitem_join_size": q_orders_lineitem_join_size,
+    "event_type_overlap": q_event_type_overlap,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2393,6 +2464,7 @@ ORACLES = {
     "ivm_order_customer_join": ORACLE_IVM_ORDER_CUSTOMER_JOIN,
     "price_drift_by_era": ORACLE_PRICE_DRIFT_BY_ERA,
     "orders_lineitem_join_size": ORACLE_ORDERS_LINEITEM_JOIN_SIZE,
+    "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,
