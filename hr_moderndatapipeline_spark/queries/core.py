@@ -2286,6 +2286,51 @@ FROM p JOIN c ca ON type_a = ca.event_type
 """
 
 
+# ── market-basket co-purchase pairs ──
+
+def q_part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs that co-occur in >= 2 orders (market-basket
+    co-occurrence, min-support 2). Same scalable shape as
+    event_type_overlap: per-order part sets collected once, C(n,2)
+    pairs exploded MAP-SIDE (bounded by per-order basket size, ~4-7
+    lines — never a lineitem self-join), one aggregate over the pair
+    keyspace."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+    return (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "transform(slice(_ps, i + 2, size(_ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.part_a", "_p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+ORACLE_PART_COPURCHASE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 # ── join cardinality pre-flight ──
 
 def q_orders_lineitem_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2397,6 +2442,7 @@ QUERIES = {
     "price_drift_by_era": q_price_drift_by_era,
     "orders_lineitem_join_size": q_orders_lineitem_join_size,
     "event_type_overlap": q_event_type_overlap,
+    "part_copurchase_pairs": q_part_copurchase_pairs,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2465,6 +2511,7 @@ ORACLES = {
     "price_drift_by_era": ORACLE_PRICE_DRIFT_BY_ERA,
     "orders_lineitem_join_size": ORACLE_ORDERS_LINEITEM_JOIN_SIZE,
     "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,
+    "part_copurchase_pairs": ORACLE_PART_COPURCHASE,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,
