@@ -166,8 +166,10 @@ def histogram_drift(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
     ).select(
         "n_a",
         "n_b",
-        F.expr("cnt_a * 1000000 DIV n_a").alias("p_a"),
-        F.expr("cnt_b * 1000000 DIV n_b").alias("p_b"),
+        # greatest(n,1): an empty side reads as all-zero shares
+        # instead of NULL-poisoning the group keys (ANSI-safe, too)
+        F.expr("cnt_a * 1000000 DIV greatest(n_a, 1)").alias("p_a"),
+        F.expr("cnt_b * 1000000 DIV greatest(n_b, 1)").alias("p_b"),
     )
     return shares.groupBy("n_a", "n_b").agg(
         F.sum(F.abs(F.col("p_a") - F.col("p_b"))).cast("bigint").alias("l1_ppm"),
@@ -197,17 +199,24 @@ def join_cardinality_report(
         F.coalesce("_cr", F.lit(0)).cast("bigint").alias("_cr"),
     )
     return j.agg(
-        F.sum("_cl").cast("bigint").alias("left_rows"),
-        F.sum("_cr").cast("bigint").alias("right_rows"),
-        F.sum(F.when(F.col("_cl") > 0, 1).otherwise(0))
+        F.coalesce(F.sum("_cl"), F.lit(0)).cast("bigint").alias("left_rows"),
+        F.coalesce(F.sum("_cr"), F.lit(0)).cast("bigint").alias("right_rows"),
+        F.coalesce(F.sum(F.when(F.col("_cl") > 0, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("left_keys"),
-        F.sum(F.when(F.col("_cr") > 0, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("_cr") > 0, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("right_keys"),
-        F.sum(F.when((F.col("_cl") > 0) & (F.col("_cr") > 0), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when((F.col("_cl") > 0) & (F.col("_cr") > 0), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("shared_keys"),
-        F.sum(F.col("_cl") * F.col("_cr")).cast("bigint").alias("join_rows"),
-        F.max(F.col("_cl") * F.col("_cr")).cast("bigint").alias("max_key_pairs"),
+        F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0))
+        .cast("bigint")
+        .alias("join_rows"),
+        F.coalesce(F.max(F.col("_cl") * F.col("_cr")), F.lit(0))
+        .cast("bigint")
+        .alias("max_key_pairs"),
     )

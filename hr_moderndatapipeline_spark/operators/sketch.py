@@ -67,6 +67,8 @@ def cms_build(
     cnt)`` — absent (row, bucket) cells are zero. Deterministic,
     partitioning-invariant (counts are order-independent sums).
     """
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"need depth > 0 and width > 0, got {depth} x {width}")
     toks = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
         .filter(F.col("_tok") != "")
@@ -106,7 +108,15 @@ def cms_estimate(
     guaranteed >= the true count; missing cells read 0).
 
     The sketch side is broadcast — it is at most depth*width rows by
-    construction — so the query stream keeps its partitioning."""
+    construction — so the query stream keeps its partitioning.
+    ``queries`` may not already contain columns named row_idx/bucket
+    (they collide with the probe's join keys — loud error, not a
+    silent wrong join)."""
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"need depth > 0 and width > 0, got {depth} x {width}")
+    clash = {"row_idx", "bucket"} & set(queries.columns)
+    if clash:
+        raise ValueError(f"queries columns collide with probe internals: {clash}")
     q = queries.withColumn("_h", _poly_hash(token_col))
     cells = q.select(
         *queries.columns,
@@ -115,8 +125,10 @@ def cms_estimate(
         ).alias("row_idx", "bucket"),
     )
     joined = cells.join(
-        F.broadcast(sketch), ["row_idx", "bucket"], "left"
-    ).withColumn("_c", F.coalesce(F.col("cnt"), F.lit(0)))
+        F.broadcast(sketch.select("row_idx", "bucket", F.col("cnt").alias("_cms_cnt"))),
+        ["row_idx", "bucket"],
+        "left",
+    ).withColumn("_c", F.coalesce(F.col("_cms_cnt"), F.lit(0)))
     return joined.groupBy(*queries.columns).agg(
         F.min("_c").cast("bigint").alias("cms_est")
     )

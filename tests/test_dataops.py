@@ -715,3 +715,38 @@ def test_join_cardinality_exact(spark):
     assert rep["left_rows"] == 4 and rep["right_rows"] == 5
     assert (rep["left_keys"], rep["right_keys"], rep["shared_keys"]) == (3, 3, 2)
     assert rep["max_key_pairs"] == 6
+
+
+def test_new_operator_edges(spark):
+    """Hardening edges: empty inputs don't NULL-poison the
+    cardinality report or the drift monitor, and probe-column
+    collisions fail loudly."""
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.diagnostics import (
+        histogram_drift,
+        join_cardinality_report,
+    )
+    from hr_moderndatapipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        histogram_build,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    rep = join_cardinality_report(empty, empty, "k").collect()[0]
+    assert tuple(rep) == (0, 0, 0, 0, 0, 0, 0)
+
+    some = spark.range(10).selectExpr("id AS v")
+    h = histogram_build(some, "v", lo=0, hi=10, nbins=5)
+    he = histogram_build(some.filter("v < 0"), "v", lo=0, hi=10, nbins=5)
+    d = histogram_drift(h, he).collect()[0]
+    assert d["n_b"] == 0 and d["tv_ppm"] == 500_000  # all mass unmatched
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    sketch = cms_build(docs, "text", depth=2, width=8)
+    bad_q = spark.createDataFrame([("a", 1)], "token string, bucket int")
+    with _pytest.raises(ValueError, match="collide"):
+        cms_estimate(sketch, bad_q, "token", depth=2, width=8)
+    with _pytest.raises(ValueError, match="depth"):
+        cms_build(docs, "text", depth=0, width=8)
