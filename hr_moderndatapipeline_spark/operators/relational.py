@@ -592,3 +592,47 @@ def linear_interpolate(
         .otherwise(F.lit("edge"))
         .alias("method"),
     )
+
+
+def linear_trend(
+    df: DataFrame, keys: Sequence[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key simple linear regression (OLS slope/intercept of y on
+    x) in closed form — the trend-detection primitive ("is this
+    segment's revenue rising?") without any iterative fitting.
+
+    Cross-engine exactness: x and y must be INTEGER columns (epoch
+    days, cents). All five sufficient statistics (n, Sx, Sy, Sxy,
+    Sxx) accumulate as exact integers — order-independent under any
+    partitioning — and the combination step runs in DECIMAL(38,0)
+    (n*Sxy overflows BIGINT at ~10^19 while remaining exact in
+    decimal); the ONLY float ops are the two final divisions of
+    identical exact operands, bit-identical on any IEEE engine.
+
+    One map-side-combinable groupBy on the keys; output O(#keys).
+    Degenerate keys (n < 2 or zero x-variance) yield NULL slope, not
+    a divide-crash."""
+    kcols = list(keys)
+    stats = df.groupBy(*kcols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(x_col).cast("decimal(38,0)").alias("_sx"),
+        F.sum(y_col).cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("decimal(38,0)").alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    intercept = F.when(
+        den != 0,
+        (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+        / F.col("_n").cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    return stats.select(
+        *kcols,
+        F.col("_n").cast("bigint").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

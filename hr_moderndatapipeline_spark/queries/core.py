@@ -2286,6 +2286,66 @@ FROM p JOIN c ca ON type_a = ca.event_type
 """
 
 
+# ── per-segment revenue trend (closed-form OLS) ──
+
+def q_segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment OLS slope/intercept of daily revenue on
+    epoch day (operators/relational.linear_trend): the closed-form
+    trend detector. Integer sufficient statistics (exact, any
+    partitioning), DECIMAL combination, two final double divisions
+    identical on both engines."""
+    from hr_moderndatapipeline_spark.operators.relational import linear_trend
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("c_mktsegment", "x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    return linear_trend(daily, ["c_mktsegment"], "x", "y")
+
+
+ORACLE_SEGMENT_REVENUE_TREND = """
+WITH d AS (
+  SELECT c_mktsegment AS seg,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+daily AS (SELECT seg, x, CAST(sum(cents) AS BIGINT) AS y FROM d GROUP BY 1, 2),
+s AS (
+  SELECT seg,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM daily GROUP BY 1)
+SELECT seg AS c_mktsegment,
+       CAST(n AS BIGINT) AS n_points,
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            ELSE NULL END AS slope,
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+            ELSE NULL END AS intercept
+FROM s
+"""
+
+
 # ── market-basket co-purchase pairs ──
 
 def q_part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2443,6 +2503,7 @@ QUERIES = {
     "orders_lineitem_join_size": q_orders_lineitem_join_size,
     "event_type_overlap": q_event_type_overlap,
     "part_copurchase_pairs": q_part_copurchase_pairs,
+    "segment_revenue_trend": q_segment_revenue_trend,
     "user_value_ewma": q_user_value_ewma,
     "ewma_incremental_state": q_ewma_incremental_state,
     "conversion_funnel": q_conversion_funnel,
@@ -2512,6 +2573,7 @@ ORACLES = {
     "orders_lineitem_join_size": ORACLE_ORDERS_LINEITEM_JOIN_SIZE,
     "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,
     "part_copurchase_pairs": ORACLE_PART_COPURCHASE,
+    "segment_revenue_trend": ORACLE_SEGMENT_REVENUE_TREND,
     "user_value_ewma": ORACLE_USER_VALUE_EWMA,
     "ewma_incremental_state": ORACLE_EWMA_INCREMENTAL,
     "conversion_funnel": ORACLE_CONVERSION_FUNNEL,

@@ -574,3 +574,20 @@ def test_histogram_quantiles_planted(spark):
         (0, r["bin_idx"]): r["cnt"] for r in hist.collect()
     }
     assert merged == full
+
+
+def test_linear_trend_planted(spark):
+    """Exact line recovered exactly; degenerate keys (n<2 or zero
+    x-variance) yield NULL slope instead of a divide failure."""
+    from hr_moderndatapipeline_spark.operators.relational import linear_trend
+
+    rows = (
+        [("line", x, 3 * x + 7) for x in range(10)]
+        + [("single", 5, 42)]
+        + [("flatx", 4, 1), ("flatx", 4, 9)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r["k"]: r for r in linear_trend(df, ["k"], "x", "y").collect()}
+    assert out["line"]["slope"] == 3.0 and out["line"]["intercept"] == 7.0
+    assert out["line"]["n_points"] == 10
+    assert out["single"]["slope"] is None and out["flatx"]["slope"] is None
