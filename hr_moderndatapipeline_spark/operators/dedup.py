@@ -421,6 +421,241 @@ def simhash_near_pairs(
     )
 
 
+# ── portable SimHash: cross-engine polynomial hashing ──
+#
+# Same constants as operators/sketch.py — the repo's one portable
+# hash family (polynomial char fold mod 1e9+7, affine integer row
+# mixing). All operands stay under 2^62: h < 2^30, multiplier < 2^32.
+_P = 1_000_000_007
+_MIX_A = 2_654_435_761
+_MIX_C = 40_503
+
+
+def poly_token_hash(c: Column) -> Column:
+    """Polynomial char fold mod 1e9+7 of a string Column — the
+    cross-engine token hash (`operators/sketch.py _poly_hash` as a
+    Column-to-Column form). Exact BIGINT arithmetic on Spark and
+    DuckDB alike; interpreted higher-order-function evaluation, so
+    this is the VERIFICATION-mode hash — `xxhash64` remains the
+    scale-path default (codegen, 64-bit spread)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, ch: (acc * 31 + ch) % F.lit(_P)
+    )
+
+
+def _mix_mod(h: Column, i: int) -> Column:
+    """The portable affine mix family h_i(x) = (x*(A+i) + C*(i+1))
+    mod P. Operand bound: x < 2^30, multiplier < 2^32 ⇒ product
+    < 2^62, exact in signed-64 arithmetic on both engines."""
+    return F.pmod(h * F.lit(_MIX_A + i) + F.lit(_MIX_C * (i + 1)), F.lit(_P))
+
+
+def _mix_bit(h: Column, i: int) -> Column:
+    """Bit i of the portable signature: affine mix of the token hash
+    mod P, reduced mod 2 — the sketch.py row-hash family read one
+    bit at a time."""
+    return F.pmod(_mix_mod(h, i), F.lit(2))
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 62, out_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash) — SimHash over the portable polynomial token
+    hash instead of xxhash64, so the whole signature computation is
+    exact shared-semantics BIGINT arithmetic and the near-dup
+    pipeline is verifiable by the DuckDB oracle gate end to end.
+
+    62 bits (not 64) so the packed signature is a POSITIVE BIGINT on
+    both engines — no two's-complement sign-bit special case (the
+    xxhash64 `simhash64` needs one at bit 63). The structure is
+    identical to `simhash64`: exploded tokens, per-bit codegen sign
+    sums map-side combined to one row per doc, disjoint-bit pack;
+    token-less docs get signature 0 via the restoring left join.
+    Base-hash range is ~2^30, so ~0.05% of a 1M-token vocab collides
+    (birthday) — immaterial for sign sums; use `simhash64` when you
+    don't need cross-engine verification."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t")
+    ).filter(F.col("_t") != "")
+    hashed = toks.select(F.col(id_col), poly_token_hash(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(_mix_bit(F.col("_h"), i) * 2 - 1).alias(f"_b{i}") for i in range(bits)
+    ]
+    packed = sum(
+        [
+            F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+    sums = (
+        hashed.groupBy(id_col).agg(*aggs).select(F.col(id_col), packed.alias(out_col))
+    )
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")))
+    )
+
+
+def simhash_portable_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_block: int | None = 1000,
+    bits: int = 62,
+) -> DataFrame:
+    """`simhash_near_pairs` over the portable 62-bit signature —
+    same prefix-block plan (block self-join, hot-block cap, Hamming
+    verify via bit_count(xor)), every step restatable in ANSI SQL.
+    This is the oracle-gated face of the SimHash family; recall
+    characteristics of the blocking are pinned by the shared unit
+    tests, scale posture is identical to the xxhash64 variant."""
+    sig = simhash_portable(df.select(id_col, text_col), id_col, text_col, bits=bits)
+    blocked = sig.withColumn(
+        "_block", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)
+    )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_block")
+        blocked = (
+            blocked.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_block)
+            .drop("_n")
+        )
+    a = blocked.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_sig_a"), "_block"
+    )
+    b = blocked.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col("simhash").alias("_sig_b"), "_block"
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
+    )
+
+
+_BAND_FOLD_MULT = 1_000_003
+
+
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """`minhash_dedup_pairs` over the portable hash family, so the
+    ENTIRE MinHash→LSH→verify pipeline is restatable in ANSI SQL and
+    hash-verified by the oracle gate:
+
+    - shingle hash: polynomial char fold mod P (`poly_token_hash`)
+      instead of xxhash64;
+    - the k permutations: `_mix_mod` (affine mod P) instead of
+      wrapping-long affine maps;
+    - band bucket: an explicit fold ``acc*1000003 + m mod P`` of the
+      band's signature slice instead of xxhash64 — a fold collision
+      only creates a false CANDIDATE, which the exact-Jaccard verify
+      step removes, so correctness is unaffected on either engine;
+    - verify: exact Jaccard over the distinct shingle-hash sets,
+      identical to the xxhash64 path's set semantics.
+
+    Same plan shape as `minhash_dedup_pairs` (one shuffle to
+    signatures, bucket equi-join, hot-bucket cap, verification join);
+    the portable hash is interpreted per character, so this is the
+    verification face — `minhash_dedup_pairs` stays the raw-speed
+    default. Base-hash range ~2^30: cross-doc shingle collisions
+    (~0.05% at 1M shingles) perturb Jaccard by <1e-3 on both engines
+    identically."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    prepped = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: poly_token_hash(s)
+        ).alias("_shh"),
+    ).filter(F.size("_shh") > 0)
+    from pyspark import StorageLevel
+
+    prepped = pin(
+        prepped, tag="minhash_portable", storage_level=StorageLevel.MEMORY_AND_DISK
+    )
+    h = F.col("_mh_h")
+    aggs = [
+        F.min(_mix_mod(h, j)).alias(f"_m{j}") for j in range(num_hashes)
+    ]
+    sig = (
+        prepped.select(id_col, F.explode(F.col("_shh")).alias("_mh_h"))
+        .groupBy(id_col)
+        .agg(*aggs)
+    )
+    band_structs = []
+    for b in range(bands):
+        bucket: Column = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            bucket = F.pmod(
+                bucket * F.lit(_BAND_FOLD_MULT) + F.col(f"_m{b * rows_per_band + r}"),
+                F.lit(_P),
+            )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), bucket.alias("bucket"))
+        )
+    bucketed = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band_idx", "bb.bucket")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "bucket")
+        bucketed = (
+            bucketed.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    pa = bucketed.toDF(f"{id_col}_a", "band_idx", "bucket")
+    pb = bucketed.toDF(f"{id_col}_b", "band_idx", "bucket")
+    cands = (
+        pa.join(pb, ["band_idx", "bucket"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+    sa = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_shh").alias("_shh_a"))
+    sb = prepped.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_shh").alias("_shh_b"))
+    return (
+        cands.join(sa, f"{id_col}_a")
+        .join(sb, f"{id_col}_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_shh_a", "_shh_b")).cast("double")
+            / F.size(F.array_union("_shh_a", "_shh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str,

@@ -346,27 +346,136 @@ WHERE doc_id NOT IN (SELECT member_id FROM assign WHERE member_id <> cluster_id)
 """
 
 
-# ── MinHash + LSH near-dup (rows-only: engine-native 64-bit hashing) ──
+# ── MinHash + LSH near-dup (portable hash family, oracle-backed) ──
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) → 16-band LSH buckets → candidate pairs → exact
     Jaccard ≥ 0.8 verification, on the re-crawl corpus (every doc has
-    one exact duplicate ⇒ every doc yields ≥1 pair). Non-SQL hashing
-    → rows-only driver check; invariants unit-tested."""
+    one exact duplicate ⇒ every doc yields ≥1 pair). Runs the
+    PORTABLE hash family (`operators/dedup.py
+    minhash_dedup_pairs_portable`: polynomial shingle fold, affine
+    mod-P permutations, explicit band fold) so signature, banding,
+    hot-bucket cap, and Jaccard verify are all hash-checked against
+    the DuckDB restatement; the xxhash64 `minhash_dedup_pairs` stays
+    the raw-speed default (recall pinned in unit tests)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
-    return minhash_dedup_pairs(recrawl, "doc_id", "text", shingle_n=3)
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_portable,
+    )
+
+    return minhash_dedup_pairs_portable(recrawl, "doc_id", "text", shingle_n=3)
 
 
-# ── SimHash near-dup (rows-only: engine-native xxhash64 sign sums) ──
+ORACLE_MINHASH_DEDUP_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM corpus),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                       i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                ELSE [] END)) AS s
+  FROM w),
+hh AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s) + 1),
+                            i -> CAST(ord(s[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+  FROM sh),
+mins AS (
+  SELECT doc_id, r.j AS j,
+         min((h * (2654435761 + r.j) + 40503 * (r.j + 1)) % 1000000007) AS m
+  FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, (j // 4) AS band_idx,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY j)),
+                     (acc, x) -> (acc * 1000003 + x) % 1000000007) AS bucket
+  FROM mins GROUP BY doc_id, (j // 4)),
+capped AS (
+  SELECT doc_id, band_idx, bucket FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_idx, bucket) <= 1000),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
+inter AS (
+  SELECT c.da, c.db, count(*) AS ic
+  FROM cands c
+  JOIN hh x ON x.doc_id = c.da
+  JOIN hh y ON y.doc_id = c.db AND y.h = x.h
+  GROUP BY 1, 2)
+SELECT c.da AS doc_id_a, c.db AS doc_id_b,
+       CAST(i.ic AS DOUBLE) / CAST(sa.n + sb.n - i.ic AS DOUBLE) AS jaccard
+FROM cands c
+JOIN inter i ON i.da = c.da AND i.db = c.db
+JOIN sizes sa ON sa.doc_id = c.da
+JOIN sizes sb ON sb.doc_id = c.db
+WHERE CAST(i.ic AS DOUBLE) / CAST(sa.n + sb.n - i.ic AS DOUBLE) >= 0.8
+"""
+
+
+# ── SimHash near-dup (portable 62-bit signatures, oracle-backed) ──
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sign-sum signatures (exploded
-    token xxhash64, codegen aggregation), banded join, Hamming verify —
-    rows-only (engine-native hashing; recall pinned in unit tests)."""
+    """SimHash near-dup pairs over the PORTABLE 62-bit signature
+    (polynomial token hash + affine bit mixing, exact BIGINT on both
+    engines — `operators/dedup.py simhash_portable_near_pairs`):
+    prefix-block join, hot-block cap, Hamming ≤ 3 verify. Oracle
+    restates signature, blocking, and bit_count(xor) in DuckDB SQL,
+    so the whole near-dup pipeline shape is hash-verified; the
+    xxhash64 `simhash64` stays the scale-path default (unit-pinned)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
-    return simhash_near_pairs(recrawl, "doc_id", "text", max_hamming=3)
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        simhash_portable_near_pairs,
+    )
+
+    return simhash_portable_near_pairs(recrawl, "doc_id", "text", max_hamming=3)
+
+
+ORACLE_SIMHASH_NEAR_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM corpus),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(tok) + 1),
+                            i -> CAST(ord(tok[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+  FROM toks),
+bitsum AS (
+  SELECT doc_id, r.i AS i,
+         sum(2 * (((h * (2654435761 + r.i) + 40503 * (r.i + 1)) % 1000000007) % 2) - 1) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(0, 62)) AS i) r
+  GROUP BY 1, 2),
+sig0 AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS sig
+  FROM bitsum GROUP BY 1),
+sig AS (
+  SELECT c.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) AS sig
+  FROM corpus c LEFT JOIN sig0 s USING (doc_id)),
+blocked AS (
+  SELECT doc_id, sig, sig >> 46 AS block
+  FROM sig
+  QUALIFY count(*) OVER (PARTITION BY sig >> 46) <= 1000)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 # ── similarity search: exact brute-force cosine top-k ──
@@ -2209,8 +2318,12 @@ ORACLES = {
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,
-    # minhash_dedup_pairs / simhash_near_pairs / ann_ivf_topk /
-    # ivf_probe_topk / pq_probe_topk / ivfpq_probe_topk: rows-only
-    # (non-SQL engine-native hashing / persisted approximate-index
-    # lifecycle).
+    # Portable hash family: the full SimHash and MinHash near-dup
+    # pipelines restated in SQL (signatures, banding/blocking,
+    # hot-bucket caps, Hamming/Jaccard verify).
+    "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
+    "minhash_dedup_pairs": ORACLE_MINHASH_DEDUP_PAIRS,
+    # ann_ivf_topk / ivf_probe_topk / pq_probe_topk /
+    # ivfpq_probe_topk: rows-only (persisted approximate-index
+    # lifecycle over engine-native hashing).
 }

@@ -88,6 +88,47 @@ def test_simhash_near_pairs(corpus):
     assert (0, 3) not in pairs
 
 
+def test_minhash_portable_pairs(corpus, spark):
+    """Portable MinHash preserves the planted-dup contract: the exact
+    duplicate pair is found at Jaccard 1.0, the unrelated doc is not
+    paired with it; results are partitioning-invariant."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_portable,
+    )
+
+    out = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+           for r in minhash_dedup_pairs_portable(corpus, "doc_id", "text").collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out and (3, 0) not in out
+    resh = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+            for r in minhash_dedup_pairs_portable(
+                corpus.repartition(5), "doc_id", "text").collect()}
+    assert out == resh
+
+
+def test_simhash_portable_near_pairs(corpus):
+    """The portable 62-bit variant preserves the planted-dup recall
+    contract: exact duplicates at Hamming 0, unrelated docs apart."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        simhash_portable,
+        simhash_portable_near_pairs,
+    )
+
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+             for r in simhash_portable_near_pairs(
+                 corpus, "doc_id", "text", max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+    # signatures are non-negative (62-bit pack, no sign-bit case) and
+    # deterministic across partitionings
+    sigs = simhash_portable(corpus, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert all(v >= 0 for v in vals.values())
+    resh = {r["doc_id"]: r["simhash"]
+            for r in simhash_portable(corpus.repartition(7), "doc_id", "text").collect()}
+    assert vals == resh
+
+
 def test_jaccard_pairs_blocked(spark):
     rows = [(0, BASE, "s1"), (1, BASE, "s1"), (2, BASE, "s2")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")

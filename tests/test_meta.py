@@ -54,8 +54,6 @@ def test_rows_only_set_is_intentional():
         "ann_ivf_topk",
         "ivf_probe_topk",
         "ivfpq_probe_topk",
-        "minhash_dedup_pairs",
-        "simhash_near_pairs",
         "pq_probe_topk",
         "streaming_custom_source",
         "streaming_dedup_events",
