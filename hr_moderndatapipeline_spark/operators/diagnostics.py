@@ -14,6 +14,8 @@ salt factor; a lopsided ``partition_size_report`` motivates
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -219,4 +221,109 @@ def join_cardinality_report(
         F.coalesce(F.max(F.col("_cl") * F.col("_cr")), F.lit(0))
         .cast("bigint")
         .alias("max_key_pairs"),
+    )
+
+
+# ── statistical data-quality profiles ──
+
+#: Benford expected first-digit shares, parts-per-million. Computed
+#: once here (log10(1 + 1/d)) and injected as LITERALS into both
+#: engines, so neither side does any floating-point log.
+BENFORD_PPM = {
+    d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def benford_digit_profile(df: DataFrame, amount_col) -> DataFrame:
+    """First-significant-digit distribution of a positive integer
+    amount column vs Benford's law — the classic bulk anomaly /
+    fabricated-data screen for financial facts. Emits one row per
+    digit 1-9: observed count, observed ppm (integer-exact
+    ``1e6*cnt DIV total``), expected Benford ppm (literal), and the
+    signed deviation.
+
+    The leading digit is taken from the decimal string of the BIGINT
+    amount — pure string/int ops, identical on every engine (no
+    log10 on data). Non-positive amounts are excluded (Benford is
+    defined on positive magnitudes). One map-side-combinable groupBy
+    on 9 keys; the ppm normalization joins the O(9) aggregate against
+    its own total."""
+    digits = (
+        df.select(F.col(amount_col).cast("bigint").alias("_amt"))
+        .filter(F.col("_amt") > 0)
+        .select(F.substring(F.col("_amt").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    expected = F.create_map(
+        *[x for d, ppm in BENFORD_PPM.items() for x in (F.lit(d), F.lit(ppm))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "cnt",
+            F.expr("CAST(1000000 * cnt DIV _total AS BIGINT)").alias("observed_ppm"),
+            expected[F.col("digit")].cast("bigint").alias("benford_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm", (F.col("observed_ppm") - F.col("benford_ppm")).cast("bigint")
+        )
+    )
+
+
+def contingency_chisq(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell chi-square contingency profile of two categorical
+    columns: observed count, expected count under independence
+    (quantized to integer micro-units: ``row_tot*col_tot*1e6 DIV
+    n``), and the cell's chi-square contribution — the independence
+    screen behind "did the label mix drift by segment?".
+
+    The contribution is the one double computed, and it is derived
+    from exact integers by a fixed expression ((O - E)²/E with
+    E = expected_micro/1e6), so it is bit-stable across engines;
+    there is deliberately NO global chi-square sum emitted — summing
+    doubles is order-dependent, and the per-cell grid (|A|×|B| rows)
+    is the useful diagnostic anyway (consumers can sum exactly from
+    expected_micro if they need the statistic).
+
+    Integer bound: row_tot*col_tot*1e6 < 2^63 requires row_tot ×
+    col_tot < 9.2e12 — holds through ~3M×3M marginals; beyond that
+    switch the quantization down (documented, loud at the caller).
+    One shuffle for the (a, b) counts; marginals are windows over the
+    O(cells) aggregate, never the facts."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    enriched = (
+        cells.withColumn("_rt", F.sum("observed").over(wa))
+        .withColumn("_ct", F.sum("observed").over(wb))
+        .withColumn("_n", F.sum("observed").over(wall))
+    )
+    return enriched.select(
+        F.col("a").alias(col_a),
+        F.col("b").alias(col_b),
+        "observed",
+        F.expr("CAST(_rt * _ct * 1000000 DIV _n AS BIGINT)").alias("expected_micro"),
+    ).withColumn(
+        "chisq_cell",
+        F.when(
+            F.col("expected_micro") > 0,
+            (
+                (
+                    F.col("observed").cast("double")
+                    - F.col("expected_micro").cast("double") / F.lit(1_000_000.0)
+                )
+                * (
+                    F.col("observed").cast("double")
+                    - F.col("expected_micro").cast("double") / F.lit(1_000_000.0)
+                )
+            )
+            / (F.col("expected_micro").cast("double") / F.lit(1_000_000.0)),
+        ).otherwise(F.lit(0.0)),
     )

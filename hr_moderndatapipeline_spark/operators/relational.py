@@ -636,3 +636,63 @@ def linear_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def twap_features(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) of an irregularly-sampled
+    signal: each observation holds its value until the next one
+    (step/zero-order-hold semantics), so the average weights every
+    value by the seconds it was in force — the standard correction
+    for the sampling bias a plain avg() has when quiet periods emit
+    few events (finance TWAP, monitoring "time in state").
+
+    Integer-exact accumulation: values quantized to micro-units,
+    durations to whole seconds via epoch arithmetic —
+    ``numer = Σ value_micro·dt_s`` and ``denom = Σ dt_s`` are exact
+    BIGINTs on any engine (bound: numer ≤ max|value_micro| × the
+    key's time span in seconds, i.e. < 2^63 for |value| < 10^9 over
+    ~300 years); the final ``twap`` is the one double division.
+    The last observation per key has no successor and contributes no
+    interval (standard half-open convention); single-event keys
+    therefore drop out (denom 0 — there is no elapsed time to
+    average over).
+
+    One shuffle on the keys (the lag/lead window); everything else
+    is map-side column math.
+    """
+    from pyspark.sql import Window
+
+    kcols = list(keys)
+    tb = tiebreak_col or ts_col
+    w = Window.partitionBy(*kcols).orderBy(F.col("_t0").asc(), F.col("_tb").asc())
+    stepped = df.select(
+        *kcols,
+        F.unix_timestamp(F.col(ts_col)).alias("_t0"),
+        F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("_vmicro"),
+        F.col(tb).alias("_tb"),
+    ).withColumn("_t1", F.lead("_t0").over(w))
+    held = stepped.filter(F.col("_t1").isNotNull()).withColumn(
+        "_dt", F.col("_t1") - F.col("_t0")
+    )
+    out = held.groupBy(*kcols).agg(
+        F.sum(F.col("_vmicro") * F.col("_dt")).cast("bigint").alias("numer_micro_s"),
+        F.sum("_dt").cast("bigint").alias("denom_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+    return out.filter(F.col("denom_s") > 0).select(
+        *kcols,
+        "n_intervals",
+        "numer_micro_s",
+        "denom_s",
+        (
+            F.col("numer_micro_s").cast("double")
+            / F.col("denom_s").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("twap"),
+    )

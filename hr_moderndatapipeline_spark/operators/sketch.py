@@ -204,3 +204,86 @@ def histogram_quantiles(
     return q.select("q_ppm", found.alias("bin_idx")).select(
         "q_ppm", "bin_idx", est.alias("est_upper")
     )
+
+
+# ── KMV (k-minimum-values) distinct-count sketch ──
+
+def kmv_build(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct sketch (Bar-Yossef et al. 2002): the k
+    smallest DISTINCT portable hashes of ``key_col``. Returns
+    ``group_cols + (rank, h)`` rows — at most k per group.
+
+    Mergeable-state law (property-tested): ``kmv(A ∪ B) ==
+    kmv_merge(kmv(A), kmv(B))`` exactly, because "k smallest of a
+    union" == "k smallest of the union of each side's k smallest".
+
+    100 TB posture: one shuffle with map-side combine to distinct
+    (group, h); the per-group k-smallest is a rank window that Spark
+    rewrites to WindowGroupLimit, so each map partition forwards at
+    most k rows per group — the shuffle carries sketches, not
+    corpora.
+
+    Hashing: the cross-engine polynomial fold is NOT uniform on
+    [0, P) for short keys (a 4-char key folds to < 2^21, and the
+    estimator assumes uniformity), so the fold is scrambled through
+    the affine mix — multiplication by a constant coprime to the
+    prime P is a bijection mod P that spreads any input range across
+    the full field. Still exact BIGINT on both engines, so the whole
+    sketch is oracle-verifiable."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    folded = _poly_str_hash(F.col(key_col).cast("string"))
+    hashed = df.select(
+        *group_cols,
+        F.pmod(folded * F.lit(_MIX_A) + F.lit(_MIX_C), F.lit(_P)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "h")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge two KMV sketches built with the same k: union, distinct
+    (identical keys hash identically), re-take the k smallest."""
+    from pyspark.sql import Window
+
+    u = a.select(*group_cols, "h").unionByName(b.select(*group_cols, "h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: if the
+    sketch holds fewer than k values the count is EXACT (= sketch
+    size); otherwise est = (k-1) * P / h_k — the k-th smallest of n
+    uniform hashes on [0, P) sits near (k/n)·P. Integer division:
+    (k-1)*P < 2^38, exact BIGINT on both engines."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
+    )
+    est = F.when(
+        F.col("_hk").isNotNull(),
+        F.expr(f"CAST({(k - 1)} * {_P}L DIV _hk AS BIGINT)"),
+    ).otherwise(F.col("n_kept"))
+    return agg.select(*group_cols, "n_kept", est.alias("kmv_est"))
+
+
+def _poly_str_hash(c):
+    """Polynomial char fold mod P of an arbitrary string Column —
+    `_poly_hash` for computed columns (the name-based F.expr form
+    only works on real columns). One home: operators/dedup.py."""
+    from hr_moderndatapipeline_spark.operators.dedup import poly_token_hash
+
+    return poly_token_hash(c)

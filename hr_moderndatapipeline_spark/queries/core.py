@@ -2466,7 +2466,190 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+# ── Benford first-digit screen over order amounts ──
+
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of order totals (in cents) vs
+    Benford's law (operators/diagnostics.py benford_digit_profile) —
+    the bulk fabricated-data screen. Digits from the BIGINT's decimal
+    string, shares as integer ppm, expected shares as shared
+    literals; no floating point anywhere."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import (
+        benford_digit_profile,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents")
+    )
+    return benford_digit_profile(o, "price_cents")
+
+
+def _benford_cases() -> str:
+    from hr_moderndatapipeline_spark.operators.diagnostics import BENFORD_PPM
+
+    return " ".join(f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items())
+
+
+ORACLE_BENFORD_PRICE_DIGITS = f"""
+WITH amt AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS a
+  FROM orders),
+d AS (
+  SELECT CAST(substring(CAST(a AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM amt WHERE a > 0),
+c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT digit,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(1000000 * cnt // total AS BIGINT) AS observed_ppm,
+       CAST(CASE digit {_benford_cases()} END AS BIGINT) AS benford_ppm,
+       CAST(1000000 * cnt // total
+            - CASE digit {_benford_cases()} END AS BIGINT) AS deviation_ppm
+FROM c CROSS JOIN t
+"""
+
+
+# ── chi-square contingency grid: segment × order priority ──
+
+def q_segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence screen for market segment × order priority
+    (operators/diagnostics.py contingency_chisq): per-cell observed
+    count, integer-micro expected count under independence, and the
+    cell's chi-square contribution (one double, derived from exact
+    integers by a fixed expression). Marginals are windows over the
+    O(cells) aggregate, never the joined fact."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import contingency_chisq
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = o.join(c, "o_custkey", "inner")
+    return contingency_chisq(joined, "c_mktsegment", "o_orderpriority")
+
+
+ORACLE_SEGMENT_PRIORITY_CHISQ = """
+WITH cells AS (
+  SELECT c_mktsegment AS a, o_orderpriority AS b, count(*) AS observed
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT a, b, observed,
+         sum(observed) OVER (PARTITION BY a) AS rt,
+         sum(observed) OVER (PARTITION BY b) AS ct,
+         sum(observed) OVER () AS n
+  FROM cells)
+SELECT a AS c_mktsegment, b AS o_orderpriority,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(rt * ct * 1000000 // n AS BIGINT) AS expected_micro,
+       CASE WHEN rt * ct * 1000000 // n > 0 THEN
+         ((CAST(observed AS DOUBLE)
+           - CAST(rt * ct * 1000000 // n AS DOUBLE) / CAST(1000000 AS DOUBLE))
+          * (CAST(observed AS DOUBLE)
+             - CAST(rt * ct * 1000000 // n AS DOUBLE) / CAST(1000000 AS DOUBLE)))
+         / (CAST(rt * ct * 1000000 // n AS DOUBLE) / CAST(1000000 AS DOUBLE))
+       ELSE CAST(0.0 AS DOUBLE) END AS chisq_cell
+FROM m
+"""
+
+
+# ── per-user time-weighted average of the event value signal ──
+
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user
+    (operators/relational.py twap_features): zero-order-hold
+    weighting corrects the sampling bias of a plain avg() on an
+    irregular signal. Integer-exact numerator/denominator (micro
+    value × whole-second durations); the one double is the final
+    division."""
+    from hr_moderndatapipeline_spark.operators.relational import twap_features
+
+    ev = _t(spark, sf_dir, "events")
+    return twap_features(ev, ["user_id"], "ts", "value", tiebreak_col="event_id")
+
+
+ORACLE_USER_VALUE_TWAP = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 AS t0,
+         CAST(round(value * 1000000) AS BIGINT) AS vmicro,
+         event_id
+  FROM events),
+w AS (
+  SELECT user_id, vmicro, t0,
+         lead(t0) OVER (PARTITION BY user_id ORDER BY t0, event_id) AS t1
+  FROM e),
+h AS (SELECT user_id, vmicro, t1 - t0 AS dt FROM w WHERE t1 IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(vmicro * dt) AS BIGINT) AS numer_micro_s,
+       CAST(sum(dt) AS BIGINT) AS denom_s,
+       CAST(sum(vmicro * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS twap
+FROM h GROUP BY user_id HAVING sum(dt) > 0
+"""
+
+
+# ── KMV distinct sketch: users per event type ──
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=64) distinct-user estimate per event
+    type alongside the exact count (operators/sketch.py kmv_*): the
+    mergeable bounded-memory distinct sketch — the HLL sibling whose
+    state is oracle-verifiable because it is just the k smallest
+    portable hashes. The rank window compiles to WindowGroupLimit,
+    so map partitions forward ≤ k rows per group."""
+    from hr_moderndatapipeline_spark.operators.sketch import kmv_build, kmv_estimate
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sketch = kmv_build(ev, "user_id", ["event_type"], k=64)
+    est = kmv_estimate(sketch, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+ORACLE_KMV_DISTINCT_USERS = """
+WITH f AS (
+  SELECT DISTINCT event_type,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
+                            i -> CAST(ord(CAST(user_id AS VARCHAR)[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fold
+  FROM events),
+h AS (
+  SELECT DISTINCT event_type,
+         (fold * 2654435761 + 40503) % 1000000007 AS h
+  FROM f),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+  FROM h),
+k AS (SELECT event_type, rank, h FROM r WHERE rank <= 64),
+agg AS (
+  SELECT event_type, count(*) AS n_kept,
+         max(CASE WHEN rank = 64 THEN h END) AS hk
+  FROM k GROUP BY 1),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT a.event_type,
+       CAST(a.n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN hk IS NOT NULL THEN CAST(63 AS BIGINT) * 1000000007 // hk
+                 ELSE n_kept END AS BIGINT) AS kmv_est,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+FROM agg a JOIN ex ON a.event_type = ex.event_type
+"""
+
+
 QUERIES = {
+    "benford_price_digits": q_benford_price_digits,
+    "segment_priority_chisq": q_segment_priority_chisq,
+    "user_value_twap": q_user_value_twap,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "attrition_monthly": q_attrition_monthly,
     "gold_summary_sql": q_gold_summary_sql,
     "model_freshness_skip": q_model_freshness_skip,
@@ -2537,6 +2720,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
+    "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
+    "user_value_twap": ORACLE_USER_VALUE_TWAP,
+    "kmv_distinct_users": ORACLE_KMV_DISTINCT_USERS,
     "attrition_monthly": ORACLE_ATTRITION_MONTHLY,
     "gold_summary_sql": ORACLE_GOLD_SUMMARY,
     "model_freshness_skip": ORACLE_MODEL_FRESHNESS_SKIP,

@@ -791,3 +791,58 @@ def test_new_operator_edges(spark):
         cms_estimate(sketch, bad_q, "token", depth=2, width=8)
     with _pytest.raises(ValueError, match="depth"):
         cms_build(docs, "text", depth=0, width=8)
+
+
+def test_kmv_merge_law_and_estimate(spark):
+    """KMV mergeable-state law: kmv(A ∪ B) == merge(kmv(A), kmv(B))
+    exactly; under-filled sketches report the EXACT distinct count;
+    a filled sketch's estimate lands within the 1/sqrt(k) band."""
+    from hr_moderndatapipeline_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    a = spark.range(0, 400).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    k = 64
+    sa, sb = kmv_build(a, "k", ["g"], k=k), kmv_build(b, "k", ["g"], k=k)
+    merged = {(r["rank"], r["h"]) for r in kmv_merge(sa, sb, ["g"], k=k).collect()}
+    direct = {
+        (r["rank"], r["h"])
+        for r in kmv_build(a.unionByName(b), "k", ["g"], k=k).collect()
+    }
+    assert merged == direct
+    # under-filled: 10 distinct keys, k=64 → exact
+    tiny = spark.range(0, 10).select(F.lit("t").alias("g"), F.col("id").alias("k"))
+    est = kmv_estimate(kmv_build(tiny, "k", ["g"], k=k), ["g"], k=k).collect()[0]
+    assert est["n_kept"] == 10 and est["kmv_est"] == 10
+    # filled: 900 distinct, estimate within ~4/sqrt(64) = 50%
+    est = kmv_estimate(kmv_build(a.unionByName(b), "k", ["g"], k=k), ["g"], k=k).collect()[0]
+    assert est["n_kept"] == 64
+    assert 450 <= est["kmv_est"] <= 1800
+
+
+def test_twap_hand_computed(spark):
+    """Zero-order-hold TWAP on a hand-built series: value 2.0 held
+    10s then 4.0 held 30s → (2*10 + 4*30)/40 = 3.5; the single-event
+    user drops out (no elapsed time)."""
+    import datetime as dt
+
+    from hr_moderndatapipeline_spark.operators.relational import twap_features
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 2.0, 100),
+        (1, t0 + dt.timedelta(seconds=10), 4.0, 101),
+        (1, t0 + dt.timedelta(seconds=40), 9.0, 102),  # last: no successor
+        (2, t0, 5.0, 200),  # single event: dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = {r["user_id"]: r for r in twap_features(df, ["user_id"], "ts", "value", tiebreak_col="event_id").collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["n_intervals"] == 2
+    assert r["numer_micro_s"] == 2_000_000 * 10 + 4_000_000 * 30
+    assert r["denom_s"] == 40
+    assert r["twap"] == 3.5

@@ -59,3 +59,50 @@ def test_partition_size_report(spark):
     assert 1 <= rep["n_partitions"] <= 8
     assert rep["max_rows"] >= rep["min_rows"] > 0
     assert rep["imbalance"] >= 1.0
+
+
+def test_benford_digit_profile(spark):
+    """Hand-checkable corpus: digits of [1, 12, 19, 2, 30, -5, 0]
+    → positives only: leading digits 1,1,1,2,3."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import (
+        BENFORD_PPM,
+        benford_digit_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (12,), (19,), (2,), (30,), (-5,), (0,)], "amt long"
+    )
+    rows = {r["digit"]: r for r in benford_digit_profile(df, "amt").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["cnt"] == 3 and rows[2]["cnt"] == 1 and rows[3]["cnt"] == 1
+    assert rows[1]["observed_ppm"] == 600000  # 3/5 exactly
+    assert rows[1]["benford_ppm"] == BENFORD_PPM[1]
+    assert rows[1]["deviation_ppm"] == 600000 - BENFORD_PPM[1]
+
+
+def test_contingency_chisq_independence(spark):
+    """A perfectly independent 2x2 grid has expected == observed and
+    zero chi-square in every cell."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import contingency_chisq
+
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = contingency_chisq(df, "a", "b").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["observed"] == 10
+        assert r["expected_micro"] == 10_000_000
+        assert r["chisq_cell"] == 0.0
+
+
+def test_contingency_chisq_marginals(spark):
+    """Expected counts reproduce row_tot*col_tot/n: a 3-vs-1 skewed
+    grid gets fractional micro expectations."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import contingency_chisq
+
+    rows = [("x", "p")] * 3 + [("y", "q")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {(r["a"], r["b"]): r for r in contingency_chisq(df, "a", "b").collect()}
+    # E(x,p) = 3*3/4 = 2.25 → 2_250_000 micro
+    assert out[("x", "p")]["expected_micro"] == 2_250_000
+    assert out[("y", "q")]["expected_micro"] == 250_000

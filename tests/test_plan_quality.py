@@ -337,3 +337,14 @@ def test_variant_extraction_stays_jvm_side(spark, sf_dir):
 
     plan = plan_of(_core.q_event_props_variant(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_rank_uses_window_group_limit(spark, sf_dir):
+    """The KMV sketch's per-group k-smallest must plan as a
+    WindowGroupLimit (each map partition forwards ≤ k rows per
+    group), and the whole sketch stays JVM-side."""
+    from hr_moderndatapipeline_spark.queries import core
+
+    plan = plan_of(core.q_kmv_distinct_users(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
