@@ -860,3 +860,38 @@ def dictionary_encode(
             ).alias("n_oov"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Exact-phrase search via positional posting-list intersection —
+    how a search engine answers quoted queries WITHOUT re-scanning
+    text: tokenize once into (doc, position, token) postings, filter
+    map-side to the phrase's vocabulary (the scan emits only rows for
+    the n query words — at 100 TB that's the difference between
+    shuffling the corpus and shuffling a sliver), then equi-join the
+    n posting streams on (doc, aligned base position). Returns one
+    row per occurrence: ``(id, match_pos)``, 0-based.
+
+    The join graph is n-1 equi-joins keyed on (doc, base); each side
+    is already tiny after the vocabulary filter, and AQE is free to
+    broadcast the rarest word's postings — the classic
+    "rarest-term-first" optimization falls out of the optimizer
+    rather than being hand-scheduled."""
+    words = phrase.split(" ")
+    if not words or any(not w for w in words):
+        raise ValueError(f"phrase must be non-empty space-separated words: {phrase!r}")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
+    ).filter(F.col("_tok").isin(*set(words)))
+    out = None
+    for i, w in enumerate(words):
+        part = toks.filter(F.col("_tok") == w).select(
+            F.col(id_col), (F.col("_pos") - F.lit(i)).alias("_base")
+        )
+        out = part if out is None else out.join(part, [id_col, "_base"])
+    return out.filter(F.col("_base") >= 0).select(
+        F.col(id_col), F.col("_base").cast("bigint").alias("match_pos")
+    )

@@ -2466,6 +2466,91 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+# ── versioned-snapshot change data feed, gate-visible ──
+
+def q_snapshot_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-publish + snapshot_diff machinery driven end to
+    end from a driver query (the model_freshness_skip pattern):
+    orders are published as snapshot v0, a deterministically mutated
+    copy as v1 (keys ≡0 mod 97 deleted, ≡0 mod 101 repriced +100
+    cents, ≡0 mod 103 re-inserted shifted by 10M), and the emitted
+    rows are the classified change feed — Delta CDF semantics over
+    the parquet versioned-directory protocol
+    (streaming/sinks.py snapshot_diff). The oracle restates the
+    mutations and the full-outer classification in SQL."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.streaming.sinks import (
+        publish_snapshot,
+        snapshot_diff,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderstatus",
+    )
+    mutated = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "price_cents",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("price_cents") + 100
+            ).otherwise(F.col("price_cents")),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    target = process_workdir(
+        spark, "snapdiff", sf_dir.strip("/").replace("/", "_")
+    )
+    publish_snapshot(base, target, "v0")
+    publish_snapshot(mutated, target, "v1")
+    d = snapshot_diff(spark, target, 0, 1, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        F.col("_change_type").alias("change_type"),
+        "o_custkey",
+        "price_cents",
+        "o_orderstatus",
+    )
+
+
+ORACLE_SNAPSHOT_ORDERS_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents,
+         o_orderstatus
+  FROM orders),
+v1 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN price_cents + 100
+              ELSE price_cents END AS price_cents,
+         o_orderstatus
+  FROM base WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, price_cents, o_orderstatus
+  FROM base WHERE o_orderkey % 103 = 0),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_custkey <> n.o_custkey
+                   OR o.price_cents <> n.price_cents
+                   OR o.o_orderstatus <> n.o_orderstatus THEN 'update'
+         END AS change_type,
+         n.o_custkey, n.price_cents, n.o_orderstatus
+  FROM base o FULL OUTER JOIN v1 n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change_type, o_custkey, price_cents, o_orderstatus
+FROM j WHERE change_type IS NOT NULL
+"""
+
+
 # ── Benford first-digit screen over order amounts ──
 
 def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2646,6 +2731,7 @@ FROM agg a JOIN ex ON a.event_type = ex.event_type
 
 
 QUERIES = {
+    "snapshot_orders_diff": q_snapshot_orders_diff,
     "benford_price_digits": q_benford_price_digits,
     "segment_priority_chisq": q_segment_priority_chisq,
     "user_value_twap": q_user_value_twap,
@@ -2720,6 +2806,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,
     "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
     "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
     "user_value_twap": ORACLE_USER_VALUE_TWAP,

@@ -2145,6 +2145,67 @@ FROM m GROUP BY doc_id HAVING count(*) = 3
 """
 
 
+# ── exact-phrase search via positional posting intersection ──
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search (operators/text.py phrase_search): find
+    every occurrence of the corpus's most frequent word trigram via
+    positional posting-list intersection — no text re-scan, no
+    self-join of documents. The target phrase is selected
+    deterministically (highest positional-trigram count, ties by
+    lexicographic gram) and collected as ONE driver scalar (the
+    watermark-class sanctioned movement); both engines re-derive the
+    same phrase from the same census."""
+    from hr_moderndatapipeline_spark.operators.text import phrase_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+    top = (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(1)
+        .collect()
+    )
+    phrase = top[0]["gram"]
+    return phrase_search(docs, "doc_id", "text", phrase).withColumn(
+        "phrase", F.lit(phrase)
+    )
+
+
+ORACLE_PHRASE_SEARCH = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 1),
+                i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+         ELSE [] END) AS gram
+  FROM w),
+top AS (
+  SELECT gram FROM grams GROUP BY gram
+  ORDER BY count(*) DESC, gram ASC LIMIT 1),
+tw AS (SELECT gram, str_split(gram, ' ') AS pw FROM top),
+toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) + 1),
+                                 i -> {'pos': i - 1, 'tok': ws[i]})) AS u
+    FROM w))
+SELECT t0.doc_id, CAST(t0.pos AS BIGINT) AS match_pos, tw.gram AS phrase
+FROM tw
+CROSS JOIN toks t0
+JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+WHERE t0.tok = tw.pw[1] AND t1.tok = tw.pw[2] AND t2.tok = tw.pw[3]
+"""
+
+
 # ── vocabulary build + dictionary encoding ──
 
 def q_dictionary_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2211,6 +2272,7 @@ QUERIES = {
     "cms_term_frequencies": q_cms_term_frequencies,
     "source_token_entropy": q_source_token_entropy,
     "keyword_search_conjunctive": q_keyword_search_conjunctive,
+    "phrase_search": q_phrase_search,
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
@@ -2270,6 +2332,7 @@ ORACLES = {
     "cms_term_frequencies": ORACLE_CMS_TERM_FREQS,
     "source_token_entropy": ORACLE_SOURCE_TOKEN_ENTROPY,
     "keyword_search_conjunctive": ORACLE_KEYWORD_SEARCH,
+    "phrase_search": ORACLE_PHRASE_SEARCH,
     "dictionary_encode_digest": ORACLE_DICTIONARY_ENCODE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,

@@ -846,3 +846,20 @@ def test_twap_hand_computed(spark):
     assert r["numer_micro_s"] == 2_000_000 * 10 + 4_000_000 * 30
     assert r["denom_s"] == 40
     assert r["twap"] == 3.5
+
+
+def test_phrase_search_positions(spark):
+    """Hand corpus: overlapping matches, repeated words, and a
+    near-miss (words present but not adjacent) — positions exact."""
+    from hr_moderndatapipeline_spark.operators.text import phrase_search
+
+    rows = [
+        (0, "a b a b a"),          # "a b a" at 0 and 2 (overlap)
+        (1, "x a b a y"),          # at 1
+        (2, "a b c a b"),          # words present, phrase absent
+        (3, "b a b"),              # suffix only, no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["match_pos"])
+           for r in phrase_search(df, "doc_id", "text", "a b a").collect()}
+    assert out == {(0, 0), (0, 2), (1, 1)}
