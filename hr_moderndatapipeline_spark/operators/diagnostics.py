@@ -246,20 +246,22 @@ def benford_digit_profile(df: DataFrame, amount_col) -> DataFrame:
     amount — pure string/int ops, identical on every engine (no
     log10 on data). Non-positive amounts are excluded (Benford is
     defined on positive magnitudes). One map-side-combinable groupBy
-    on 9 keys; the ppm normalization joins the O(9) aggregate against
-    its own total."""
+    on 9 keys; the ppm normalization is an unpartitioned window over
+    that O(9) aggregate, never the facts (the domain_mix_weights
+    pattern — no join, no nested-loop broadcast)."""
+    from pyspark.sql import Window
+
     digits = (
         df.select(F.col(amount_col).cast("bigint").alias("_amt"))
         .filter(F.col("_amt") > 0)
         .select(F.substring(F.col("_amt").cast("string"), 1, 1).cast("int").alias("digit"))
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("_total"))
     expected = F.create_map(
         *[x for d, ppm in BENFORD_PPM.items() for x in (F.lit(d), F.lit(ppm))]
     )
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.withColumn("_total", F.sum("cnt").over(Window.partitionBy()))
         .select(
             "digit",
             "cnt",
