@@ -42,8 +42,8 @@ BENCH_QUERIES = [
     "user_sessions",              # sessionization windows
     "event_hourly_window",        # time-window agg
     "dedup_exact",                # exact dedup
-    "minhash_dedup_pairs",        # MinHash+LSH near-dup
-    "simhash_near_pairs",         # SimHash near-dup (JVM sign-sum aggregates)
+    "minhash_dedup_pairs",        # MinHash+LSH near-dup (portable hash family)
+    "simhash_near_pairs",         # SimHash near-dup (portable 62-bit sign sums)
     "jaccard_pairs_by_source",    # blocked Jaccard verify
     "ann_bruteforce_topk",        # exact cosine top-k
     "ann_lsh_topk",               # LSH ANN
@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "user_activity_streaks",      # gaps-and-islands streak rollup
     "ivm_order_customer_join",    # incremental join-view maintenance
     "keyword_search_conjunctive", # posting-intersection AND search
+    "kmv_distinct_users",         # KMV distinct sketch (WindowGroupLimit rank)
+    "user_value_twap",            # zero-order-hold time-weighted average
+    "phrase_search",              # positional posting-list phrase intersection
+    "snapshot_orders_diff",       # versioned-snapshot CDF classification
+    "segment_priority_chisq",     # contingency grid + chi-square cells
 ]
 
 

@@ -919,3 +919,41 @@ def edit_distance_pairs(
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
         .select(F.col("_blk").alias(block_col), f"{id_col}_a", f"{id_col}_b", "edit_dist")
     )
+
+
+def golden_records(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster to ONE golden
+    record — the master-data-management step after matching
+    (`edit_distance_pairs` / `jaccard_pairs`) and clustering
+    (`dedup_clusters`). ``clusters`` is the (member_id, cluster_id)
+    assignment; entities absent from it are singletons and survive
+    as their own cluster. ``rules`` maps each surviving column to a
+    field-wise rule: ``"max"`` / ``"min"`` (deterministic — no
+    "first" rule on purpose: first-wins depends on row order, which
+    a distributed engine does not define).
+
+    Plan: the cluster assignment is pairs-derived and therefore tiny
+    relative to the entity table — broadcast it onto the entities
+    (no shuffle of the big side), then one groupBy on cluster_id.
+    Emits cluster_id, n_members, and the survived fields."""
+    allowed = {"max", "min"}
+    bad = {r for r in rules.values()} - allowed
+    if bad:
+        raise ValueError(f"unknown survivorship rules {bad}; allowed: {allowed}")
+    assign = clusters.select(
+        F.col("member_id").alias(id_col), F.col("cluster_id")
+    )
+    joined = df.join(F.broadcast(assign), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    aggs = [
+        getattr(F, rule)(col).alias(f"{rule}_{col}") for col, rule in rules.items()
+    ]
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"), *aggs
+    )

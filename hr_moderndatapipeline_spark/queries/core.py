@@ -945,6 +945,70 @@ WHERE levenshtein(a.s_name, b.s_name) <= 4
 """
 
 
+# ── entity resolution end-to-end: match → cluster → survivorship ──
+
+def q_supplier_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full master-data-management pipeline as one driver query:
+    fuzzy match (blocked ``edit_distance_pairs``, Levenshtein ≤ 4
+    within nation), transitive clustering (``dedup_clusters``), then
+    field-wise survivorship (``golden_records``: min name, max
+    balance) — one golden row per supplier entity. The oracle
+    restates matching as an unblocked levenshtein self-join and
+    clustering as the recursive min-label reachability CTE (the
+    dedup_cluster_assign shape)."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        dedup_clusters,
+        edit_distance_pairs,
+        golden_records,
+    )
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        "s_nationkey",
+        "s_name",
+        F.round(F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("acct_cents"),
+    )
+    pairs = edit_distance_pairs(
+        s, id_col="suppkey", text_col="s_name", block_col="s_nationkey", max_dist=4
+    )
+    clusters = dedup_clusters(pairs, "suppkey_a", "suppkey_b")
+    return golden_records(
+        s.select("suppkey", "s_name", "acct_cents"),
+        "suppkey",
+        clusters,
+        {"s_name": "min", "acct_cents": "max"},
+    )
+
+
+ORACLE_SUPPLIER_GOLDEN_RECORDS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.s_suppkey AS ia, b.s_suppkey AS ib
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 4),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+assign AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
+m AS (
+  SELECT coalesce(a.cluster_id, s.s_suppkey) AS cluster_id,
+         s.s_name,
+         CAST(round(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS acct_cents
+  FROM supplier s LEFT JOIN assign a ON s.s_suppkey = a.member_id)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(s_name) AS min_s_name,
+       max(acct_cents) AS max_acct_cents
+FROM m GROUP BY cluster_id
+"""
+
+
 # ── correlated scalar subquery — Catalyst decorrelation ──
 
 _BIG_SPENDER_SQL = """
@@ -2732,6 +2796,7 @@ FROM agg a JOIN ex ON a.event_type = ex.event_type
 
 QUERIES = {
     "snapshot_orders_diff": q_snapshot_orders_diff,
+    "supplier_golden_records": q_supplier_golden_records,
     "benford_price_digits": q_benford_price_digits,
     "segment_priority_chisq": q_segment_priority_chisq,
     "user_value_twap": q_user_value_twap,
@@ -2807,6 +2872,7 @@ QUERIES = {
 
 ORACLES = {
     "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,
+    "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,
     "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
     "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
     "user_value_twap": ORACLE_USER_VALUE_TWAP,

@@ -2145,6 +2145,50 @@ FROM m GROUP BY doc_id HAVING count(*) = 3
 """
 
 
+# ── count-min sketch incremental state: merge law, gate-visible ──
+
+def q_cms_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS mergeable-state law driven from the gate (the
+    ewma_incremental_state pattern): the corpus is split by doc-id
+    parity, a sketch is built per half, and the MERGED sketch is
+    emitted cell by cell — the oracle recomputes the sketch over the
+    whole corpus in one shot, so a broken merge (double counting,
+    dropped cells, hash drift between builds) hash-mismatches. This
+    is the operation a 100 TB ingest actually runs: per-batch
+    sketches folded into O(depth×width) state, never a recount."""
+    from hr_moderndatapipeline_spark.operators.sketch import cms_build, cms_merge
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = cms_build(docs.filter(F.col("doc_id") % 2 == 0), "text", depth=4, width=256)
+    b = cms_build(docs.filter(F.col("doc_id") % 2 == 1), "text", depth=4, width=256)
+    return cms_merge(a, b).select(
+        F.col("row_idx").cast("bigint").alias("row_idx"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+ORACLE_CMS_INCREMENTAL_STATE = """
+WITH toks AS (
+  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+h AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(tok) + 1),
+                            i -> CAST(ord(tok[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+  FROM toks),
+cells AS (
+  SELECT r.i AS row_idx,
+         ((h * (2654435761 + r.i) + 40503 * (r.i + 1)) % 1000000007) % 256 AS bucket
+  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r)
+SELECT CAST(row_idx AS BIGINT) AS row_idx,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
 # ── exact-phrase search via positional posting intersection ──
 
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2273,6 +2317,7 @@ QUERIES = {
     "source_token_entropy": q_source_token_entropy,
     "keyword_search_conjunctive": q_keyword_search_conjunctive,
     "phrase_search": q_phrase_search,
+    "cms_incremental_state": q_cms_incremental_state,
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
@@ -2333,6 +2378,7 @@ ORACLES = {
     "source_token_entropy": ORACLE_SOURCE_TOKEN_ENTROPY,
     "keyword_search_conjunctive": ORACLE_KEYWORD_SEARCH,
     "phrase_search": ORACLE_PHRASE_SEARCH,
+    "cms_incremental_state": ORACLE_CMS_INCREMENTAL_STATE,
     "dictionary_encode_digest": ORACLE_DICTIONARY_ENCODE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,

@@ -863,3 +863,26 @@ def test_phrase_search_positions(spark):
     out = {(r["doc_id"], r["match_pos"])
            for r in phrase_search(df, "doc_id", "text", "a b a").collect()}
     assert out == {(0, 0), (0, 2), (1, 1)}
+
+
+def test_golden_records_survivorship(spark):
+    """Match→cluster→survive on a hand corpus: cluster {1,2,3} keeps
+    min name and max balance; singleton 9 survives as itself; unknown
+    rules fail loudly."""
+    from hr_moderndatapipeline_spark.operators.dedup import golden_records
+
+    ents = spark.createDataFrame(
+        [(1, "acme corp", 50), (2, "acme corp.", 90), (3, "acme", 10), (9, "zeta", 7)],
+        "ent_id long, name string, bal long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "member_id long, cluster_id long"
+    )
+    out = {r["cluster_id"]: r
+           for r in golden_records(ents, "ent_id", clusters,
+                                   {"name": "min", "bal": "max"}).collect()}
+    assert out[1]["n_members"] == 3
+    assert out[1]["min_name"] == "acme" and out[1]["max_bal"] == 90
+    assert out[9]["n_members"] == 1 and out[9]["max_bal"] == 7
+    with pytest.raises(ValueError, match="survivorship"):
+        golden_records(ents, "ent_id", clusters, {"name": "first"})
