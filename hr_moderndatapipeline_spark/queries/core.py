@@ -945,6 +945,157 @@ WHERE levenshtein(a.s_name, b.s_name) <= 4
 """
 
 
+# ── rolling 7-day distinct users via map-side contribution explode ──
+
+def q_rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the metric
+    whose naive form re-scans a week of data per day and whose
+    window form is impossible (COUNT(DISTINCT) cannot
+    partial-aggregate across frames). Scale form: dedupe to
+    (day, user) once, EXPLODE each observation to the 7 trailing
+    target days it contributes to (map-side, bounded ×7 fanout over
+    the deduped pairs, not the raw events), then one distinct count
+    per target day. Reported days are the OBSERVED days (broadcast
+    equi-semi-join on the O(#days) day list — no nested-loop clamp,
+    no phantom trailing days). Shuffles only on bounded keyspaces;
+    no per-day rescan, no frame hacks."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        "user_id",
+    )
+    day_user = ev.distinct()
+    days = day_user.select(F.col("day").alias("target_day")).distinct()
+    contrib = day_user.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("target_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "target_day")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("target_day").alias("day_epoch"), "wau")
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         user_id
+  FROM events),
+days AS (SELECT DISTINCT day AS target_day FROM du),
+contrib AS (
+  SELECT unnest(range(day, day + 7)) AS target_day, user_id
+  FROM du)
+SELECT CAST(c.target_day AS BIGINT) AS day_epoch,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+FROM contrib c JOIN days d ON c.target_day = d.target_day
+GROUP BY 1
+"""
+
+
+# ── revenue concentration: exact integer Gini coefficient ──
+
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration from exact
+    integer sufficient statistics: per-customer spend in cents, a
+    global rank over the O(customers) AGGREGATE (documented
+    unpartitioned window — never the order facts), and the closed
+    form G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n evaluated as one double
+    from three exact BIGINTs. Ties broken by custkey so the rank is
+    deterministic on both engines (Gini is tie-order-invariant, the
+    determinism is for the hash gate)."""
+    from pyspark.sql import Window
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy().orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("rank_weighted_cents"),
+    )
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        "rank_weighted_cents",
+        (
+            F.lit(2.0)
+            * F.col("rank_weighted_cents").cast("double")
+            / (F.col("n_customers").cast("double") * F.col("total_cents").cast("double"))
+            - (F.col("n_customers") + 1).cast("double")
+            / F.col("n_customers").cast("double")
+        ).alias("gini"),
+    )
+
+
+ORACLE_CUSTOMER_REVENUE_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM spend),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(i * cents) AS BIGINT) AS rank_weighted_cents
+  FROM ranked)
+SELECT n_customers, total_cents, rank_weighted_cents,
+       CAST(2 AS DOUBLE) * CAST(rank_weighted_cents AS DOUBLE)
+         / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))
+       - CAST(n_customers + 1 AS DOUBLE) / CAST(n_customers AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+# ── equal-frequency binning: ntile decile profile (ONE SQL text) ──
+
+_PRICE_DECILE_SQL = """
+WITH t AS (
+  SELECT ntile(10) OVER (ORDER BY CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) ASC,
+                                  o_orderkey ASC) AS decile,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY decile
+"""
+
+
+def q_price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order totals via the
+    SQL-standard ntile window — the QuantileDiscretizer shape done
+    exactly, ONE SQL text on both engines. Ties broken by orderkey
+    so bin membership is deterministic. The global sort is the price
+    of exactness; the sketch path for 100 TB is
+    price_histogram_quantiles (mergeable histogram) — this entry is
+    its exact small-side sibling and the cross-check."""
+    from hr_moderndatapipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PRICE_DECILE_SQL)
+
+
+ORACLE_PRICE_DECILE_STATS = _PRICE_DECILE_SQL
+
+
 # ── entity resolution end-to-end: match → cluster → survivorship ──
 
 def q_supplier_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2797,6 +2948,9 @@ FROM agg a JOIN ex ON a.event_type = ex.event_type
 QUERIES = {
     "snapshot_orders_diff": q_snapshot_orders_diff,
     "supplier_golden_records": q_supplier_golden_records,
+    "rolling_weekly_active_users": q_rolling_weekly_active_users,
+    "customer_revenue_gini": q_customer_revenue_gini,
+    "price_decile_stats": q_price_decile_stats,
     "benford_price_digits": q_benford_price_digits,
     "segment_priority_chisq": q_segment_priority_chisq,
     "user_value_twap": q_user_value_twap,
@@ -2873,6 +3027,9 @@ QUERIES = {
 ORACLES = {
     "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,
     "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,
+    "rolling_weekly_active_users": ORACLE_ROLLING_WAU,
+    "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
+    "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
     "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
     "user_value_twap": ORACLE_USER_VALUE_TWAP,
