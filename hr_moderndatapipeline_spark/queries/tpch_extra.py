@@ -396,7 +396,126 @@ ORDER BY s.epoch_day
 """
 
 
+# ── Q6 shape: scan-only predicate revenue (pushdown showcase) ──
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2)) * 100)
+                     AS BIGINT)) AS BIGINT) AS promo_discount_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be recovered by dropping a
+    discount band — a pure scan-side query with NO join and NO
+    groupBy key: every predicate (date range, discount band,
+    quantity cap) must reach the parquet reader as a pushed filter,
+    and the aggregate is a single map-side-combinable global sum.
+    The simplest query in the family and the sharpest pushdown
+    canary: if `.explain` ever shows these filters above the scan,
+    the scan layer regressed."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(FORECAST_REVENUE_SQL)
+
+
+# ── Q10 shape: returned-item revenue ranking ──
+
+RETURNED_ITEM_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l.l_discount AS DECIMAL(18,2)) * 100)
+                     AS BIGINT)) AS BIGINT) AS lost_revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue_cents DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    in one quarter. The date filter prunes orders at the scan, the
+    returnflag filter prunes lineitem at the scan, nation broadcasts,
+    and the TopK is a global sort of the already-aggregated customer
+    rows (ORDER BY + LIMIT → TakeOrderedAndProject, never a full
+    sort). Ties broken by custkey for a deterministic hash."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(RETURNED_ITEM_CUSTOMERS_SQL)
+
+
+# ── Q13 shape: customer order-count distribution ──
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (how many customers placed k orders), with a residual predicate
+    ON the left join so zero-order customers are KEPT and counted at
+    0 — COUNT(o.o_orderkey) over the null-extended rows, not
+    COUNT(*). The canonical NOT LIKE comment filter becomes a
+    priority exclusion (this corpus has no o_comment); the operator
+    shape — left join + residual + double aggregation — is
+    preserved. Two shuffles: the join and the O(#customers)
+    re-aggregation."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(CUSTOMER_ORDER_DISTRIBUTION_SQL)
+
+
+# ── Q17 shape: small-quantity lines vs per-part average ──
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from order lines far below their
+    part's average quantity — the classic correlated scalar AVG that
+    Catalyst decorrelates into an aggregate-then-join (one extra
+    lineitem scan; the brand filter broadcasts part onto both). The
+    0.2·avg threshold is a double derived identically on both
+    engines (integer sum / count, then one multiply), so the
+    comparison is bit-deterministic."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(SMALL_QTY_REVENUE_SQL)
+
+
 QUERIES = {
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "returned_item_customers": q_returned_item_customers,
+    "customer_order_distribution": q_customer_order_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
     "min_cost_supplier": q_min_cost_supplier,
     "priority_late_exists": q_priority_late_exists,
     "nation_trade_volume": q_nation_trade_volume,
@@ -411,6 +530,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "forecast_revenue_change": FORECAST_REVENUE_SQL,
+    "returned_item_customers": RETURNED_ITEM_CUSTOMERS_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
     "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
     "priority_late_exists": PRIORITY_LATE_EXISTS_SQL,
     "nation_trade_volume": NATION_TRADE_VOLUME_SQL,

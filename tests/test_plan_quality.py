@@ -348,3 +348,24 @@ def test_kmv_rank_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(core.q_kmv_distinct_users(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_forecast_revenue_filters_reach_scan(spark, sf_dir):
+    """Q6 is the pushdown canary: the date/discount/quantity
+    predicates must appear as PushedFilters on the parquet scan, and
+    the plan must contain no join."""
+    from hr_moderndatapipeline_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.q_forecast_revenue_change(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert "Join" not in plan
+
+
+def test_returned_item_topk_avoids_full_sort(spark, sf_dir):
+    """Q10's ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    over the aggregated rows, not a global Sort."""
+    from hr_moderndatapipeline_spark.queries import tpch_extra
+
+    plan = plan_of(tpch_extra.q_returned_item_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
