@@ -895,3 +895,56 @@ def phrase_search(
     return out.filter(F.col("_base") >= 0).select(
         F.col(id_col), F.col("_base").cast("bigint").alias("match_pos")
     )
+
+
+def curation_decisions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.4,
+    lang: str = "en",
+) -> DataFrame:
+    """The curation pipeline's audit face: EVERY document with its
+    rule flags and final keep/drop decision, the first failing rule
+    named as the reason — "why was my document dropped" lineage,
+    which a production corpus pipeline owes its data suppliers as
+    much as the filtered corpus itself. Rule precedence is fixed
+    (duplicate → language → quality), so reasons are deterministic
+    and the reason histogram is a meaningful funnel report.
+
+    Same single-shuffle plan as `curate_corpus` (one hash partition
+    on text for dup ranking; signals inline in the same stage) —
+    this emits the complement rows instead of filtering them. Flags
+    are 0/1 BIGINTs for exact cross-engine hashing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_col)
+    wo = w.orderBy(F.col(id_col).asc())
+    q = quality_signal_cols(F.col(text_col), lang=lang)
+    lang_pred = lang_id_cols(F.col(text_col))["predicted_lang"]
+    flagged = (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn(
+            "is_duplicate", (F.col("_rn") > 1).cast("bigint")
+        )
+        .withColumn("_lang", lang_pred)
+        .withColumn("lang_ok", (F.col("_lang") == lang).cast("bigint"))
+        .withColumn("_q", q["quality_score"])
+        .withColumn("quality_ok", (F.col("_q") >= min_quality).cast("bigint"))
+    )
+    reason = (
+        F.when(F.col("is_duplicate") == 1, F.lit("duplicate"))
+        .when(F.col("lang_ok") == 0, F.lit("language"))
+        .when(F.col("quality_ok") == 0, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return flagged.select(
+        F.col(id_col),
+        "is_duplicate",
+        "lang_ok",
+        "quality_ok",
+        reason.alias("reason"),
+        F.when(reason == "kept", F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "decision"
+        ),
+    )

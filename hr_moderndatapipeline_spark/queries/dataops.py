@@ -1308,6 +1308,65 @@ WHERE quality_score >= 0.4 AND predicted_lang = 'en'
 """
 
 
+# ── curation decision matrix: every doc, flags + first-fail reason ──
+
+def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation audit report (operators/text.py
+    curation_decisions): every document with duplicate/language/
+    quality flags, the final keep/drop decision, and the FIRST
+    failing rule as the named reason — the drop-lineage complement
+    of corpus_curation's filtered output, same one-shuffle plan."""
+    from hr_moderndatapipeline_spark.operators.text import curation_decisions
+
+    return curation_decisions(
+        _docs(spark, sf_dir), "doc_id", "text", min_quality=0.4, lang="en"
+    )
+
+
+ORACLE_CURATION_DECISIONS = """
+WITH surv AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents),
+t AS (
+  SELECT doc_id, rn,
+         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+         / CAST(len(str_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['the','a','of','and','to','in','is'])) AS INTEGER) AS stop_en,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['el','la','de','y','que','en','es'])) AS INTEGER) AS hits_es,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['le','la','de','et','que','en','est'])) AS INTEGER) AS hits_fr,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['der','die','das','und','zu','ist','ein'])) AS INTEGER) AS hits_de
+  FROM surv),
+scored AS (
+  SELECT doc_id,
+         CAST(rn > 1 AS BIGINT) AS is_duplicate,
+         CASE WHEN (CASE WHEN greatest(stop_en, hits_es, hits_fr, hits_de) <= 0 THEN 'unknown'
+                         WHEN hits_de = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'de'
+                         WHEN stop_en = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'en'
+                         WHEN hits_es = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'es'
+                         ELSE 'fr' END) = 'en'
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS lang_ok,
+         CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN distinct_ratio > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN stop_en >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) >= 0.4
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS quality_ok
+  FROM t)
+SELECT doc_id, is_duplicate, lang_ok, quality_ok,
+       CASE WHEN is_duplicate = 1 THEN 'duplicate'
+            WHEN lang_ok = 0 THEN 'language'
+            WHEN quality_ok = 0 THEN 'quality'
+            ELSE 'kept' END AS reason,
+       CASE WHEN is_duplicate = 1 OR lang_ok = 0 OR quality_ok = 0
+            THEN 'drop' ELSE 'keep' END AS decision
+FROM scored
+"""
+
+
 # ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,6 +2377,7 @@ QUERIES = {
     "keyword_search_conjunctive": q_keyword_search_conjunctive,
     "phrase_search": q_phrase_search,
     "cms_incremental_state": q_cms_incremental_state,
+    "curation_decisions": q_curation_decisions,
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
@@ -2379,6 +2439,7 @@ ORACLES = {
     "keyword_search_conjunctive": ORACLE_KEYWORD_SEARCH,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "cms_incremental_state": ORACLE_CMS_INCREMENTAL_STATE,
+    "curation_decisions": ORACLE_CURATION_DECISIONS,
     "dictionary_encode_digest": ORACLE_DICTIONARY_ENCODE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
