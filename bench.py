@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "phrase_search",              # positional posting-list phrase intersection
     "snapshot_orders_diff",       # versioned-snapshot CDF classification
     "segment_priority_chisq",     # contingency grid + chi-square cells
+    "supplier_golden_records",    # entity match→cluster→survivorship MDM
+    "rolling_weekly_active_users",  # trailing-7d distinct via contribution explode
+    "curation_decisions",         # per-doc drop-reason audit matrix
+    "forecast_revenue_change",    # Q6 scan-only pushdown canary
+    "customer_order_distribution",  # Q13 left-join residual double aggregation
 ]
 
 
