@@ -1062,6 +1062,118 @@ FROM agg
 """
 
 
+# ── CUPED variance-reduced A/B readout ──
+
+def q_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-reduced A/B readout (operators/experiments.py
+    cuped_adjusted_means): users split into two deterministic
+    variants (user_id parity), pre-period event value (before
+    2024-01-15, milli-quantized) as the CUPED covariate, post-period
+    value as the metric. θ and the adjusted means are fixed double
+    expressions over exact BIGINT sufficient statistics, so the
+    whole readout hash-matches the oracle."""
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        cuped_adjusted_means,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000).cast("bigint")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, vm).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, vm).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("bigint").alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    return cuped_adjusted_means(pu, "variant", "x", "y")
+
+
+ORACLE_CUPED_READOUT = """
+WITH pu AS (
+  SELECT user_id % 2 AS variant,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                       THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                       THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_x2
+  FROM pu GROUP BY variant),
+p AS (
+  SELECT *,
+         sum(n_units) OVER () AS _n,
+         sum(sum_x) OVER () AS _sx,
+         sum(sum_y) OVER () AS _sy,
+         sum(sum_xy) OVER () AS _sxy,
+         sum(sum_x2) OVER () AS _sx2
+  FROM v)
+SELECT CAST(variant AS BIGINT) AS variant, n_units, sum_x, sum_y,
+       CASE WHEN CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0
+            THEN (CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                 / (CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                    - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END AS theta,
+       CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE) AS mean_y,
+       CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE)
+       - (CASE WHEN CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                    - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0
+               THEN (CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                     - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                    / (CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                       - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+               ELSE CAST(0.0 AS DOUBLE) END)
+         * (CAST(sum_x AS DOUBLE) / CAST(n_units AS DOUBLE)
+            - CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) AS mean_y_adjusted
+FROM p
+"""
+
+
+# ── customer spend percentile profile (ONE SQL text) ──
+
+_SPEND_PERCENTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, cents,
+       percent_rank() OVER (ORDER BY cents ASC, o_custkey ASC) AS spend_percentile,
+       cume_dist() OVER (ORDER BY cents ASC, o_custkey ASC) AS spend_cume_dist
+FROM spend
+"""
+
+
+def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer's spend percentile via the SQL-standard
+    percent_rank / cume_dist windows (exact small-integer ratios —
+    engine-identical doubles), deterministic tiebreak on custkey.
+    ONE SQL text on both engines; the window runs over the
+    O(#customers) aggregate, never the order facts."""
+    from hr_moderndatapipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SPEND_PERCENTILE_SQL)
+
+
+ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
+
+
 # ── equal-frequency binning: ntile decile profile (ONE SQL text) ──
 
 _PRICE_DECILE_SQL = """
@@ -2951,6 +3063,8 @@ QUERIES = {
     "rolling_weekly_active_users": q_rolling_weekly_active_users,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
+    "cuped_experiment_readout": q_cuped_experiment_readout,
+    "customer_spend_percentile": q_customer_spend_percentile,
     "benford_price_digits": q_benford_price_digits,
     "segment_priority_chisq": q_segment_priority_chisq,
     "user_value_twap": q_user_value_twap,
@@ -3030,6 +3144,8 @@ ORACLES = {
     "rolling_weekly_active_users": ORACLE_ROLLING_WAU,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
+    "cuped_experiment_readout": ORACLE_CUPED_READOUT,
+    "customer_spend_percentile": ORACLE_SPEND_PERCENTILE,
     "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
     "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
     "user_value_twap": ORACLE_USER_VALUE_TWAP,
