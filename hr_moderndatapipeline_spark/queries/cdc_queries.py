@@ -341,6 +341,68 @@ FROM customer WHERE c_nationkey IS NOT NULL
 """
 
 
+def q_dq_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-contract report card: one row PER RULE (including
+    rules with zero violations — the report's whole point) with
+    violation count, scanned rows, and violation rate in integer
+    ppm. This is the expectation-suite summary a pipeline publishes
+    per run; the row-level quarantine face is dq_violations_customer.
+    Total row count is one bounded driver scalar (watermark class);
+    the per-rule counts are one groupBy over the violation rows."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    _, violations = apply_rules(
+        cust, CUSTOMER_RULES, refs={"nation": nation}, id_cols=["c_custkey"]
+    )
+    counts = violations.groupBy("rule_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    )
+    total = cust.count()
+    rule_ids = spark.createDataFrame(
+        [(r.rule_id,) for r in CUSTOMER_RULES], "rule_id string"
+    )
+    return (
+        rule_ids.join(counts, "rule_id", "left")
+        .withColumn(
+            "n_violations", F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint")
+        )
+        .withColumn("n_rows", F.lit(total).cast("bigint"))
+        .withColumn(
+            "violation_ppm",
+            F.expr("CAST(1000000 * n_violations DIV n_rows AS BIGINT)"),
+        )
+    )
+
+
+ORACLE_DQ_RULE_SUMMARY = """
+WITH v AS (
+  SELECT c_custkey, 'customer.not_null.c_mktsegment.0' AS rule_id
+  FROM customer WHERE c_mktsegment IS NULL
+  UNION ALL
+  SELECT c_custkey, 'customer.between.c_acctbal.1' AS rule_id
+  FROM customer WHERE c_acctbal IS NULL OR c_acctbal < 0 OR c_acctbal > 5000
+  UNION ALL
+  SELECT c_custkey, 'customer.unique.c_name.2' AS rule_id
+  FROM customer WHERE c_name IN (SELECT c_name FROM customer GROUP BY 1 HAVING count(*) > 1)
+  UNION ALL
+  SELECT c_custkey, 'customer.foreign_key.c_nationkey.3' AS rule_id
+  FROM customer WHERE c_nationkey IS NOT NULL
+                  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+rules AS (
+  SELECT unnest(['customer.not_null.c_mktsegment.0',
+                 'customer.between.c_acctbal.1',
+                 'customer.unique.c_name.2',
+                 'customer.foreign_key.c_nationkey.3']) AS rule_id),
+c AS (SELECT rule_id, count(*) AS n FROM v GROUP BY 1),
+t AS (SELECT count(*) AS n_rows FROM customer)
+SELECT r.rule_id,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_violations,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(1000000 * coalesce(c.n, 0) // t.n_rows AS BIGINT) AS violation_ppm
+FROM rules r LEFT JOIN c USING (rule_id) CROSS JOIN t
+"""
+
+
 # ── T6 — schema-validation DLQ split (batch shape of the streaming path) ──
 
 def q_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +706,7 @@ QUERIES = {
     "asof_purchase_state": q_asof_purchase_state,
     "pit_order_features": q_pit_order_features,
     "dq_violations_customer": q_dq_violations_customer,
+    "dq_rule_summary": q_dq_rule_summary,
     "dlq_split": q_dlq_split,
 }
 
@@ -660,5 +723,6 @@ ORACLES = {
     "asof_purchase_state": ORACLE_ASOF_PURCHASE_STATE,
     "pit_order_features": ORACLE_PIT_ORDER_FEATURES,
     "dq_violations_customer": ORACLE_DQ_VIOLATIONS,
+    "dq_rule_summary": ORACLE_DQ_RULE_SUMMARY,
     "dlq_split": ORACLE_DLQ_SPLIT,
 }
