@@ -1367,6 +1367,93 @@ FROM scored
 """
 
 
+# ── cross-source contamination matrix: pairwise n-gram overlap ──
+
+def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from each other: pairwise 8-gram-set
+    overlap and Jaccard between document sources — the governance
+    matrix behind "is source B a re-crawl of source A". Same
+    map-side pair-explosion plan as event_type_overlap: distinct
+    (gram, source) postings, per-gram source SETS (bounded by the
+    source vocabulary, not the corpus), C(set,2) pairs exploded
+    map-side, one count per pair — never a grams² or sources²
+    self-join against the corpus. Union sizes come from the O(#src)
+    per-source distinct-gram counts."""
+    docs = _docs(spark, sf_dir).select("source", "text")
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= 8, F.sequence(F.lit(1), F.size(words) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 8)))
+    posting = (
+        docs.select("source", F.explode(grams).alias("gram")).distinct()
+    )
+    per_source = posting.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    sets = posting.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("srcs"),
+                        lambda a: F.transform(
+                            F.col("srcs"), lambda b: F.struct(a.alias("sa"), b.alias("sb"))
+                        ),
+                    )
+                ),
+                lambda s: s["sa"] < s["sb"],
+            )
+        ).alias("p")
+    ).select("p.sa", "p.sb")
+    inter = pairs.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared_grams")
+    )
+    a_sz = per_source.select(F.col("source").alias("sa"), F.col("n_grams").alias("na"))
+    b_sz = per_source.select(F.col("source").alias("sb"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(F.broadcast(a_sz), "sa")
+        .join(F.broadcast(b_sz), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "shared_grams",
+            (
+                F.col("shared_grams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_grams")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_NGRAM_OVERLAP = """
+WITH w AS (SELECT source, str_split(text, ' ') AS ws FROM documents),
+posting AS (
+  SELECT DISTINCT source, unnest(
+    CASE WHEN len(ws) >= 8
+         THEN list_transform(range(1, len(ws) - 6),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                               ws[i+4], ws[i+5], ws[i+6], ws[i+7]))
+         ELSE [] END) AS gram
+  FROM w),
+per_source AS (SELECT source, count(*) AS n_grams FROM posting GROUP BY 1),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS shared_grams
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.sa AS source_a, i.sb AS source_b,
+       CAST(i.shared_grams AS BIGINT) AS shared_grams,
+       CAST(i.shared_grams AS DOUBLE)
+         / CAST(pa.n_grams + pb.n_grams - i.shared_grams AS DOUBLE) AS jaccard
+FROM inter i
+JOIN per_source pa ON pa.source = i.sa
+JOIN per_source pb ON pb.source = i.sb
+"""
+
+
 # ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2378,6 +2465,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "cms_incremental_state": q_cms_incremental_state,
     "curation_decisions": q_curation_decisions,
+    "source_ngram_overlap": q_source_ngram_overlap,
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
@@ -2440,6 +2528,7 @@ ORACLES = {
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "cms_incremental_state": ORACLE_CMS_INCREMENTAL_STATE,
     "curation_decisions": ORACLE_CURATION_DECISIONS,
+    "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "dictionary_encode_digest": ORACLE_DICTIONARY_ENCODE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
