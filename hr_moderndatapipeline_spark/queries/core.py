@@ -1174,6 +1174,37 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
 
 
+# ── value-window bookends: first/last/nth with explicit frames ──
+
+_ORDER_BOOKENDS_SQL = """
+SELECT DISTINCT o_custkey,
+       first_value(o_orderstatus) OVER w AS first_status,
+       last_value(o_orderstatus) OVER w AS last_status,
+       nth_value(o_orderstatus, 2) OVER w AS second_status,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_order_status_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer first/last/second order status via
+    first_value/last_value/nth_value with an EXPLICIT unbounded ROWS
+    frame — last_value's default frame (… AND CURRENT ROW) is the
+    classic silent-wrong-answer trap, so the frame is spelled out
+    and the query doubles as the regression pin for it. ONE SQL text
+    on both engines; deterministic ordering tiebreak on orderkey;
+    single-order customers get NULL second_status on both sides."""
+    from hr_moderndatapipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_ORDER_BOOKENDS_SQL)
+
+
+ORACLE_ORDER_BOOKENDS = _ORDER_BOOKENDS_SQL
+
+
 # ── equal-frequency binning: ntile decile profile (ONE SQL text) ──
 
 _PRICE_DECILE_SQL = """
@@ -3065,6 +3096,7 @@ QUERIES = {
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
     "customer_spend_percentile": q_customer_spend_percentile,
+    "order_status_bookends": q_order_status_bookends,
     "benford_price_digits": q_benford_price_digits,
     "segment_priority_chisq": q_segment_priority_chisq,
     "user_value_twap": q_user_value_twap,
@@ -3146,6 +3178,7 @@ ORACLES = {
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,
     "customer_spend_percentile": ORACLE_SPEND_PERCENTILE,
+    "order_status_bookends": ORACLE_ORDER_BOOKENDS,
     "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
     "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
     "user_value_twap": ORACLE_USER_VALUE_TWAP,
