@@ -669,6 +669,9 @@ def twap_features(
     from pyspark.sql import Window
 
     kcols = list(keys)
+    clash = {"_t0", "_t1", "_vmicro", "_tb", "_dt"} & set(kcols)
+    if clash:  # internal helper names — loud error, not a silent shadow
+        raise ValueError(f"key columns collide with twap internals: {clash}")
     tb = tiebreak_col or ts_col
     w = Window.partitionBy(*kcols).orderBy(F.col("_t0").asc(), F.col("_tb").asc())
     stepped = df.select(

@@ -2362,6 +2362,9 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .collect()
     )
+    if not top:  # no doc has 3 words — empty result, not an IndexError
+        schema = "doc_id bigint, match_pos bigint, phrase string"
+        return spark.createDataFrame([], schema)
     phrase = top[0]["gram"]
     return phrase_search(docs, "doc_id", "text", phrase).withColumn(
         "phrase", F.lit(phrase)

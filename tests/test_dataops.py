@@ -886,3 +886,29 @@ def test_golden_records_survivorship(spark):
     assert out[9]["n_members"] == 1 and out[9]["max_bal"] == 7
     with pytest.raises(ValueError, match="survivorship"):
         golden_records(ents, "ent_id", clusters, {"name": "first"})
+
+
+def test_phrase_search_query_empty_corpus_shape(spark, tmp_path):
+    """A corpus with no 3-word document yields an EMPTY typed frame
+    from the driver entry, not an IndexError (hardening edge)."""
+    import os
+
+    from hr_moderndatapipeline_spark.queries.dataops import q_phrase_search
+
+    df = spark.createDataFrame([(0, "one two"), (1, "x")], "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = q_phrase_search(spark, d)
+    assert out.columns == ["doc_id", "match_pos", "phrase"]
+    assert out.count() == 0
+
+
+def test_twap_key_collision_is_loud(spark):
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.relational import twap_features
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "_t0 long, ts long, value double")
+    with _pytest.raises(ValueError, match="twap internals"):
+        twap_features(df, ["_t0"], "ts", "value")
