@@ -369,3 +369,22 @@ def test_returned_item_topk_avoids_full_sort(spark, sf_dir):
 
     plan = plan_of(tpch_extra.q_returned_item_customers(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """The three join-strategy hints must reach the physical plan:
+    broadcast() → BroadcastHashJoin, merge → SortMergeJoin,
+    shuffle_hash → ShuffledHashJoin (the knobs a 100 TB tuning pass
+    actually turns when AQE's default pick is wrong)."""
+    from pyspark.sql import functions as FF
+
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    jb = o.join(FF.broadcast(c), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in jb._jdf.queryExecution().executedPlan().toString()
+    jm = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in jm._jdf.queryExecution().executedPlan().toString()
+    jh = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in jh._jdf.queryExecution().executedPlan().toString()
