@@ -1123,20 +1123,20 @@ p AS (
          sum(sum_x2) OVER () AS _sx2
   FROM v)
 SELECT CAST(variant AS BIGINT) AS variant, n_units, sum_x, sum_y,
-       CASE WHEN CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+       CASE WHEN CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0
-            THEN (CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+            THEN (CAST(_n AS DOUBLE) * CAST(CAST(_sxy AS VARCHAR) AS DOUBLE)
                   - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
-                 / (CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                 / (CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
                     - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
             ELSE CAST(0.0 AS DOUBLE) END AS theta,
        CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE) AS mean_y,
        CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE)
-       - (CASE WHEN CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+       - (CASE WHEN CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
                     - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0
-               THEN (CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+               THEN (CAST(_n AS DOUBLE) * CAST(CAST(_sxy AS VARCHAR) AS DOUBLE)
                      - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
-                    / (CAST(_n AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                    / (CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
                        - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
                ELSE CAST(0.0 AS DOUBLE) END)
          * (CAST(sum_x AS DOUBLE) / CAST(n_units AS DOUBLE)
@@ -2651,7 +2651,12 @@ def q_segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch day (operators/relational.linear_trend): the closed-form
     trend detector. Integer sufficient statistics (exact, any
     partitioning), DECIMAL combination, two final double divisions
-    identical on both engines."""
+    identical on both engines. Oracle note: the big integer→double
+    conversions route through VARCHAR because DuckDB's native
+    HUGEINT→DOUBLE cast double-rounds (hi·2⁶⁴ + lo in float) and is
+    off by 1-2 ULP above 2^53 — found by the sf0.1 sweep, where
+    n·Sxy reaches ~2·10¹⁹; string parsing is correctly rounded on
+    both engines."""
     from hr_moderndatapipeline_spark.operators.relational import linear_trend
 
     o = _t(spark, sf_dir, "orders").select(
@@ -2692,12 +2697,13 @@ s AS (
 SELECT seg AS c_mktsegment,
        CAST(n AS BIGINT) AS n_points,
        CASE WHEN (n * sxx - sx * sx) <> 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            THEN CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
             ELSE NULL END AS slope,
        CASE WHEN (n * sxx - sx * sx) <> 0
-            THEN (CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            THEN (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                  - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE)
             ELSE NULL END AS intercept
 FROM s
@@ -2989,10 +2995,10 @@ SELECT a AS c_mktsegment, b AS o_orderpriority,
        CAST(rt * ct * 1000000 // n AS BIGINT) AS expected_micro,
        CASE WHEN rt * ct * 1000000 // n > 0 THEN
          ((CAST(observed AS DOUBLE)
-           - CAST(rt * ct * 1000000 // n AS DOUBLE) / CAST(1000000 AS DOUBLE))
+           - CAST(CAST(rt * ct * 1000000 // n AS VARCHAR) AS DOUBLE) / CAST(1000000 AS DOUBLE))
           * (CAST(observed AS DOUBLE)
-             - CAST(rt * ct * 1000000 // n AS DOUBLE) / CAST(1000000 AS DOUBLE)))
-         / (CAST(rt * ct * 1000000 // n AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             - CAST(CAST(rt * ct * 1000000 // n AS VARCHAR) AS DOUBLE) / CAST(1000000 AS DOUBLE)))
+         / (CAST(CAST(rt * ct * 1000000 // n AS VARCHAR) AS DOUBLE) / CAST(1000000 AS DOUBLE))
        ELSE CAST(0.0 AS DOUBLE) END AS chisq_cell
 FROM m
 """
@@ -3029,7 +3035,7 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(vmicro * dt) AS BIGINT) AS numer_micro_s,
        CAST(sum(dt) AS BIGINT) AS denom_s,
-       CAST(sum(vmicro * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+       CAST(CAST(sum(vmicro * dt) AS VARCHAR) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
          / CAST(1000000 AS DOUBLE) AS twap
 FROM h GROUP BY user_id HAVING sum(dt) > 0
 """
