@@ -78,3 +78,29 @@ def test_oracle_arrow_schemas_are_canonical(duck):
                     "(HUGEINT? wrap the expression in CAST(... AS BIGINT))"
                 )
     assert not violations, "\n".join(violations)
+
+
+def test_no_direct_bigproduct_double_casts_in_oracles():
+    """DuckDB converts HUGEINT→DOUBLE as hi·2⁶⁴ + lo in float
+    arithmetic — double-rounded, 1-2 ULP off above 2^53 (the
+    segment_revenue_trend sf0.1 finding). Sums of products and
+    products of aggregates promote to HUGEINT, so casting them
+    straight to DOUBLE in an oracle is a latent cross-engine hash
+    mismatch: route big conversions through VARCHAR (correctly-
+    rounded string parse) instead. This lint names the pattern."""
+    import re
+
+    import __spark_entry__ as entry
+
+    bad = []
+    for name, sql in entry.oracle_sql().items():
+        for pat in (
+            r"CAST\(\s*sum\([^()]*\*[^()]*\)\s*AS\s+DOUBLE\)",
+            r"CAST\(\s*\w+\s*\*\s*\w+\b[^()]*\bAS\s+DOUBLE\)",
+        ):
+            if re.search(pat, sql, re.I):
+                bad.append(name)
+    assert not bad, (
+        f"oracles cast product-sums straight to DOUBLE (HUGEINT "
+        f"double-rounding risk) — route through VARCHAR: {sorted(set(bad))}"
+    )
