@@ -227,12 +227,19 @@ def minhash_dedup_pairs(
     # hashing the shingle strings: higher-order-function element
     # access is interpreted, while this whole projection stays in
     # codegen. Measured, not assumed.)
-    prepped = rebalance(df).select(
+    # Drop short docs on the RAW word count BEFORE shingling: the
+    # equivalent `size(_shh) > 0` after the projection gets pushed
+    # down with the whole shingle expression substituted into the
+    # predicate — the shingling then runs twice per row (measured
+    # catastrophic on the interpreted portable path; 2× even here).
+    prepped = rebalance(
+        df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+    ).select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("_shh"),
-    ).filter(F.size("_shh") > 0)
+    )
     # The hashed-shingle frame feeds three branches (signatures, and
     # both sides of the verification join); uncached, each branch
     # would re-run the split+shingle+hash lineage. Long arrays cache
@@ -569,7 +576,8 @@ def minhash_dedup_pairs_portable(
     ENTIRE MinHash→LSH→verify pipeline is restatable in ANSI SQL and
     hash-verified by the oracle gate:
 
-    - shingle hash: polynomial char fold mod P (`poly_token_hash`)
+    - shingle hash: per-word polynomial char fold mod P
+      (`poly_token_hash`) combined per shingle with an affine fold,
       instead of xxhash64;
     - the k permutations: `_mix_mod` (affine mod P) instead of
       wrapping-long affine maps;
@@ -581,21 +589,52 @@ def minhash_dedup_pairs_portable(
       identical to the xxhash64 path's set semantics.
 
     Same plan shape as `minhash_dedup_pairs` (one shuffle to
-    signatures, bucket equi-join, hot-bucket cap, verification join);
-    the portable hash is interpreted per character, so this is the
-    verification face — `minhash_dedup_pairs` stays the raw-speed
+    signatures, bucket equi-join, hot-bucket cap, verification join).
+    Shingle hashing is two-stage for speed: each WORD is char-folded
+    ONCE into a materialized array column, then each shingle combines
+    its n word hashes with ``s = (s·1000003 + wᵢ) mod P`` — measured
+    2.7× faster at sf0.1 than char-folding every shingle string
+    (words are ~n× shorter in aggregate than the overlapping shingle
+    strings). The word-hash array MUST be bound as a real column in
+    its own select first: an ``element_at`` inside a lambda that
+    captures the transform expression re-evaluates the entire
+    word-hash array per access — measured 23× SLOWER, not faster.
+    `minhash_dedup_pairs` (codegen xxhash64) stays the raw-speed
     default. Base-hash range ~2^30: cross-doc shingle collisions
     (~0.05% at 1M shingles) perturb Jaccard by <1e-3 on both engines
     identically."""
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
-    prepped = df.select(
+    # Short docs are dropped on the RAW word count, before any
+    # hashing: the equivalent late filter `size(_shh) > 0` is a
+    # performance trap — Catalyst pushes the predicate through the
+    # projection by SUBSTITUTING the whole shingle-hash expression
+    # into it, so the pipeline's most expensive expression runs twice
+    # per row (measured 0.9s → 52s at sf0.1 for the hash stage).
+    hashed_words = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    ).select(
         F.col(id_col),
         F.transform(
-            word_shingles(F.col(text_col), shingle_n), lambda s: poly_token_hash(s)
-        ).alias("_shh"),
-    ).filter(F.size("_shh") > 0)
+            F.split(F.col(text_col), " "), lambda w: poly_token_hash(w)
+        ).alias("_wh"),
+    )
+    whc = F.col("_wh")
+    idx = F.sequence(F.lit(1), F.size(whc) - (shingle_n - 1))
+
+    def _shingle_hash(i: Column) -> Column:
+        s = F.element_at(whc, i)
+        for j in range(1, shingle_n):
+            s = F.pmod(
+                s * F.lit(_BAND_FOLD_MULT) + F.element_at(whc, i + j), F.lit(_P)
+            )
+        return s
+
+    prepped = hashed_words.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(idx, _shingle_hash)).alias("_shh"),
+    )
     from pyspark import StorageLevel
 
     prepped = pin(

@@ -372,21 +372,23 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents),
-w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM corpus),
+w AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(w) + 1),
+                                   i -> CAST(ord(w[i]) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+  FROM corpus),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(ws) >= 3
-                THEN list_transform(range(1, len(ws) - 1),
-                       i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
-                ELSE [] END)) AS s
+           CASE WHEN len(wh) >= 3
+                THEN list_transform(range(1, len(wh) - 1),
+                       i -> (((wh[i] * 1000003 + wh[i + 1]) % 1000000007)
+                             * 1000003 + wh[i + 2]) % 1000000007)
+                ELSE [] END)) AS h
   FROM w),
-hh AS (
-  SELECT DISTINCT doc_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(s) + 1),
-                            i -> CAST(ord(s[i]) AS BIGINT))),
-             (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-  FROM sh),
+hh AS (SELECT DISTINCT doc_id, h FROM sh),
 mins AS (
   SELECT doc_id, r.j AS j,
          min((h * (2654435761 + r.j) + 40503 * (r.j + 1)) % 1000000007) AS m
