@@ -285,12 +285,14 @@ def minhash_index(
     # consumers (signatures + the final join) would otherwise re-run
     # the split+shingle+hash of the WHOLE corpus — the most expensive
     # map stage of the index build — twice.
-    prepped = df.select(
+    prepped = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    ).select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("_shh"),
-    ).filter(F.size("_shh") > 0)
+    )
     prepped = pin(prepped, tag="minhash", storage_level=StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(prepped, id_col, "_shh", num_hashes)
     buckets = lsh_bucket_rows(sigs, id_col, "_sig", bands, rows_per_band)
