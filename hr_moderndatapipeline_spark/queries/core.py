@@ -1174,6 +1174,59 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
 
 
+# ── weekday seasonality profile (engine-free weekday index) ──
+
+_WEEKDAY_PROFILE_SQL = """
+WITH d AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7
+           AS weekday_idx
+  FROM orders),
+c AS (SELECT weekday_idx, count(*) AS n_orders FROM d GROUP BY 1),
+t AS (SELECT sum(n_orders) AS total FROM c)
+SELECT weekday_idx,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(1000000 * n_orders // total AS BIGINT) AS share_ppm,
+       CAST(1000000 * n_orders // total - 142857 AS BIGINT) AS vs_uniform_ppm
+FROM c CROSS JOIN t
+"""
+
+
+def q_weekday_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume by weekday with deviation from uniform (integer
+    ppm) — the day-of-week seasonality screen behind ingest anomaly
+    triage. The weekday index is ``epoch_day % 7`` (0 = Thursday,
+    1970-01-01's weekday) computed from pure date arithmetic —
+    deliberately NOT the engines' dayofweek() functions, whose week
+    anchors disagree (Spark: 1=Sunday; DuckDB: 0=Sunday) and would
+    silently rotate the histogram between engines. The Spark text
+    differs from the oracle only in the date-diff function name."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.pmod(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint"),
+            F.lit(7),
+        ).alias("weekday_idx")
+    )
+    counts = o.groupBy("weekday_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return counts.withColumn("_total", total).select(
+        "weekday_idx",
+        "n_orders",
+        F.expr("CAST(1000000 * n_orders DIV _total AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(1000000 * n_orders DIV _total - 142857 AS BIGINT)").alias(
+            "vs_uniform_ppm"
+        ),
+    )
+
+
+ORACLE_WEEKDAY_ORDER_PROFILE = _WEEKDAY_PROFILE_SQL
+
+
 # ── value-window bookends: first/last/nth with explicit frames ──
 
 _ORDER_BOOKENDS_SQL = """
@@ -3103,6 +3156,7 @@ QUERIES = {
     "cuped_experiment_readout": q_cuped_experiment_readout,
     "customer_spend_percentile": q_customer_spend_percentile,
     "order_status_bookends": q_order_status_bookends,
+    "weekday_order_profile": q_weekday_order_profile,
     "benford_price_digits": q_benford_price_digits,
     "segment_priority_chisq": q_segment_priority_chisq,
     "user_value_twap": q_user_value_twap,
@@ -3185,6 +3239,7 @@ ORACLES = {
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,
     "customer_spend_percentile": ORACLE_SPEND_PERCENTILE,
     "order_status_bookends": ORACLE_ORDER_BOOKENDS,
+    "weekday_order_profile": ORACLE_WEEKDAY_ORDER_PROFILE,
     "benford_price_digits": ORACLE_BENFORD_PRICE_DIGITS,
     "segment_priority_chisq": ORACLE_SEGMENT_PRIORITY_CHISQ,
     "user_value_twap": ORACLE_USER_VALUE_TWAP,
