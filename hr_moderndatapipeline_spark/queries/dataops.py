@@ -1456,6 +1456,74 @@ JOIN per_source pb ON pb.source = i.sb
 """
 
 
+# ── curation funnel: reason histogram over the decision matrix ──
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-line-per-rule funnel report over curation_decisions:
+    docs per outcome reason with integer-ppm share of the corpus —
+    what a curation run prints at the end ("kept 61%, dropped 24%
+    duplicate / 9% language / 6% quality"). Groups the O(corpus)
+    decision rows once; the ppm window runs over the O(#reasons)
+    aggregate."""
+    from pyspark.sql import Window
+
+    from hr_moderndatapipeline_spark.operators.text import curation_decisions
+
+    d = curation_decisions(
+        _docs(spark, sf_dir), "doc_id", "text", min_quality=0.4, lang="en"
+    )
+    counts = d.groupBy("reason").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.withColumn("_total", total).select(
+        "reason",
+        "n_docs",
+        F.expr("CAST(1000000 * n_docs DIV _total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+ORACLE_CURATION_FUNNEL = """
+WITH surv AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents),
+t AS (
+  SELECT doc_id, rn,
+         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+         / CAST(len(str_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['the','a','of','and','to','in','is'])) AS INTEGER) AS stop_en,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['el','la','de','y','que','en','es'])) AS INTEGER) AS hits_es,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['le','la','de','et','que','en','est'])) AS INTEGER) AS hits_fr,
+         CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                                 ['der','die','das','und','zu','ist','ein'])) AS INTEGER) AS hits_de
+  FROM surv),
+reasons AS (
+  SELECT CASE
+           WHEN rn > 1 THEN 'duplicate'
+           WHEN (CASE WHEN greatest(stop_en, hits_es, hits_fr, hits_de) <= 0 THEN 'unknown'
+                      WHEN hits_de = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'de'
+                      WHEN stop_en = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'en'
+                      WHEN hits_es = greatest(stop_en, hits_es, hits_fr, hits_de) THEN 'es'
+                      ELSE 'fr' END) <> 'en' THEN 'language'
+           WHEN (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                 + CASE WHEN distinct_ratio > 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                 + CASE WHEN stop_en >= 2 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) < 0.4
+                THEN 'quality'
+           ELSE 'kept' END AS reason
+  FROM t),
+c AS (SELECT reason, count(*) AS n_docs FROM reasons GROUP BY 1),
+tt AS (SELECT sum(n_docs) AS total FROM c)
+SELECT reason, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(1000000 * n_docs // total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN tt
+"""
+
+
 # ── multimodal plumbing (binary payloads, stubbed codecs) ──
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2471,6 +2539,7 @@ QUERIES = {
     "cms_incremental_state": q_cms_incremental_state,
     "curation_decisions": q_curation_decisions,
     "source_ngram_overlap": q_source_ngram_overlap,
+    "curation_funnel": q_curation_funnel,
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "pq_probe_topk": q_pq_probe_topk,
@@ -2534,6 +2603,7 @@ ORACLES = {
     "cms_incremental_state": ORACLE_CMS_INCREMENTAL_STATE,
     "curation_decisions": ORACLE_CURATION_DECISIONS,
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
+    "curation_funnel": ORACLE_CURATION_FUNNEL,
     "dictionary_encode_digest": ORACLE_DICTIONARY_ENCODE,
     "jaccard_pairs_by_source": ORACLE_JACCARD_PAIRS,
     "dedup_cluster_assign": ORACLE_DEDUP_CLUSTERS,
