@@ -1,7 +1,18 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Emission contract (round 7 — VERDICT r6 "What's wrong" #1): the
+driver captures only the LAST ~2,000 bytes of output, so the final
+stdout line must stay compact. The FULL record — every query timing,
+plan fingerprint, variant timings, errors — is written to a committed
+side file ``BENCH_DETAIL_r<N>.json`` (N = next round, inferred from
+existing ``BENCH_r*.json``), and the final printed line carries only
+{"metric", "value", "unit", "sf", "queries": <the 21-query r1-anchor
+subset>, "n_queries", "errors", "detail", "set"} — measured ≲1 KB.
+
+``--core`` runs only the 45-query cross-round comparable core (the r5
+bench list) for cheap solo iteration; the driver's default run is the
+full set. BENCH_DETAIL records which set ran.
 
 Results are written to a no-op sink (full plan execution, no driver
 materialization cost), matching how a production job would behave.
@@ -108,8 +119,63 @@ BENCH_QUERIES = [
     "customer_order_distribution",  # Q13 left-join residual double aggregation
 ]
 
+#: The 21-query round-1 anchor subset (BASELINE.md comparison set).
+#: This is what the compact driver-facing stdout line reports —
+#: BENCH_DETAIL_r*.json carries the full per-query record.
+ANCHOR_QUERIES = [
+    "pricing_summary",
+    "attrition_monthly",
+    "attrition_by_segment",
+    "latest_order_per_customer",
+    "cdc_upsert_current_orders",
+    "scd2_user_state",
+    "asof_purchase_state",
+    "dq_violations_customer",
+    "user_sessions",
+    "event_hourly_window",
+    "dedup_exact",
+    "minhash_dedup_pairs",
+    "jaccard_pairs_by_source",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "gold_summary_sql",
+    "debezium_unwrap",
+    "token_stats",
+    "doc_fingerprint",
+    "multimodal_features",
+]
 
-def main() -> None:
+#: The 45-query cross-round comparable core — EXACTLY the round-5
+#: bench list (r6 inserted pq_probe_topk mid-list, so this is not a
+#: prefix slice). ``--core`` runs only these, trimming solo-iteration
+#: wall time; the long tail still runs on the driver's full run.
+CORE_QUERIES = [
+    n
+    for n in BENCH_QUERIES[:46]
+    if n != "pq_probe_topk"
+]
+
+
+def _next_round() -> int:
+    """Infer the round number for the detail-file name from committed
+    driver artifacts: max existing BENCH_r<N>.json + 1 (the driver
+    writes BENCH_r<N>.json AFTER running this script)."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    core_only = "--core" in argv
+    bench_set = CORE_QUERIES if core_only else BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # 1-minute loadavg at start (the bench's own load shows at end):
@@ -158,16 +224,16 @@ def main() -> None:
     # bench (round 3 lost the entire measurement to one analysis
     # error): each sample is fault-isolated and failures are
     # reported in an `errors` field alongside the timings.
-    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    samples: dict[str, list[float]] = {n: [] for n in bench_set}
     for _rep in range(2):
-        for name in BENCH_QUERIES:
+        for name in bench_set:
             if name in errors:
                 continue
             try:
                 samples[name].append(run_one(name))
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
-    for name in BENCH_QUERIES:
+    for name in bench_set:
         if name in errors:
             continue
         # Host interference shows up as one sample several times the
@@ -192,7 +258,7 @@ def main() -> None:
     from hr_moderndatapipeline_spark.plans.fingerprint import plan_fingerprint
 
     plans: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_set:
         if name in errors:
             continue
         try:
@@ -200,20 +266,92 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — fingerprints must never kill the bench
             plans[name] = f"ERROR: {type(e).__name__}"
 
+    # Variant ledger (VERDICT r6 task #6): the driver-entry dedup
+    # queries run the PORTABLE (oracle-verifiable) hash family; the
+    # xxhash64 variants stay the raw-speed scale-path defaults. Time
+    # the xxhash twins on the identical re-crawl input once per run so
+    # the verification premium stays measured instead of assumed.
+    variants: dict[str, float] = {}
+    if not core_only:
+        try:
+            from hr_moderndatapipeline_spark.operators.dedup import (
+                minhash_dedup_pairs,
+                simhash_near_pairs,
+            )
+            from hr_moderndatapipeline_spark.sources.readers import load_table
+
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            recrawl = docs.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            )
+            for vname, build in (
+                (
+                    "minhash_dedup_pairs_xxhash",
+                    lambda: minhash_dedup_pairs(recrawl, "doc_id", "text", shingle_n=3),
+                ),
+                (
+                    "simhash_near_pairs_xxhash",
+                    lambda: simhash_near_pairs(recrawl, "doc_id", "text", max_hamming=3),
+                ),
+            ):
+                t0 = time.time()
+                build().write.format("noop").mode("overwrite").save()
+                variants[vname] = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001 — the ledger must never kill the bench
+            variants["ERROR"] = 0.0
+            print(f"variant ledger failed: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_end = round(os.getloadavg()[0], 1)
+
+    # Full record → committed side file; compact line → stdout. The
+    # driver's tail capture is 2,000 bytes, so the stdout line carries
+    # only the r1-anchor subset (BENCH_r06.json's 5.5 KB line parsed
+    # as null — never again).
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "plans": plans,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "variants": variants,
+        "sf": sf_val,
+        "set": "core45" if core_only else "full",
+        "n_queries": len(bench_set),
         "loadavg_start": load_start,
-        "loadavg_end": round(os.getloadavg()[0], 1),
+        "loadavg_end": load_end,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_name = f"BENCH_DETAIL_r{_next_round():02d}.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as e:
+        print(f"detail write failed: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "set": detail["set"],
+        "n_queries": len(bench_set),
+        "n_errors": len(errors),
+        "detail": detail_name,
+        "queries": {n: timings[n] for n in ANCHOR_QUERIES if n in timings},
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:  # hard guard: never exceed the tail window
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

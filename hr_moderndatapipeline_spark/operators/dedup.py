@@ -404,6 +404,10 @@ def simhash_near_pairs(
     boilerplate docs — without the cap they form one block whose
     self-join is quadratic. Run exact dedup first; capped blocks are
     its job, not SimHash's."""
+    # Same guard as simhash_portable_near_pairs: prefix_bits > 64 would
+    # shift by a negative count (JVM wraps mod 64 → garbage blocks).
+    if not 1 <= prefix_bits <= 64:
+        raise ValueError(f"prefix_bits must be in [1, 64], got {prefix_bits}")
     sig = simhash64(df.select(id_col, text_col), id_col, text_col)
     blocked = sig.withColumn("_block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
     if max_block is not None:
@@ -530,6 +534,13 @@ def simhash_portable_near_pairs(
     This is the oracle-gated face of the SimHash family; recall
     characteristics of the blocking are pinned by the shared unit
     tests, scale posture is identical to the xxhash64 variant."""
+    # prefix_bits > bits would shift by a negative count, which the JVM
+    # wraps mod 64 — silently-garbage block keys, not an error (ADVICE
+    # r6). Mirror simhash_portable's bits-range check and fail loud.
+    if not 1 <= prefix_bits <= bits:
+        raise ValueError(
+            f"prefix_bits must be in [1, bits={bits}], got {prefix_bits}"
+        )
     sig = simhash_portable(df.select(id_col, text_col), id_col, text_col, bits=bits)
     blocked = sig.withColumn(
         "_block", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)

@@ -246,9 +246,13 @@ def benford_digit_profile(df: DataFrame, amount_col) -> DataFrame:
     amount — pure string/int ops, identical on every engine (no
     log10 on data). Non-positive amounts are excluded (Benford is
     defined on positive magnitudes). One map-side-combinable groupBy
-    on 9 keys; the ppm normalization is an unpartitioned window over
-    that O(9) aggregate, never the facts (the domain_mix_weights
-    pattern — no join, no nested-loop broadcast)."""
+    on 9 keys, LEFT-JOINED onto a 9-digit literal spine (the
+    dq_rule_summary pattern, ADVICE r6) so a digit with ZERO
+    observations still emits its row — the zero-count row IS the
+    anomaly signal a Benford screen exists to surface; the ppm
+    normalization is an unpartitioned window over that O(9)
+    aggregate, never the facts (the domain_mix_weights pattern — no
+    nested-loop broadcast)."""
     from pyspark.sql import Window
 
     digits = (
@@ -256,7 +260,13 @@ def benford_digit_profile(df: DataFrame, amount_col) -> DataFrame:
         .filter(F.col("_amt") > 0)
         .select(F.substring(F.col("_amt").cast("string"), 1, 1).cast("int").alias("digit"))
     )
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    observed = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    spine = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = spine.join(observed, "digit", "left").select(
+        "digit", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
     expected = F.create_map(
         *[x for d, ppm in BENFORD_PPM.items() for x in (F.lit(d), F.lit(ppm))]
     )
@@ -265,7 +275,12 @@ def benford_digit_profile(df: DataFrame, amount_col) -> DataFrame:
         .select(
             "digit",
             "cnt",
-            F.expr("CAST(1000000 * cnt DIV _total AS BIGINT)").alias("observed_ppm"),
+            # total = 0 (no positive amounts at all) must not divide:
+            # report 0 ppm on every spine row, same CASE in the oracle.
+            F.expr(
+                "CAST(CASE WHEN _total = 0 THEN 0 "
+                "ELSE 1000000 * cnt DIV _total END AS BIGINT)"
+            ).alias("observed_ppm"),
             expected[F.col("digit")].cast("bigint").alias("benford_ppm"),
         )
         .withColumn(

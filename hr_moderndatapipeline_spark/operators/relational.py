@@ -187,9 +187,13 @@ def resample_fill(
     Output: keys…, slot_ts, value (aggregated or carried forward),
     is_gap flag."""
     kcols = list(keys)
-    slot = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
-    )
+    # Pure integer floor-bucketing (ADVICE r6): e - pmod(e, step) floors
+    # on the BIGINT epoch for ANY sign, matching DuckDB's time_bucket;
+    # the old (e / step).cast(long) * step double-divided then truncated
+    # toward zero, landing pre-1970 timestamps one slot high (and taking
+    # an avoidable float step).
+    _epoch = F.unix_timestamp(F.col(ts_col))
+    slot = F.timestamp_seconds(_epoch - F.pmod(_epoch, F.lit(step_seconds)))
     per_slot = (
         df.withColumn("_slot", slot)
         .groupBy(*kcols, "_slot")
@@ -519,9 +523,13 @@ def linear_interpolate(
     grid explodes map-side from each key's span, guarded by
     ``max_slots`` exactly like resample_fill."""
     kcols = list(keys)
-    slot = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
-    )
+    # Pure integer floor-bucketing (ADVICE r6): e - pmod(e, step) floors
+    # on the BIGINT epoch for ANY sign, matching DuckDB's time_bucket;
+    # the old (e / step).cast(long) * step double-divided then truncated
+    # toward zero, landing pre-1970 timestamps one slot high (and taking
+    # an avoidable float step).
+    _epoch = F.unix_timestamp(F.col(ts_col))
+    slot = F.timestamp_seconds(_epoch - F.pmod(_epoch, F.lit(step_seconds)))
     per_slot = (
         df.withColumn("_slot", slot)
         .groupBy(*kcols, "_slot")

@@ -537,7 +537,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions,
-       CAST(count(*) AS DOUBLE) / CAST(sum(new_session) AS DOUBLE) AS events_per_session
+       CAST(count(*) AS DOUBLE) / CAST(CAST(sum(new_session) AS VARCHAR) AS DOUBLE) AS events_per_session
 FROM flagged GROUP BY 1
 """
 
@@ -1123,24 +1123,24 @@ p AS (
          sum(sum_x2) OVER () AS _sx2
   FROM v)
 SELECT CAST(variant AS BIGINT) AS variant, n_units, sum_x, sum_y,
-       CASE WHEN CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
-                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0
-            THEN (CAST(_n AS DOUBLE) * CAST(CAST(_sxy AS VARCHAR) AS DOUBLE)
-                  - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
-                 / (CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
-                    - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+       CASE WHEN CAST(CAST(_n AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx AS VARCHAR) AS DOUBLE) > 0
+            THEN (CAST(CAST(_n AS VARCHAR) AS DOUBLE) * CAST(CAST(_sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) * CAST(CAST(_sy AS VARCHAR) AS DOUBLE))
+                 / (CAST(CAST(_n AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx AS VARCHAR) AS DOUBLE))
             ELSE CAST(0.0 AS DOUBLE) END AS theta,
        CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE) AS mean_y,
        CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE)
-       - (CASE WHEN CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
-                    - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0
-               THEN (CAST(_n AS DOUBLE) * CAST(CAST(_sxy AS VARCHAR) AS DOUBLE)
-                     - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
-                    / (CAST(_n AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
-                       - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+       - (CASE WHEN CAST(CAST(_n AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx AS VARCHAR) AS DOUBLE) > 0
+               THEN (CAST(CAST(_n AS VARCHAR) AS DOUBLE) * CAST(CAST(_sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) * CAST(CAST(_sy AS VARCHAR) AS DOUBLE))
+                    / (CAST(CAST(_n AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx2 AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) * CAST(CAST(_sx AS VARCHAR) AS DOUBLE))
                ELSE CAST(0.0 AS DOUBLE) END)
          * (CAST(sum_x AS DOUBLE) / CAST(n_units AS DOUBLE)
-            - CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) AS mean_y_adjusted
+            - CAST(CAST(_sx AS VARCHAR) AS DOUBLE) / CAST(CAST(_n AS VARCHAR) AS DOUBLE)) AS mean_y_adjusted
 FROM p
 """
 
@@ -1666,10 +1666,10 @@ WITH j AS (
          p_type
   FROM lineitem JOIN part ON l_partkey = p_partkey)
 SELECT year, month,
-       CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-       CAST(sum(amount) AS DOUBLE) AS total_revenue,
-       COALESCE(CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                / NULLIF(CAST(sum(amount) AS DOUBLE), 0.0), 0.0) AS promo_share
+       CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE) AS total_revenue,
+       COALESCE(CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+                / NULLIF(CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE), 0.0), 0.0) AS promo_share
 FROM j
 GROUP BY 1, 2
 """
@@ -1772,8 +1772,8 @@ WITH monthly AS (
 SELECT year,
        CAST(sum(attrition_count) AS BIGINT) AS attrition_count,
        CAST(sum(total_orders) AS BIGINT) AS total_orders,
-       COALESCE(CAST(sum(attrition_count) AS DOUBLE)
-                / NULLIF(CAST(sum(total_orders) AS DOUBLE), 0.0), 0.0) AS attrition_rate
+       COALESCE(CAST(CAST(sum(attrition_count) AS VARCHAR) AS DOUBLE)
+                / NULLIF(CAST(CAST(sum(total_orders) AS VARCHAR) AS DOUBLE), 0.0), 0.0) AS attrition_rate
 FROM monthly GROUP BY 1
 """
 
@@ -2345,12 +2345,12 @@ WITH j AS (
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   WHERE r_name = 'ASIA')
 SELECT CAST(o_year AS INTEGER) AS o_year,
-       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN amount
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS target_revenue,
-       CAST(sum(amount) AS DOUBLE) AS total_revenue,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN amount
-                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             / CAST(sum(amount) AS DOUBLE), 6) AS mkt_share
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN amount
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS target_revenue,
+       CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE) AS total_revenue,
+       round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN amount
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
 FROM j
 GROUP BY 1
 ORDER BY 1
@@ -2756,8 +2756,9 @@ SELECT seg AS c_mktsegment,
        CASE WHEN (n * sxx - sx * sx) <> 0
             THEN (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
                   - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
-                     / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE)
+                     / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                    * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE)
             ELSE NULL END AS intercept
 FROM s
 """
@@ -3001,13 +3002,19 @@ WITH amt AS (
 d AS (
   SELECT CAST(substring(CAST(a AS VARCHAR), 1, 1) AS INTEGER) AS digit
   FROM amt WHERE a > 0),
-c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+c0 AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+c AS (
+  SELECT CAST(s.digit AS INTEGER) AS digit, COALESCE(c0.cnt, 0) AS cnt
+  FROM (SELECT unnest(range(1, 10)) AS digit) s
+  LEFT JOIN c0 ON c0.digit = s.digit),
 t AS (SELECT sum(cnt) AS total FROM c)
 SELECT digit,
        CAST(cnt AS BIGINT) AS cnt,
-       CAST(1000000 * cnt // total AS BIGINT) AS observed_ppm,
+       CAST(CASE WHEN total = 0 THEN 0
+                 ELSE 1000000 * cnt // total END AS BIGINT) AS observed_ppm,
        CAST(CASE digit {_benford_cases()} END AS BIGINT) AS benford_ppm,
-       CAST(1000000 * cnt // total
+       CAST(CASE WHEN total = 0 THEN 0
+                 ELSE 1000000 * cnt // total END
             - CASE digit {_benford_cases()} END AS BIGINT) AS deviation_ppm
 FROM c CROSS JOIN t
 """
@@ -3088,7 +3095,7 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(vmicro * dt) AS BIGINT) AS numer_micro_s,
        CAST(sum(dt) AS BIGINT) AS denom_s,
-       CAST(CAST(sum(vmicro * dt) AS VARCHAR) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+       CAST(CAST(sum(vmicro * dt) AS VARCHAR) AS DOUBLE) / CAST(CAST(sum(dt) AS VARCHAR) AS DOUBLE)
          / CAST(1000000 AS DOUBLE) AS twap
 FROM h GROUP BY user_id HAVING sum(dt) > 0
 """

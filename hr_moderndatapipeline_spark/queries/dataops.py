@@ -1678,8 +1678,8 @@ WITH toks AS (
 lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(l.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_freq,
-       CAST(sum(CASE WHEN l.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(sum(l.cnt) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_freq,
+       CAST(CAST(sum(CASE WHEN l.cnt <= 2 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
        / CAST(count(*) AS DOUBLE) AS rare_frac
 FROM toks t JOIN lm l ON t.tok = l.tok
 GROUP BY t.doc_id
@@ -1707,9 +1707,9 @@ WITH agg AS (
 tot AS (
   SELECT *, sum(n_tokens) OVER () AS total, count(*) OVER () AS nd FROM agg)
 SELECT source, n_docs, n_tokens,
-       CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+       CAST(n_tokens AS DOUBLE) / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS actual_share,
        CAST(1.0 AS DOUBLE) / nd AS target_share,
-       CAST(1.0 AS DOUBLE) / nd * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS weight
+       CAST(1.0 AS DOUBLE) / nd * CAST(CAST(total AS VARCHAR) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS weight
 FROM tot
 """
 

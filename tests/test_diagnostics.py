@@ -73,11 +73,31 @@ def test_benford_digit_profile(spark):
         [(1,), (12,), (19,), (2,), (30,), (-5,), (0,)], "amt long"
     )
     rows = {r["digit"]: r for r in benford_digit_profile(df, "amt").collect()}
-    assert set(rows) == {1, 2, 3}
+    # ADVICE r6: every digit 1-9 emits a row — zero-count digits ARE
+    # the anomaly signal the screen exists for.
+    assert set(rows) == set(range(1, 10))
     assert rows[1]["cnt"] == 3 and rows[2]["cnt"] == 1 and rows[3]["cnt"] == 1
     assert rows[1]["observed_ppm"] == 600000  # 3/5 exactly
     assert rows[1]["benford_ppm"] == BENFORD_PPM[1]
     assert rows[1]["deviation_ppm"] == 600000 - BENFORD_PPM[1]
+    for d in range(4, 10):
+        assert rows[d]["cnt"] == 0
+        assert rows[d]["observed_ppm"] == 0
+        assert rows[d]["deviation_ppm"] == -BENFORD_PPM[d]
+
+
+def test_benford_digit_profile_no_positive_amounts(spark):
+    """Zero positive amounts: the 9-digit spine still emits, with
+    0 ppm everywhere (no division by the zero total on either
+    engine)."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import (
+        benford_digit_profile,
+    )
+
+    df = spark.createDataFrame([(-5,), (0,)], "amt long")
+    rows = {r["digit"]: r for r in benford_digit_profile(df, "amt").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert all(r["cnt"] == 0 and r["observed_ppm"] == 0 for r in rows.values())
 
 
 def test_contingency_chisq_independence(spark):

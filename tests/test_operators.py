@@ -513,6 +513,50 @@ def test_linear_interpolate_planted_gap(spark):
     assert len(got) == 5
 
 
+def test_slot_bucketing_floors_pre_1970(spark):
+    """ADVICE r6: the slot must FLOOR on the integer epoch — the old
+    (unix/step).cast(long)*step double-divided then truncated toward
+    zero, landing 1969-12-31 23:30 in the 1970-01-01 00:00 slot
+    instead of 23:00 (DuckDB's time_bucket floors)."""
+    from decimal import Decimal
+
+    from hr_moderndatapipeline_spark.operators.relational import (
+        linear_interpolate,
+        resample_fill,
+    )
+
+    rows = [(1, "1969-12-31 23:30:00", Decimal("5.00"))]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, v decimal(18,2)"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    li = linear_interpolate(df, ["user_id"], "ts", "v", step_seconds=3600).collect()
+    assert len(li) == 1
+    assert li[0]["slot_ts"].isoformat() == "1969-12-31T23:00:00"
+    rf = resample_fill(df, ["user_id"], "ts", "v", step_seconds=3600).collect()
+    assert len(rf) == 1
+    assert rf[0]["slot_ts"].isoformat() == "1969-12-31T23:00:00"
+
+
+def test_simhash_prefix_bits_validation(spark):
+    """ADVICE r6: prefix_bits outside [1, bits] must raise loudly —
+    a negative shiftrightunsigned count wraps mod 64 on the JVM and
+    silently produces garbage block keys."""
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_portable_near_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="prefix_bits"):
+        simhash_portable_near_pairs(df, "doc_id", "text", prefix_bits=63, bits=62)
+    with _pytest.raises(ValueError, match="prefix_bits"):
+        simhash_portable_near_pairs(df, "doc_id", "text", prefix_bits=0)
+    with _pytest.raises(ValueError, match="prefix_bits"):
+        simhash_near_pairs(df, "doc_id", "text", prefix_bits=65)
+
+
 def test_incremental_join_delta_identity(spark):
     """Appending the maintained delta to the old join view reproduces
     the full recompute exactly — multiset semantics (duplicates kept),

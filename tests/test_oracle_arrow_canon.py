@@ -97,10 +97,23 @@ def test_no_direct_bigproduct_double_casts_in_oracles():
         for pat in (
             r"CAST\(\s*sum\([^()]*\*[^()]*\)\s*AS\s+DOUBLE\)",
             r"CAST\(\s*\w+\s*\*\s*\w+\b[^()]*\bAS\s+DOUBLE\)",
+            # r7 (ADVICE r6): PLAIN sums promote to HUGEINT/DECIMAL(38)
+            # too — a direct DOUBLE cast is the same latent ULP bug the
+            # products had, it just needs |sum| > 2^53 to fire.
+            r"CAST\(\s*sum\([^()]*\)\s*AS\s+DOUBLE\)",
         ):
             if re.search(pat, sql, re.I):
                 bad.append(name)
+        # Window-sum aliases (sum(...) OVER (...) AS x) are HUGEINT as
+        # well — flag CAST(x AS DOUBLE) on any such alias by name.
+        for alias in set(
+            re.findall(r"sum\([^()]*\)\s*OVER\s*\([^()]*\)\s*AS\s+(\w+)", sql, re.I)
+        ):
+            if re.search(
+                rf"CAST\(\s*{re.escape(alias)}\s+AS\s+DOUBLE\)", sql, re.I
+            ):
+                bad.append(f"{name} (window alias {alias})")
     assert not bad, (
-        f"oracles cast product-sums straight to DOUBLE (HUGEINT "
+        f"oracles cast integer/decimal sums straight to DOUBLE (HUGEINT "
         f"double-rounding risk) — route through VARCHAR: {sorted(set(bad))}"
     )
