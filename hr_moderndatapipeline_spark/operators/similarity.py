@@ -347,10 +347,18 @@ def ivf_codebook(
     parameters, not data — so the frame is cheap to persist next to
     the index and reload at probe time."""
     spark = corpus.sparkSession
+    # Seed order uses the PORTABLE affine hash ((id % P)·A + C) % P —
+    # restatable in ANSI SQL, so the whole untrained-codebook IVF path
+    # is DuckDB-oracle-verifiable (r7; xxhash64 was Spark-only). The
+    # inner % P bounds the product below 2^63 for any BIGINT id.
+    _P, _A, _C = 1_000_000_007, 2_654_435_761, 40_503
     seeds = (
         corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
-        .withColumn("_hk", F.xxhash64(F.col(id_col)))
-        .orderBy("_hk")
+        .withColumn(
+            "_hk",
+            F.pmod(F.pmod(F.col(id_col), F.lit(_P)) * _A + _C, F.lit(_P)),
+        )
+        .orderBy("_hk", id_col)
         .limit(n_centroids)
     )
     init = spark.createDataFrame(
@@ -375,18 +383,46 @@ def _codebook_matrix(codebook: DataFrame):
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
-def _assign_factory(codebook_np, n: int):
-    """Top-n centroid ids per vector as one Arrow-batched matmul
-    against the broadcast codebook — the dense numeric kernel where a
-    vectorized Pandas UDF beats per-row JVM expression folds by
-    orders of magnitude."""
+def _codebook_raw(codebook: DataFrame):
+    """Collect the codebook UNNORMALIZED as a (k, dim) ndarray sorted
+    by cluster id — the portable assignment kernel divides by the
+    sequential-fold norm itself so every float op matches the DuckDB
+    restatement. Bounded driver movement: O(k·dim) model scalars."""
     import numpy as np
+
+    rows = sorted(codebook.collect(), key=lambda r: r["cluster"])
+    return np.array([list(r["_cv"]) for r in rows], dtype=np.float64)
+
+
+def _assign_factory(codebook_np, n: int):
+    """Top-n centroid ids per vector, Arrow-batched and vectorized
+    across rows but accumulated SEQUENTIALLY over the dimension index
+    (the ``_table_buckets_udf`` trick): score_c = seqdot(v, c) /
+    sqrt(seqdot(c, c)), each step a correctly-rounded float64 op in
+    the exact order of the DuckDB oracle's ``list_reduce`` folds, and
+    ties broken by ascending cluster id (stable argsort ↔ the
+    oracle's ``ORDER BY score DESC, cluster``). A plain matmul's
+    pairwise/SIMD accumulation could flip a near-tie argmax across
+    engines; the per-row JVM alternative is k literal-array dot folds
+    — orders of magnitude slower for a dense numeric kernel."""
+    import numpy as np
+
+    k, dim = codebook_np.shape
+    normsq = np.zeros(k, dtype=np.float64)
+    for d in range(dim):  # sequential fold, oracle order
+        normsq = normsq + codebook_np[:, d] * codebook_np[:, d]
+    norms = np.sqrt(normsq)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _assign(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
         m = np.array(vecs.tolist(), dtype=np.float64)          # (batch, dim)
-        sims = m @ codebook_np.T                                # norm of m irrelevant for argmax
-        top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        dots = np.zeros((len(m), k), dtype=np.float64)
+        for d in range(dim):  # sequential fold, oracle order
+            dots += np.outer(m[:, d], codebook_np[:, d])
+        scores = dots / norms
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :n].astype(np.int32)
         return pd.Series(list(top))
 
     return _assign
@@ -409,7 +445,7 @@ def ivf_index(
     (mirrors ``minhash_index``/``minhash_probe``)."""
     from hr_moderndatapipeline_spark.operators.relational import rebalance
 
-    cb = _codebook_matrix(codebook)
+    cb = _codebook_raw(codebook)
     return (
         rebalance(corpus)
         .select(F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv"))
@@ -436,7 +472,7 @@ def ivf_probe(
     corpus is never recomputed, only the matched index rows are read.
 
     Returns (q_id, c_id, cosine, rk) ⊆ brute-force result."""
-    cb = _codebook_matrix(codebook)
+    cb = _codebook_raw(codebook)
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")

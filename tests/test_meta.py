@@ -51,8 +51,10 @@ def test_rows_only_set_is_intentional():
     non-SQL classes (streaming execution, engine-native hashing,
     iterative) — additions to this set are a deliberate decision."""
     allowed = {
-        "ann_ivf_topk",
-        "ivf_probe_topk",
+        # ann_ivf_topk / ivf_probe_topk gained a DuckDB oracle in r7
+        # (portable seed hash + sequential-fold assignment); the PQ
+        # family stays rows-only: its codebook trains with numpy
+        # Lloyd iterations that are not SQL-re-derivable.
         "ivfpq_probe_topk",
         "pq_probe_topk",
         "streaming_custom_source",
