@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "curation_decisions",         # per-doc drop-reason audit matrix
     "forecast_revenue_change",    # Q6 scan-only pushdown canary
     "customer_order_distribution",  # Q13 left-join residual double aggregation
+    "paragraph_dedup",            # segment-level dedup census + survivor rewrite
 ]
 
 #: The 21-query round-1 anchor subset (BASELINE.md comparison set).

@@ -287,6 +287,81 @@ def contamination_overlap(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n\n",
+) -> DataFrame:
+    """SEGMENT-level exact dedup with survivor rewrite — the
+    paragraph-granularity half of suffix-array training-data dedup
+    (Lee et al. 2021 dedups at substring level; boilerplate headers,
+    license blocks, and recrawled pages repeat whole paragraphs
+    across documents while the documents themselves differ, so
+    doc-level dedup never fires). First occurrence corpus-wide —
+    lowest (doc id, position) — keeps each distinct paragraph; every
+    later occurrence (across docs OR repeated within one doc) is
+    dropped and the document is REASSEMBLED from its kept paragraphs
+    in position order.
+
+    Dataflow: positional paragraph explode → corpus-wide
+    first-occurrence rank as one window over the paragraph key →
+    group back per doc (order restored by array_sort over (pos,
+    para) structs — collect_list order is not deterministic). TWO
+    shuffles (paragraph key, then doc id), no join-back on the
+    explode lineage. The window partitions by the paragraph STRING,
+    exact on any engine; at 100 TB pre-hash the key to fixed width
+    (xxhash64) exactly like the n-gram census's scale note — the
+    shuffle then moves 8-byte keys and only the rewrite join carries
+    text. Degenerate hot keys (the empty-paragraph class) are
+    filtered before the window.
+
+    Output per input doc: ``n_paragraphs``, ``n_dropped``,
+    ``dedup_text`` ('' when everything was dropped or the doc had no
+    paragraphs). Idempotent: every kept paragraph is corpus-unique
+    afterwards, so a second pass drops nothing (property-tested)."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = paras.withColumn("_rk", F.row_number().over(w))
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(F.col("_rk") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rk") == 1,
+                            F.struct(
+                                F.col("pos").alias("pos"), F.col("para").alias("para")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("dedup_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     id_col: str,

@@ -1195,6 +1195,82 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE_PARA = "subscribe to our newsletter for updates"
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with survivor rewrite
+    (operators/text.py paragraph_dedup) over an honestly
+    paragraph-structured corpus derived from the single-line word
+    streams (VERDICT r6 task #3): each doc's words are chunked into
+    10-word paragraphs, a shared boilerplate header is prepended to
+    EVERY doc (the classic cross-doc repeated segment), and a
+    re-crawl copy (doc_id + 1e6) duplicates every paragraph
+    corpus-wide. Expected shape: originals keep their body and drop
+    only the boilerplate (except the first doc), re-crawl docs lose
+    everything. First occurrence = lowest (doc_id, pos); all
+    arithmetic integer, rewrite order pinned — hash-exact."""
+    from hr_moderndatapipeline_spark.operators.text import paragraph_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    para_text = F.array_join(
+        F.concat(F.array(F.lit(_BOILERPLATE_PARA)), chunks), "\n\n"
+    )
+    structured = docs.select("doc_id", para_text.alias("text"))
+    corpus = structured.unionByName(
+        structured.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    return paragraph_dedup(corpus, "doc_id", "text")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_prepend('subscribe to our newsletter for updates',
+           CASE WHEN len(str_split(text, ' ')) > 0
+                THEN list_transform(
+                       range(0, CAST(ceil(len(str_split(text, ' ')) / 10.0) AS INTEGER)),
+                       i -> array_to_string(
+                              list_slice(str_split(text, ' '), i * 10 + 1, i * 10 + 10),
+                              ' '))
+                ELSE [] END) AS paras
+  FROM documents),
+corpus AS (
+  SELECT doc_id, paras FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, paras FROM base),
+p AS (
+  SELECT doc_id, i - 1 AS pos, paras[i] AS para
+  FROM corpus, unnest(range(1, len(paras) + 1)) AS t(i)
+  WHERE paras[i] <> ''),
+r AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+  FROM p),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_paragraphs,
+         sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dropped,
+         array_to_string(list(para ORDER BY pos) FILTER (WHERE rk = 1),
+                         chr(10) || chr(10)) AS dedup_text
+  FROM r GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(COALESCE(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       COALESCE(a.dedup_text, '') AS dedup_text
+FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+"""
+
+
 ORACLE_DUP_NGRAM_SPANS = """
 WITH g AS (
   SELECT doc_id,
@@ -2610,6 +2686,7 @@ QUERIES = {
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "paragraph_dedup": q_paragraph_dedup,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
     "hard_negative_mining": q_hard_negative_mining,
@@ -2722,6 +2799,7 @@ ORACLES = {
     # sides quantize to integer ppb (round-7 candidate 3, done early).
     "event_type_pagerank": _pagerank_oracle_sql(),
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,

@@ -395,6 +395,52 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[4]["n_positions"] == 3 and out[4]["n_dup_positions"] == 3
 
 
+def test_paragraph_dedup_planted(spark):
+    """Cross-doc repeated paragraph drops everywhere but its first
+    (doc_id, pos); within-doc repeats drop their later positions;
+    docs rewritten in position order; all-dropped and empty docs
+    come back with dedup_text ''."""
+    from hr_moderndatapipeline_spark.operators.text import paragraph_dedup
+
+    boiler = "subscribe now"
+    rows = [
+        (0, f"{boiler}\n\nalpha beta\n\ngamma delta"),
+        (1, f"{boiler}\n\nepsilon zeta"),       # loses only the boilerplate
+        (2, f"{boiler}\n\nalpha beta"),         # loses both paragraphs
+        (3, "eta theta\n\neta theta"),          # within-doc repeat: keeps pos 0
+        (4, ""),                                # no paragraphs at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[0]["n_paragraphs"] == 3 and out[0]["n_dropped"] == 0
+    assert out[0]["dedup_text"] == f"{boiler}\n\nalpha beta\n\ngamma delta"
+    assert out[1]["n_dropped"] == 1 and out[1]["dedup_text"] == "epsilon zeta"
+    assert out[2]["n_dropped"] == 2 and out[2]["dedup_text"] == ""
+    assert out[3]["n_paragraphs"] == 2 and out[3]["n_dropped"] == 1
+    assert out[3]["dedup_text"] == "eta theta"
+    assert out[4]["n_paragraphs"] == 0 and out[4]["dedup_text"] == ""
+
+
+def test_paragraph_dedup_idempotent(spark, sf_dir):
+    """After the rewrite every kept paragraph is corpus-unique, so a
+    second pass over the rewritten corpus drops nothing."""
+    from hr_moderndatapipeline_spark.operators.text import paragraph_dedup
+
+    from hr_moderndatapipeline_spark.queries.dataops import q_paragraph_dedup
+
+    first = q_paragraph_dedup(spark, sf_dir)
+    again = paragraph_dedup(
+        first.select("doc_id", F.col("dedup_text").alias("text")),
+        "doc_id",
+        "text",
+    )
+    assert again.filter(F.col("n_dropped") > 0).count() == 0
+    # and the originals really did lose the shared boilerplate: every
+    # re-crawl doc (doc_id >= 1e6) was fully deduplicated away
+    recrawl = first.filter(F.col("doc_id") >= 1_000_000)
+    assert recrawl.filter(F.col("dedup_text") != "").count() == 0
+
+
 def test_pii_redact_planted(spark):
     from hr_moderndatapipeline_spark.operators.text import pii_redact
 
