@@ -742,6 +742,7 @@ def semantic_dedup_survivors(
     dim: int = 64,
     round_digits: int = 6,
     salt: int = 8,
+    max_block: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023): drop every
     vector that has a semantically-similar LOWER-ID neighbor in its
@@ -760,10 +761,22 @@ def semantic_dedup_survivors(
     block in neardup_pairs_by_cosine (salted ``salt`` ways against
     hot blocks); survivors come from one broadcast-able anti-join of
     the O(drops) id set back onto the corpus. Nothing all-pairs, no
-    driver movement. Recall caveat (documented, same class as
-    SimHash): a near-dup pair straddling a sign-bit boundary is
-    missed; real deployments raise recall with multiple sign-bit
-    tables exactly like ann_lsh's multi-table OR-construction."""
+    driver movement. BUT the block COUNT is fixed at 2^sign_bits, so
+    per-block population — and the within-block pair work — grows
+    with the corpus: the r7 decade sweep measured x57 wall time for
+    x10 rows at sign_bits=4 (SCALING.md). Scale sign_bits with the
+    data, ~log2(n_rows / target_block_size) (SemDeDup proper scales
+    its k-means k the same way); re-blocking the same corpus at
+    sign_bits=7 restored ~linear growth in that sweep. ``max_block``
+    additionally hard-caps degenerate hot blocks (embedding-space
+    boilerplate: zero vectors, default-initialized rows) by DROPPING
+    oversized blocks from the pair scan, mirroring
+    ``simhash_near_pairs``'s cap — their members all survive
+    (candidate-recall tradeoff, not silent truncation of survivors).
+    Recall caveat (documented, same class as SimHash): a near-dup
+    pair straddling a sign-bit boundary is missed; real deployments
+    raise recall with multiple sign-bit tables exactly like
+    ann_lsh's multi-table OR-construction."""
     sign_terms = " + ".join(
         f"(CASE WHEN element_at(_v, {i + 1}) > 0D THEN CAST({1 << i} AS BIGINT) "
         f"ELSE 0L END)"
@@ -774,10 +787,19 @@ def semantic_dedup_survivors(
         .withColumn("_blk", F.expr(sign_terms))
         .withColumn("_nrm", l2_norm(F.col("_v"), dim))
     )
-    a = d.toDF(f"{id_col}_a", "_va", "_blk", "_na").withColumn(
+    # The cap bounds only the PAIR SCAN — every row (capped block or
+    # not) stays in the output candidate set `d`, so dropped-block
+    # members survive rather than vanish.
+    scan = d
+    if max_block is not None:
+        blk_n = F.count(F.lit(1)).over(Window.partitionBy("_blk"))
+        scan = (
+            d.withColumn("_bn", blk_n).filter(F.col("_bn") <= max_block).drop("_bn")
+        )
+    a = scan.toDF(f"{id_col}_a", "_va", "_blk", "_na").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
     )
-    b = d.toDF(f"{id_col}_b", "_vb", "_blk", "_nb").withColumn(
+    b = scan.toDF(f"{id_col}_b", "_vb", "_blk", "_nb").withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     drops = (

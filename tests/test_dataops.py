@@ -395,6 +395,34 @@ def test_duplicated_ngram_spans_planted(spark):
     assert out[4]["n_positions"] == 3 and out[4]["n_dup_positions"] == 3
 
 
+def test_semantic_dedup_max_block_cap(spark):
+    """max_block bounds the PAIR SCAN only: members of an over-cap
+    block are excluded from pairing (all survive — candidate-recall
+    tradeoff), while normal blocks still dedup; without the cap the
+    hot block dedups to its min id."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    hot = [(i, [1.0] * 64) for i in range(5)]          # one block, 5 identical
+    cold = [(10, [-1.0] * 64), (11, [-1.0] * 64)]      # another block, 2 identical
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    no_cap = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(
+            df, "vec_id", "embedding", threshold=0.9, sign_bits=4
+        ).collect()
+    }
+    assert no_cap == {0, 10}
+    capped = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(
+            df, "vec_id", "embedding", threshold=0.9, sign_bits=4, max_block=3
+        ).collect()
+    }
+    assert capped == {0, 1, 2, 3, 4, 10}
+
+
 def test_paragraph_dedup_planted(spark):
     """Cross-doc repeated paragraph drops everywhere but its first
     (doc_id, pos); within-doc repeats drop their later positions;

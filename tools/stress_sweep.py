@@ -1,0 +1,166 @@
+"""Decade-scale stress sweep for the heavy dedup/ANN family
+(VERDICT r6 task #4): generate a local ~sf1.0 documents/embeddings/
+events set (10x sf0.1, NOT driver testdata) and run the heavy queries
+at sf0.1 and the stress scale, asserting
+
+- plan fingerprints UNCHANGED across the decade (no silent strategy
+  flip: broadcast->SMJ, lost pushdown, a Python boundary appearing),
+- zero spill at both scales (measured SQLMetrics, not claimed),
+- wall-time growth ~linear in the data (the quadratic failure mode
+  this sweep exists to catch).
+
+Generation keeps the scale-up honest per family:
+- documents: every word gets a per-copy suffix, so shingles/grams
+  are DISJOINT across copies - each copy carries its own recrawl
+  duplicate (the query unions one), but copies never near-match each
+  other. Near-dup output grows linearly, not quadratically, and the
+  measured time isolates the operator, not an artificial 10x-sized
+  duplicate group.
+- embeddings: the last dimension is shifted by the copy index, so
+  copies are not mutually near-identical (SemDeDup blocks would
+  otherwise grow 10x and pair work 100x); the fixed ANN query batch
+  (vec_id < 5000) lives entirely in copy 0, matching the
+  fixed-queries/growing-corpus production shape.
+- events: ids/users shift per copy, the date range stays - per-day
+  work grows 10x linearly.
+
+Usage:
+  python tools/stress_sweep.py --gen        # build /tmp/hr_mdp_stress_sf1 (~1 min)
+  python tools/stress_sweep.py              # sweep + print JSON summary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+STRESS_DIR = "/tmp/hr_mdp_stress_sf1"
+BASE_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+
+#: The expensive tail VERDICT r6 names, plus the r7 paragraph census.
+HEAVY_QUERIES = [
+    "minhash_dedup_pairs",
+    "simhash_near_pairs",
+    "duplicate_ngram_spans",
+    "semantic_dedup_survivors",
+    "ivfpq_probe_topk",
+    "rolling_weekly_active_users",
+    "paragraph_dedup",
+]
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(STRESS_DIR, exist_ok=True)
+    con = duckdb.connect()
+    docs = " UNION ALL ".join(
+        f"""SELECT doc_id + {k * 100_000} AS doc_id,
+               array_to_string(list_transform(str_split(text, ' '),
+                                              w -> w || 'c{k}'), ' ') AS text,
+               lang, source, n_chars
+        FROM read_parquet('{BASE_DIR}/documents.parquet')"""
+        for k in range(COPIES)
+    )
+    con.execute(f"COPY ({docs}) TO '{STRESS_DIR}/documents.parquet' (FORMAT PARQUET)")
+    emb = " UNION ALL ".join(
+        f"""SELECT vec_id + {k * 100_000} AS vec_id,
+               list_concat(list_slice(embedding, 1, 63),
+                           [CAST(embedding[64] + {k} AS FLOAT)]) AS embedding,
+               label
+        FROM read_parquet('{BASE_DIR}/embeddings.parquet')"""
+        for k in range(COPIES)
+    )
+    con.execute(f"COPY ({emb}) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT PARQUET)")
+    ev = " UNION ALL ".join(
+        f"""SELECT event_id + {k * 1_000_000} AS event_id, ts,
+               user_id + {k * 10_000} AS user_id, event_type, value, props
+        FROM read_parquet('{BASE_DIR}/events.parquet')"""
+        for k in range(COPIES)
+    )
+    con.execute(f"COPY ({ev}) TO '{STRESS_DIR}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    print(f"generated {STRESS_DIR}: "
+          + ", ".join(f"{f}={os.path.getsize(f'{STRESS_DIR}/{f}.parquet')//1024}KiB"
+                      for f in ("documents", "embeddings", "events")))
+
+
+def sweep() -> None:
+    from hr_moderndatapipeline_spark import get_spark
+    from hr_moderndatapipeline_spark import queries as qmod
+    from hr_moderndatapipeline_spark.functions.execmetrics import executed_metrics
+    from hr_moderndatapipeline_spark.plans.fingerprint import plan_fingerprint
+
+    spark = get_spark("stress_sweep")
+    allq = qmod.queries()
+
+    def _remedied_semantic(spark_, sf_dir):
+        # The quadratic remedy demo: same corpus, block count scaled
+        # with the data (sign_bits 4 -> 7, ~2^3 more blocks for 10x
+        # rows) - growth should return to ~linear. Driver query
+        # parameters stay pinned for the oracle; this entry exists
+        # only to measure the documented scaling law.
+        from hr_moderndatapipeline_spark.operators.similarity import (
+            semantic_dedup_survivors,
+        )
+        from hr_moderndatapipeline_spark.sources.readers import load_table
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        return semantic_dedup_survivors(
+            emb, "vec_id", "embedding", threshold=0.4, sign_bits=7
+        )
+
+    runnable = {**allq, "semantic_dedup_sign_bits7": _remedied_semantic}
+    out: dict[str, dict] = {}
+    for name in [*HEAVY_QUERIES, "semantic_dedup_sign_bits7"]:
+        row: dict = {}
+        for tag, sf_dir in (("sf0.1", BASE_DIR), ("sf1.0", STRESS_DIR)):
+            df = runnable[name](spark, sf_dir)
+            fp = plan_fingerprint(df)
+            # collect() (not a noop write) so executed_metrics reads
+            # the SAME QueryExecution that ran - a write command
+            # builds its own, leaving df's counters at zero (the
+            # first sweep printed 0.0 MiB shuffle everywhere).
+            df = runnable[name](spark, sf_dir)
+            t0 = time.time()
+            df.collect()
+            dt = round(time.time() - t0, 2)
+            m = executed_metrics(df)
+            spark.catalog.clearCache()
+            row[tag] = {
+                "sec": dt,
+                "fingerprint": fp,
+                "spill_bytes": m["spill_bytes"],
+                "shuffle_mib": round(m["shuffle_bytes"] / 1048576, 1),
+            }
+        row["growth"] = (
+            round(row["sf1.0"]["sec"] / row["sf0.1"]["sec"], 2)
+            if row["sf0.1"]["sec"] > 0
+            else None
+        )
+        row["plan_stable"] = row["sf0.1"]["fingerprint"] == row["sf1.0"]["fingerprint"]
+        out[name] = row
+        print(
+            f"{name}: {row['sf0.1']['sec']}s -> {row['sf1.0']['sec']}s "
+            f"(x{row['growth']}, plan_stable={row['plan_stable']}, "
+            f"spill={row['sf1.0']['spill_bytes']})",
+            flush=True,
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if "--gen" in sys.argv[1:]:
+        generate()
+    else:
+        if not os.path.isdir(STRESS_DIR):
+            print(f"{STRESS_DIR} missing - run with --gen first", file=sys.stderr)
+            sys.exit(2)
+        sweep()
