@@ -54,6 +54,18 @@ HEAVY_QUERIES = [
     "paragraph_dedup",
 ]
 
+#: Relational-core extension (r7): joins, windows, and the skew path
+#: over 10x TPC-H facts with consistent FK offsets.
+RELATIONAL_QUERIES = [
+    "pricing_summary",                # scan-heavy multi-aggregate
+    "salted_lineitem_order_revenue",  # skew-salted big-big SMJ
+    "part_profit_by_nation_year",     # Q9-shape 5-table join
+    "customer_order_distribution",    # Q13 left-join double aggregation
+    "cohort_retention",               # month-cohort self-join
+    "user_hourly_resampled",          # window + grid explode
+    "latest_order_per_customer",      # window dedup
+]
+
 
 def generate() -> None:
     import duckdb
@@ -85,6 +97,39 @@ def generate() -> None:
         for k in range(COPIES)
     )
     con.execute(f"COPY ({ev}) TO '{STRESS_DIR}/events.parquet' (FORMAT PARQUET)")
+    # TPC-H facts/dims with CONSISTENT FK offsets (orderkey +1e6·k,
+    # custkey/partkey +1e5·k, suppkey +1e4·k per copy) so every join
+    # path survives the scale-up with realistic fan-outs; nation and
+    # region stay shared (all copies join the same 25/5 rows, exactly
+    # how a 10x business would).
+    shifted = {
+        "orders": "o_orderkey + {ok} AS o_orderkey, o_custkey + {ck} AS o_custkey,"
+                  " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+        "lineitem": "l_orderkey + {ok} AS l_orderkey, l_partkey + {pk} AS l_partkey,"
+                    " l_suppkey + {sk} AS l_suppkey, l_linenumber, l_quantity,"
+                    " l_extendedprice, l_discount, l_tax, l_returnflag,"
+                    " l_linestatus, l_shipdate",
+        "customer": "c_custkey + {ck} AS c_custkey, c_name, c_nationkey,"
+                    " c_acctbal, c_mktsegment",
+        "part": "p_partkey + {pk} AS p_partkey, p_name, p_brand, p_type,"
+                " p_size, p_retailprice",
+        "supplier": "s_suppkey + {sk} AS s_suppkey, s_name, s_nationkey, s_acctbal",
+    }
+    for tbl, proj in shifted.items():
+        union = " UNION ALL ".join(
+            "SELECT "
+            + proj.format(
+                ok=k * 1_000_000, ck=k * 100_000, pk=k * 100_000, sk=k * 10_000
+            )
+            + f" FROM read_parquet('{BASE_DIR}/{tbl}.parquet')"
+            for k in range(COPIES)
+        )
+        con.execute(f"COPY ({union}) TO '{STRESS_DIR}/{tbl}.parquet' (FORMAT PARQUET)")
+    for tbl in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{BASE_DIR}/{tbl}.parquet')) "
+            f"TO '{STRESS_DIR}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
     con.close()
     print(f"generated {STRESS_DIR}: "
           + ", ".join(f"{f}={os.path.getsize(f'{STRESS_DIR}/{f}.parquet')//1024}KiB"
@@ -117,8 +162,11 @@ def sweep() -> None:
         )
 
     runnable = {**allq, "semantic_dedup_sign_bits7": _remedied_semantic}
+    names = [*HEAVY_QUERIES, "semantic_dedup_sign_bits7", *RELATIONAL_QUERIES]
+    if "--relational" in sys.argv[1:]:
+        names = RELATIONAL_QUERIES
     out: dict[str, dict] = {}
-    for name in [*HEAVY_QUERIES, "semantic_dedup_sign_bits7"]:
+    for name in names:
         row: dict = {}
         for tag, sf_dir in (("sf0.1", BASE_DIR), ("sf1.0", STRESS_DIR)):
             df = runnable[name](spark, sf_dir)
