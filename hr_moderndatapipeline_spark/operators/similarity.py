@@ -743,6 +743,7 @@ def semantic_dedup_survivors(
     round_digits: int = 6,
     salt: int = 8,
     max_block: int | None = None,
+    tables: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023): drop every
     vector that has a semantically-similar LOWER-ID neighbor in its
@@ -774,36 +775,56 @@ def semantic_dedup_survivors(
     ``simhash_near_pairs``'s cap — their members all survive
     (candidate-recall tradeoff, not silent truncation of survivors).
     Recall caveat (documented, same class as SimHash): a near-dup
-    pair straddling a sign-bit boundary is missed; real deployments
-    raise recall with multiple sign-bit tables exactly like
-    ann_lsh's multi-table OR-construction."""
-    sign_terms = " + ".join(
-        f"(CASE WHEN element_at(_v, {i + 1}) > 0D THEN CAST({1 << i} AS BIGINT) "
-        f"ELSE 0L END)"
-        for i in range(sign_bits)
-    )
+    pair straddling a sign-bit boundary is missed; ``tables`` > 1 is
+    the standard remedy — the multi-table OR-construction exactly
+    like ``ann_lsh``: table t blocks on the sign bits of dimension
+    window [t·sign_bits, (t+1)·sign_bits), a pair is a candidate if
+    it collides in ANY table, and the per-pair collision probability
+    rises from p to 1-(1-p)^T while per-table work stays blocked.
+    Output ``block`` is always table 0's key."""
+    if tables < 1 or tables * sign_bits > dim:
+        raise ValueError(
+            f"need 1 <= tables ({tables}) and tables*sign_bits "
+            f"({tables * sign_bits}) <= dim ({dim})"
+        )
+
+    def _sign_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN element_at(_v, {t * sign_bits + i + 1}) > 0D "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0L END)"
+            for i in range(sign_bits)
+        )
+
     d = (
         df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
-        .withColumn("_blk", F.expr(sign_terms))
+        .withColumn("_blk", F.expr(_sign_terms(0)))
         .withColumn("_nrm", l2_norm(F.col("_v"), dim))
+    )
+    expl = d.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("_nrm"),
+        F.posexplode(F.array(*[F.expr(_sign_terms(t)) for t in range(tables)])).alias(
+            "_tbl", "_tblk"
+        ),
     )
     # The cap bounds only the PAIR SCAN — every row (capped block or
     # not) stays in the output candidate set `d`, so dropped-block
     # members survive rather than vanish.
-    scan = d
+    scan = expl
     if max_block is not None:
-        blk_n = F.count(F.lit(1)).over(Window.partitionBy("_blk"))
+        blk_n = F.count(F.lit(1)).over(Window.partitionBy("_tbl", "_tblk"))
         scan = (
-            d.withColumn("_bn", blk_n).filter(F.col("_bn") <= max_block).drop("_bn")
+            expl.withColumn("_bn", blk_n).filter(F.col("_bn") <= max_block).drop("_bn")
         )
-    a = scan.toDF(f"{id_col}_a", "_va", "_blk", "_na").withColumn(
+    a = scan.toDF(f"{id_col}_a", "_va", "_na", "_tbl", "_tblk").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(f"{id_col}_a")), F.lit(salt)).cast("int")
     )
-    b = scan.toDF(f"{id_col}_b", "_vb", "_blk", "_nb").withColumn(
+    b = scan.toDF(f"{id_col}_b", "_vb", "_nb", "_tbl", "_tblk").withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     drops = (
-        a.join(b, ["_blk", "_salt"])
+        a.join(b, ["_tbl", "_tblk", "_salt"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .filter(
             F.round(

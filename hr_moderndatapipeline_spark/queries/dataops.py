@@ -2240,6 +2240,57 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table semantic dedup (the recall remedy the single-table
+    entry documents): 3 sign-bit tables over disjoint dimension
+    windows [0,4), [4,8), [8,12) — a pair is a drop candidate if it
+    collides in ANY table (OR-construction, per-pair recall
+    1-(1-p)^3), survivors still greedy-by-min-id. Deterministic ⇒
+    fully oracle-backed."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    return semantic_dedup_survivors(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.4, sign_bits=4, tables=3,
+    )
+
+
+ORACLE_SEMANTIC_DEDUP_MULTITABLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 5),
+                 i -> CAST(CASE WHEN v[i] > 0 THEN 1 << (i - 1)
+                           ELSE 0 END AS BIGINT))),
+               (acc, x) -> acc + x) AS BIGINT) AS block,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> v[i] * v[i])),
+               (acc, x) -> acc + x)) AS nrm
+  FROM e),
+tb AS (
+  SELECT vec_id, v, nrm, t.tbl,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 5),
+                 i -> CAST(CASE WHEN v[t.tbl * 4 + i] > 0 THEN 1 << (i - 1)
+                           ELSE 0 END AS BIGINT))),
+               (acc, x) -> acc + x) AS BIGINT) AS tblock
+  FROM b, unnest(range(0, 3)) AS t(tbl)),
+drops AS (
+  SELECT DISTINCT bb.vec_id
+  FROM tb a JOIN tb bb
+    ON a.tbl = bb.tbl AND a.tblock = bb.tblock AND a.vec_id < bb.vec_id
+  WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i -> a.v[i] * bb.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * bb.nrm), 6) >= 0.4)
+SELECT b.vec_id, b.block
+FROM b ANTI JOIN drops d ON b.vec_id = d.vec_id
+"""
+
+
 ORACLE_SEMANTIC_DEDUP = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2671,6 +2722,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bigram_lm_score": q_bigram_lm_score,
     "semantic_dedup_survivors": q_semantic_dedup,
+    "semantic_dedup_multitable": q_semantic_dedup_multitable,
     "user_triangles": q_user_triangles,
     "classifier_quality_gate": q_classifier_quality_gate,
     "cms_term_frequencies": q_cms_term_frequencies,
@@ -2736,6 +2788,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP,
+    "semantic_dedup_multitable": ORACLE_SEMANTIC_DEDUP_MULTITABLE,
     "user_triangles": ORACLE_USER_TRIANGLES,
     "classifier_quality_gate": ORACLE_CLASSIFIER_GATE,
     "cms_term_frequencies": ORACLE_CMS_TERM_FREQS,

@@ -423,6 +423,37 @@ def test_semantic_dedup_max_block_cap(spark):
     assert capped == {0, 1, 2, 3, 4, 10}
 
 
+def test_semantic_dedup_multitable_recall(spark, sf_dir):
+    """The OR-construction can only ADD drop candidates: multitable
+    survivors are a subset of single-table survivors, and parameter
+    validation rejects windows past the dimension."""
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(
+            emb, "vec_id", "embedding", threshold=0.4, sign_bits=4
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(
+            emb, "vec_id", "embedding", threshold=0.4, sign_bits=4, tables=3
+        ).collect()
+    }
+    assert multi <= one and len(multi) < len(one)
+    with _pytest.raises(ValueError, match="tables"):
+        semantic_dedup_survivors(
+            emb, "vec_id", "embedding", sign_bits=16, tables=5, dim=64
+        )
+
+
 def test_paragraph_dedup_planted(spark):
     """Cross-doc repeated paragraph drops everywhere but its first
     (doc_id, pos); within-doc repeats drop their later positions;
