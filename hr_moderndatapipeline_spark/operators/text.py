@@ -362,6 +362,89 @@ def paragraph_dedup(
     )
 
 
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """The REWRITE half of exact-substring dedup (Lee et al. 2021
+    remove duplicated substrings, keeping one occurrence; the census
+    ``duplicated_ngram_spans`` only MEASURES them): every word
+    position covered by an n-gram occurrence that is NOT the gram's
+    corpus-wide first occurrence — first = lowest (doc id, position),
+    the paragraph_dedup convention — is dropped, and each document is
+    reassembled from its surviving words in order. Overlapping
+    duplicated grams union their covered positions (DISTINCT on
+    (doc, word position)), so a long repeated run is removed once,
+    not ngram times.
+
+    Dataflow: positional grams → first-occurrence rank as ONE window
+    over the gram key → later occurrences explode their ngram covered
+    positions map-side → DISTINCT → anti-join against the positional
+    word explode (both sides hash-partitioned on the doc id) →
+    group back per doc with order restored by array_sort. Everything
+    is linear in corpus size: the word-level explode is the honest
+    cost of substring-granular rewrite (suffix-array pipelines pay
+    the same linear pass offline); the gram-key window is the same
+    single shuffle as the census, same hot-gram caveats.
+
+    Output per input doc: ``n_words``, ``n_removed``, ``clean_text``
+    ('' when everything was removed)."""
+    from pyspark.sql import Window
+
+    d = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ws"))
+    idx = F.when(
+        F.size("_ws") >= ngram, F.sequence(F.lit(1), F.size("_ws") - (ngram - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, ngram)))
+        ).alias("_gpos", "_gram"),
+    )
+    w = Window.partitionBy("_gram").orderBy(F.col(id_col).asc(), F.col("_gpos").asc())
+    marked = (
+        grams.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_gpos"), F.col("_gpos") + (ngram - 1))
+            ).alias("_wpos"),
+        )
+        .distinct()
+    )
+    wp = d.select(F.col(id_col), F.posexplode("_ws").alias("_wpos", "_word"))
+    kept = wp.join(marked, [id_col, "_wpos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_wpos").alias("p"), F.col("_word").alias("w"))
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        d.select(F.col(id_col), F.size("_ws").cast("bigint").alias("n_words"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     id_col: str,

@@ -1271,6 +1271,59 @@ FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
 """
 
 
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE (operators/text.py
+    duplicate_span_removal) over the re-crawl corpus (docs + an
+    id-shifted exact copy — every original 8-gram recurs, so the
+    copy's text is fully removed while originals keep theirs as the
+    first occurrences; within-doc repeats are removed too). Word
+    positions covered by non-first gram occurrences drop; docs are
+    rebuilt from surviving words in order. Integer stats + pinned
+    rewrite order ⇒ hash-exact."""
+    from hr_moderndatapipeline_spark.operators.text import duplicate_span_removal
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return duplicate_span_removal(corpus, "doc_id", "text", ngram=8)
+
+
+ORACLE_DUP_SPAN_REMOVAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+d AS (SELECT doc_id, str_split(text, ' ') AS ws FROM corpus),
+g AS (
+  SELECT doc_id, i - 1 AS gpos,
+         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+  FROM d, unnest(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8),
+r AS (
+  SELECT doc_id, gpos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rk
+  FROM g),
+marked AS (
+  SELECT DISTINCT doc_id, u.wpos
+  FROM r, unnest(range(r.gpos, r.gpos + 8)) AS u(wpos)
+  WHERE rk > 1),
+wp AS (
+  SELECT doc_id, i - 1 AS wpos, ws[i] AS word
+  FROM d, unnest(range(1, len(ws) + 1)) AS t(i)),
+kept AS (
+  SELECT wp.doc_id, wp.wpos, wp.word
+  FROM wp ANTI JOIN marked m ON wp.doc_id = m.doc_id AND wp.wpos = m.wpos),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(word ORDER BY wpos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       CAST(len(d.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 ORACLE_DUP_NGRAM_SPANS = """
 WITH g AS (
   SELECT doc_id,
@@ -2739,6 +2792,7 @@ QUERIES = {
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "paragraph_dedup": q_paragraph_dedup,
+    "duplicate_span_removal": q_duplicate_span_removal,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
     "hard_negative_mining": q_hard_negative_mining,
@@ -2853,6 +2907,7 @@ ORACLES = {
     "event_type_pagerank": _pagerank_oracle_sql(),
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "duplicate_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,

@@ -454,6 +454,34 @@ def test_semantic_dedup_multitable_recall(spark, sf_dir):
         )
 
 
+def test_duplicate_span_removal_planted(spark):
+    """The copy of a doc loses every covered position; the original
+    keeps all; overlapping duplicated grams union their coverage;
+    short docs (< ngram words) are untouched."""
+    from hr_moderndatapipeline_spark.operators.text import duplicate_span_removal
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (0, ten),          # original: all grams are first occurrences
+        (1, ten),          # exact copy: 3 grams, positions 0..9 all covered
+        (2, "a b c"),      # too short for any 8-gram
+        (3, ten + " tail1 tail2"),  # prefix grams duplicate doc 0's
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_removal(df, "doc_id", "text", ngram=8).collect()
+    }
+    assert out[0]["n_removed"] == 0 and out[0]["clean_text"] == ten
+    assert out[1]["n_removed"] == 10 and out[1]["clean_text"] == ""
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == "a b c"
+    # doc 3: grams at positions 0,1,2 duplicate doc 0's (rk>1), its
+    # gram at 3 (w3..tail1) and 4 (w4..tail2) are unique -> covered
+    # positions are 0..9 minus nothing... union of 0..7,1..8,2..9 =
+    # 0..9; words 10,11 (tail1, tail2) survive
+    assert out[3]["n_removed"] == 10 and out[3]["clean_text"] == "tail1 tail2"
+
+
 def test_paragraph_dedup_planted(spark):
     """Cross-doc repeated paragraph drops everywhere but its first
     (doc_id, pos); within-doc repeats drop their later positions;
