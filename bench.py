@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "forecast_revenue_change",    # Q6 scan-only pushdown canary
     "customer_order_distribution",  # Q13 left-join residual double aggregation
     "paragraph_dedup",            # segment-level dedup census + survivor rewrite
+    "duplicate_span_removal",     # word-level dup-span rewrite (recrawl corpus)
+    "semantic_dedup_survivors",   # sign-bit blocked SemDeDup greedy keep
+    "semantic_dedup_multitable",  # 3-table OR-construction recall remedy
 ]
 
 #: The 21-query round-1 anchor subset (BASELINE.md comparison set).

@@ -494,6 +494,67 @@ def ewma_features(
     )
 
 
+def funnel_steps(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    tiebreak_col: str | None = None,
+    max_events: int = 10_000_000,
+) -> DataFrame:
+    """Per-key funnel progress: how far through the ordered ``steps``
+    sequence each key's event stream gets, matching steps as a
+    SUBSEQUENCE in event-time order (the standard product-analytics
+    funnel; re-entries and interleaved noise events are ignored, a
+    step only counts after all previous steps matched). The greedy
+    single-pass match is the classic two-pointer algorithm expressed
+    as one ``aggregate()`` fold over the key's time-ordered event
+    types — JVM codegen, no Python, and the fold order is pinned so
+    the result is engine-exact (the ewma_features argument, on
+    integers). One shuffle on the keys; per-key state is the event
+    history with the same loud ``max_events`` guard as
+    ewma_features (seed-threaded raise). For unbounded streams keep
+    the (steps_completed) counter as incremental state instead.
+
+    Output: keys…, ``n_events``, ``steps_completed`` (0..len(steps)),
+    ``converted`` (1 iff all steps matched)."""
+    if not steps:
+        raise ValueError("steps must be a non-empty sequence")
+    kcols = list(keys)
+    tb = tiebreak_col or ts_col
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col), F.col(tb), F.col(type_col)))
+    )
+    agg = df.groupBy(*kcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ordered.alias("_evs"),
+    )
+    types = F.transform(F.col("_evs"), lambda s: s[type_col])
+    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    fold = F.expr(
+        f"aggregate(_types, "
+        f"IF(size(_types) <= {max_events}, 0, "
+        f"CAST(raise_error(concat('funnel_steps: key exceeds "
+        f"max_events={max_events} (got ', CAST(size(_types) AS STRING), "
+        f"' events); pre-aggregate or raise the budget')) AS INT)), "
+        f"(acc, e) -> IF(acc < {len(steps)} AND "
+        f"e = element_at(array({steps_sql}), acc + 1), acc + 1, acc))"
+    )
+    return (
+        agg.withColumn("_types", types)
+        .select(
+            *kcols,
+            "n_events",
+            fold.cast("int").alias("steps_completed"),
+        )
+        .withColumn(
+            "converted",
+            (F.col("steps_completed") == len(steps)).cast("int"),
+        )
+    )
+
+
 def linear_interpolate(
     df: DataFrame,
     keys: Sequence[str],

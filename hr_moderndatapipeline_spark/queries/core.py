@@ -945,6 +945,103 @@ WHERE levenshtein(a.s_name, b.s_name) <= 4
 """
 
 
+# ── funnel analysis: ordered-subsequence step matching ──
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic product funnel over the events stream
+    (operators/relational.py funnel_steps): per user, the greedy
+    subsequence match of view → click → purchase in (ts, event_id)
+    order, summarized as one row per step — users reaching it and
+    the integer-ppm conversion from the previous step (step 1
+    converts from the all-users base). The per-user fold is a pinned
+    JVM aggregate() (engine-exact on integers); the summary is one
+    O(#steps) projection of a single aggregate row — no second pass
+    over events."""
+    from hr_moderndatapipeline_spark.operators.relational import funnel_steps
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    per_user = funnel_steps(
+        ev, ["user_id"], "ts", "event_type", list(_FUNNEL_STEPS),
+        tiebreak_col="event_id",
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_s0"),
+        *[
+            F.sum((F.col("steps_completed") >= s).cast("bigint"))
+            .cast("bigint")
+            .alias(f"_s{s}")
+            for s in range(1, len(_FUNNEL_STEPS) + 1)
+        ],
+    )
+    spine = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"_s{i + 1}").alias("n_users"),
+                F.col(f"_s{i}").alias("_prev"),
+            )
+            for i, name in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(spine).alias("_s"))
+        .select(
+            F.col("_s.step").cast("int").alias("step"),
+            F.col("_s.step_name").alias("step_name"),
+            F.col("_s.n_users").alias("n_users"),
+            F.expr(
+                "CAST(CASE WHEN _s._prev = 0 THEN 0 "
+                "ELSE 1000000 * _s.n_users DIV _s._prev END AS BIGINT)"
+            ).alias("conv_from_prev_ppm"),
+        )
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH seqs AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS evs
+  FROM events GROUP BY user_id),
+prog AS (
+  -- event types map to integer step ids FIRST so the fold list stays
+  -- homogeneous (list_prepend(0, <varchar list>) would coerce the
+  -- seed to '0'); s = acc + 1 is exactly "next expected step" since
+  -- the step ids are distinct and sequential
+  SELECT user_id,
+         list_reduce(list_prepend(0,
+           list_transform(evs, e -> CASE e WHEN 'view' THEN 1
+                                           WHEN 'click' THEN 2
+                                           WHEN 'purchase' THEN 3
+                                           ELSE 0 END)),
+           (acc, s) -> CASE WHEN s = acc + 1 THEN acc + 1 ELSE acc END) AS sc
+  FROM seqs),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN sc >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN sc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM prog)
+SELECT CAST(t.u.step AS INTEGER) AS step,
+       t.u.nm AS step_name,
+       CAST(CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+            AS BIGINT) AS n_users,
+       CAST(CASE WHEN (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                       ELSE s2 END) = 0 THEN 0
+            ELSE 1000000 * (CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2
+                            ELSE s3 END)
+                 // (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                     ELSE s2 END) END AS BIGINT) AS conv_from_prev_ppm
+FROM counts,
+     unnest([struct_pack(step := 1, nm := 'view'),
+             struct_pack(step := 2, nm := 'click'),
+             struct_pack(step := 3, nm := 'purchase')]) AS t(u)
+"""
+
+
 # ── rolling 7-day distinct users via map-side contribution explode ──
 
 def q_rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3158,6 +3255,7 @@ QUERIES = {
     "snapshot_orders_diff": q_snapshot_orders_diff,
     "supplier_golden_records": q_supplier_golden_records,
     "rolling_weekly_active_users": q_rolling_weekly_active_users,
+    "funnel_conversion": q_funnel_conversion,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
@@ -3241,6 +3339,7 @@ ORACLES = {
     "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,
     "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,
     "rolling_weekly_active_users": ORACLE_ROLLING_WAU,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,

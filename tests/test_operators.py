@@ -537,6 +537,50 @@ def test_slot_bucketing_floors_pre_1970(spark):
     assert rf[0]["slot_ts"].isoformat() == "1969-12-31T23:00:00"
 
 
+def test_funnel_steps_subsequence_match(spark):
+    """Greedy subsequence semantics: noise events are skipped, a step
+    counts only after all previous steps matched, re-entries don't
+    rewind, ties break on the tiebreak column."""
+    from hr_moderndatapipeline_spark.operators.relational import funnel_steps
+
+    rows = [
+        # user 1: full funnel with noise interleaved
+        (1, 1, "signup"), (1, 2, "view"), (1, 3, "error"),
+        (1, 4, "click"), (1, 5, "purchase"),
+        # user 2: view then click, never purchases
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "click"),
+        # user 3: out of order - purchase/click before any view
+        (3, 1, "purchase"), (3, 2, "click"), (3, 3, "view"),
+        # user 4: noise only
+        (4, 1, "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, etype string").select(
+        "user_id",
+        F.timestamp_seconds(F.col("seq") * 60).alias("ts"),
+        F.col("seq").alias("event_id"),
+        F.col("etype").alias("event_type"),
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            df, ["user_id"], "ts", "event_type",
+            ["view", "click", "purchase"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1]["steps_completed"] == 3 and out[1]["converted"] == 1
+    assert out[2]["steps_completed"] == 2 and out[2]["converted"] == 0
+    assert out[3]["steps_completed"] == 1  # only the trailing view matches
+    assert out[4]["steps_completed"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="steps"):
+        funnel_steps(df, ["user_id"], "ts", "event_type", [])
+    with _pytest.raises(Exception, match="max_events"):
+        funnel_steps(
+            df, ["user_id"], "ts", "event_type", ["view"], max_events=2
+        ).collect()
+
+
 def test_simhash_prefix_bits_validation(spark):
     """ADVICE r6: prefix_bits outside [1, bits] must raise loudly —
     a negative shiftrightunsigned count wraps mod 64 on the JVM and
