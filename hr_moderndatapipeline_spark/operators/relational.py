@@ -555,6 +555,64 @@ def funnel_steps(
     )
 
 
+def funnel_step_times(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    tiebreak_col: str | None = None,
+    max_events: int = 10_000_000,
+) -> DataFrame:
+    """``funnel_steps`` with the matched TIMESTAMPS captured: the
+    greedy subsequence fold accumulates the epoch second of each
+    step's matching event, so step-to-step conversion LATENCY is
+    computable downstream (the time-to-convert half of funnel
+    analytics). The accumulator is an array<bigint> of matched epochs
+    — still one pinned JVM ``aggregate()`` fold, integer-exact on any
+    engine; the ``max_events`` guard threads through a slice length
+    (an array-typed seed cannot carry a raise_error cast, the ewma
+    note — slicing by a raising scalar can). One shuffle on the keys.
+
+    Output: keys…, ``n_events``, ``steps_completed``,
+    ``matched_epochs`` (array<bigint>, one entry per matched step, in
+    step order)."""
+    if not steps:
+        raise ValueError("steps must be a non-empty sequence")
+    kcols = list(keys)
+    tb = tiebreak_col or ts_col
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("t"),
+                F.col(tb).alias("i"),
+                F.col(type_col).alias("e"),
+            )
+        )
+    )
+    agg = df.groupBy(*kcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ordered.alias("_evs"),
+    )
+    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    fold = F.expr(
+        f"aggregate("
+        f"IF(size(_evs) <= {max_events}, _evs, "
+        f"slice(_evs, 1, CAST(raise_error(concat('funnel_step_times: key "
+        f"exceeds max_events={max_events} (got ', CAST(size(_evs) AS STRING), "
+        f"' events); pre-aggregate or raise the budget')) AS INT))), "
+        f"CAST(array() AS ARRAY<BIGINT>), "
+        f"(acc, x) -> IF(size(acc) < {len(steps)} AND "
+        f"x.e = element_at(array({steps_sql}), size(acc) + 1), "
+        f"concat(acc, array(x.t)), acc))"
+    )
+    return agg.select(
+        *kcols,
+        "n_events",
+        fold.alias("matched_epochs"),
+    ).withColumn("steps_completed", F.size("matched_epochs").cast("int"))
+
+
 def linear_interpolate(
     df: DataFrame,
     keys: Sequence[str],

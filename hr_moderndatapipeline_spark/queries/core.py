@@ -1042,6 +1042,106 @@ FROM counts,
 """
 
 
+def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel transition (operators/relational.py
+    funnel_step_times): the greedy match captures each step's epoch
+    second, per-user step gaps explode map-side from the O(#steps)
+    matched array, and one O(#transitions) aggregate reports users /
+    min / max / mean gap per transition. Integer gaps; the mean is
+    one BIGINT-sum→DOUBLE division (oracle routes the HUGEINT sum
+    through the VARCHAR detour)."""
+    from hr_moderndatapipeline_spark.operators.relational import funnel_step_times
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    per_user = funnel_step_times(
+        ev, ["user_id"], "ts", "event_type", list(_FUNNEL_STEPS),
+        tiebreak_col="event_id",
+    )
+    gaps = per_user.select(
+        F.explode(
+            F.when(
+                F.size("matched_epochs") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("matched_epochs")),
+                    lambda s: F.struct(
+                        s.cast("int").alias("to_step"),
+                        (
+                            F.element_at("matched_epochs", s)
+                            - F.element_at("matched_epochs", s - 1)
+                        ).alias("gap"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<to_step:int,gap:bigint>>"))
+        ).alias("_g")
+    )
+    name_map = F.create_map(
+        *[
+            x
+            for i, nm in enumerate(_FUNNEL_STEPS)
+            if i >= 1
+            for x in (F.lit(i + 1), F.lit(nm))
+        ]
+    )
+    return (
+        gaps.groupBy(F.col("_g.to_step").alias("to_step"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("_g.gap").cast("bigint").alias("min_gap_s"),
+            F.max("_g.gap").cast("bigint").alias("max_gap_s"),
+            (
+                F.sum("_g.gap").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_gap_s"),
+        )
+        .select(
+            "to_step",
+            name_map[F.col("to_step")].alias("to_step_name"),
+            "n_users",
+            "min_gap_s",
+            "max_gap_s",
+            "mean_gap_s",
+        )
+    )
+
+
+ORACLE_FUNNEL_STEP_LATENCY = """
+WITH seqs AS (
+  SELECT user_id,
+         list_transform(
+           list(struct_pack(t := epoch_us(ts) // 1000000, e := event_type)
+                ORDER BY ts, event_id),
+           x -> [CAST(CASE x.e WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                      WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT),
+                 CAST(x.t AS BIGINT)]) AS evs
+  FROM events GROUP BY user_id),
+prog AS (
+  -- fold element type == accumulator type (BIGINT[]): each event is
+  -- [step_id, epoch]; acc is the matched-epoch list, appended when
+  -- the event's step id is exactly the next expected step. The
+  -- no-match branch must CONSTRUCT a list (list_concat with an empty
+  -- list) — DuckDB 1.0.0's list_reduce silently DROPS a list-typed
+  -- accumulator when a branch passes `acc` through unchanged
+  -- (probed: fold of [[1],[2],[3]] appending odds returned [3], not
+  -- [1,3]; scalar accumulators are unaffected)
+  SELECT user_id,
+         list_reduce(list_prepend(CAST([] AS BIGINT[]), evs),
+           (acc, ev) -> CASE WHEN len(acc) < 3 AND ev[1] = len(acc) + 1
+                        THEN list_append(acc, ev[2])
+                        ELSE list_concat(acc, CAST([] AS BIGINT[])) END) AS m
+  FROM seqs),
+trans AS (
+  SELECT u.s AS to_step, m[u.s] - m[u.s - 1] AS gap
+  FROM prog, unnest(range(2, len(m) + 1)) AS u(s))
+SELECT CAST(to_step AS INTEGER) AS to_step,
+       CASE to_step WHEN 2 THEN 'click' ELSE 'purchase' END AS to_step_name,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(gap) AS BIGINT) AS min_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s,
+       CAST(CAST(sum(gap) AS VARCHAR) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_gap_s
+FROM trans GROUP BY to_step
+"""
+
+
 # ── rolling 7-day distinct users via map-side contribution explode ──
 
 def q_rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3256,6 +3356,7 @@ QUERIES = {
     "supplier_golden_records": q_supplier_golden_records,
     "rolling_weekly_active_users": q_rolling_weekly_active_users,
     "funnel_conversion": q_funnel_conversion,
+    "funnel_step_latency": q_funnel_step_latency,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
@@ -3340,6 +3441,7 @@ ORACLES = {
     "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,
     "rolling_weekly_active_users": ORACLE_ROLLING_WAU,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,

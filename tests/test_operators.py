@@ -581,6 +581,42 @@ def test_funnel_steps_subsequence_match(spark):
         ).collect()
 
 
+def test_funnel_step_times_matched_epochs(spark):
+    """The captured epochs are the MATCHING events' timestamps in
+    step order (monotonic by construction), re-entries don't
+    overwrite, and the max_events slice guard raises loudly."""
+    from hr_moderndatapipeline_spark.operators.relational import funnel_step_times
+
+    rows = [
+        (1, 60, "view"), (1, 120, "error"), (1, 180, "click"),
+        (1, 240, "view"),        # re-entry after click: ignored
+        (1, 300, "purchase"),
+        (2, 60, "click"), (2, 120, "view"),   # only view matches
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, etype string").select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.col("sec").alias("event_id"),
+        F.col("etype").alias("event_type"),
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_step_times(
+            df, ["user_id"], "ts", "event_type",
+            ["view", "click", "purchase"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1]["matched_epochs"] == [60, 180, 300]
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["matched_epochs"] == [120] and out[2]["steps_completed"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_events"):
+        funnel_step_times(
+            df, ["user_id"], "ts", "event_type", ["view"], max_events=2
+        ).collect()
+
+
 def test_simhash_prefix_bits_validation(spark):
     """ADVICE r6: prefix_bits outside [1, bits] must raise loudly —
     a negative shiftrightunsigned count wraps mod 64 on the JVM and
