@@ -362,6 +362,103 @@ def paragraph_dedup(
     )
 
 
+def paragraph_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n\n",
+) -> DataFrame:
+    """Build the persistent FIRST-OCCURRENCE registry behind
+    ``paragraph_dedup``: one row per distinct paragraph with its
+    first (doc id, position) — publish it partitioned/bucketed by the
+    paragraph key and incremental crawls call ``paragraph_probe``,
+    so new batches dedup against 100 TB of existing corpus without
+    re-exploding it (the ``minhash_index``/``minhash_probe``
+    lifecycle at paragraph granularity). One shuffle on the
+    paragraph key."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    return (
+        paras.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "para",
+            F.col(id_col).alias("first_doc_id"),
+            F.col("pos").alias("first_pos"),
+        )
+    )
+
+
+def paragraph_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n\n",
+) -> DataFrame:
+    """Dedup an incremental batch against a prebuilt
+    ``paragraph_index``: a paragraph is dropped iff it already exists
+    in the registry (any registry hit — the corpus saw it first) OR
+    it duplicates an earlier (doc id, position) within the batch
+    itself. Work scales with the BATCH and the matched registry rows;
+    the existing corpus is never re-read beyond the paragraph-key
+    join. Equivalence law (property-tested): probing a batch against
+    ``paragraph_index(corpus)`` equals ``paragraph_dedup(corpus ∪
+    batch)`` restricted to the batch docs whenever corpus ids order
+    before batch ids. Output schema matches ``paragraph_dedup``."""
+    from pyspark.sql import Window
+
+    paras = new_docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    hit = index.select("para", F.lit(1).alias("_in_registry"))
+    flagged = (
+        paras.withColumn("_rk", F.row_number().over(w))
+        .join(hit, "para", "left")
+        .withColumn(
+            "_drop",
+            ((F.col("_rk") > 1) | F.col("_in_registry").isNotNull()).cast("int"),
+        )
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum("_drop").cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_drop") == 0,
+                            F.struct(
+                                F.col("pos").alias("pos"), F.col("para").alias("para")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("dedup_text"),
+    )
+    return (
+        new_docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
 def duplicate_span_removal(
     df: DataFrame,
     id_col: str,

@@ -1198,6 +1198,26 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOILERPLATE_PARA = "subscribe to our newsletter for updates"
 
 
+def _para_structured(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → paragraph-structured text: 10-word chunks of
+    the word stream with the shared boilerplate header prepended,
+    joined by blank lines (the honest multi-paragraph substrate both
+    paragraph-dedup driver queries derive in-query)."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    para_text = F.array_join(
+        F.concat(F.array(F.lit(_BOILERPLATE_PARA)), chunks), "\n\n"
+    )
+    return docs.select("doc_id", para_text.alias("text"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup with survivor rewrite
     (operators/text.py paragraph_dedup) over an honestly
@@ -1213,19 +1233,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hr_moderndatapipeline_spark.operators.text import paragraph_dedup
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
-    chunks = F.when(
-        F.size(words) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    para_text = F.array_join(
-        F.concat(F.array(F.lit(_BOILERPLATE_PARA)), chunks), "\n\n"
-    )
-    structured = docs.select("doc_id", para_text.alias("text"))
+    structured = _para_structured(docs)
     corpus = structured.unionByName(
         structured.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     )
@@ -1321,6 +1329,84 @@ SELECT d.doc_id,
        CAST(len(d.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
        COALESCE(a.clean_text, '') AS clean_text
 FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def q_paragraph_probe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup lifecycle (operators/text.py
+    paragraph_index / paragraph_probe, the minhash_index pattern at
+    paragraph granularity): the original corpus's first-occurrence
+    registry is built and PERSISTED to parquet once, then a re-crawl
+    batch (doc_id + 1e6, same paragraphs plus one NOVEL per-doc
+    revision-note paragraph) probes the stored registry — every
+    recycled paragraph drops, only the novel paragraph survives, and
+    the 100 TB corpus is never re-exploded. Fully deterministic ⇒
+    oracle-backed."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.operators.text import (
+        paragraph_index,
+        paragraph_probe,
+    )
+
+    structured = _para_structured(_docs(spark, sf_dir).select("doc_id", "text"))
+    root = process_workdir(spark, "hr_mdp_paraidx", sf_dir)
+    paragraph_index(structured, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{root}/registry"
+    )
+    batch = structured.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nrevision notes for document "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    registry = spark.read.parquet(f"{root}/registry")
+    return paragraph_probe(batch, registry, "doc_id", "text")
+
+
+ORACLE_PARAGRAPH_PROBE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_prepend('subscribe to our newsletter for updates',
+           CASE WHEN len(str_split(text, ' ')) > 0
+                THEN list_transform(
+                       range(0, CAST(ceil(len(str_split(text, ' ')) / 10.0) AS INTEGER)),
+                       i -> array_to_string(
+                              list_slice(str_split(text, ' '), i * 10 + 1, i * 10 + 10),
+                              ' '))
+                ELSE [] END) AS paras
+  FROM documents),
+registry AS (
+  SELECT DISTINCT para
+  FROM (SELECT unnest(paras) AS para FROM base)
+  WHERE para <> ''),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         list_append(paras, 'revision notes for document ' || CAST(doc_id AS VARCHAR)) AS paras
+  FROM base),
+p AS (
+  SELECT doc_id, i - 1 AS pos, paras[i] AS para
+  FROM batch, unnest(range(1, len(paras) + 1)) AS t(i)
+  WHERE paras[i] <> ''),
+r AS (
+  SELECT p.doc_id, p.pos, p.para,
+         row_number() OVER (PARTITION BY p.para ORDER BY p.doc_id, p.pos) AS rk,
+         CASE WHEN reg.para IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM p LEFT JOIN registry reg ON p.para = reg.para),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_paragraphs,
+         sum(CASE WHEN rk > 1 OR hit = 1 THEN 1 ELSE 0 END) AS n_dropped,
+         array_to_string(
+           list(para ORDER BY pos) FILTER (WHERE rk = 1 AND hit = 0),
+           chr(10) || chr(10)) AS dedup_text
+  FROM r GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       COALESCE(a.dedup_text, '') AS dedup_text
+FROM batch b LEFT JOIN agg a ON b.doc_id = a.doc_id
 """
 
 
@@ -2792,6 +2878,7 @@ QUERIES = {
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "paragraph_dedup": q_paragraph_dedup,
+    "paragraph_probe_dedup": q_paragraph_probe_dedup,
     "duplicate_span_removal": q_duplicate_span_removal,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
@@ -2907,6 +2994,7 @@ ORACLES = {
     "event_type_pagerank": _pagerank_oracle_sql(),
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "paragraph_probe_dedup": ORACLE_PARAGRAPH_PROBE,
     "duplicate_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,

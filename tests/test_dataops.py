@@ -482,6 +482,38 @@ def test_duplicate_span_removal_planted(spark):
     assert out[3]["n_removed"] == 10 and out[3]["clean_text"] == "tail1 tail2"
 
 
+def test_paragraph_probe_equals_batch_dedup(spark, sf_dir):
+    """Equivalence law: probing a batch against paragraph_index(corpus)
+    equals paragraph_dedup(corpus ∪ batch) restricted to the batch
+    docs, when corpus ids order before batch ids."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        paragraph_dedup,
+        paragraph_index,
+        paragraph_probe,
+    )
+    from hr_moderndatapipeline_spark.queries.dataops import _para_structured
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    corpus = _para_structured(docs)
+    batch = corpus.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("\n\nnovel "), F.col("doc_id").cast("string"))
+        .alias("text"),
+    )
+    probe = paragraph_probe(
+        batch, paragraph_index(corpus, "doc_id", "text"), "doc_id", "text"
+    )
+    combined = paragraph_dedup(
+        corpus.unionByName(batch), "doc_id", "text"
+    ).filter(F.col("doc_id") >= 1_000_000)
+    a = {tuple(r) for r in probe.collect()}
+    b = {tuple(r) for r in combined.collect()}
+    assert a == b and len(a) == 200
+    # and the probe's survivors are exactly the novel paragraphs
+    assert all(r["dedup_text"].startswith("novel ") for r in probe.collect())
+
+
 def test_paragraph_dedup_planted(spark):
     """Cross-doc repeated paragraph drops everywhere but its first
     (doc_id, pos); within-doc repeats drop their later positions;
