@@ -63,6 +63,34 @@ def stratified_sample(
     return df.filter(det_bucket(F.col(key_col)) < pct)
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, selected by
+    deterministic hash rank over the integer key (the fixed-size
+    companion to ``stratified_sample``'s fraction filter): rank =
+    row_number ordered by (key·KNUTH mod 2^32, key) within the
+    stratum — content-blind, reproducible on every run/engine, and
+    restatable in ANSI SQL. One shuffle on the stratum key; the
+    per-stratum window state is the stratum itself (same caveat as
+    any group-limit: pre-aggregate degenerate strata first). Output:
+    input columns + ``sample_rank``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    hk = F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(4294967296))
+    w = Window.partitionBy(*stratum_cols).orderBy(hk.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .withColumn("sample_rank", F.col("sample_rank").cast("int"))
+    )
+
+
 def training_shuffle(
     df: DataFrame, key_col: str, num_shards: int = 32
 ) -> DataFrame:

@@ -1042,6 +1042,42 @@ FROM counts,
 """
 
 
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (priority, status): all four grouping
+    sets in one pass with grouping_id disambiguating rolled-up NULLs
+    from data NULLs — the multidimensional-total companion to
+    attrition_rollup's hierarchy (completes the grouping-sets family:
+    rollup ✓, cube ✓). Spark's grouping_id bit order (first column =
+    MSB) matches DuckDB's GROUPING(), probed before trusting."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("_cents"),
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue_cents")
+    )
+
+
+ORACLE_ORDER_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert per funnel transition (operators/relational.py
     funnel_step_times): the greedy match captures each step's epoch
@@ -3356,6 +3392,7 @@ QUERIES = {
     "supplier_golden_records": q_supplier_golden_records,
     "rolling_weekly_active_users": q_rolling_weekly_active_users,
     "funnel_conversion": q_funnel_conversion,
+    "order_cube": q_order_cube,
     "funnel_step_latency": q_funnel_step_latency,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
@@ -3441,6 +3478,7 @@ ORACLES = {
     "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,
     "rolling_weekly_active_users": ORACLE_ROLLING_WAU,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "order_cube": ORACLE_ORDER_CUBE,
     "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,

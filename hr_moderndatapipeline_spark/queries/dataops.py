@@ -966,6 +966,31 @@ WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100
 """
 
 
+def q_stratified_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per source by deterministic hash rank
+    (operators/sampling.py stratified_fixed_n) — the fixed-size,
+    content-blind eval-holdout draw (the fraction filter
+    stratified_sample can't promise per-stratum counts)."""
+    from hr_moderndatapipeline_spark.operators.sampling import stratified_fixed_n
+
+    return stratified_fixed_n(
+        _docs(spark, sf_dir).select("doc_id", "source"), ["source"], "doc_id", 20
+    )
+
+
+ORACLE_STRATIFIED_FIXED = """
+SELECT doc_id, source, CAST(rk AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                    doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-source shards, docs in id order, packed
     into 2000-token budgets by running token count — the pretraining
@@ -2904,6 +2929,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
     "stratified_sample_mix": q_stratified_sample_mix,
+    "stratified_fixed_sample": q_stratified_fixed_sample,
     "token_packing": q_token_packing,
     "training_shuffle": q_training_shuffle,
     "embedding_quantize": q_embedding_quantize,
@@ -2956,6 +2982,7 @@ ORACLES = {
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample_mix": ORACLE_STRATIFIED_SAMPLE,
+    "stratified_fixed_sample": ORACLE_STRATIFIED_FIXED,
     "token_packing": ORACLE_TOKEN_PACKING,
     "training_shuffle": ORACLE_TRAINING_SHUFFLE,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,

@@ -482,6 +482,30 @@ def test_duplicate_span_removal_planted(spark):
     assert out[3]["n_removed"] == 10 and out[3]["clean_text"] == "tail1 tail2"
 
 
+def test_stratified_fixed_n_exact_counts(spark, sf_dir):
+    """Exactly min(n, |stratum|) per stratum, deterministic across
+    invocations, ranks contiguous from 1; n < 1 raises."""
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.sampling import stratified_fixed_n
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_fixed_n(docs, ["source"], "doc_id", 7)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {s: min(7, c) for s, c in sizes.items()}
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in stratified_fixed_n(
+        docs, ["source"], "doc_id", 7).collect())
+    assert a == b
+    assert out.filter(F.col("sample_rank") < 1).count() == 0
+    with _pytest.raises(ValueError, match="n must be"):
+        stratified_fixed_n(docs, ["source"], "doc_id", 0)
+
+
 def test_paragraph_probe_equals_batch_dedup(spark, sf_dir):
     """Equivalence law: probing a batch against paragraph_index(corpus)
     equals paragraph_dedup(corpus ∪ batch) restricted to the batch
