@@ -26,7 +26,10 @@ Generation keeps the scale-up honest per family:
 
 Usage:
   python tools/stress_sweep.py --gen        # build /tmp/hr_mdp_stress_sf1 (~1 min)
-  python tools/stress_sweep.py              # sweep + print JSON summary
+  python tools/stress_sweep.py --gen --sf3  # build /tmp/hr_mdp_stress_sf3 (30 copies)
+  python tools/stress_sweep.py              # sweep sf0.1 vs sf1.0, print JSON
+  python tools/stress_sweep.py --sf3        # sweep sf0.1 vs sf3.0
+  python tools/stress_sweep.py --relational # relational subset only
 """
 
 from __future__ import annotations
@@ -39,9 +42,15 @@ import time
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
-STRESS_DIR = "/tmp/hr_mdp_stress_sf1"
 BASE_DIR = "/root/testdata/sf0.1"
-COPIES = 10
+#: (dir, copies, per-copy doc offset). sf3's doc offset is 10M so the
+#: queries' recrawl ids (doc_id + 1e6) stay disjoint from every other
+#: copy's range (at 1e5 spacing, copy 10's ids would collide with
+#: copy 0's recrawl).
+SCALES = {
+    "sf1.0": ("/tmp/hr_mdp_stress_sf1", 10, 100_000),
+    "sf3.0": ("/tmp/hr_mdp_stress_sf3", 30, 10_000_000),
+}
 
 #: The expensive tail VERDICT r6 names, plus the r7 paragraph census.
 HEAVY_QUERIES = [
@@ -67,36 +76,36 @@ RELATIONAL_QUERIES = [
 ]
 
 
-def generate() -> None:
+def generate(stress_dir: str, copies: int, doc_offset: int) -> None:
     import duckdb
 
-    os.makedirs(STRESS_DIR, exist_ok=True)
+    os.makedirs(stress_dir, exist_ok=True)
     con = duckdb.connect()
     docs = " UNION ALL ".join(
-        f"""SELECT doc_id + {k * 100_000} AS doc_id,
+        f"""SELECT doc_id + {k * doc_offset} AS doc_id,
                array_to_string(list_transform(str_split(text, ' '),
                                               w -> w || 'c{k}'), ' ') AS text,
                lang, source, n_chars
         FROM read_parquet('{BASE_DIR}/documents.parquet')"""
-        for k in range(COPIES)
+        for k in range(copies)
     )
-    con.execute(f"COPY ({docs}) TO '{STRESS_DIR}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({docs}) TO '{stress_dir}/documents.parquet' (FORMAT PARQUET)")
     emb = " UNION ALL ".join(
         f"""SELECT vec_id + {k * 100_000} AS vec_id,
                list_concat(list_slice(embedding, 1, 63),
                            [CAST(embedding[64] + {k} AS FLOAT)]) AS embedding,
                label
         FROM read_parquet('{BASE_DIR}/embeddings.parquet')"""
-        for k in range(COPIES)
+        for k in range(copies)
     )
-    con.execute(f"COPY ({emb}) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({emb}) TO '{stress_dir}/embeddings.parquet' (FORMAT PARQUET)")
     ev = " UNION ALL ".join(
         f"""SELECT event_id + {k * 1_000_000} AS event_id, ts,
                user_id + {k * 10_000} AS user_id, event_type, value, props
         FROM read_parquet('{BASE_DIR}/events.parquet')"""
-        for k in range(COPIES)
+        for k in range(copies)
     )
-    con.execute(f"COPY ({ev}) TO '{STRESS_DIR}/events.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({ev}) TO '{stress_dir}/events.parquet' (FORMAT PARQUET)")
     # TPC-H facts/dims with CONSISTENT FK offsets (orderkey +1e6·k,
     # custkey/partkey +1e5·k, suppkey +1e4·k per copy) so every join
     # path survives the scale-up with realistic fan-outs; nation and
@@ -122,21 +131,21 @@ def generate() -> None:
                 ok=k * 1_000_000, ck=k * 100_000, pk=k * 100_000, sk=k * 10_000
             )
             + f" FROM read_parquet('{BASE_DIR}/{tbl}.parquet')"
-            for k in range(COPIES)
+            for k in range(copies)
         )
-        con.execute(f"COPY ({union}) TO '{STRESS_DIR}/{tbl}.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY ({union}) TO '{stress_dir}/{tbl}.parquet' (FORMAT PARQUET)")
     for tbl in ("nation", "region"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{BASE_DIR}/{tbl}.parquet')) "
-            f"TO '{STRESS_DIR}/{tbl}.parquet' (FORMAT PARQUET)"
+            f"TO '{stress_dir}/{tbl}.parquet' (FORMAT PARQUET)"
         )
     con.close()
-    print(f"generated {STRESS_DIR}: "
-          + ", ".join(f"{f}={os.path.getsize(f'{STRESS_DIR}/{f}.parquet')//1024}KiB"
+    print(f"generated {stress_dir} ({copies} copies): "
+          + ", ".join(f"{f}={os.path.getsize(f'{stress_dir}/{f}.parquet')//1024}KiB"
                       for f in ("documents", "embeddings", "events")))
 
 
-def sweep() -> None:
+def sweep(stress_tag: str, stress_dir: str) -> None:
     from hr_moderndatapipeline_spark import get_spark
     from hr_moderndatapipeline_spark import queries as qmod
     from hr_moderndatapipeline_spark.functions.execmetrics import executed_metrics
@@ -145,39 +154,52 @@ def sweep() -> None:
     spark = get_spark("stress_sweep")
     allq = qmod.queries()
 
-    def _remedied_semantic(spark_, sf_dir):
-        # The quadratic remedy demo: same corpus, block count scaled
-        # with the data (sign_bits 4 -> 7, ~2^3 more blocks for 10x
-        # rows) - growth should return to ~linear. Driver query
-        # parameters stay pinned for the oracle; this entry exists
-        # only to measure the documented scaling law.
+    def _scaled_semantic(spark_, sf_dir):
+        # The quadratic remedy OPERATIONALIZED: the operator docstring's
+        # scaling law sign_bits = max(4, ceil(log2(n_rows / 125)))
+        # holds block POPULATION near the sf0.1@4bits reference (~125),
+        # so growth should return to ~linear at any scale. Driver query
+        # parameters stay pinned for the oracle; this entry exists only
+        # to measure the law.
+        import math
+
         from hr_moderndatapipeline_spark.operators.similarity import (
             semantic_dedup_survivors,
         )
         from hr_moderndatapipeline_spark.sources.readers import load_table
 
         emb = load_table(spark_, sf_dir, "embeddings")
+        bits = max(4, math.ceil(math.log2(max(emb.count(), 1) / 125)))
         return semantic_dedup_survivors(
-            emb, "vec_id", "embedding", threshold=0.4, sign_bits=7
+            emb, "vec_id", "embedding", threshold=0.4, sign_bits=bits
         )
 
-    runnable = {**allq, "semantic_dedup_sign_bits7": _remedied_semantic}
-    names = [*HEAVY_QUERIES, "semantic_dedup_sign_bits7", *RELATIONAL_QUERIES]
+    runnable = {**allq, "semantic_dedup_scaled_bits": _scaled_semantic}
+    names = [*HEAVY_QUERIES, "semantic_dedup_scaled_bits", *RELATIONAL_QUERIES]
     if "--relational" in sys.argv[1:]:
         names = RELATIONAL_QUERIES
+    if stress_tag == "sf3.0":
+        # fixed-4-bit semantic dedup is the DOCUMENTED quadratic
+        # (x61.6 at 10x == ~25 min at 30x) - the law entry replaces it
+        names = [n for n in names if n != "semantic_dedup_survivors"]
     out: dict[str, dict] = {}
     for name in names:
         row: dict = {}
-        for tag, sf_dir in (("sf0.1", BASE_DIR), ("sf1.0", STRESS_DIR)):
+        for tag, sf_dir in (("sf0.1", BASE_DIR), (stress_tag, stress_dir)):
             df = runnable[name](spark, sf_dir)
             fp = plan_fingerprint(df)
-            # collect() (not a noop write) so executed_metrics reads
-            # the SAME QueryExecution that ran - a write command
-            # builds its own, leaving df's counters at zero (the
-            # first sweep printed 0.0 MiB shuffle everywhere).
+            # materialize via Arrow toPandas (falling back to collect):
+            # both execute the df's OWN QueryExecution so
+            # executed_metrics reads real counters (a noop write builds
+            # its own execution and reads zeros), and Arrow transfer
+            # keeps multi-million-row results from billing
+            # row-conversion time to the engine.
             df = runnable[name](spark, sf_dir)
             t0 = time.time()
-            df.collect()
+            try:
+                df.toPandas()
+            except Exception:  # noqa: BLE001 — arrow-unfriendly types
+                df.collect()
             dt = round(time.time() - t0, 2)
             m = executed_metrics(df)
             spark.catalog.clearCache()
@@ -188,16 +210,18 @@ def sweep() -> None:
                 "shuffle_mib": round(m["shuffle_bytes"] / 1048576, 1),
             }
         row["growth"] = (
-            round(row["sf1.0"]["sec"] / row["sf0.1"]["sec"], 2)
+            round(row[stress_tag]["sec"] / row["sf0.1"]["sec"], 2)
             if row["sf0.1"]["sec"] > 0
             else None
         )
-        row["plan_stable"] = row["sf0.1"]["fingerprint"] == row["sf1.0"]["fingerprint"]
+        row["plan_stable"] = (
+            row["sf0.1"]["fingerprint"] == row[stress_tag]["fingerprint"]
+        )
         out[name] = row
         print(
-            f"{name}: {row['sf0.1']['sec']}s -> {row['sf1.0']['sec']}s "
+            f"{name}: {row['sf0.1']['sec']}s -> {row[stress_tag]['sec']}s "
             f"(x{row['growth']}, plan_stable={row['plan_stable']}, "
-            f"spill={row['sf1.0']['spill_bytes']})",
+            f"spill={row[stress_tag]['spill_bytes']})",
             flush=True,
         )
     print(json.dumps(out))
@@ -205,10 +229,12 @@ def sweep() -> None:
 
 
 if __name__ == "__main__":
+    tag = "sf3.0" if "--sf3" in sys.argv[1:] else "sf1.0"
+    sdir, copies, doc_off = SCALES[tag]
     if "--gen" in sys.argv[1:]:
-        generate()
+        generate(sdir, copies, doc_off)
     else:
-        if not os.path.isdir(STRESS_DIR):
-            print(f"{STRESS_DIR} missing - run with --gen first", file=sys.stderr)
+        if not os.path.isdir(sdir):
+            print(f"{sdir} missing - run with --gen first", file=sys.stderr)
             sys.exit(2)
-        sweep()
+        sweep(tag, sdir)
