@@ -292,6 +292,7 @@ def paragraph_dedup(
     id_col: str,
     text_col: str,
     delim: str = "\n\n",
+    by_hash: bool = False,
 ) -> DataFrame:
     """SEGMENT-level exact dedup with survivor rewrite — the
     paragraph-granularity half of suffix-array training-data dedup
@@ -310,10 +311,14 @@ def paragraph_dedup(
     para) structs — collect_list order is not deterministic). TWO
     shuffles (paragraph key, then doc id), no join-back on the
     explode lineage. The window partitions by the paragraph STRING,
-    exact on any engine; at 100 TB pre-hash the key to fixed width
-    (xxhash64) exactly like the n-gram census's scale note — the
-    shuffle then moves 8-byte keys and only the rewrite join carries
-    text. Degenerate hot keys (the empty-paragraph class) are
+    exact on any engine; ``by_hash=True`` is the 100 TB path — the
+    window keys on ``xxhash64(para)`` so the FIRST shuffle moves
+    8-byte keys instead of full text (the n-gram census's scale
+    note; the rewrite's group-back still carries text, necessarily).
+    Result-identical up to 64-bit collisions (same budget as the
+    xxhash dedup family; unit-tested equal on the test corpus) but
+    not DuckDB-restatable — the exact-string default stays the
+    oracle face. Degenerate hot keys (the empty-paragraph class) are
     filtered before the window.
 
     Output per input doc: ``n_paragraphs``, ``n_dropped``,
@@ -326,7 +331,8 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
     ).filter(F.col("para") != "")
-    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    key = F.xxhash64("para") if by_hash else F.col("para")
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc(), F.col("pos").asc())
     ranked = paras.withColumn("_rk", F.row_number().over(w))
     agg = ranked.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),

@@ -506,6 +506,25 @@ def test_stratified_fixed_n_exact_counts(spark, sf_dir):
         stratified_fixed_n(docs, ["source"], "doc_id", 0)
 
 
+def test_paragraph_dedup_by_hash_identical(spark, sf_dir):
+    """The 8-byte-key scale path (window over xxhash64(para)) returns
+    the exact-string path's results on the test corpus."""
+    from hr_moderndatapipeline_spark.operators.text import paragraph_dedup
+    from hr_moderndatapipeline_spark.queries.dataops import _para_structured
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    docs = _para_structured(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    )
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    exact = {tuple(r) for r in paragraph_dedup(corpus, "doc_id", "text").collect()}
+    hashed = {
+        tuple(r)
+        for r in paragraph_dedup(corpus, "doc_id", "text", by_hash=True).collect()
+    }
+    assert exact == hashed and len(exact) == 600
+
+
 def test_paragraph_probe_equals_batch_dedup(spark, sf_dir):
     """Equivalence law: probing a batch against paragraph_index(corpus)
     equals paragraph_dedup(corpus ∪ batch) restricted to the batch
