@@ -611,6 +611,83 @@ def duplicated_ngram_spans(
     )
 
 
+def bigram_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations: adjacent word pairs ranked by LIFT
+    n_ab·N / (n_a·n_b) — the PMI exponential, monotone in PMI without
+    the cross-engine log — quantized to exact integer micro-units
+    (the chi-square/ppm discipline: DECIMAL(38,0) products, one DIV,
+    no floats). The standard tokenizer-prep signal for which word
+    pairs deserve merged vocabulary entries (Mikolov-style phrase
+    detection).
+
+    Dataflow: adjacent bigrams explode map-side (n-1 per doc — NEVER
+    the C(n,2) within-doc pair set), one groupBy on the bigram key,
+    unigram counts broadcast back twice with the corpus total carried
+    as an unpartitioned window over the O(vocab) unigram aggregate
+    (the domain_mix pattern — no 1-row nested-loop cross join). Ties
+    break on the pair strings. Output:
+    (w1, w2, n_pair, lift_micro, rk)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    bigrams = df.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i).alias("w1"),
+                        F.element_at(words, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    pair_counts = (
+        bigrams.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    unigrams = (
+        df.select(F.explode(words).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .withColumn(
+            "n_total",
+            F.sum("n_w").over(Window.partitionBy()).cast("bigint"),
+        )
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(unigrams.toDF("w1", "n_w1", "n_total")), "w1"
+        )
+        .join(F.broadcast(unigrams.select("w", "n_w").toDF("w2", "n_w2")), "w2")
+        .withColumn(
+            "lift_micro",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_pair * n_total "
+                "DIV (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("lift_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("w1", "w2", "n_pair", "lift_micro", "rk")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -1435,6 +1435,47 @@ FROM batch b LEFT JOIN agg a ON b.doc_id = a.doc_id
 """
 
 
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations over the documents table (operators/text.py
+    bigram_collocations): adjacent pairs with >= 5 occurrences ranked
+    by integer-micro lift n_ab·N / (n_a·n_b) — the Mikolov-style
+    phrase-detection signal, no logs, DECIMAL(38,0)-exact on both
+    engines."""
+    from hr_moderndatapipeline_spark.operators.text import bigram_collocations
+
+    return bigram_collocations(
+        _docs(spark, sf_dir).select("text"), "text", min_count=5, k=20
+    )
+
+
+ORACLE_BIGRAM_COLLOCATIONS = """
+WITH ws AS (SELECT str_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, unnest(range(1, len(w))) AS t(i)
+  WHERE w[i] <> '' AND w[i + 1] <> ''),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bi GROUP BY w1, w2 HAVING count(*) >= 5),
+uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(w) AS u FROM ws) WHERE u <> '' GROUP BY u),
+tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni),
+scored AS (
+  SELECT pc.w1, pc.w2, pc.n_pair,
+         CAST(CAST(1000000 AS HUGEINT) * pc.n_pair * tot.n_total
+              // (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT) AS lift_micro
+  FROM pc
+  JOIN uni u1 ON u1.w = pc.w1
+  JOIN uni u2 ON u2.w = pc.w2
+  CROSS JOIN tot)
+SELECT w1, w2, n_pair, lift_micro, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY lift_micro DESC, w1, w2) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
 ORACLE_DUP_NGRAM_SPANS = """
 WITH g AS (
   SELECT doc_id,
@@ -2905,6 +2946,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_probe_dedup": q_paragraph_probe_dedup,
     "duplicate_span_removal": q_duplicate_span_removal,
+    "bigram_collocations": q_bigram_collocations,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
     "hard_negative_mining": q_hard_negative_mining,
@@ -3023,6 +3065,7 @@ ORACLES = {
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_probe_dedup": ORACLE_PARAGRAPH_PROBE,
     "duplicate_span_removal": ORACLE_DUP_SPAN_REMOVAL,
+    "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,
