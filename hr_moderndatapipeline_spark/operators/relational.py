@@ -555,6 +555,74 @@ def funnel_steps(
     )
 
 
+def funnel_steps_windowed(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    window_seconds: int,
+    tiebreak_col: str | None = None,
+    max_events: int = 10_000_000,
+) -> DataFrame:
+    """``funnel_steps`` with a CONVERSION HORIZON — the product
+    question is almost never "did they ever purchase" but "did they
+    purchase within W of the first view". Attempt semantics, pinned:
+    an attempt anchors at a step-1 event; later steps append only
+    while ``t - anchor <= window_seconds``; a step-1 event RESTARTS
+    the attempt iff there is no live one (none yet, or the current
+    attempt expired); the first COMPLETED attempt locks. One pinned
+    integer ``aggregate()`` fold per key (engine-exact), the
+    accumulator is the current attempt's matched epochs; same
+    max_events slice guard as funnel_step_times. Output: keys…,
+    ``n_events``, ``steps_completed``, ``converted`` (1 iff some
+    attempt completed within the horizon)."""
+    if not steps:
+        raise ValueError("steps must be a non-empty sequence")
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    kcols = list(keys)
+    tb = tiebreak_col or ts_col
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("t"),
+                F.col(tb).alias("i"),
+                F.col(type_col).alias("e"),
+            )
+        )
+    )
+    agg = df.groupBy(*kcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ordered.alias("_evs"),
+    )
+    L = len(steps)
+    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    # Nested IFs evaluate lazily, so element_at(acc, 1) only runs on
+    # branches where size(acc) >= 1 (ANSI-safe).
+    fold = F.expr(
+        f"aggregate("
+        f"IF(size(_evs) <= {max_events}, _evs, "
+        f"slice(_evs, 1, CAST(raise_error(concat('funnel_steps_windowed: key "
+        f"exceeds max_events={max_events} (got ', CAST(size(_evs) AS STRING), "
+        f"' events); pre-aggregate or raise the budget')) AS INT))), "
+        f"CAST(array() AS ARRAY<BIGINT>), "
+        f"(acc, x) -> IF(size(acc) = {L}, acc, "
+        f"IF(size(acc) = 0, "
+        f"  IF(x.e = element_at(array({steps_sql}), 1), array(x.t), acc), "
+        f"IF(x.t - element_at(acc, 1) > {window_seconds}, "
+        f"  IF(x.e = element_at(array({steps_sql}), 1), array(x.t), acc), "
+        f"IF(x.e = element_at(array({steps_sql}), size(acc) + 1), "
+        f"  concat(acc, array(x.t)), acc)))))"
+    )
+    return (
+        agg.select(*kcols, "n_events", fold.alias("_m"))
+        .withColumn("steps_completed", F.size("_m").cast("int"))
+        .withColumn("converted", (F.col("steps_completed") == L).cast("int"))
+        .drop("_m")
+    )
+
+
 def funnel_step_times(
     df: DataFrame,
     keys: Sequence[str],

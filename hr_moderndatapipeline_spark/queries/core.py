@@ -1001,6 +1001,104 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day windowed funnel (operators/relational.py
+    funnel_steps_windowed): attempts anchor at a view, later steps
+    count only within 604800s of the anchor, a view restarts an
+    expired attempt, the first completed attempt locks. Same
+    O(#steps) summary shape as funnel_conversion — comparing the two
+    tables is the time-boxed conversion readout."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        funnel_steps_windowed,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    per_user = funnel_steps_windowed(
+        ev, ["user_id"], "ts", "event_type", list(_FUNNEL_STEPS),
+        window_seconds=604_800, tiebreak_col="event_id",
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_s0"),
+        *[
+            F.sum((F.col("steps_completed") >= s).cast("bigint"))
+            .cast("bigint")
+            .alias(f"_s{s}")
+            for s in range(1, len(_FUNNEL_STEPS) + 1)
+        ],
+    )
+    spine = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"_s{i + 1}").alias("n_users"),
+                F.col(f"_s{i}").alias("_prev"),
+            )
+            for i, name in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(spine).alias("_s"))
+        .select(
+            F.col("_s.step").cast("int").alias("step"),
+            F.col("_s.step_name").alias("step_name"),
+            F.col("_s.n_users").alias("n_users"),
+            F.expr(
+                "CAST(CASE WHEN _s._prev = 0 THEN 0 "
+                "ELSE 1000000 * _s.n_users DIV _s._prev END AS BIGINT)"
+            ).alias("conv_from_prev_ppm"),
+        )
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH seqs AS (
+  SELECT user_id,
+         list_transform(
+           list(struct_pack(t := epoch_us(ts) // 1000000, e := event_type)
+                ORDER BY ts, event_id),
+           x -> [CAST(CASE x.e WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                      WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT),
+                 CAST(x.t AS BIGINT)]) AS evs
+  FROM events GROUP BY user_id),
+prog AS (
+  -- every branch CONSTRUCTS a list (the documented DuckDB 1.0.0
+  -- list-accumulator pass-through bug); acc[1] on an empty list is
+  -- NULL in DuckDB, and the OR's len(acc) = 0 arm is what fires then
+  SELECT user_id,
+         len(list_reduce(list_prepend(CAST([] AS BIGINT[]), evs),
+           (acc, ev) -> CASE
+             WHEN len(acc) = 3 THEN list_concat(acc, CAST([] AS BIGINT[]))
+             WHEN ev[1] = 1 AND (len(acc) = 0 OR ev[2] - acc[1] > 604800)
+               THEN [ev[2]]
+             WHEN len(acc) >= 1 AND ev[1] = len(acc) + 1
+                  AND ev[2] - acc[1] <= 604800
+               THEN list_append(acc, ev[2])
+             ELSE list_concat(acc, CAST([] AS BIGINT[])) END)) AS sc
+  FROM seqs),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN sc >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN sc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM prog)
+SELECT CAST(t.u.step AS INTEGER) AS step,
+       t.u.nm AS step_name,
+       CAST(CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+            AS BIGINT) AS n_users,
+       CAST(CASE WHEN (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                       ELSE s2 END) = 0 THEN 0
+            ELSE 1000000 * (CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2
+                            ELSE s3 END)
+                 // (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                     ELSE s2 END) END AS BIGINT) AS conv_from_prev_ppm
+FROM counts,
+     unnest([struct_pack(step := 1, nm := 'view'),
+             struct_pack(step := 2, nm := 'click'),
+             struct_pack(step := 3, nm := 'purchase')]) AS t(u)
+"""
+
+
 ORACLE_FUNNEL_CONVERSION = """
 WITH seqs AS (
   SELECT user_id,
@@ -3394,6 +3492,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "order_cube": q_order_cube,
     "funnel_step_latency": q_funnel_step_latency,
+    "funnel_windowed_conversion": q_funnel_windowed_conversion,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
@@ -3480,6 +3579,7 @@ ORACLES = {
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "order_cube": ORACLE_ORDER_CUBE,
     "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
+    "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,

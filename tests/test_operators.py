@@ -581,6 +581,52 @@ def test_funnel_steps_subsequence_match(spark):
         ).collect()
 
 
+def test_funnel_windowed_attempt_semantics(spark):
+    """Attempts anchor at step 1; steps count only within the horizon;
+    a view restarts an EXPIRED attempt (not a live one); the first
+    completed attempt locks."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        funnel_steps_windowed,
+    )
+
+    W = 100
+    rows = [
+        # user 1: completes within window
+        (1, 0, "view"), (1, 50, "click"), (1, 90, "purchase"),
+        # user 2: click lands past the horizon -> never converts
+        (2, 0, "view"), (2, 150, "click"), (2, 160, "purchase"),
+        # user 3: first attempt expires, second view restarts and completes
+        (3, 0, "view"), (3, 150, "view"), (3, 200, "click"), (3, 240, "purchase"),
+        # user 4: a mid-window re-view must NOT reset the anchor -
+        # purchase at 130 is outside the ORIGINAL anchor's window
+        (4, 0, "view"), (4, 60, "click"), (4, 80, "view"), (4, 130, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, etype string").select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.col("sec").alias("event_id"),
+        F.col("etype").alias("event_type"),
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps_windowed(
+            df, ["user_id"], "ts", "event_type",
+            ["view", "click", "purchase"], window_seconds=W,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1]["converted"] == 1 and out[1]["steps_completed"] == 3
+    assert out[2]["converted"] == 0 and out[2]["steps_completed"] == 1
+    assert out[3]["converted"] == 1
+    assert out[4]["converted"] == 0 and out[4]["steps_completed"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_seconds"):
+        funnel_steps_windowed(
+            df, ["user_id"], "ts", "event_type", ["view"], window_seconds=0
+        )
+
+
 def test_funnel_step_times_matched_epochs(spark):
     """The captured epochs are the MATCHING events' timestamps in
     step order (monotonic by construction), re-entries don't
