@@ -1001,6 +1001,55 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    P(next | current) per user-adjacent pair, as integer ppm (1e6·n
+    DIV row_total — no floats). One lead() window per user, one
+    groupBy over the O(|types|²) pair keyspace, row totals as a
+    window over that O(25) aggregate. The journey-analysis companion
+    to the funnel family (which paths users actually take vs the one
+    we funnel on)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("event_type")
+    return pairs.withColumn(
+        "_row_total", F.sum("n_transitions").over(row_w)
+    ).select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "CAST(1000000 * n_transitions DIV _row_total AS BIGINT)"
+        ).alias("transition_ppm"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT event_type, next_type, n_transitions,
+       CAST(1000000 * n_transitions
+            // sum(n_transitions) OVER (PARTITION BY event_type)
+            AS BIGINT) AS transition_ppm
+FROM pairs
+"""
+
+
 def q_funnel_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day windowed funnel (operators/relational.py
     funnel_steps_windowed): attempts anchor at a view, later steps
@@ -3493,6 +3542,7 @@ QUERIES = {
     "order_cube": q_order_cube,
     "funnel_step_latency": q_funnel_step_latency,
     "funnel_windowed_conversion": q_funnel_windowed_conversion,
+    "event_transition_matrix": q_event_transition_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
@@ -3580,6 +3630,7 @@ ORACLES = {
     "order_cube": ORACLE_ORDER_CUBE,
     "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
     "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
+    "event_transition_matrix": ORACLE_EVENT_TRANSITIONS,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,
