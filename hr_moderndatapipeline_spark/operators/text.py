@@ -611,6 +611,89 @@ def duplicated_ngram_spans(
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 5,
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from the corpus —
+    the tokenizer-training kernel (Sennrich et al. 2016): count
+    adjacent symbol pairs over the word VOCABULARY (weighted by word
+    frequency — never the raw token stream), merge the most frequent
+    pair greedily left-to-right in every word, repeat. All heavy work
+    is per-iteration DataFrame algebra over the O(|vocab|) word
+    table; the only driver movement is the selected top pair — ONE
+    row per merge (the pagerank/codebook budget), with ties broken
+    deterministically on (count desc, left, right). The per-word
+    re-segmentation is a pinned sequential ``aggregate()`` fold
+    (greedy left-to-right, a merged symbol immediately eligible for
+    the NEXT iteration but not re-merged within the pass), so the
+    learned merge table is engine-exact and DuckDB-restatable as a
+    materialized CTE chain. Lineage is truncated per iteration with
+    ``localCheckpoint`` (the iterative-operator discipline).
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) — the
+    merge table a downstream tokenizer applies in rank order."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    w = F.col("w")
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(w != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .select(
+            "wc",
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(num_merges):
+        pairs = (
+            vocab.select(
+                "wc",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("a"),
+                                F.element_at("syms", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((r + 1, a, b, cnt))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qm = (a + b).replace("'", "\\'")
+        fold = F.expr(
+            f"aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+            f"(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
+            f"AND s = '{qb}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{qm}')), "
+            f"concat(acc, array(s))))"
+        )
+        vocab = vocab.select("wc", fold.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
 def bigram_collocations(
     df: DataFrame,
     text_col: str,

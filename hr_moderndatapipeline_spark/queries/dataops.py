@@ -1476,6 +1476,69 @@ WHERE rk <= 20
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 BPE merges learned from the corpus vocabulary
+    (operators/text.py bpe_learn_merges) — the tokenizer-training
+    kernel: frequency-weighted adjacent-pair counts over the
+    O(|vocab|) word table, deterministic top-pair selection, greedy
+    left-to-right re-segmentation per round. Oracle unrolls the
+    rounds into a materialized CTE chain (the pagerank discipline)
+    with the same fold semantics."""
+    from hr_moderndatapipeline_spark.operators.text import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir).select("text"), "text", num_merges=5)
+
+
+def _bpe_oracle_sql(num_merges: int = 5) -> str:
+    """Unroll BPE rounds into a DuckDB CTE chain: per round r, pair
+    counts p{r} over v{r-1}, deterministic top pair t{r}, and the
+    re-segmented vocab v{r}. The fold's accumulator is VARCHAR[] over
+    single-symbol VARCHAR[] elements (list_reduce needs homogeneous
+    acc/element types), and BOTH branches construct a fresh list —
+    the documented DuckDB 1.0.0 pass-through bug. Every CTE is
+    MATERIALIZED: v{r} references chain twice per round. Depth is
+    the MERGE COUNT, never the data."""
+    parts = [
+        """WITH v0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS wc,
+         list_transform(range(1, length(w) + 1),
+                        i -> substring(w, i, 1)) AS syms
+  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (SELECT wc, syms[i] AS a, syms[i + 1] AS b
+        FROM v{r - 1}, unnest(range(1, len(syms))) AS t(i))
+  GROUP BY a, b)"""
+        )
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r}
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT wc,
+         list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]),
+                        list_transform(syms, s -> [s])),
+           (acc, sv) -> CASE
+             WHEN len(acc) > 0 AND acc[-1] = t.a AND sv[1] = t.b
+               THEN list_append(acc[1:len(acc) - 1], t.a || t.b)
+             ELSE list_append(acc, sv[1]) END) AS syms
+  FROM v{r - 1} CROSS JOIN t{r} t)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, cnt AS pair_count FROM t{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects
+
+
 ORACLE_DUP_NGRAM_SPANS = """
 WITH g AS (
   SELECT doc_id,
@@ -2947,6 +3010,7 @@ QUERIES = {
     "paragraph_probe_dedup": q_paragraph_probe_dedup,
     "duplicate_span_removal": q_duplicate_span_removal,
     "bigram_collocations": q_bigram_collocations,
+    "bpe_merges": q_bpe_merges,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
     "hard_negative_mining": q_hard_negative_mining,
@@ -3066,6 +3130,7 @@ ORACLES = {
     "paragraph_probe_dedup": ORACLE_PARAGRAPH_PROBE,
     "duplicate_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
+    "bpe_merges": _bpe_oracle_sql(),
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,

@@ -482,6 +482,27 @@ def test_duplicate_span_removal_planted(spark):
     assert out[3]["n_removed"] == 10 and out[3]["clean_text"] == "tail1 tail2"
 
 
+def test_bpe_learn_merges_hand_computed(spark):
+    """Corpus 'aaab aaab ab': round 1 merges (a,a) count 4 (two
+    occurrences per 'aaab', frequency-weighted); greedy left-to-right
+    gives [aa, a, b] (no overlap re-merge); round 2 merges (a,b)
+    count 3; round 3 merges (aa, ab) count 2."""
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    out = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn_merges(df, "text", num_merges=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert out == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+    with _pytest.raises(ValueError, match="num_merges"):
+        bpe_learn_merges(df, "text", num_merges=0)
+
+
 def test_stratified_fixed_n_exact_counts(spark, sf_dir):
     """Exactly min(n, |stratum|) per stratum, deterministic across
     invocations, ranks contiguous from 1; n < 1 raises."""
