@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "duplicate_span_removal",     # word-level dup-span rewrite (recrawl corpus)
     "semantic_dedup_survivors",   # sign-bit blocked SemDeDup greedy keep
     "semantic_dedup_multitable",  # 3-table OR-construction recall remedy
+    "bigram_collocations",        # integer-micro lift phrase detection
+    "bpe_tokenize",               # BPE learn(5)+apply lifecycle
 ]
 
 #: The 21-query round-1 anchor subset (BASELINE.md comparison set).

@@ -694,6 +694,49 @@ def bpe_learn_merges(
     )
 
 
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned BPE merge table (rank order) to every document
+    — the tokenize step that pairs with ``bpe_learn_merges``. Each
+    word re-segments through one pinned greedy left-to-right fold PER
+    MERGE, chained in rank order inside a single projection (k folds
+    of JVM codegen, no Python, no shuffle at all — this is a pure map
+    over the corpus). Output per doc: ``n_chars`` (non-space symbol
+    count), ``n_pieces`` (token count after merging) — the
+    compression-ratio readout tokenizer training optimizes."""
+    words = F.split(F.col(text_col), " ")
+    # per word: chars → fold through each merge in rank order
+    seg = "transform(sequence(1, length(x)), i -> substring(x, i, 1))"
+    for a, b in merges:
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qm = (a + b).replace("'", "\\'")
+        seg = (
+            f"aggregate({seg}, CAST(array() AS ARRAY<STRING>), "
+            f"(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
+            f"AND s = '{qb}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{qm}')), "
+            f"concat(acc, array(s))))"
+        )
+    pieces = F.expr(
+        f"aggregate(filter(split({text_col}, ' '), x -> x != ''), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + size({seg}))"
+    )
+    n_chars = F.aggregate(
+        F.filter(words, lambda x: x != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        pieces.alias("n_pieces"),
+    )
+
+
 def bigram_collocations(
     df: DataFrame,
     text_col: str,

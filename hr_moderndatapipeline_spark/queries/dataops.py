@@ -1539,6 +1539,73 @@ def _bpe_oracle_sql(num_merges: int = 5) -> str:
     return ",\n".join(parts) + "\n" + selects
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer lifecycle: LEARN 5 merges from the corpus
+    vocabulary (bpe_learn_merges — one collected row per merge), then
+    APPLY the merge table to every document (bpe_apply — k chained
+    greedy folds, a pure map, zero shuffles) and report per-doc
+    ``n_chars`` / ``n_pieces``, the compression ratio BPE training
+    optimizes. Oracle re-derives the same merges in SQL (the
+    materialized CTE chain) and re-segments the document words with
+    the same folds."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bpe_apply,
+        bpe_learn_merges,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges_df = bpe_learn_merges(docs.select("text"), "text", num_merges=5)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    return bpe_apply(docs, "doc_id", "text", merges)
+
+
+def _bpe_tokenize_oracle_sql(num_merges: int = 5) -> str:
+    """Extend the merge-learning chain: re-segment every DOCUMENT
+    word through the same per-round folds (seg{r} applies t{r}) and
+    aggregate per-doc symbol counts."""
+    learn = _bpe_oracle_sql(num_merges)
+    parts = learn[: learn.rindex("\nSELECT CAST(1 AS INTEGER)")].rstrip()
+    # the learn SQL ends with the UNION ALL selects; strip them and
+    # keep only the WITH-chain, then append the apply chain
+    chain = parts
+    apply_parts = [
+        """docwords AS MATERIALIZED (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                         FROM documents)
+  WHERE w <> ''),
+seg0 AS MATERIALIZED (
+  SELECT doc_id, w,
+         list_transform(range(1, length(w) + 1),
+                        i -> substring(w, i, 1)) AS syms
+  FROM docwords)"""
+    ]
+    for r in range(1, num_merges + 1):
+        apply_parts.append(
+            f"""seg{r} AS MATERIALIZED (
+  SELECT doc_id, w,
+         list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]),
+                        list_transform(syms, s -> [s])),
+           (acc, sv) -> CASE
+             WHEN len(acc) > 0 AND acc[-1] = t.a AND sv[1] = t.b
+               THEN list_append(acc[1:len(acc) - 1], t.a || t.b)
+             ELSE list_append(acc, sv[1]) END) AS syms
+  FROM seg{r - 1} CROSS JOIN t{r} t)"""
+        )
+    final = f"""agg AS (
+  SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         CAST(sum(len(syms)) AS BIGINT) AS n_pieces
+  FROM seg{num_merges} GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+    return chain + ",\n" + ",\n".join(apply_parts) + ",\n" + final
+
+
 ORACLE_DUP_NGRAM_SPANS = """
 WITH g AS (
   SELECT doc_id,
@@ -3011,6 +3078,7 @@ QUERIES = {
     "duplicate_span_removal": q_duplicate_span_removal,
     "bigram_collocations": q_bigram_collocations,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
     "hard_negative_mining": q_hard_negative_mining,
@@ -3131,6 +3199,7 @@ ORACLES = {
     "duplicate_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "bpe_merges": _bpe_oracle_sql(),
+    "bpe_tokenize": _bpe_tokenize_oracle_sql(),
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,
