@@ -1032,7 +1032,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EVENT_TRANSITIONS = """
+ORACLE_EVENT_TRANSITION_MATRIX = """
 WITH ordered AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id
@@ -3630,7 +3630,7 @@ ORACLES = {
     "order_cube": ORACLE_ORDER_CUBE,
     "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
     "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
-    "event_transition_matrix": ORACLE_EVENT_TRANSITIONS,
+    "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,
