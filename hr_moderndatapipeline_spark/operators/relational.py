@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hr_moderndatapipeline_spark.functions.sqlesc import sql_str_lit
+
 
 def _cols(cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cols]
@@ -301,6 +303,7 @@ def assign_stable_ids(
     order_by: Sequence[str],
     id_col: str = "stable_id",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Contiguous global row ids ``0..n-1`` in ``order_by`` order —
     WITHOUT the single-partition global window (``Window.orderBy``
@@ -325,6 +328,13 @@ def assign_stable_ids(
     global order, and therefore the ids, ambiguous). The persisted
     layout is tracked per application; long-lived sessions free the
     pinned storage with ``release_stable_ids_cache()``.
+
+    ``total_col``, when set, attaches the total row count as a
+    literal column — the count is already known on the driver from
+    the per-partition offsets scan, so rank-ratio consumers
+    (percent_rank = id/(n−1), cume_dist = (id+1)/n, ntile bucket
+    arithmetic) get n WITHOUT a second counting job and WITHOUT a
+    1-row nested-loop cross join.
 
     Reference parity: the reference numbers rows only in pandas
     (``reset_index``), single-process; this is the distributed
@@ -351,7 +361,7 @@ def assign_stable_ids(
         acc += row["count"]
     offsets_df = spark.createDataFrame(offsets, "`_pid` int, `_offset` long")
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_by])
-    return (
+    out = (
         parts.join(F.broadcast(offsets_df), "_pid")
         .withColumn(
             id_col,
@@ -359,6 +369,9 @@ def assign_stable_ids(
         )
         .drop("_pid", "_offset")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
 
 
 def grouped_zscore(
@@ -531,7 +544,7 @@ def funnel_steps(
         ordered.alias("_evs"),
     )
     types = F.transform(F.col("_evs"), lambda s: s[type_col])
-    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    steps_sql = ", ".join(sql_str_lit(s) for s in steps)
     fold = F.expr(
         f"aggregate(_types, "
         f"IF(size(_types) <= {max_events}, 0, "
@@ -564,16 +577,31 @@ def funnel_steps_windowed(
     window_seconds: int,
     tiebreak_col: str | None = None,
     max_events: int = 10_000_000,
+    restart_on_anchor: bool = False,
 ) -> DataFrame:
     """``funnel_steps`` with a CONVERSION HORIZON — the product
     question is almost never "did they ever purchase" but "did they
-    purchase within W of the first view". Attempt semantics, pinned:
-    an attempt anchors at a step-1 event; later steps append only
-    while ``t - anchor <= window_seconds``; a step-1 event RESTARTS
-    the attempt iff there is no live one (none yet, or the current
-    attempt expired); the first COMPLETED attempt locks. One pinned
-    integer ``aggregate()`` fold per key (engine-exact), the
-    accumulator is the current attempt's matched epochs; same
+    purchase within W of the first view". Attempt semantics, pinned
+    (two conventions, chosen by ``restart_on_anchor``):
+
+    * ``False`` (default, FIRST-ANCHOR): an attempt anchors at a
+      step-1 event; later steps append only while ``t - anchor <=
+      window_seconds``; a step-1 event RESTARTS the attempt iff
+      there is no live one (none yet, or the current attempt
+      expired); the first COMPLETED attempt locks. Measures "within
+      W of the first funnel entry of each try".
+    * ``True`` (LAST-ANCHOR restart, VERDICT r7 builder candidate):
+      a step-1 event ALWAYS re-anchors the live attempt (completion
+      still locks) — overlapping attempts resolve to the MOST
+      RECENT entry, the last-touch convention product-analytics
+      tools call "restart on re-entry". A re-entry mid-attempt
+      therefore DISCARDS partial progress; a conversion counts iff
+      the remaining steps complete within W of the latest step-1.
+      ``steps`` must be distinct for either convention (a repeated
+      step-1 name is an anchor, never a match).
+
+    One pinned integer ``aggregate()`` fold per key (engine-exact),
+    the accumulator is the current attempt's matched epochs; same
     max_events slice guard as funnel_step_times. Output: keys…,
     ``n_events``, ``steps_completed``, ``converted`` (1 iff some
     attempt completed within the horizon)."""
@@ -597,23 +625,36 @@ def funnel_steps_windowed(
         ordered.alias("_evs"),
     )
     L = len(steps)
-    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
-    # Nested IFs evaluate lazily, so element_at(acc, 1) only runs on
-    # branches where size(acc) >= 1 (ANSI-safe).
-    fold = F.expr(
-        f"aggregate("
+    steps_sql = ", ".join(sql_str_lit(s) for s in steps)
+    guarded = (
         f"IF(size(_evs) <= {max_events}, _evs, "
         f"slice(_evs, 1, CAST(raise_error(concat('funnel_steps_windowed: key "
         f"exceeds max_events={max_events} (got ', CAST(size(_evs) AS STRING), "
-        f"' events); pre-aggregate or raise the budget')) AS INT))), "
-        f"CAST(array() AS ARRAY<BIGINT>), "
-        f"(acc, x) -> IF(size(acc) = {L}, acc, "
-        f"IF(size(acc) = 0, "
-        f"  IF(x.e = element_at(array({steps_sql}), 1), array(x.t), acc), "
-        f"IF(x.t - element_at(acc, 1) > {window_seconds}, "
-        f"  IF(x.e = element_at(array({steps_sql}), 1), array(x.t), acc), "
-        f"IF(x.e = element_at(array({steps_sql}), size(acc) + 1), "
-        f"  concat(acc, array(x.t)), acc)))))"
+        f"' events); pre-aggregate or raise the budget')) AS INT)))"
+    )
+    # Nested IFs evaluate lazily, so element_at(acc, 1) only runs on
+    # branches where size(acc) >= 1 (ANSI-safe).
+    if restart_on_anchor:
+        body = (
+            f"(acc, x) -> IF(size(acc) = {L}, acc, "
+            f"IF(x.e = element_at(array({steps_sql}), 1), array(x.t), "
+            f"IF(size(acc) = 0, acc, "
+            f"IF(x.t - element_at(acc, 1) > {window_seconds}, acc, "
+            f"IF(x.e = element_at(array({steps_sql}), size(acc) + 1), "
+            f"  concat(acc, array(x.t)), acc)))))"
+        )
+    else:
+        body = (
+            f"(acc, x) -> IF(size(acc) = {L}, acc, "
+            f"IF(size(acc) = 0, "
+            f"  IF(x.e = element_at(array({steps_sql}), 1), array(x.t), acc), "
+            f"IF(x.t - element_at(acc, 1) > {window_seconds}, "
+            f"  IF(x.e = element_at(array({steps_sql}), 1), array(x.t), acc), "
+            f"IF(x.e = element_at(array({steps_sql}), size(acc) + 1), "
+            f"  concat(acc, array(x.t)), acc))))"
+        )
+    fold = F.expr(
+        f"aggregate({guarded}, CAST(array() AS ARRAY<BIGINT>), {body})"
     )
     return (
         agg.select(*kcols, "n_events", fold.alias("_m"))
@@ -662,7 +703,7 @@ def funnel_step_times(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         ordered.alias("_evs"),
     )
-    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    steps_sql = ", ".join(sql_str_lit(s) for s in steps)
     fold = F.expr(
         f"aggregate("
         f"IF(size(_evs) <= {max_events}, _evs, "

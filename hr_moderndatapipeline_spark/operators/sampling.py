@@ -26,16 +26,34 @@ from pyspark.sql import functions as F
 #: impossible). Quality is ample for percentage bucketing.
 _KNUTH = 2654435761
 
+#: reduce keys mod 2^31 BEFORE the Knuth multiply so the product
+#: stays under 2^63 for EVERY bigint key: (2^31−1)·2654435761 ≈
+#: 5.7e18 < 2^63−1. The old unreduced form relied on signed-wrap
+#: semantics that Spark 4's ANSI-on default turns into an
+#: ARITHMETIC_OVERFLOW throw for keys above ~3.47e9 (ADVICE r7,
+#: operators/sampling.py:85) — invisible at test SFs, a hard error
+#: on a 100 TB id space. The matching oracles reduce identically
+#: (`% 2147483648` on the HUGEINT key), so both engines compute the
+#: same draw at every key range; identity for keys < 2^31, so all
+#: existing selections are unchanged. Contract: parity holds for
+#: NONNEGATIVE keys (pmod here vs sign-following % in ANSI SQL).
+_KEY_REDUCER = 2147483648
+
+
+def _mix32(key: Column) -> Column:
+    """(pmod(key, 2^31) · KNUTH) mod 2^32 — the shared ANSI-safe
+    32-bit mixing draw behind every deterministic sampler here."""
+    return F.pmod(
+        F.pmod(key, F.lit(_KEY_REDUCER)) * F.lit(_KNUTH), F.lit(4294967296)
+    )
+
 
 def det_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic pseudo-uniform bucket in [0, buckets) from an
-    integer key: (key * 2654435761 mod 2^32) mod buckets. Pure
-    64-bit-safe integer arithmetic, restatable in ANSI SQL."""
-    # nested pmod (not a sign-following inner %): for keys whose
-    # product wraps the signed long, wrap-then-pmod equals the exact
-    # product mod 2^32 (2^32 divides 2^64), which is what the DuckDB
-    # HUGEINT oracles compute — an inner % would diverge there.
-    return F.pmod(F.pmod(key * F.lit(_KNUTH), F.lit(4294967296)), F.lit(buckets))
+    integer key: (pmod(key, 2^31) * 2654435761 mod 2^32) mod buckets.
+    Pure overflow-free integer arithmetic (see ``_KEY_REDUCER``),
+    restatable in ANSI SQL."""
+    return F.pmod(_mix32(key), F.lit(buckets))
 
 
 def stratified_sample(
@@ -82,7 +100,7 @@ def stratified_fixed_n(
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql import Window
 
-    hk = F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(4294967296))
+    hk = _mix32(F.col(key_col))
     w = Window.partitionBy(*stratum_cols).orderBy(hk.asc(), F.col(key_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
@@ -102,7 +120,7 @@ def training_shuffle(
     per-shard window keeps the sort distributed: there is never a
     single-partition global ordering, the shards ARE the parallelism
     at 100 TB."""
-    hv = F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(4294967296))
+    hv = _mix32(F.col(key_col))
     w = Window.partitionBy("shard").orderBy(F.col("_hv").asc(), F.col(key_col).asc())
     return (
         df.withColumn("_hv", hv)
@@ -192,7 +210,7 @@ def weighted_keep(key: Column, keep_prob: Column) -> Column:
     # yields a negative draw that is < ANY threshold — rows kept
     # unconditionally even at keep_prob 0. det_bucket and
     # training_shuffle already wrap with pmod.
-    draw = F.pmod(F.pmod(key * F.lit(_KNUTH), F.lit(4294967296)), F.lit(1_000_000))
+    draw = F.pmod(_mix32(key), F.lit(1_000_000))
     return draw.cast("double") < keep_prob * F.lit(1_000_000.0)
 
 
@@ -395,7 +413,8 @@ def negative_samples(
     )
     draw = F.pmod(
         F.pmod(
-            F.col(id_col) * F.lit(_KNUTH) + F.col("neg_rank") * F.lit(_MIX2),
+            F.pmod(F.col(id_col), F.lit(_KEY_REDUCER)) * F.lit(_KNUTH)
+            + F.col("neg_rank") * F.lit(_MIX2),
             F.lit(4294967296),
         ),
         F.lit(n_items - 1),

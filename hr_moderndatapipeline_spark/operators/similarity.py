@@ -411,7 +411,11 @@ def _assign_factory(codebook_np, n: int):
     normsq = np.zeros(k, dtype=np.float64)
     for d in range(dim):  # sequential fold, oracle order
         normsq = normsq + codebook_np[:, d] * codebook_np[:, d]
-    norms = np.sqrt(normsq)
+    # zero-norm seed guard (ADVICE r7): a zero vector selected as a
+    # centroid would make every score NaN/inf and the argmax engine-
+    # divergent; inf here pins its score to dot/inf = 0.0 exactly,
+    # mirrored by the CASE WHEN cbn > 0 branch in ORACLE_ANN_IVF.
+    norms = np.where(normsq > 0, np.sqrt(normsq), np.inf)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _assign(vecs: pd.Series) -> pd.Series:

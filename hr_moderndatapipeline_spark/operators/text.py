@@ -9,8 +9,12 @@ whole-stage codegen over arbitrarily large corpora.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.functions.sqlesc import sql_ident, sql_str_lit
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit
 #: language heuristic. Real deployments plug fastText/CLD3 via a
@@ -679,13 +683,13 @@ def bpe_learn_merges(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((r + 1, a, b, cnt))
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        qm = (a + b).replace("'", "\\'")
+        qa, qb = sql_str_lit(a), sql_str_lit(b)
+        qm = sql_str_lit(a + b)
         fold = F.expr(
             f"aggregate(syms, CAST(array() AS ARRAY<STRING>), "
-            f"(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
-            f"AND s = '{qb}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{qm}')), "
+            f"(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = {qa} "
+            f"AND s = {qb}, "
+            f"concat(slice(acc, 1, size(acc) - 1), array({qm})), "
             f"concat(acc, array(s))))"
         )
         vocab = vocab.select("wc", fold.alias("syms")).localCheckpoint()
@@ -712,17 +716,17 @@ def bpe_apply(
     # per word: chars → fold through each merge in rank order
     seg = "transform(sequence(1, length(x)), i -> substring(x, i, 1))"
     for a, b in merges:
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        qm = (a + b).replace("'", "\\'")
+        qa, qb = sql_str_lit(a), sql_str_lit(b)
+        qm = sql_str_lit(a + b)
         seg = (
             f"aggregate({seg}, CAST(array() AS ARRAY<STRING>), "
-            f"(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
-            f"AND s = '{qb}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{qm}')), "
+            f"(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = {qa} "
+            f"AND s = {qb}, "
+            f"concat(slice(acc, 1, size(acc) - 1), array({qm})), "
             f"concat(acc, array(s))))"
         )
     pieces = F.expr(
-        f"aggregate(filter(split({text_col}, ' '), x -> x != ''), "
+        f"aggregate(filter(split({sql_ident(text_col)}, ' '), x -> x != ''), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + size({seg}))"
     )
     n_chars = F.aggregate(

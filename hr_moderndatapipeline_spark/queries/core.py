@@ -1148,6 +1148,110 @@ FROM counts,
 """
 
 
+def q_funnel_restart_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windowed funnel under LAST-ANCHOR restart semantics
+    (operators/relational.py funnel_steps_windowed
+    ``restart_on_anchor=True``, VERDICT r7 builder candidate #2): a
+    view ALWAYS re-anchors the live attempt — overlapping attempts
+    resolve to the most recent entry (last-touch), so a re-entry
+    mid-attempt discards partial progress. Read next to
+    funnel_windowed_conversion (first-anchor, 7-day) the pair bounds
+    how much the attempt convention itself moves the conversion
+    readout. Same O(#steps) summary shape."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        funnel_steps_windowed,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    per_user = funnel_steps_windowed(
+        ev, ["user_id"], "ts", "event_type", list(_FUNNEL_STEPS),
+        window_seconds=86_400, tiebreak_col="event_id",
+        restart_on_anchor=True,
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_s0"),
+        *[
+            F.sum((F.col("steps_completed") >= s).cast("bigint"))
+            .cast("bigint")
+            .alias(f"_s{s}")
+            for s in range(1, len(_FUNNEL_STEPS) + 1)
+        ],
+    )
+    spine = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"_s{i + 1}").alias("n_users"),
+                F.col(f"_s{i}").alias("_prev"),
+            )
+            for i, name in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(spine).alias("_s"))
+        .select(
+            F.col("_s.step").cast("int").alias("step"),
+            F.col("_s.step_name").alias("step_name"),
+            F.col("_s.n_users").alias("n_users"),
+            F.expr(
+                "CAST(CASE WHEN _s._prev = 0 THEN 0 "
+                "ELSE 1000000 * _s.n_users DIV _s._prev END AS BIGINT)"
+            ).alias("conv_from_prev_ppm"),
+        )
+    )
+
+
+ORACLE_FUNNEL_RESTART = """
+WITH seqs AS (
+  SELECT user_id,
+         list_transform(
+           list(struct_pack(t := epoch_us(ts) // 1000000, e := event_type)
+                ORDER BY ts, event_id),
+           x -> [CAST(CASE x.e WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                      WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT),
+                 CAST(x.t AS BIGINT)]) AS evs
+  FROM events GROUP BY user_id),
+prog AS (
+  -- restart semantics: a step-1 event re-anchors UNCONDITIONALLY
+  -- (unless locked), so its branch sits ABOVE the len(acc) = 0 /
+  -- expiry checks — the ONLY ordering difference vs
+  -- ORACLE_FUNNEL_WINDOWED. Every branch constructs a list (the
+  -- documented DuckDB 1.0.0 list-accumulator pass-through bug).
+  SELECT user_id,
+         len(list_reduce(list_prepend(CAST([] AS BIGINT[]), evs),
+           (acc, ev) -> CASE
+             WHEN len(acc) = 3 THEN list_concat(acc, CAST([] AS BIGINT[]))
+             WHEN ev[1] = 1 THEN [ev[2]]
+             WHEN len(acc) = 0 THEN list_concat(acc, CAST([] AS BIGINT[]))
+             WHEN ev[2] - acc[1] > 86400
+               THEN list_concat(acc, CAST([] AS BIGINT[]))
+             WHEN ev[1] = len(acc) + 1 THEN list_append(acc, ev[2])
+             ELSE list_concat(acc, CAST([] AS BIGINT[])) END)) AS sc
+  FROM seqs),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN sc >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN sc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM prog)
+SELECT CAST(t.u.step AS INTEGER) AS step,
+       t.u.nm AS step_name,
+       CAST(CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+            AS BIGINT) AS n_users,
+       CAST(CASE WHEN (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                       ELSE s2 END) = 0 THEN 0
+            ELSE 1000000 * (CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2
+                            ELSE s3 END)
+                 // (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                     ELSE s2 END) END AS BIGINT) AS conv_from_prev_ppm
+FROM counts,
+     unnest([struct_pack(step := 1, nm := 'view'),
+             struct_pack(step := 2, nm := 'click'),
+             struct_pack(step := 3, nm := 'purchase')]) AS t(u)
+"""
+
+
 ORACLE_FUNNEL_CONVERSION = """
 WITH seqs AS (
   SELECT user_id,
@@ -1380,13 +1484,20 @@ GROUP BY 1
 def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration from exact
     integer sufficient statistics: per-customer spend in cents, a
-    global rank over the O(customers) AGGREGATE (documented
-    unpartitioned window — never the order facts), and the closed
+    RANGE-PARTITIONED global rank (``assign_stable_ids`` — VERDICT
+    r7: customers scale with the data, so the old unpartitioned
+    ``Window.orderBy`` funneled a growing relation through one
+    ``Exchange SinglePartition`` task; the two-pass offsets rank
+    keeps every task numbering only its own slice), and the closed
     form G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n evaluated as one double
     from three exact BIGINTs. Ties broken by custkey so the rank is
     deterministic on both engines (Gini is tie-order-invariant, the
-    determinism is for the hash gate)."""
-    from pyspark.sql import Window
+    determinism is for the hash gate); rank i = stable_id + 1
+    reproduces the oracle's ``row_number`` exactly because the order
+    key set is unique."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
 
     spend = (
         _t(spark, sf_dir, "orders")
@@ -1399,8 +1510,9 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.partitionBy().orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    ranked = spend.withColumn("i", F.row_number().over(w).cast("bigint"))
+    ranked = assign_stable_ids(
+        spend, ["cents", "o_custkey"], id_col="_sid"
+    ).withColumn("i", (F.col("_sid") + 1).cast("bigint"))
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
@@ -1540,15 +1652,55 @@ FROM spend
 
 
 def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every customer's spend percentile via the SQL-standard
-    percent_rank / cume_dist windows (exact small-integer ratios —
-    engine-identical doubles), deterministic tiebreak on custkey.
-    ONE SQL text on both engines; the window runs over the
-    O(#customers) aggregate, never the order facts."""
-    from hr_moderndatapipeline_spark.sources.readers import register_views
+    """Every customer's spend percentile — percent_rank / cume_dist
+    REBUILT from a range-partitioned global rank (VERDICT r7: the
+    SQL windows' `OVER (ORDER BY …)` is an `Exchange SinglePartition`
+    over O(customers), which scales with the data; ``assign_stable_ids``
+    numbers every slice in parallel with O(#partitions) driver
+    movement). Because the order key set (cents, custkey) is unique,
+    SQL rank == row_number == stable_id + 1, so
 
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_SPEND_PERCENTILE_SQL)
+        percent_rank = stable_id / (n − 1)      (0.0 when n = 1)
+        cume_dist    = (stable_id + 1) / n
+
+    — the exact same two integer-ratio doubles the oracle's window
+    functions produce, IEEE-identical because both engines perform
+    one division of the same exact integers. n rides along as a
+    literal from the offsets scan (``total_col`` — no second count
+    job, no 1-row cross join)."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = assign_stable_ids(
+        spend, ["cents", "o_custkey"], id_col="_sid", total_col="_n"
+    )
+    return ranked.select(
+        "o_custkey",
+        "cents",
+        F.when(
+            F.col("_n") > 1,
+            F.col("_sid").cast("double") / (F.col("_n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("spend_percentile"),
+        ((F.col("_sid") + 1).cast("double") / F.col("_n").cast("double")).alias(
+            "spend_cume_dist"
+        ),
+    )
 
 
 ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
@@ -1656,17 +1808,58 @@ FROM t GROUP BY decile
 
 
 def q_price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency (decile) binning of order totals via the
-    SQL-standard ntile window — the QuantileDiscretizer shape done
-    exactly, ONE SQL text on both engines. Ties broken by orderkey
-    so bin membership is deterministic. The global sort is the price
-    of exactness; the sketch path for 100 TB is
-    price_histogram_quantiles (mergeable histogram) — this entry is
-    its exact small-side sibling and the cross-check."""
-    from hr_moderndatapipeline_spark.sources.readers import register_views
+    """Equal-frequency (decile) binning of order totals — EXACT
+    ntile semantics rebuilt from a range-partitioned global rank
+    (VERDICT r7: SQL ``ntile(10) OVER (ORDER BY …)`` is an
+    ``Exchange SinglePartition`` + global sort over ALL orders — one
+    task sorting the fact table at 100×; ``assign_stable_ids``'s
+    two-pass offsets rank is the distributed sort with O(#partitions)
+    driver movement). The SQL-standard ntile bucket is pure integer
+    arithmetic on the 0-based rank j: with base = n DIV 10 and
+    r = n MOD 10, the first r buckets take base+1 rows, so
 
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_PRICE_DECILE_SQL)
+        decile(j) = j DIV (base+1) + 1                 if j < r·(base+1)
+                    r + (j − r·(base+1)) DIV base + 1  otherwise
+
+    (the else branch is unreachable when n < 10, so its DIV base
+    never divides by zero — CASE WHEN is lazy per-row). Ties broken
+    by orderkey so bin membership is deterministic; the oracle keeps
+    the one-text ntile window, making this the cross-engine proof
+    the arithmetic IS ntile. The sketch path for 100 TB remains
+    price_histogram_quantiles; this is its exact sibling."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
+
+    cents = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked = assign_stable_ids(
+        cents, ["cents", "o_orderkey"], id_col="_sid", total_col="_n"
+    )
+    binned = (
+        ranked.withColumn("_base", F.expr("_n DIV 10"))
+        .withColumn("_r", F.pmod(F.col("_n"), F.lit(10)))
+        .withColumn("_cut", F.col("_r") * (F.col("_base") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_sid") < F.col("_cut"),
+                F.expr("_sid DIV (_base + 1) + 1"),
+            )
+            .otherwise(F.expr("_r + (_sid - _cut) DIV _base + 1"))
+            .cast("bigint"),
+        )
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
 
 
 ORACLE_PRICE_DECILE_STATS = _PRICE_DECILE_SQL
@@ -3542,6 +3735,7 @@ QUERIES = {
     "order_cube": q_order_cube,
     "funnel_step_latency": q_funnel_step_latency,
     "funnel_windowed_conversion": q_funnel_windowed_conversion,
+    "funnel_restart_conversion": q_funnel_restart_conversion,
     "event_transition_matrix": q_event_transition_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
@@ -3630,6 +3824,7 @@ ORACLES = {
     "order_cube": ORACLE_ORDER_CUBE,
     "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
     "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
+    "funnel_restart_conversion": ORACLE_FUNNEL_RESTART,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,

@@ -316,7 +316,7 @@ reach AS (
 assign AS (SELECT id AS member_id, min(r) AS cluster_id FROM reach GROUP BY id),
 bucketed AS (
   SELECT doc_id, source,
-         ((CAST(COALESCE(a.cluster_id, doc_id) AS HUGEINT) * 2654435761) % 4294967296) % 100 AS b
+         ((CAST(COALESCE(a.cluster_id, doc_id) AS HUGEINT) % 2147483648 * 2654435761) % 4294967296) % 100 AS b
   FROM documents LEFT JOIN assign a ON doc_id = a.member_id
 )
 SELECT doc_id, source,
@@ -677,9 +677,11 @@ cb AS (SELECT cluster, v AS cv,
        FROM seeds),
 cell_scores AS (
   SELECT n.vec_id, n.v, n.nrm, cb.cluster,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(range(1, 65), i -> n.v[i] * cb.cv[i])),
-              (acc, x) -> acc + x) / cb.cbn AS score
+         CASE WHEN cb.cbn > 0 THEN
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65), i -> n.v[i] * cb.cv[i])),
+                (acc, x) -> acc + x) / cb.cbn
+         ELSE CAST(0.0 AS DOUBLE) END AS score
   FROM n CROSS JOIN cb),
 assign AS (
   SELECT vec_id AS c_id, v AS cv, nrm AS cn, cluster
@@ -961,7 +963,7 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STRATIFIED_SAMPLE = """
 SELECT doc_id, source FROM documents
-WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100
+WHERE (CAST(doc_id AS HUGEINT) % 2147483648 * 2654435761) % 4294967296 % 100
       < CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50 WHEN 'src2' THEN 0 ELSE 100 END
 """
 
@@ -984,7 +986,7 @@ FROM (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+           ORDER BY (CAST(doc_id AS HUGEINT) % 2147483648 * 2654435761) % 4294967296,
                     doc_id) AS rk
   FROM documents)
 WHERE rk <= 20
@@ -1075,7 +1077,7 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TRAINING_SHUFFLE = """
 WITH h AS (
-  SELECT doc_id, source, (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
+  SELECT doc_id, source, (CAST(doc_id AS HUGEINT) % 2147483648 * 2654435761) % 4294967296 AS hv
   FROM documents)
 SELECT doc_id, source,
        CAST(hv % 32 AS INTEGER) AS shard,
@@ -2269,7 +2271,7 @@ ex AS (SELECT vec_id, label AS anchor_label,
        FROM embeddings),
 d AS (SELECT vec_id, anchor_label, neg_rank,
              (vec_id + 1 +
-              (CAST(vec_id AS HUGEINT) * 2654435761
+              (CAST(vec_id AS HUGEINT) % 2147483648 * 2654435761
                + CAST(neg_rank AS HUGEINT) * 2246822519)
               % 4294967296 % (n.n - 1)) % n.n AS neg_id
       FROM ex CROSS JOIN n)
@@ -2314,7 +2316,7 @@ banded AS (
   FROM scored)
 SELECT doc_id, source, band
 FROM banded
-WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
+WHERE CAST((CAST(doc_id AS HUGEINT) % 2147483648 * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
       < (CASE WHEN band = 'good' THEN CAST(1.0 AS DOUBLE)
               WHEN band = 'fair' THEN CAST(0.5 AS DOUBLE)
               ELSE CAST(0.1 AS DOUBLE) END) * 1000000.0

@@ -627,6 +627,52 @@ def test_funnel_windowed_attempt_semantics(spark):
         )
 
 
+def test_funnel_windowed_restart_semantics(spark):
+    """restart_on_anchor=True (last-anchor convention): a view ALWAYS
+    re-anchors a live attempt — discarding partial progress — and an
+    expired chain can convert from the LATEST entry where the
+    first-anchor convention stays stuck; completion still locks."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        funnel_steps_windowed,
+    )
+
+    W = 400
+    rows = [
+        # user 5: first-anchor is stuck at the expired 0-anchor, but
+        # the re-entry at 100 converts under restart semantics
+        (5, 0, "view"), (5, 100, "view"), (5, 460, "click"), (5, 470, "purchase"),
+        # user 4 (same shape as the first-anchor test): a mid-attempt
+        # re-view DISCARDS the click progress under restart
+        (4, 0, "view"), (4, 60, "click"), (4, 80, "view"), (4, 130, "purchase"),
+        # user 6: completion locks — the later view must not reset
+        (6, 0, "view"), (6, 10, "click"), (6, 20, "purchase"), (6, 30, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, etype string").select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.col("sec").alias("event_id"),
+        F.col("etype").alias("event_type"),
+    )
+
+    def run(restart):
+        return {
+            r["user_id"]: (r["steps_completed"], r["converted"])
+            for r in funnel_steps_windowed(
+                df, ["user_id"], "ts", "event_type",
+                ["view", "click", "purchase"], window_seconds=W,
+                tiebreak_col="event_id", restart_on_anchor=restart,
+            ).collect()
+        }
+
+    restart = run(True)
+    assert restart[5] == (3, 1)   # converts from the latest anchor
+    assert restart[4] == (1, 0)   # re-anchor discarded the click
+    assert restart[6] == (3, 1)   # locked after completion
+    first = run(False)
+    assert first[5] == (1, 0)     # the divergence the convention pins
+    assert first[4] == (3, 1)     # first-anchor keeps the click and converts
+
+
 def test_funnel_step_times_matched_epochs(spark):
     """The captured epochs are the MATCHING events' timestamps in
     step order (monotonic by construction), re-entries don't

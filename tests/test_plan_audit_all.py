@@ -11,6 +11,15 @@ scale bugs unless explicitly justified:
   (the serialization tax the attrition_fact fix removed);
   Arrow-batched eval (``ArrowEvalPython`` / ``mapInPandas``) is the
   sanctioned Python boundary and stays allowed.
+- a ``Window`` fed by ``Exchange SinglePartition`` — the global
+  window moves its whole input relation through ONE task (VERDICT
+  r7: exactly this shape shipped three times over relations that
+  GROW with the data — all orders / all customers — while the old
+  audit only swept joins). Allowed only over aggregates whose
+  cardinality is bounded by the SCHEMA or a FIXED parameter
+  (O(#days)/O(#digits)/O(vocab)/O(#bins)), never by the row count;
+  scaling relations must route through the range-partitioned-rank
+  pattern (``assign_stable_ids``).
 
 A query that legitimately needs an exception must be added to the
 allowlist WITH a reason, so every future exception is a reviewed
@@ -18,10 +27,12 @@ decision, not an accident."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from hr_moderndatapipeline_spark.queries import queries
-from tests.test_plan_quality import plan_of
+from tests.test_plan_quality import plan_of, simple_plan_of
 
 # name -> reason. Every entry here is a reviewed BuildRight broadcast
 # of a provably tiny side (k rows / 1 row), where the "nested loop" IS
@@ -40,14 +51,74 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 
+# name -> reason. Every entry is a reviewed global window over an
+# aggregate whose row count is bounded by the SCHEMA or a FIXED
+# operator parameter — NOT by the data volume. Nothing here may feed
+# a relation that grows with the input (orders, customers, docs…):
+# that class must use assign_stable_ids' range-partitioned rank
+# (see price_decile_stats / customer_spend_percentile /
+# customer_revenue_gini, de-globalized in r8).
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "benford_price_digits": "window over the 9-row leading-digit aggregate",
+    "bigram_collocations": "corpus total carried over the O(vocab) unigram "
+    "aggregate; the rank itself is TakeOrderedAndProject",
+    "bigram_lm_score": "unigram-total window over the O(vocab) aggregate "
+    "(micro-nat quantization of p(w))",
+    "cuped_experiment_readout": "pooled-moments window over the 2-row "
+    "per-variant aggregate",
+    "curation_funnel": "ppm-share window over the O(#reasons) aggregate "
+    "(reason set is fixed by the rule list)",
+    "daily_order_anomalies": "mean/σ window over the O(#days) daily "
+    "aggregate — time span, not row count",
+    "dictionary_encode_digest": "frequency-rank window over the O(vocab) "
+    "aggregate in build_vocab",
+    "domain_mix_weights": "share window over the O(#domains) aggregate",
+    "dsir_importance_weights": "log-ratio window over the fixed 4096-bucket "
+    "hashed-unigram aggregate",
+    "price_drift_by_era": "histogram L1 over the fixed 64-bin aggregate",
+    "segment_priority_chisq": "expected-count window over the "
+    "O(segments × priorities) contingency aggregate",
+    "weekday_order_profile": "share window over the 7-row weekday aggregate",
+}
+
+_TREE_PREFIX = re.compile(r"^[\s:+\-*]*(\(\d+\)\s*)?")
+_WINDOW_NODE = re.compile(r"(Window|WindowGroupLimit)\b")
+_PASSTHROUGH = re.compile(r"(Sort|Project|WindowGroupLimit|Window)\b")
+
+
+def has_singlepartition_window(simple_plan: str) -> bool:
+    """True iff a Window node's child chain (through Sort/Project)
+    reaches an ``Exchange SinglePartition`` — the one-task global
+    window shape. Works on the "simple" explain string, where
+    exchange arguments are inline in the tree."""
+    lines = [_TREE_PREFIX.sub("", l) for l in simple_plan.splitlines()]
+    for i, line in enumerate(lines):
+        if _WINDOW_NODE.match(line):
+            for j in range(i + 1, min(i + 5, len(lines))):
+                nxt = lines[j]
+                if nxt.startswith("Exchange SinglePartition"):
+                    return True
+                if _PASSTHROUGH.match(nxt):
+                    continue
+                break
+    return False
+
+
 _QUERIES = sorted(queries().items())
 
 
 @pytest.mark.parametrize("name,fn", _QUERIES, ids=[n for n, _ in _QUERIES])
 def test_no_plan_antipatterns(spark, sf_dir, name, fn):
-    plan = plan_of(fn(spark, sf_dir))
+    df = fn(spark, sf_dir)
+    plan = plan_of(df)
     if name not in NESTED_LOOP_ALLOWED:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
     if name not in PYTHON_ROW_EVAL_ALLOWED:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        assert not has_singlepartition_window(simple_plan_of(df)), (
+            f"{name}: Window fed by Exchange SinglePartition — a one-task "
+            "global window; use assign_stable_ids' range-partitioned rank, "
+            "or allowlist with a bounded-aggregate reason"
+        )

@@ -18,6 +18,17 @@ def plan_of(df) -> str:
     )
 
 
+def simple_plan_of(df) -> str:
+    """The "simple" explain string — unlike formatted mode, exchange
+    arguments (``Exchange SinglePartition`` vs hashpartitioning) are
+    inline in the tree, which the global-window audit needs."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
 def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
     plan = plan_of(core.q_pricing_summary(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -388,3 +399,36 @@ def test_join_strategy_hints_respected(spark, sf_dir):
     assert "SortMergeJoin" in jm._jdf.queryExecution().executedPlan().toString()
     jh = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
     assert "ShuffledHashJoin" in jh._jdf.queryExecution().executedPlan().toString()
+
+
+def test_deglobalized_rank_queries_have_no_singlepartition_window(spark, sf_dir):
+    """VERDICT r7 regression pin: the three rank/percentile/decile
+    queries used to funnel a DATA-SCALED relation (all orders / all
+    customers) through `ntile/percent_rank OVER (ORDER BY …)` — an
+    Exchange SinglePartition + one-task sort. Re-planned in r8 onto
+    assign_stable_ids' range-partitioned rank; this pin keeps them
+    off the global-window path for good."""
+    from tests.test_plan_audit_all import has_singlepartition_window
+
+    for fn in (
+        core.q_price_decile_stats,
+        core.q_customer_spend_percentile,
+        core.q_customer_revenue_gini,
+    ):
+        sp = simple_plan_of(fn(spark, sf_dir))
+        assert not has_singlepartition_window(sp), fn.__name__
+
+
+def test_singlepartition_window_detector_is_redable(spark):
+    """The audit helper must actually fire on the shape it polices —
+    a Window.partitionBy() (empty) global rank plans as Sort over
+    Exchange SinglePartition and must be detected."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    from tests.test_plan_audit_all import has_singlepartition_window
+
+    df = spark.range(100).withColumn(
+        "r", FF.row_number().over(Window.partitionBy().orderBy("id"))
+    )
+    assert has_singlepartition_window(simple_plan_of(df))
