@@ -46,6 +46,7 @@ def pq_codebooks(
     k: int = 16,
     refine_iterations: int = 2,
     max_train: int = 4096,
+    sample_hash: str = "xxhash",
 ) -> DataFrame:
     """Train per-subspace codebooks: ``(sub int, cluster int,
     _cv array<double>)`` with len(_cv) == dim/m. ONE bounded driver
@@ -54,20 +55,30 @@ def pq_codebooks(
     a capped representative sample is the standard practice; the
     corpus itself is never collected). Seeds are the first k sample
     rows per subspace ordering; refinement is exact Lloyd on the
-    sample's subvector slices."""
+    sample's subvector slices.
+
+    ``sample_hash="portable"`` orders the sample by the affine hash
+    ((id % P)·A + C) % P with an id tiebreak — restatable in ANSI
+    SQL, so with ``refine_iterations=0`` the ENTIRE codebook
+    definition (sample → rotated seeds) is DuckDB-oracle-verifiable,
+    the same verification-mode trade ``ivf_codebook`` made in r7
+    (the Lloyd-refined xxhash default stays the quality path)."""
     import numpy as np
 
     spark = corpus.sparkSession
     slices = _subspace_slices(dim, m)
-    train_rows = (
-        corpus.select(
-            F.col(id_col).alias("_id"), as_double_vec(F.col(vec_col)).alias("_v")
-        )
-        .withColumn("_hk", F.xxhash64(F.col("_id")))
-        .orderBy("_hk")
-        .limit(max_train)
-        .collect()
+    shaped = corpus.select(
+        F.col(id_col).alias("_id"), as_double_vec(F.col(vec_col)).alias("_v")
     )
+    if sample_hash == "portable":
+        _P, _A, _C = 1_000_000_007, 2_654_435_761, 40_503
+        shaped = shaped.withColumn(
+            "_hk",
+            F.pmod(F.pmod(F.col("_id"), F.lit(_P)) * _A + _C, F.lit(_P)),
+        )
+    else:
+        shaped = shaped.withColumn("_hk", F.xxhash64(F.col("_id")))
+    train_rows = shaped.orderBy("_hk", "_id").limit(max_train).collect()
     pts_full = np.array([r["_v"] for r in train_rows])
     if len(pts_full) < k:
         raise ValueError(f"need at least k={k} training vectors, got {len(pts_full)}")
@@ -129,7 +140,16 @@ def pq_encode(
             codes = np.empty((len(pdf), len(slices)), dtype=np.int32)
             for sub, (lo, hi) in enumerate(slices):
                 sv = vecs[:, lo:hi]
-                d2 = ((sv[:, None, :] - t[sub][None, :, :]) ** 2).sum(axis=2)
+                # accumulate SEQUENTIALLY over the dimension index
+                # (the _assign_factory trick): each step is the same
+                # correctly-rounded (v-c), (v-c)·(v-c), acc+x2 op
+                # sequence as the DuckDB oracle's list_reduce fold, so
+                # the argmin (ties → lowest cluster, np.argmin's
+                # first-hit == ORDER BY d2, cluster) is engine-exact.
+                d2 = np.zeros((len(pdf), t.shape[1]), dtype=np.float64)
+                for d in range(hi - lo):
+                    diff = sv[:, d][:, None] - t[sub][None, :, d]
+                    d2 = d2 + diff * diff
                 codes[:, sub] = d2.argmin(axis=1)
             yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
 
@@ -141,6 +161,21 @@ def pq_encode(
     )
 
 
+def _query_lut(q_vecs, tensor, slices):
+    """LUT[q, sub, cluster] = <query_subvector, centroid>, accumulated
+    SEQUENTIALLY over the dimension index from a 0.0 seed — every
+    float op matches the DuckDB oracle's list_reduce inner-product
+    fold (a matmul's pairwise/SIMD accumulation would not)."""
+    import numpy as np
+
+    k_cb = tensor.shape[1]
+    lut = np.zeros((len(q_vecs), len(slices), k_cb), dtype=np.float64)
+    for sub, (lo, hi) in enumerate(slices):
+        for d in range(hi - lo):
+            lut[:, sub, :] += q_vecs[:, lo + d][:, None] * tensor[sub][None, :, d]
+    return lut
+
+
 def pq_probe(
     queries: DataFrame,
     encoded: DataFrame,
@@ -150,6 +185,7 @@ def pq_probe(
     k: int = 10,
     dim: int = 64,
     m: int = 8,
+    round_digits: int = 6,
 ) -> DataFrame:
     """ADC scan: per query, an inner-product lookup table against
     every centroid (q, m, k_cb) is broadcast; the corpus pass sums
@@ -157,7 +193,14 @@ def pq_probe(
     ranked window takes the global top-k. The corpus codes never
     shuffle; only candidates (≤ partitions × q × k rows) move.
     Returns (q_id, c_id, score, rk) with approximate inner-product
-    scores — recall vs exact search is pinned in tests."""
+    scores — recall vs exact search is pinned in tests.
+
+    Engine-exact by construction (r8): the LUT and the per-vector
+    score accumulate sequentially (dim order, then sub order), and
+    the per-partition top-k orders by (score desc, c_id asc) — the
+    same total order as the final window — so the global top-k is
+    the exact merge of partition top-ks and hash-matches the DuckDB
+    restatement."""
     import numpy as np
     import pandas as pd
 
@@ -169,15 +212,7 @@ def pq_probe(
     ).collect()
     q_ids = np.array([r["_qid"] for r in q_rows])
     q_vecs = np.array([r["_v"] for r in q_rows])
-    # LUT[q, sub, cluster] = <query_subvector, centroid>
-    lut = np.stack(
-        [
-            np.stack(
-                [q_vecs[:, lo:hi] @ tensor[sub].T for sub, (lo, hi) in enumerate(slices)],
-                axis=1,
-            )
-        ]
-    )[0]
+    lut = _query_lut(q_vecs, tensor, slices)
     bc = spark.sparkContext.broadcast((q_ids, lut))
 
     def scan(batches):
@@ -187,17 +222,22 @@ def pq_probe(
             n = len(pdf)
             if n == 0:
                 continue
+            c_ids = pdf["_id"].to_numpy()
             # scores[q, n] = sum over sub of tbl[q, sub, codes[n, sub]]
-            scores = np.zeros((len(qi), n))
+            # — sequential over sub from the 0.0 seed (oracle order)
+            scores = np.zeros((len(qi), n), dtype=np.float64)
             for sub in range(codes.shape[1]):
                 scores += tbl[:, sub, codes[:, sub]]
             top = min(k, n)
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
             out_q, out_c, out_s = [], [], []
             for qrow in range(len(qi)):
-                for j in idx[qrow]:
+                # deterministic top-k: (-score, c_id) — argpartition's
+                # arbitrary tie handling at the k boundary could keep
+                # a different candidate than the final window's order
+                sel = np.lexsort((c_ids, -scores[qrow]))[:top]
+                for j in sel:
                     out_q.append(int(qi[qrow]))
-                    out_c.append(int(pdf["_id"].iloc[j]))
+                    out_c.append(int(c_ids[j]))
                     out_s.append(float(scores[qrow, j]))
             yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "score": out_s})
 
@@ -210,6 +250,7 @@ def pq_probe(
     return (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .withColumn("score", F.round(F.col("score"), round_digits))
         .orderBy("q_id", "rk")
     )
 
@@ -271,9 +312,9 @@ def ivfpq_probe(
     import pandas as pd
 
     spark = queries.sparkSession
-    from hr_moderndatapipeline_spark.operators.similarity import _codebook_matrix
+    from hr_moderndatapipeline_spark.operators.similarity import _codebook_raw
 
-    cents = _codebook_matrix(ivf_codebook)  # (n_cells, dim) numpy
+    cents = _codebook_raw(ivf_codebook)  # (n_cells, dim), unnormalized
     tensor = _codebook_tensor(pq_cb)
     slices = _subspace_slices(dim, m)
     q_rows = queries.select(
@@ -281,13 +322,24 @@ def ivfpq_probe(
     ).collect()
     q_ids = np.array([r["_qid"] for r in q_rows])
     q_vecs = np.array([r["_v"] for r in q_rows])
-    d2 = ((q_vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    cells = np.argsort(d2, axis=1)[:, :nprobe]  # (q, nprobe)
+    # coarse cell selection with the SAME scoring as ivf_index's
+    # _assign_factory (seqdot / seq-fold centroid norm, ties to the
+    # lower cell id) so probe selection matches index assignment AND
+    # the ORACLE_ANN_IVF qassign restatement verbatim (r8; the old
+    # euclidean argsort used a different metric and untied
+    # nondeterministically).
+    n_cells = cents.shape[0]
+    normsq = np.zeros(n_cells, dtype=np.float64)
+    for d in range(dim):  # sequential fold, oracle order
+        normsq = normsq + cents[:, d] * cents[:, d]
+    norms = np.where(normsq > 0, np.sqrt(normsq), np.inf)
+    dots = np.zeros((len(q_vecs), n_cells), dtype=np.float64)
+    for d in range(dim):  # sequential fold, oracle order
+        dots += np.outer(q_vecs[:, d], cents[:, d])
+    cell_scores = dots / norms
+    cells = np.argsort(-cell_scores, axis=1, kind="stable")[:, :nprobe]
     wanted = sorted({int(c) for row in cells for c in row})
-    lut = np.stack(
-        [q_vecs[:, lo:hi] @ tensor[sub].T for sub, (lo, hi) in enumerate(slices)],
-        axis=1,
-    )
+    lut = _query_lut(q_vecs, tensor, slices)
     cell_sets = {int(q_ids[i]): {int(c) for c in cells[i]} for i in range(len(q_ids))}
     bc = spark.sparkContext.broadcast((q_ids, lut, cell_sets))
 
@@ -298,7 +350,9 @@ def ivfpq_probe(
                 continue
             codes = np.array(list(pdf["codes"]))
             cids = pdf["cid"].to_numpy()
-            scores = np.zeros((len(qi), len(pdf)))
+            c_ids = pdf["_id"].to_numpy()
+            # sequential over sub from the 0.0 seed (oracle order)
+            scores = np.zeros((len(qi), len(pdf)), dtype=np.float64)
             for sub in range(codes.shape[1]):
                 scores += tbl[:, sub, codes[:, sub]]
             out_q, out_c, out_s = [], [], []
@@ -310,10 +364,12 @@ def ivfpq_probe(
                 if not mask.any():
                     continue
                 idx = np.where(mask)[0]
-                top = idx[np.argsort(-scores[qrow, idx])[: min(k, len(idx))]]
-                for j in top:
+                # deterministic top-k: (-score, c_id), the final
+                # window's order (see pq_probe)
+                sel = idx[np.lexsort((c_ids[idx], -scores[qrow, idx]))]
+                for j in sel[: min(k, len(idx))]:
                     out_q.append(qid)
-                    out_c.append(int(pdf["_id"].iloc[j]))
+                    out_c.append(int(c_ids[j]))
                     out_s.append(float(scores[qrow, j]))
             if out_q:
                 yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "score": out_s})
@@ -328,5 +384,6 @@ def ivfpq_probe(
     return (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .withColumn("score", F.round(F.col("score"), 6))
         .orderBy("q_id", "rk")
     )

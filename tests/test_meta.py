@@ -51,12 +51,11 @@ def test_rows_only_set_is_intentional():
     non-SQL classes (streaming execution, engine-native hashing,
     iterative) — additions to this set are a deliberate decision."""
     allowed = {
-        # ann_ivf_topk / ivf_probe_topk gained a DuckDB oracle in r7
-        # (portable seed hash + sequential-fold assignment); the PQ
-        # family stays rows-only: its codebook trains with numpy
-        # Lloyd iterations that are not SQL-re-derivable.
-        "ivfpq_probe_topk",
-        "pq_probe_topk",
+        # the whole ANN family is oracle-backed as of r8
+        # (ann_ivf/ivf_probe in r7; pq/ivfpq in r8 via portable-hash
+        # verification-mode codebooks + sequential ADC folds) — only
+        # the six streaming lifecycles remain, honestly non-SQL
+        # (stateful micro-batch execution).
         "streaming_custom_source",
         "streaming_dedup_events",
         "streaming_ewma_state",
