@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "semantic_dedup_multitable",  # 3-table OR-construction recall remedy
     "bigram_collocations",        # integer-micro lift phrase detection
     "bpe_tokenize",               # BPE learn(5)+apply lifecycle
+    "funnel_restart_conversion",  # last-anchor windowed funnel (r8)
+    "bpe_tokenize_arrow",         # BPE apply on the Arrow memo path (r8)
 ]
 
 #: The 21-query round-1 anchor subset (BASELINE.md comparison set).

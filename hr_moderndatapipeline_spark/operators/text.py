@@ -316,13 +316,17 @@ def paragraph_dedup(
     shuffles (paragraph key, then doc id), no join-back on the
     explode lineage. The window partitions by the paragraph STRING,
     exact on any engine; ``by_hash=True`` is the 100 TB path — the
-    window keys on ``xxhash64(para)`` so the FIRST shuffle moves
-    8-byte keys instead of full text (the n-gram census's scale
-    note; the rewrite's group-back still carries text, necessarily).
-    Result-identical up to 64-bit collisions (same budget as the
-    xxhash dedup family; unit-tested equal on the test corpus) but
-    not DuckDB-restatable — the exact-string default stays the
-    oracle face. Degenerate hot keys (the empty-paragraph class) are
+    window keys on ``xxhash64(para)``. MEASURED mechanism (r8,
+    tools/paragraph_fixture.py at KiB-paragraph geometry): shuffle
+    BYTES do not separate — the (id, pos, para) row ships under
+    either key because the rewrite needs the text — the ×3 wall win
+    is the window SORT comparing 8-byte longs instead of KiB strings
+    (plus cheaper partitioner hashing); at the driver corpus's
+    60-byte paragraphs the comparison cost vanishes and the variants
+    tie. Result-identical up to 64-bit collisions (same budget as
+    the xxhash dedup family; unit-tested equal on the test corpus
+    AND the KiB fixture) but not DuckDB-restatable — the
+    exact-string default stays the oracle face. Degenerate hot keys (the empty-paragraph class) are
     filtered before the window.
 
     Output per input doc: ``n_paragraphs``, ``n_dropped``,
@@ -709,7 +713,17 @@ def bpe_apply(
     word re-segments through one pinned greedy left-to-right fold PER
     MERGE, chained in rank order inside a single projection (k folds
     of JVM codegen, no Python, no shuffle at all — this is a pure map
-    over the corpus). Output per doc: ``n_chars`` (non-space symbol
+    over the corpus).
+
+    Cost shape (r8 stress sweep): linear in the CORPUS, but the fold
+    appends to the accumulator array per symbol — an O(L²) term in
+    the word length L (array copy per element) — and the chained
+    expressions grow with the merge count, so this face caps out
+    around dozens of merges. ``bpe_apply_arrow`` is the scale path
+    for long words / real merge-table sizes; identical results (the
+    semantics are exact string ops, no floats).
+
+    Output per doc: ``n_chars`` (non-space symbol
     count), ``n_pieces`` (token count after merging) — the
     compression-ratio readout tokenizer training optimizes."""
     words = F.split(F.col(text_col), " ")
@@ -738,6 +752,69 @@ def bpe_apply(
         F.col(id_col),
         n_chars.alias("n_chars"),
         pieces.alias("n_pieces"),
+    )
+
+
+def bpe_apply_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Arrow-batched scale path for ``bpe_apply``: the same greedy
+    one-pass-per-merge semantics in plain Python over ``mapInPandas``
+    batches. Because the semantics are EXACT string/integer ops (no
+    floats), the results are identical to the JVM folds and to the
+    SQL oracle — this is the sanctioned Python boundary (Arrow, never
+    row-eval), chosen for the two limits the fold face hits:
+
+    * per-word cost O(L·k) instead of the fold's O(L²·k) accumulator
+      copies (L = symbols per word, k = merges);
+    * no expression-tree growth with k — the chained folds cap out
+      around dozens of merges, a real tokenizer carries thousands;
+    * a per-batch WORD MEMO: corpora repeat words heavily (Zipf), so
+      each distinct word re-segments once per batch, making the pass
+      vocabulary-bound rather than token-bound.
+
+    Same output schema as ``bpe_apply``; equality is unit-tested and
+    the oracle face stays the JVM fold."""
+    import pandas as pd
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, int] = {}
+
+            def pieces_of(word: str) -> int:
+                hit = memo.get(word)
+                if hit is not None:
+                    return hit
+                syms = list(word)
+                for a, b in merge_list:
+                    out: list[str] = []
+                    for sym in syms:
+                        if out and out[-1] == a and sym == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(sym)
+                    syms = out
+                memo[word] = len(syms)
+                return memo[word]
+
+            n_chars, n_pieces = [], []
+            for text in pdf["_txt"]:
+                words = [w for w in text.split(" ") if w]
+                n_chars.append(sum(len(w) for w in words))
+                n_pieces.append(sum(pieces_of(w) for w in words))
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "n_chars": n_chars, "n_pieces": n_pieces}
+            )
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .mapInPandas(run, schema="_id long, n_chars long, n_pieces long")
+        .select(F.col("_id").alias(id_col), "n_chars", "n_pieces")
     )
 
 

@@ -1564,6 +1564,29 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "doc_id", "text", merges)
 
 
+def q_bpe_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer lifecycle on the Arrow SCALE PATH
+    (operators/text.py bpe_apply_arrow): learn the same 5 merges,
+    then re-segment via the per-batch word-memoized Python pass —
+    O(L·k) per word and no expression growth with the merge count,
+    where the JVM fold face (bpe_tokenize) pays O(L²·k) accumulator
+    copies and caps out around dozens of merges. Exact string ops ⇒
+    bit-identical to the fold face, so it shares the SAME DuckDB
+    oracle — the driver gate itself proves the two faces agree."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bpe_apply_arrow,
+        bpe_learn_merges,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges_df = bpe_learn_merges(docs.select("text"), "text", num_merges=5)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    return bpe_apply_arrow(docs, "doc_id", "text", merges)
+
+
 def _bpe_tokenize_oracle_sql(num_merges: int = 5) -> str:
     """Extend the merge-learning chain: re-segment every DOCUMENT
     word through the same per-round folds (seg{r} applies t{r}) and
@@ -3254,6 +3277,7 @@ QUERIES = {
     "bigram_collocations": q_bigram_collocations,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "bpe_tokenize_arrow": q_bpe_tokenize_arrow,
     "dsir_importance_weights": q_dsir_importance_weights,
     "negative_samples": q_negative_samples,
     "hard_negative_mining": q_hard_negative_mining,
@@ -3375,6 +3399,7 @@ ORACLES = {
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "bpe_merges": _bpe_oracle_sql(),
     "bpe_tokenize": _bpe_tokenize_oracle_sql(),
+    "bpe_tokenize_arrow": _bpe_tokenize_oracle_sql(),
     "dsir_importance_weights": ORACLE_DSIR_WEIGHTS,
     "negative_samples": ORACLE_NEGATIVE_SAMPLES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVES,

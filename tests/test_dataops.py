@@ -503,6 +503,39 @@ def test_bpe_learn_merges_hand_computed(spark):
         bpe_learn_merges(df, "text", num_merges=0)
 
 
+def test_bpe_apply_arrow_matches_fold_face(spark):
+    """bpe_apply_arrow (the O(L·k) memoized Arrow path) must produce
+    the exact per-doc (n_chars, n_pieces) the JVM fold face produces,
+    including on backslash/quote symbols and repeated words (the
+    memo's cache-hit path)."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bpe_apply,
+        bpe_apply_arrow,
+        bpe_learn_merges,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, r"aaab aaab ab it's a\b a\b"),
+            (2, "aaab aaab aaab zzzz"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn_merges(df, "text", num_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    fold = {r["doc_id"]: (r["n_chars"], r["n_pieces"])
+            for r in bpe_apply(df, "doc_id", "text", merges).collect()}
+    arrow = {r["doc_id"]: (r["n_chars"], r["n_pieces"])
+             for r in bpe_apply_arrow(df, "doc_id", "text", merges).collect()}
+    assert fold == arrow
+    assert fold[3] == (0, 0)
+
+
 def test_stratified_fixed_n_exact_counts(spark, sf_dir):
     """Exactly min(n, |stratum|) per stratum, deterministic across
     invocations, ranks contiguous from 1; n < 1 raises."""

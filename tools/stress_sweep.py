@@ -30,6 +30,8 @@ Usage:
   python tools/stress_sweep.py              # sweep sf0.1 vs sf1.0, print JSON
   python tools/stress_sweep.py --sf3        # sweep sf0.1 vs sf3.0
   python tools/stress_sweep.py --relational # relational subset only
+  python tools/stress_sweep.py --r7         # fold-heavy r7 family
+  python tools/stress_sweep.py --gen --sf10 # spill-frontier scale (100 copies)
 """
 
 from __future__ import annotations
@@ -50,6 +52,10 @@ BASE_DIR = "/root/testdata/sf0.1"
 SCALES = {
     "sf1.0": ("/tmp/hr_mdp_stress_sf1", 10, 100_000),
     "sf3.0": ("/tmp/hr_mdp_stress_sf3", 30, 10_000_000),
+    # spill-frontier scale (VERDICT r7 task 3): 100 copies ≈ sf10.
+    # All base keys are dense (o_orderkey < 150k, event_id < 100k),
+    # so the per-copy offsets stay collision-free at 100 copies.
+    "sf10": ("/tmp/hr_mdp_stress_sf10", 100, 10_000_000),
 }
 
 #: The expensive tail VERDICT r6 names, plus the r7 paragraph census.
@@ -61,6 +67,38 @@ HEAVY_QUERIES = [
     "ivfpq_probe_topk",
     "rolling_weekly_active_users",
     "paragraph_dedup",
+]
+
+#: Round-7 additions (VERDICT r7 task 2): the fold-heavy family —
+#: per-key collect_list funnels (prove per-key cardinality bounds
+#: hold when the corpus grows but users multiply), the k-chained
+#: BPE tokenize fold, the paragraph index/probe lifecycle, and the
+#: two windowed aggregates over bounded spines.
+R7_QUERIES = [
+    "bpe_tokenize",
+    "bigram_collocations",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "funnel_step_latency",
+    "funnel_windowed_conversion",
+    "funnel_restart_conversion",
+    "paragraph_probe_dedup",
+]
+
+#: Spill-frontier set (VERDICT r7 task 3): the shuffle-heavy tail
+#: only — zero-shuffle folds (bpe) and the documented quadratic are
+#: excluded; the question at sf10 is WHERE the first spill appears
+#: and which knob moves it.
+FRONTIER_QUERIES = [
+    "minhash_dedup_pairs",
+    "simhash_near_pairs",
+    "duplicate_ngram_spans",
+    "paragraph_dedup",
+    "rolling_weekly_active_users",
+    "salted_lineitem_order_revenue",
+    "pricing_summary",
+    "part_profit_by_nation_year",
+    "customer_order_distribution",
 ]
 
 #: Relational-core extension (r7): joins, windows, and the skew path
@@ -178,7 +216,14 @@ def sweep(stress_tag: str, stress_dir: str) -> None:
     names = [*HEAVY_QUERIES, "semantic_dedup_scaled_bits", *RELATIONAL_QUERIES]
     if "--relational" in sys.argv[1:]:
         names = RELATIONAL_QUERIES
-    if stress_tag == "sf3.0":
+    if "--r7" in sys.argv[1:]:
+        names = R7_QUERIES
+    if "--frontier" in sys.argv[1:]:
+        names = FRONTIER_QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            names = a.split("=", 1)[1].split(",")
+    if stress_tag in ("sf3.0", "sf10"):
         # fixed-4-bit semantic dedup is the DOCUMENTED quadratic
         # (x61.6 at 10x == ~25 min at 30x) - the law entry replaces it
         names = [n for n in names if n != "semantic_dedup_survivors"]
@@ -229,7 +274,11 @@ def sweep(stress_tag: str, stress_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    tag = "sf3.0" if "--sf3" in sys.argv[1:] else "sf1.0"
+    tag = (
+        "sf10" if "--sf10" in sys.argv[1:]
+        else "sf3.0" if "--sf3" in sys.argv[1:]
+        else "sf1.0"
+    )
     sdir, copies, doc_off = SCALES[tag]
     if "--gen" in sys.argv[1:]:
         generate(sdir, copies, doc_off)
