@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "bpe_tokenize",               # BPE learn(5)+apply lifecycle
     "funnel_restart_conversion",  # last-anchor windowed funnel (r8)
     "bpe_tokenize_arrow",         # BPE apply on the Arrow memo path (r8)
+    "dup_cluster_size_spectrum",  # duplicate-frequency spectrum (r8)
+    "domain_top_p_coverage",      # nucleus-style source coverage (r8)
+    "quality_calibration_curve",  # decile calibration via stable-id ntile (r8)
 ]
 
 #: The 21-query round-1 anchor subset (BASELINE.md comparison set).

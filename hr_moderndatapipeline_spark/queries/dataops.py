@@ -155,6 +155,38 @@ FROM recrawl GROUP BY text
 """
 
 
+def q_dup_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE SPECTRUM over the recrawl corpus — the
+    dedup diagnostics readout every curation report prints (how much
+    of the corpus sits in 2-copy clusters vs boilerplate repeated
+    thousands of times; the CCNet/C4 papers' duplicate-frequency
+    figure). Two map-combinable shuffles: text-group sizes, then the
+    O(#distinct sizes) spectrum — output bounded by the largest
+    cluster, never the corpus."""
+    docs = _docs(spark, sf_dir)
+    recrawl = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sizes = recrawl.groupBy("text").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLE_DUP_SPECTRUM = """
+WITH recrawl AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents),
+sizes AS (SELECT CAST(count(*) AS BIGINT) AS cluster_size FROM recrawl GROUP BY text)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 # ── n-gram (word-set) Jaccard near-dup over blocked pairs ──
 
 def q_jaccard_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2215,6 +2247,139 @@ FROM tot
 """
 
 
+def q_domain_top_p_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style (top-p) source selection per language: rank each
+    language's sources by token volume and keep the smallest prefix
+    covering ≥80% of the language's tokens — the "which sources do we
+    even need" screen of mixture design (top-p over the source
+    distribution, the sampling-temperature companion to
+    domain_mix_weights). All windows partition BY LANGUAGE over the
+    O(#lang × #source) aggregate; kept-ness compares one double
+    ratio (single division of exact BIGINTs — engine-identical)
+    against 0.8·total so the BIGINT path never overflows at 100 TB
+    token counts."""
+    from pyspark.sql import Window
+
+    agg = (
+        _docs(spark, sf_dir)
+        .select("lang", "source", token_count(F.col("text")).alias("_tc"))
+        .groupBy("lang", "source")
+        .agg(F.sum("_tc").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_tokens").desc(), F.col("source").asc()
+    )
+    wt = Window.partitionBy("lang")
+    ranked = agg.withColumn("rank", F.row_number().over(w).cast("int")).withColumn(
+        "_total", F.sum("n_tokens").over(wt).cast("bigint")
+    )
+    cum = (
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    ranked = ranked.withColumn("cum_tokens", cum)
+    kept = (
+        (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+        < F.lit(0.8) * F.col("_total").cast("double")
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_tokens",
+        "rank",
+        "cum_tokens",
+        kept.cast("int").alias("kept"),
+    )
+
+
+ORACLE_DOMAIN_TOP_P = """
+WITH agg AS (
+  SELECT lang, source,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source),
+ranked AS (
+  SELECT lang, source, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n_tokens DESC, source ASC) AS INTEGER) AS rank,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS total,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                ORDER BY n_tokens DESC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM agg)
+SELECT lang, source, n_tokens, rank, cum_tokens,
+       CAST(CASE WHEN CAST(cum_tokens - n_tokens AS DOUBLE)
+                      < CAST(0.8 AS DOUBLE) * CAST(total AS DOUBLE)
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM ranked
+"""
+
+
+def q_quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration readout: corpus deciles by the exact
+    integer quality score (q10) vs the observed rate of a target
+    slice (src0 standing in for "labeled good") — the reliability
+    curve a curation team reads before trusting a quality gate.
+    Deciles come from the RANGE-PARTITIONED rank (assign_stable_ids
+    + the r8 ntile bucket arithmetic — the de-globalized pattern
+    reused), so the plan carries no SinglePartition window; per-
+    decile stats are exact integer ratios (DIV → ppm/milli)."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        _q10_expr().alias("q10"),
+        (F.col("source") == "src0").cast("bigint").alias("is_target"),
+    )
+    ranked = assign_stable_ids(
+        scored, ["q10", "doc_id"], id_col="_sid", total_col="_n"
+    )
+    binned = (
+        ranked.withColumn("_base", F.expr("_n DIV 10"))
+        .withColumn("_r", F.pmod(F.col("_n"), F.lit(10)))
+        .withColumn("_cut", F.col("_r") * (F.col("_base") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_sid") < F.col("_cut"),
+                F.expr("_sid DIV (_base + 1) + 1"),
+            )
+            .otherwise(F.expr("_r + (_sid - _cut) DIV _base + 1"))
+            .cast("bigint"),
+        )
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(1000 * sum(q10) DIV (10 * count(1)) AS BIGINT)").alias(
+            "mean_score_milli"
+        ),
+        F.expr("CAST(1000000 * sum(is_target) DIV count(1) AS BIGINT)").alias(
+            "target_rate_ppm"
+        ),
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_Q10_CASE_SQL} AS q10,
+         CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS BIGINT) AS is_target
+  FROM documents),
+binned AS (
+  SELECT ntile(10) OVER (ORDER BY q10 ASC, doc_id ASC) AS decile,
+         q10, is_target
+  FROM t)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(1000 * sum(q10) // (10 * count(*)) AS BIGINT) AS mean_score_milli,
+       CAST(1000000 * sum(is_target) // count(*) AS BIGINT) AS target_rate_ppm
+FROM binned GROUP BY decile
+"""
+
+
 # ── DSIR importance weights toward a target slice ──
 
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3253,6 +3418,9 @@ FROM documents d LEFT JOIN seqs s USING (doc_id)
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dup_cluster_size_spectrum": q_dup_cluster_size_spectrum,
+    "domain_top_p_coverage": q_domain_top_p_coverage,
+    "quality_calibration_curve": q_quality_calibration_curve,
     "bigram_lm_score": q_bigram_lm_score,
     "semantic_dedup_survivors": q_semantic_dedup,
     "semantic_dedup_multitable": q_semantic_dedup_multitable,
@@ -3326,6 +3494,9 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dup_cluster_size_spectrum": ORACLE_DUP_SPECTRUM,
+    "domain_top_p_coverage": ORACLE_DOMAIN_TOP_P,
+    "quality_calibration_curve": ORACLE_QUALITY_CALIBRATION,
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP,
     "semantic_dedup_multitable": ORACLE_SEMANTIC_DEDUP_MULTITABLE,
