@@ -896,6 +896,90 @@ def jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT word-set Jaccard ≥ t pairs over the WHOLE corpus via
+    prefix filtering (the AllPairs/PPJoin family — Chaudhuri et al.
+    2006, Bayardo et al. 2007; public method): order every doc's
+    distinct words by ascending global document frequency (rare
+    first, ties lexicographic), index only each doc's PREFIX of
+    ``n − ceil(t·n) + 1`` tokens, and generate a candidate pair only
+    when two prefixes share a token. The prefix theorem makes this
+    LOSSLESS for Jaccard ≥ t (two sets similar enough must overlap
+    within these prefixes — property-tested against brute force), so
+    unlike source/LSH blocking there is no recall budget — this is
+    the unblocked-exactness column of the near-dup family.
+
+    Scale shape: token explode → df aggregate (1 shuffle) → join
+    token→df → per-doc sort (1 shuffle on id) → prefix explode →
+    equi-join on the prefix TOKEN shipping only (token, id, n) —
+    the word arrays join back by id for verification, never riding
+    the token join. Rare-first ordering makes hot tokens
+    systematically UNLIKELY in prefixes (a token in many prefixes
+    has high df and sorts out of them) — the skew argument blocking
+    needs salting for. Verification is the exact intersect/union on
+    the raw word arrays with the two-int size-ratio cull first.
+
+    Returns (``{id}_a``, ``{id}_b``, jaccard), a < b."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    d = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_words"),
+    )
+    tok = d.select(F.col(id_col), F.explode("_words").alias("_w"))
+    dfreq = tok.groupBy("_w").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    sorted_docs = (
+        tok.join(dfreq, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_df"), F.col("_w")))
+                ),
+                lambda st: st["_w"],
+            ).alias("_arr"),
+            F.count(F.lit(1)).cast("int").alias("_n"),
+        )
+    )
+    plen = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
+    pref = sorted_docs.select(
+        F.col(id_col),
+        "_n",
+        F.explode(F.slice("_arr", 1, plen)).alias("_w"),
+    )
+    a = pref.toDF(f"{id_col}_a", "_n_a", "_w")
+    b = pref.toDF(f"{id_col}_b", "_n_b", "_w")
+    size_ok = (
+        F.least("_n_a", "_n_b").cast("double")
+        / F.greatest("_n_a", "_n_b").cast("double")
+        >= threshold
+    )
+    cand = (
+        a.join(b, "_w")
+        .filter((F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & size_ok)
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+    wa = d.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_words").alias("_wa"))
+    wb = d.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_words").alias("_wb"))
+    return (
+        cand.join(wa, f"{id_col}_a")
+        .join(wb, f"{id_col}_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_wa", "_wb")).cast("double")
+            / F.size(F.array_union("_wa", "_wb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -1708,6 +1708,96 @@ ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
 
 # ── weekday seasonality profile (engine-free weekday index) ──
 
+def q_daily_order_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift alarm per order priority — the sequential
+    change-detection monitor (Page 1954) behind "did this feed's
+    volume shift?", the stateful companion to the ±2σ point screen
+    (daily_order_anomalies). Per series: S_d = max(0, S_{d-1} + x_d
+    − target) over present days in epoch-day order, target = the
+    series' integer mean daily count; an alarm day has S > 3·target.
+    ALL integer arithmetic; the fold runs over the O(#days) per-
+    series aggregate as one pinned ``aggregate()`` (engine-exact,
+    the funnel-fold discipline; gap days simply don't contribute —
+    semantics pinned, identical on both engines). Output per
+    priority: n_days, target_daily, n_alarm_days, max_cusum."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    series = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_cnt").cast("bigint").alias("_total"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_day"), F.col("_cnt")))
+        ).alias("_days"),
+    )
+    series = series.withColumn(
+        "target_daily", F.expr("_total DIV n_days").cast("bigint")
+    )
+    fold = F.expr(
+        "aggregate(_days, "
+        "named_struct('s', CAST(0 AS BIGINT), 'al', CAST(0 AS BIGINT), "
+        "'mx', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "'s', greatest(CAST(0 AS BIGINT), acc.s + x._cnt - target_daily), "
+        "'al', acc.al + IF(greatest(CAST(0 AS BIGINT), "
+        "acc.s + x._cnt - target_daily) > 3 * target_daily, "
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT)), "
+        "'mx', greatest(acc.mx, greatest(CAST(0 AS BIGINT), "
+        "acc.s + x._cnt - target_daily))))"
+    )
+    return series.select(
+        "o_orderpriority",
+        "n_days",
+        "target_daily",
+        fold["al"].alias("n_alarm_days"),
+        fold["mx"].alias("max_cusum"),
+    )
+
+
+ORACLE_DAILY_CUSUM = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2),
+series AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         list(cnt ORDER BY day_idx) AS xs
+  FROM daily GROUP BY 1),
+folded AS (
+  -- BIGINT[3] accumulator [S, alarms, max]; every branch constructs
+  -- a list (the documented DuckDB 1.0.0 pass-through bug) and the
+  -- lambda captures the row's integer target
+  SELECT o_orderpriority, n_days, total // n_days AS target_daily,
+         list_reduce(
+           list_prepend(CAST([0, 0, 0] AS BIGINT[]),
+                        list_transform(xs, x -> CAST([x] AS BIGINT[]))),
+           (acc, x) -> [
+             greatest(0, acc[1] + x[1] - total // n_days),
+             acc[2] + CASE WHEN greatest(0, acc[1] + x[1] - total // n_days)
+                                > 3 * (total // n_days)
+                      THEN 1 ELSE 0 END,
+             greatest(acc[3],
+                      greatest(0, acc[1] + x[1] - total // n_days))]) AS st
+  FROM series)
+SELECT o_orderpriority, n_days,
+       CAST(target_daily AS BIGINT) AS target_daily,
+       CAST(st[2] AS BIGINT) AS n_alarm_days,
+       CAST(st[3] AS BIGINT) AS max_cusum
+FROM folded
+"""
+
+
 _WEEKDAY_PROFILE_SQL = """
 WITH d AS (
   SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7
@@ -3736,6 +3826,7 @@ QUERIES = {
     "funnel_step_latency": q_funnel_step_latency,
     "funnel_windowed_conversion": q_funnel_windowed_conversion,
     "funnel_restart_conversion": q_funnel_restart_conversion,
+    "daily_order_cusum": q_daily_order_cusum,
     "event_transition_matrix": q_event_transition_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
@@ -3825,6 +3916,7 @@ ORACLES = {
     "funnel_step_latency": ORACLE_FUNNEL_STEP_LATENCY,
     "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
     "funnel_restart_conversion": ORACLE_FUNNEL_RESTART,
+    "daily_order_cusum": ORACLE_DAILY_CUSUM,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,

@@ -2380,6 +2380,70 @@ FROM binned GROUP BY decile
 """
 
 
+def q_prefix_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBLOCKED exact near-dup pairs via prefix filtering
+    (operators/dedup.py prefix_jaccard_pairs — the AllPairs/PPJoin
+    prefix theorem): the whole corpus, no source/LSH blocking, no
+    recall budget. Pairs ≥ 0.9 word-set Jaccard with the
+    rare-token-first prefix index; the oracle restates the identical
+    prefix pipeline (df order, ceil prefix, size-ratio cull, exact
+    verify) and the losslessness theorem itself is property-tested
+    against brute force in tests/test_dataops.py."""
+    from hr_moderndatapipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    recrawl = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    pairs = prefix_jaccard_pairs(recrawl, "doc_id", "text", threshold=0.9)
+    # Bounded READOUT face: the raw pair list is quadratic in near-dup
+    # clique sizes (this synthetic corpus yields tens of thousands of
+    # pairs even at sf0.001) — no pipeline materializes it as a result
+    # table at scale. The driver row is the Jaccard HISTOGRAM (≤ 11
+    # buckets at t=0.9) + exact pair count per bucket, which exercises
+    # every stage and hash-pins every pair's similarity band.
+    bucket = F.floor(F.col("jaccard") * 100).cast("bigint")
+    return (
+        pairs.groupBy(bucket.alias("jaccard_pct"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+ORACLE_PREFIX_JACCARD = """
+WITH recrawl AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents),
+d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS words FROM recrawl),
+tok AS (SELECT doc_id, unnest(words) AS w FROM d),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+sorted_docs AS (
+  SELECT t.doc_id,
+         list(t.w ORDER BY f.df ASC, t.w ASC) AS arr,
+         CAST(count(*) AS INTEGER) AS n
+  FROM tok t JOIN dfreq f ON t.w = f.w
+  GROUP BY t.doc_id),
+pref AS (
+  SELECT doc_id, n,
+         unnest(list_slice(arr, 1, n - CAST(ceil(0.9 * n) AS INTEGER) + 1)) AS w
+  FROM sorted_docs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+  WHERE CAST(least(a.n, b.n) AS DOUBLE)
+        / CAST(greatest(a.n, b.n) AS DOUBLE) >= 0.9),
+verif AS (
+  SELECT CAST(len(list_intersect(x.words, y.words)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(x.words, y.words))) AS DOUBLE)
+           AS jaccard
+  FROM cand c JOIN d x ON x.doc_id = c.ida JOIN d y ON y.doc_id = c.idb)
+SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jaccard_pct,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM verif WHERE jaccard >= 0.9
+GROUP BY 1
+"""
+
+
 # ── DSIR importance weights toward a target slice ──
 
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3419,6 +3483,7 @@ FROM documents d LEFT JOIN seqs s USING (doc_id)
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_cluster_size_spectrum": q_dup_cluster_size_spectrum,
+    "prefix_jaccard_neardups": q_prefix_jaccard_neardups,
     "domain_top_p_coverage": q_domain_top_p_coverage,
     "quality_calibration_curve": q_quality_calibration_curve,
     "bigram_lm_score": q_bigram_lm_score,
@@ -3495,6 +3560,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dup_cluster_size_spectrum": ORACLE_DUP_SPECTRUM,
+    "prefix_jaccard_neardups": ORACLE_PREFIX_JACCARD,
     "domain_top_p_coverage": ORACLE_DOMAIN_TOP_P,
     "quality_calibration_curve": ORACLE_QUALITY_CALIBRATION,
     "bigram_lm_score": ORACLE_BIGRAM_LM,

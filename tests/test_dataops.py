@@ -503,6 +503,48 @@ def test_bpe_learn_merges_hand_computed(spark):
         bpe_learn_merges(df, "text", num_merges=0)
 
 
+def test_prefix_jaccard_lossless_vs_brute_force(spark):
+    """The AllPairs prefix theorem, checked empirically: the
+    prefix-filtered pair set equals brute-force all-pairs Jaccard
+    >= t EXACTLY (no lost pairs, no extras) on a corpus built to
+    stress the filter - near-dup cliques, borderline-t pairs, docs
+    whose shared tokens are globally common (the prefix's weak
+    spot), and size-ratio edge cases."""
+    from itertools import combinations
+
+    from hr_moderndatapipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i k"),     # J=9/11 with 1 (below 0.8)
+        (3, "a b c d e f g h i j"),     # exact dup of 1
+        (4, "a b c d e f g h j i"),     # same set as 1 (order diff)
+        (5, "z y x w v u t s r q"),
+        (6, "z y x w v u t s r p"),     # J=9/11 with 5
+        (7, "a b c d e f g h i j k l m n o"),  # superset of 1
+        (8, "common1 common2 common3 rare1"),
+        (9, "common1 common2 common3 rare2"),  # J=3/5 with 8
+        (10, "solo unique words here"),
+    ]
+    for t in (0.5, 0.8, 0.9, 1.0):
+        got = {
+            (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+            for r in prefix_jaccard_pairs(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id",
+                "text",
+                threshold=t,
+            ).collect()
+        }
+        sets = {i: set(x.split(" ")) for i, x in rows}
+        want = set()
+        for i, j in combinations(sorted(sets), 2):
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if jac >= t:
+                want.add((i, j, round(jac, 9)))
+        assert got == want, (t, got ^ want)
+
+
 def test_bpe_apply_arrow_matches_fold_face(spark):
     """bpe_apply_arrow (the O(L·k) memoized Arrow path) must produce
     the exact per-doc (n_chars, n_pieces) the JVM fold face produces,
