@@ -128,8 +128,12 @@ BENCH_QUERIES = [
     "dup_cluster_size_spectrum",  # duplicate-frequency spectrum (r8)
     "domain_top_p_coverage",      # nucleus-style source coverage (r8)
     "quality_calibration_curve",  # decile calibration via stable-id ntile (r8)
-    "prefix_jaccard_neardups",    # unblocked AllPairs prefix-filter join (r8)
     "daily_order_cusum",          # per-series CUSUM drift alarm fold (r8)
+    # prefix_jaccard_neardups / containment_dup_profile are driver
+    # queries but NOT bench entries: the synthetic corpus's tiny
+    # vocabulary defeats rare-first prefix discrimination (measured
+    # 167s / 91s solo at sf0.1 — SCALING.md r8) and would dominate
+    # the loop without measuring anything new per run.
 ]
 
 #: The 21-query round-1 anchor subset (BASELINE.md comparison set).

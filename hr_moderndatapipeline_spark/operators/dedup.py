@@ -980,6 +980,90 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC set-containment pairs: C(x→y) = |x∩y| / |x| ≥ t
+    with |x| ≤ |y| (ties by id) — "document x is (nearly) contained
+    in y", the sub-document duplication signal Jaccard misses
+    entirely (a paragraph quoted inside a long page has high
+    containment but tiny Jaccard; Broder's containment, public
+    method). The near-dup family's fourth semantics column next to
+    resemblance (jaccard/minhash), Hamming (simhash), and edit
+    distance.
+
+    Candidate generation is one-sided prefix filtering: C ≥ t forces
+    |x∩y| ≥ ⌈t·|x|⌉, so x's rare-first prefix of ``|x| − ⌈t·|x|⌉ + 1``
+    tokens must hit y SOMEWHERE — x probes with its prefix, y is
+    indexed in FULL (no y-prefix shortcut exists without a size
+    bound; that full posting side is the honest cost of asymmetric
+    containment). Lossless by the same argument as
+    ``prefix_jaccard_pairs`` (the minimum shared token is inside x's
+    prefix and trivially inside y's full index); property-tested
+    against brute force.
+
+    Returns (``inner_id``, ``outer_id``, containment): inner ⊆~
+    outer, inner strictly smaller or equal-size-lower-id."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    d = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_words"),
+    )
+    tok = d.select(F.col(id_col), F.explode("_words").alias("_w"))
+    dfreq = tok.groupBy("_w").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    sorted_docs = (
+        tok.join(dfreq, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("_df"), F.col("_w")))),
+                lambda st: st["_w"],
+            ).alias("_arr"),
+            F.count(F.lit(1)).cast("int").alias("_n"),
+        )
+    )
+    plen = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
+    probe = sorted_docs.select(
+        F.col(id_col).alias("_inner"),
+        F.col("_n").alias("_n_in"),
+        F.explode(F.slice("_arr", 1, plen)).alias("_w"),
+    )
+    index = tok.select(F.col(id_col).alias("_outer"), "_w").join(
+        sorted_docs.select(F.col(id_col).alias("_outer"), F.col("_n").alias("_n_out")),
+        "_outer",
+    )
+    smaller = (F.col("_n_in") < F.col("_n_out")) | (
+        (F.col("_n_in") == F.col("_n_out")) & (F.col("_inner") < F.col("_outer"))
+    )
+    cand = (
+        probe.join(index, "_w")
+        .filter((F.col("_inner") != F.col("_outer")) & smaller)
+        .select("_inner", "_outer")
+        .distinct()
+    )
+    wi = d.select(F.col(id_col).alias("_inner"), F.col("_words").alias("_wi"))
+    wo = d.select(F.col(id_col).alias("_outer"), F.col("_words").alias("_wo"))
+    return (
+        cand.join(wi, "_inner")
+        .join(wo, "_outer")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("_wi", "_wo")).cast("double")
+            / F.size("_wi").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("_inner").alias("inner_id"),
+            F.col("_outer").alias("outer_id"),
+            "containment",
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -1708,6 +1708,143 @@ ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
 
 # ── weekday seasonality profile (engine-free weekday index) ──
 
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK edges — the
+    daily data-platform check that catches a broken ingest before a
+    join silently drops rows: for each child→parent edge, the child
+    row count, DISTINCT child keys, and orphan rows (child keys with
+    no parent — left anti join, distinct-parent-key side broadcast
+    when small). One summary row per edge, computed as a union of
+    per-edge aggregates; each leg is one anti-join + count, so the
+    audit costs one scan pair per edge and never materializes the
+    orphan rows themselves."""
+    edges = [
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("_k"))
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        # one LEFT join + one aggregate per edge: orphan-ness is the
+        # null marker, so rows/keys/orphans all fold into a single
+        # pass (no 1-row cross join — the plan audit's nested-loop
+        # sweep stays clean by construction)
+        leg = (
+            c.join(p, "_k", "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+                F.countDistinct("_k").cast("bigint").alias("n_child_keys"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_rows"),
+                F.countDistinct(
+                    F.when(F.col("_hit").isNull(), F.col("_k"))
+                )
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+ORACLE_FK_INTEGRITY = """
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS fk_edge,
+         CAST(count(*) AS BIGINT) AS n_child_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_child_keys,
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS n_orphan_rows,
+         CAST((SELECT count(DISTINCT o_custkey) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS n_orphan_keys
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+         CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_partkey) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+         CAST((SELECT count(DISTINCT l_partkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_suppkey) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+         CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT c_nationkey) AS BIGINT),
+         CAST((SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+         CAST((SELECT count(DISTINCT c_nationkey) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation.n_nationkey',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT s_nationkey) AS BIGINT),
+         CAST((SELECT count(*) FROM supplier s
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT),
+         CAST((SELECT count(DISTINCT s_nationkey) FROM supplier s
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT 'nation.n_regionkey->region.r_regionkey',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT n_regionkey) AS BIGINT),
+         CAST((SELECT count(*) FROM nation n
+               WHERE NOT EXISTS (SELECT 1 FROM region r
+                                 WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT),
+         CAST((SELECT count(DISTINCT n_regionkey) FROM nation n
+               WHERE NOT EXISTS (SELECT 1 FROM region r
+                                 WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+  FROM nation
+)
+"""
+
+
 def q_daily_order_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift alarm per order priority — the sequential
     change-detection monitor (Page 1954) behind "did this feed's
@@ -3827,6 +3964,7 @@ QUERIES = {
     "funnel_windowed_conversion": q_funnel_windowed_conversion,
     "funnel_restart_conversion": q_funnel_restart_conversion,
     "daily_order_cusum": q_daily_order_cusum,
+    "fk_integrity_audit": q_fk_integrity_audit,
     "event_transition_matrix": q_event_transition_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
@@ -3917,6 +4055,7 @@ ORACLES = {
     "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
     "funnel_restart_conversion": ORACLE_FUNNEL_RESTART,
     "daily_order_cusum": ORACLE_DAILY_CUSUM,
+    "fk_integrity_audit": ORACLE_FK_INTEGRITY,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,

@@ -2444,6 +2444,58 @@ GROUP BY 1
 """
 
 
+def q_containment_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication profile via asymmetric containment
+    (operators/dedup.py containment_pairs): C(x→y)=|x∩y|/|x| ≥ 0.9
+    with x the smaller side — the quoted-inside/boilerplate-inclusion
+    signal Jaccard misses. Same bounded-readout face as
+    prefix_jaccard_neardups: the containment-percent histogram plus
+    pair counts (the raw pair list is quadratic in clique sizes);
+    losslessness of the one-sided prefix probe is property-tested
+    against brute force."""
+    from hr_moderndatapipeline_spark.operators.dedup import containment_pairs
+
+    pairs = containment_pairs(_docs(spark, sf_dir), "doc_id", "text", 0.9)
+    bucket = F.floor(F.col("containment") * 100).cast("bigint")
+    return pairs.groupBy(bucket.alias("containment_pct")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+ORACLE_CONTAINMENT_PROFILE = """
+WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS words FROM documents),
+tok AS (SELECT doc_id, unnest(words) AS w FROM d),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+sorted_docs AS (
+  SELECT t.doc_id,
+         list(t.w ORDER BY f.df ASC, t.w ASC) AS arr,
+         CAST(count(*) AS INTEGER) AS n
+  FROM tok t JOIN dfreq f ON t.w = f.w
+  GROUP BY t.doc_id),
+probe AS (
+  SELECT doc_id AS inner_id, n AS n_in,
+         unnest(list_slice(arr, 1, n - CAST(ceil(0.9 * n) AS INTEGER) + 1)) AS w
+  FROM sorted_docs),
+idx AS (
+  SELECT t.doc_id AS outer_id, s.n AS n_out, t.w
+  FROM tok t JOIN sorted_docs s ON s.doc_id = t.doc_id),
+cand AS (
+  SELECT DISTINCT p.inner_id, i.outer_id
+  FROM probe p JOIN idx i ON p.w = i.w
+  WHERE p.inner_id <> i.outer_id
+    AND (p.n_in < i.n_out OR (p.n_in = i.n_out AND p.inner_id < i.outer_id))),
+verif AS (
+  SELECT CAST(len(list_intersect(x.words, y.words)) AS DOUBLE)
+         / CAST(len(x.words) AS DOUBLE) AS containment
+  FROM cand c JOIN d x ON x.doc_id = c.inner_id
+              JOIN d y ON y.doc_id = c.outer_id)
+SELECT CAST(floor(containment * 100) AS BIGINT) AS containment_pct,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM verif WHERE containment >= 0.9
+GROUP BY 1
+"""
+
+
 # ── DSIR importance weights toward a target slice ──
 
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3484,6 +3536,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_cluster_size_spectrum": q_dup_cluster_size_spectrum,
     "prefix_jaccard_neardups": q_prefix_jaccard_neardups,
+    "containment_dup_profile": q_containment_dup_profile,
     "domain_top_p_coverage": q_domain_top_p_coverage,
     "quality_calibration_curve": q_quality_calibration_curve,
     "bigram_lm_score": q_bigram_lm_score,
@@ -3561,6 +3614,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dup_cluster_size_spectrum": ORACLE_DUP_SPECTRUM,
     "prefix_jaccard_neardups": ORACLE_PREFIX_JACCARD,
+    "containment_dup_profile": ORACLE_CONTAINMENT_PROFILE,
     "domain_top_p_coverage": ORACLE_DOMAIN_TOP_P,
     "quality_calibration_curve": ORACLE_QUALITY_CALIBRATION,
     "bigram_lm_score": ORACLE_BIGRAM_LM,

@@ -96,6 +96,42 @@ def test_gini_rank_weighted_sum_matches_duckdb_window():
         assert got == want, trial
 
 
+def test_containment_lossless_on_random_corpora(spark):
+    """One-sided prefix probing for asymmetric containment equals
+    brute force (pairs ordered smaller→larger, ties by id) on seeded
+    random corpora at two thresholds."""
+    from itertools import permutations
+
+    from hr_moderndatapipeline_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(44)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(rng.randint(8, 25))]
+        docs = []
+        for d in range(rng.randint(8, 30)):
+            words = rng.sample(vocab, rng.randint(2, min(14, len(vocab))))
+            if docs and rng.random() < 0.4:
+                # embed an earlier doc inside this one (containment!)
+                inner = list(dict.fromkeys(rng.choice(docs)[1].split(" ")))
+                words = list(dict.fromkeys(inner + words))
+            docs.append((d, " ".join(words)))
+        sets = {i: set(t.split(" ")) for i, t in docs}
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.7, 0.9):
+            got = {
+                (r["inner_id"], r["outer_id"])
+                for r in containment_pairs(df, "doc_id", "text", t).collect()
+            }
+            want = set()
+            for i, j in permutations(sorted(sets), 2):
+                smaller = len(sets[i]) < len(sets[j]) or (
+                    len(sets[i]) == len(sets[j]) and i < j
+                )
+                if smaller and len(sets[i] & sets[j]) / len(sets[i]) >= t:
+                    want.add((i, j))
+            assert got == want, (trial, t, got ^ want)
+
+
 def test_prefix_filter_lossless_on_random_corpora(spark):
     """Prefix-filtered pairs == brute force on seeded random corpora
     (random vocab sizes, doc lengths, duplication rates) at two
