@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "domain_top_p_coverage",      # nucleus-style source coverage (r8)
     "quality_calibration_curve",  # decile calibration via stable-id ntile (r8)
     "daily_order_cusum",          # per-series CUSUM drift alarm fold (r8)
+    "fk_integrity_audit",         # 7-edge referential-integrity sweep (r8)
+    "order_value_percentiles",    # grouped exact percentiles, range-run rank (r8)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

@@ -374,6 +374,93 @@ def assign_stable_ids(
     return out
 
 
+def assign_grouped_ranks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str],
+    id_col: str = "group_rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous PER-GROUP ranks ``0..n_g−1`` in ``order_by`` order —
+    the grouped generalization of ``assign_stable_ids``. The naive
+    per-group rank (``Window.partitionBy(group).orderBy(…)``) sends
+    EVERY row of a group through one task — for low-cardinality
+    groups over a growing fact (order priorities, languages,
+    sources) that is the SinglePartition problem wearing a partition
+    key. Here the layout is range-partitioned on
+    ``(group_cols…, order_by…)`` — each group occupies a contiguous
+    RUN of partitions, so a huge group parallelizes across its run —
+    and per-(partition, group) counts (O(#partitions + #groups) rows
+    to the driver: ranges mean a partition adds at most one partial
+    group on each edge) turn into per-group offsets; every task then
+    numbers only its own slice.
+
+    ``(group_cols, order_by)`` must be unique per row (the
+    assign_stable_ids contract, per group). ``total_col`` attaches
+    each group's row count — exact grouped percentiles
+    (value at rank (n_g−1)·p DIV 100) fall out without a second
+    counting job. Persisted layout pinned under the same
+    ``stable_ids`` release tag."""
+    if not group_cols or not order_by:
+        raise ValueError("group_cols and order_by must be non-empty")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_by]
+    parts = (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from hr_moderndatapipeline_spark.cache import pin
+
+    parts = pin(parts, tag="stable_ids")
+    counts = sorted(
+        parts.groupBy("_pid", *group_cols).count().collect(),
+        key=lambda r: tuple((*[r[g] for g in group_cols], r["_pid"])),
+    )
+    offsets, totals = [], {}
+    for row in counts:
+        g = tuple(row[c] for c in group_cols)
+        offsets.append((row["_pid"], *g, totals.get(g, 0)))
+        totals[g] = totals.get(g, 0) + row["count"]
+    schema_bits = ", ".join(
+        ["`_pid` int"]
+        + [f"`_g{i}` string" for i in range(len(group_cols))]
+        + ["`_offset` long"]
+    )
+    off_rows = [
+        (pid, *[str(v) for v in g_off[:-1]], g_off[-1])
+        for pid, *g_off in offsets
+    ]
+    offsets_df = spark.createDataFrame(off_rows, schema_bits)
+    tot_rows = [(*[str(v) for v in g], int(t)) for g, t in totals.items()]
+    tot_schema = ", ".join(
+        [f"`_g{i}` string" for i in range(len(group_cols))] + ["`_total` long"]
+    )
+    totals_df = spark.createDataFrame(tot_rows, tot_schema)
+    joined = parts
+    for i, g in enumerate(group_cols):
+        joined = joined.withColumn(f"_g{i}", F.col(g).cast("string"))
+    gcols = [f"_g{i}" for i in range(len(group_cols))]
+    w = Window.partitionBy("_pid", *gcols).orderBy(
+        *[F.col(c) for c in order_by]
+    )
+    out = (
+        joined.join(F.broadcast(offsets_df), ["_pid", *gcols])
+        .withColumn(
+            id_col,
+            (F.col("_offset") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )
+    if total_col is not None:
+        out = out.join(F.broadcast(totals_df), gcols).withColumnRenamed(
+            "_total", total_col
+        )
+    return out.drop(*gcols)
+
+
 def grouped_zscore(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1708,6 +1708,79 @@ ORACLE_SPEND_PERCENTILE = _SPEND_PERCENTILE_SQL
 
 # ── weekday seasonality profile (engine-free weekday index) ──
 
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 order value per priority — grouped
+    percentiles WITHOUT the per-group one-task window: the naive
+    `PARTITION BY priority ORDER BY cents` rank sends each
+    priority's entire fact slice through a single task (five tasks
+    sorting 20% of the table each at 100 TB); ``assign_grouped_ranks``
+    range-partitions on (priority, cents, orderkey) so each group
+    parallelizes across its contiguous partition RUN, with
+    O(#partitions + #groups) driver movement for the offsets. The
+    percentile is the value at 0-based rank (n_g−1)·p DIV 100
+    (lower-value convention, integer-exact — pinned, no
+    interpolation), the same closed-form-on-stable-rank discipline
+    as the r8 decile/percent_rank re-plans; the oracle states the
+    window form, making the gate the cross-engine equivalence
+    proof."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_grouped_ranks,
+    )
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked = assign_grouped_ranks(
+        t,
+        ["o_orderpriority"],
+        ["cents", "o_orderkey"],
+        id_col="_rk",
+        total_col="_n",
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("_rk") == F.expr(f"(_n - 1) * {pct} DIV 100"),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"p{pct}_cents")
+        for pct in (50, 90, 99)
+    ]
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("_n").cast("bigint").alias("n_orders"), *picks
+    )
+
+
+ORACLE_ORDER_PERCENTILES = """
+WITH t AS (
+  SELECT o_orderpriority,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) - 1 AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM t)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN rk = (n - 1) * 50 // 100 THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(max(CASE WHEN rk = (n - 1) * 90 // 100 THEN cents END) AS BIGINT)
+         AS p90_cents,
+       CAST(max(CASE WHEN rk = (n - 1) * 99 // 100 THEN cents END) AS BIGINT)
+         AS p99_cents
+FROM r GROUP BY o_orderpriority
+"""
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the schema's FK edges — the
     daily data-platform check that catches a broken ingest before a
@@ -3965,6 +4038,7 @@ QUERIES = {
     "funnel_restart_conversion": q_funnel_restart_conversion,
     "daily_order_cusum": q_daily_order_cusum,
     "fk_integrity_audit": q_fk_integrity_audit,
+    "order_value_percentiles": q_order_value_percentiles,
     "event_transition_matrix": q_event_transition_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
@@ -4056,6 +4130,7 @@ ORACLES = {
     "funnel_restart_conversion": ORACLE_FUNNEL_RESTART,
     "daily_order_cusum": ORACLE_DAILY_CUSUM,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY,
+    "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,

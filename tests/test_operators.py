@@ -627,6 +627,38 @@ def test_funnel_windowed_attempt_semantics(spark):
         )
 
 
+def test_assign_grouped_ranks_spans_partitions(spark):
+    """Per-group ranks must be contiguous 0..n_g-1 in order even when
+    one group spans MANY range partitions (the scale case the
+    operator exists for) and partitions hold multiple groups; totals
+    ride along; contract errors raise."""
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_grouped_ranks,
+        release_stable_ids_cache,
+    )
+
+    rows = [("a", v) for v in range(500)] + [("b", v) for v in range(37)] + [
+        ("c", 0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = assign_grouped_ranks(
+        df, ["g"], ["v"], id_col="rk", total_col="n", num_partitions=16
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["rk"], r["n"]))
+    assert len(out) == 538
+    for g, size in (("a", 500), ("b", 37), ("c", 1)):
+        recs = sorted(by_g[g])
+        assert [rk for _, rk, _ in recs] == list(range(size)), g
+        assert all(n == size for _, _, n in recs), g
+    with _pytest.raises(ValueError, match="non-empty"):
+        assign_grouped_ranks(df, [], ["v"])
+    release_stable_ids_cache(spark)
+
+
 def test_funnel_windowed_restart_semantics(spark):
     """restart_on_anchor=True (last-anchor convention): a view ALWAYS
     re-anchors a live attempt — discarding partial progress — and an
