@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "daily_order_cusum",          # per-series CUSUM drift alarm fold (r8)
     "fk_integrity_audit",         # 7-edge referential-integrity sweep (r8)
     "order_value_percentiles",    # grouped exact percentiles, range-run rank (r8)
+    "daily_volume_mad",           # robust median/MAD outlier screen (r8)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

@@ -1781,6 +1781,88 @@ FROM r GROUP BY o_orderpriority
 """
 
 
+def q_daily_volume_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily-volume outlier screen per order
+    priority — the heavy-tail-safe companion to the mean/σ screen
+    (daily_order_anomalies: one crazy day inflates σ and hides
+    itself; medians don't care). Integer-exact by convention pin:
+    median_lo = sorted[(n+1) DIV 2] (lower median, 1-indexed),
+    mad_lo likewise over |x − median|, outlier day ⇔ |x − median| >
+    3·MAD. Per-series state is the O(#days) sorted count array —
+    time-span bounded, the CUSUM/funnel fold budget — and every
+    step is integer array algebra, identical on both engines.
+    Output per priority: n_days, median_daily, mad_daily,
+    n_outlier_days."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    series = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list("_cnt")).alias("_xs"),
+    )
+    med = F.element_at("_xs", F.expr("CAST((n_days + 1) DIV 2 AS INT)"))
+    series = series.withColumn("median_daily", med.cast("bigint"))
+    devs = F.sort_array(
+        F.transform("_xs", lambda x: F.abs(x - F.col("median_daily")))
+    )
+    series = series.withColumn(
+        "mad_daily",
+        F.element_at(devs, F.expr("CAST((n_days + 1) DIV 2 AS INT)")).cast(
+            "bigint"
+        ),
+    )
+    outl = F.size(
+        F.filter(
+            "_xs",
+            lambda x: F.abs(x - F.col("median_daily"))
+            > 3 * F.col("mad_daily"),
+        )
+    )
+    return series.select(
+        "o_orderpriority",
+        "n_days",
+        "median_daily",
+        "mad_daily",
+        outl.cast("bigint").alias("n_outlier_days"),
+    )
+
+
+ORACLE_DAILY_MAD = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2),
+series AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_days,
+         list_sort(list(cnt)) AS xs
+  FROM daily GROUP BY 1),
+m AS (
+  SELECT *, xs[CAST((n_days + 1) // 2 AS BIGINT)] AS median_daily
+  FROM series),
+d AS (
+  SELECT *,
+         list_sort(list_transform(xs, x -> abs(x - median_daily)))
+           [CAST((n_days + 1) // 2 AS BIGINT)] AS mad_daily
+  FROM m)
+SELECT o_orderpriority, n_days,
+       CAST(median_daily AS BIGINT) AS median_daily,
+       CAST(mad_daily AS BIGINT) AS mad_daily,
+       CAST(len(list_filter(xs, x -> abs(x - median_daily) > 3 * mad_daily))
+            AS BIGINT) AS n_outlier_days
+FROM d
+"""
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the schema's FK edges — the
     daily data-platform check that catches a broken ingest before a
@@ -4039,6 +4121,7 @@ QUERIES = {
     "daily_order_cusum": q_daily_order_cusum,
     "fk_integrity_audit": q_fk_integrity_audit,
     "order_value_percentiles": q_order_value_percentiles,
+    "daily_volume_mad": q_daily_volume_mad,
     "event_transition_matrix": q_event_transition_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
@@ -4131,6 +4214,7 @@ ORACLES = {
     "daily_order_cusum": ORACLE_DAILY_CUSUM,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
+    "daily_volume_mad": ORACLE_DAILY_MAD,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
