@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "fk_integrity_audit",         # 7-edge referential-integrity sweep (r8)
     "order_value_percentiles",    # grouped exact percentiles, range-run rank (r8)
     "daily_volume_mad",           # robust median/MAD outlier screen (r8)
+    "session_funnel_conversion",  # session-scoped funnel composition (r8)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

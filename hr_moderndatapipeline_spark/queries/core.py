@@ -2000,6 +2000,124 @@ SELECT * FROM (
 """
 
 
+def q_session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped funnel: sessionize each user's events with the
+    30-minute inactivity gap (the user_sessions lag→flag→running-sum
+    shape, exact-microsecond math), then run the ordered-subsequence
+    funnel PER (user, session) and report step reach denominated in
+    SESSIONS — the convention product-analytics tools default to
+    (a user who converts in one of five visits shows one converting
+    session, not a converted user). Composition of two existing
+    pinned operators; same O(#steps) summary spine as
+    funnel_conversion, so reading the two tables side by side
+    separates user-level from visit-level conversion."""
+    from hr_moderndatapipeline_spark.operators.relational import funnel_steps
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "_new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    ).withColumn(
+        "_sess",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    per_sess = funnel_steps(
+        sess, ["user_id", "_sess"], "ts", "event_type",
+        list(_FUNNEL_STEPS), tiebreak_col="event_id",
+    )
+    counts = per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_s0"),
+        *[
+            F.sum((F.col("steps_completed") >= s).cast("bigint"))
+            .cast("bigint")
+            .alias(f"_s{s}")
+            for s in range(1, len(_FUNNEL_STEPS) + 1)
+        ],
+    )
+    spine = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"_s{i + 1}").alias("n_sessions"),
+                F.col(f"_s{i}").alias("_prev"),
+            )
+            for i, name in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(spine).alias("_s"))
+        .select(
+            F.col("_s.step").cast("int").alias("step"),
+            F.col("_s.step_name").alias("step_name"),
+            F.col("_s.n_sessions").alias("n_sessions"),
+            F.expr(
+                "CAST(CASE WHEN _s._prev = 0 THEN 0 "
+                "ELSE 1000000 * _s.n_sessions DIV _s._prev END AS BIGINT)"
+            ).alias("conv_from_prev_ppm"),
+        )
+    )
+
+
+ORACLE_SESSION_FUNNEL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sess_idx
+  FROM flagged),
+seqs AS (
+  SELECT user_id, sess_idx,
+         list(event_type ORDER BY ts, event_id) AS evs
+  FROM sess GROUP BY user_id, sess_idx),
+prog AS (
+  SELECT user_id, sess_idx,
+         list_reduce(list_prepend(0,
+           list_transform(evs, e -> CASE e WHEN 'view' THEN 1
+                                           WHEN 'click' THEN 2
+                                           WHEN 'purchase' THEN 3
+                                           ELSE 0 END)),
+           (acc, s) -> CASE WHEN s = acc + 1 THEN acc + 1 ELSE acc END) AS sc
+  FROM seqs),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN sc >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN sc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM prog)
+SELECT CAST(t.u.step AS INTEGER) AS step,
+       t.u.nm AS step_name,
+       CAST(CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+            AS BIGINT) AS n_sessions,
+       CAST(CASE WHEN (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                       ELSE s2 END) = 0 THEN 0
+            ELSE 1000000 * (CASE t.u.step WHEN 1 THEN s1 WHEN 2 THEN s2
+                            ELSE s3 END)
+                 // (CASE t.u.step WHEN 1 THEN s0 WHEN 2 THEN s1
+                     ELSE s2 END) END AS BIGINT) AS conv_from_prev_ppm
+FROM counts,
+     unnest([struct_pack(step := 1, nm := 'view'),
+             struct_pack(step := 2, nm := 'click'),
+             struct_pack(step := 3, nm := 'purchase')]) AS t(u)
+"""
+
+
 def q_daily_order_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift alarm per order priority — the sequential
     change-detection monitor (Page 1954) behind "did this feed's
@@ -4119,6 +4237,7 @@ QUERIES = {
     "funnel_windowed_conversion": q_funnel_windowed_conversion,
     "funnel_restart_conversion": q_funnel_restart_conversion,
     "daily_order_cusum": q_daily_order_cusum,
+    "session_funnel_conversion": q_session_funnel_conversion,
     "fk_integrity_audit": q_fk_integrity_audit,
     "order_value_percentiles": q_order_value_percentiles,
     "daily_volume_mad": q_daily_volume_mad,
@@ -4212,6 +4331,7 @@ ORACLES = {
     "funnel_windowed_conversion": ORACLE_FUNNEL_WINDOWED,
     "funnel_restart_conversion": ORACLE_FUNNEL_RESTART,
     "daily_order_cusum": ORACLE_DAILY_CUSUM,
+    "session_funnel_conversion": ORACLE_SESSION_FUNNEL,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     "daily_volume_mad": ORACLE_DAILY_MAD,

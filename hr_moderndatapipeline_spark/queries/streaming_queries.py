@@ -397,6 +397,81 @@ def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel progress end to end (streaming/stateful.py
+    funnel_stream, applyInPandasWithState): the first 2000 events
+    split at their event-time midpoint into two producer drops; the
+    first drains into a checkpointed update-mode sink, then a
+    RESTARTED query folds the second drop into each user's
+    TWO-INTEGER state recovered from the checkpoint (bounded state —
+    never the event history; the batch equivalence across restarts
+    is pinned bit-for-bit in tests/test_streaming.py). Returns the
+    per-step session… per-user funnel summary: users per
+    steps_completed with conversion flag counts. Rows-only:
+    state-store execution is not ANSI-SQL-expressible."""
+    from pyspark.sql import Window
+
+    from hr_moderndatapipeline_spark.streaming.stateful import funnel_stream
+
+    wd = _workdir(spark, sf_dir, "funnelstate")
+    src, out, cp = f"{wd}/src", f"{wd}/out", f"{wd}/cp"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.to_json(
+        F.struct(
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        )
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    for name, part in (("b0", ev.filter(F.col("ts") < cut)),
+                       ("b1", ev.filter(F.col("ts") >= cut))):
+        part.select(payload.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{src}/{name}")
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.IntegerType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts", T.StringType()),
+            ]
+        )
+        valid, _ = parse_with_dlq(
+            file_json_stream(spark, f"{src}/*"), "value", schema
+        )
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        state = funnel_stream(
+            typed, [("user_id", "IntegerType")], "ts", "event_type",
+            ["view", "click", "purchase"], tiebreak_col="event_id",
+        )
+
+        def _sink(batch, _bid):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            state.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    back = spark.read.schema(
+        "user_id int, n_events long, steps_completed int, converted int"
+    ).parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        back.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    return final.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+
+
 QUERIES = {
     "streaming_custom_source": q_streaming_custom_source,
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
@@ -404,6 +479,7 @@ QUERIES = {
     "streaming_join_enrichment": q_streaming_join_enrichment,
     "streaming_dedup_events": q_streaming_dedup_events,
     "streaming_ewma_state": q_streaming_ewma_state,
+    "streaming_funnel_state": q_streaming_funnel_state,
     "session_window_counts": q_session_window_counts,
 }
 

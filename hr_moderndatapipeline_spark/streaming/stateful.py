@@ -217,3 +217,90 @@ def ewma_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+def funnel_stream(
+    stream: DataFrame,
+    key_cols: Sequence[tuple[str, str]],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    tiebreak_col: str | None = None,
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming face of ``operators/relational.funnel_steps``: per-key
+    funnel progress maintained in the state store across
+    micro-batches. State is TWO integers per key (events seen, steps
+    completed) — the bounded-state design the batch docstring
+    prescribes for unbounded streams, instead of per-key event
+    history. Within a micro-batch rows fold in (event-time,
+    tiebreak) order; across batches the fold seeds from stored
+    progress, so the result equals the batch fold whenever batches
+    advance in event time (the file/Kafka-offset replay order, the
+    same contract as ``ewma_stream``); a LATE event cannot rewind a
+    completed step — processing-order semantics, pinned. Completion
+    latches: once all steps matched, later events only advance
+    ``n_events``. Emits the updated (keys…, n_events,
+    steps_completed, converted) row per key per batch; same
+    idle-timeout state-eviction contract as ``running_totals``."""
+    if not steps:
+        raise ValueError("steps must be a non-empty sequence")
+    names = [n for n, _ in key_cols]
+    step_list = [str(s) for s in steps]
+    tb = tiebreak_col or ts_col
+    out_schema = T.StructType(
+        [T.StructField(n, getattr(T, t)(), True) for n, t in key_cols]
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("steps_completed", T.IntegerType()),
+            T.StructField("converted", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("steps_completed", T.IntegerType()),
+        ]
+    )
+    timeout_ms = None if idle_timeout_minutes is None else idle_timeout_minutes * 60_000
+
+    def _row(key: tuple, n: int, sc: int) -> pd.DataFrame:
+        row = dict(zip(names, key))
+        row.update(
+            {
+                "n_events": n,
+                "steps_completed": sc,
+                "converted": 1 if sc == len(step_list) else 0,
+            }
+        )
+        return pd.DataFrame([row])
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, sc = state.get if state.exists else (0, 0)
+            state.remove()
+            yield _row(key, n, sc)
+            return
+        n, sc = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            ordered = pdf.sort_values([ts_col, tb], kind="mergesort")
+            for e in ordered[type_col]:
+                if sc < len(step_list) and e == step_list[sc]:
+                    sc += 1
+        state.update((n, sc))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield _row(key, n, sc)
+
+    return stream.groupBy(*names).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -57,6 +57,7 @@ def test_rows_only_set_is_intentional():
         # the six streaming lifecycles remain, honestly non-SQL
         # (stateful micro-batch execution).
         "streaming_custom_source",
+        "streaming_funnel_state",
         "streaming_dedup_events",
         "streaming_ewma_state",
         "streaming_dlq_roundtrip",

@@ -289,6 +289,81 @@ def test_ewma_stream_matches_batch_fold_across_restart(spark, tmp_path):
     assert 2 not in got2  # unchanged key emits nothing on restart
 
 
+def test_funnel_stream_matches_batch_fold_across_restart(spark, tmp_path):
+    """Streaming funnel progress (two-integer state) must equal the
+    batch funnel_steps fold after two time-ordered micro-batches
+    carried through the state-store checkpoint; completion latches;
+    noise events advance only n_events."""
+    from hr_moderndatapipeline_spark.operators.relational import funnel_steps
+    from hr_moderndatapipeline_spark.streaming.stateful import funnel_stream
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    steps = ["view", "click", "purchase"]
+    b0 = [
+        {"user_id": 1, "etype": "view", "ts": "2024-01-01 00:00:00"},
+        {"user_id": 1, "etype": "noise", "ts": "2024-01-01 00:05:00"},
+        {"user_id": 1, "etype": "click", "ts": "2024-01-01 00:10:00"},
+        {"user_id": 2, "etype": "click", "ts": "2024-01-01 00:00:00"},
+    ]
+    b1 = [
+        {"user_id": 1, "etype": "purchase", "ts": "2024-01-01 01:00:00"},
+        {"user_id": 1, "etype": "view", "ts": "2024-01-01 02:00:00"},  # latched
+        {"user_id": 2, "etype": "view", "ts": "2024-01-01 01:00:00"},
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    write_events(src, "b0.jsonl", b0)
+
+    def run():
+        emitted: list = []
+
+        def sink(batch, _bid):
+            emitted.extend(batch.collect())
+
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", schema)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        out = funnel_stream(
+            typed, [("user_id", "IntegerType")], "ts", "etype", steps
+        )
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["user_id"]: r for r in emitted}
+
+    got1 = run()
+    assert got1[1]["steps_completed"] == 2 and got1[1]["converted"] == 0
+    assert got1[2]["steps_completed"] == 0  # click before any view
+    write_events(src, "b1.jsonl", b1)
+    got2 = run()
+    batch_df = spark.createDataFrame(
+        [(d["user_id"], d["etype"], d["ts"]) for d in b0 + b1],
+        "user_id int, etype string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            batch_df, ["user_id"], "ts", "etype", steps
+        ).collect()
+    }
+    for uid in (1, 2):
+        assert got2[uid]["steps_completed"] == expect[uid]["steps_completed"], uid
+        assert got2[uid]["converted"] == expect[uid]["converted"], uid
+        assert got2[uid]["n_events"] == expect[uid]["n_events"], uid
+    assert got2[1]["converted"] == 1  # completed in b1, later view latched
+
+
 def test_running_totals_state_survives_restart(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per-key
     running totals must accumulate ACROSS restarts — the state store
