@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "order_value_percentiles",    # grouped exact percentiles, range-run rank (r8)
     "daily_volume_mad",           # robust median/MAD outlier screen (r8)
     "session_funnel_conversion",  # session-scoped funnel composition (r8)
+    "conversion_latency_histogram",  # censored time-to-convert buckets (r8)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

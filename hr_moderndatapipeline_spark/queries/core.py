@@ -2068,6 +2068,63 @@ def q_session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution WITH censoring — the
+    survival-analysis readout behind "how long from first view to
+    first purchase": per user, the first view and the first purchase
+    AT OR AFTER it; converters bucket into whole days-to-convert
+    (epoch-second integer DIV 86400), users with a view but no
+    subsequent purchase are the right-censored bucket (-1) that a
+    naive converters-only histogram silently drops (survivorship
+    bias — the reason this table exists). Two min-aggregates and one
+    map-side bucket: all integer, engine-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("_sec"),
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_v0"))
+    )
+    first_purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("_sec") >= F.col("_v0"))
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_p0"))
+    )
+    joined = first_view.join(first_purch, "user_id", "left")
+    bucket = F.when(
+        F.col("_p0").isNull(), F.lit(-1).cast("bigint")
+    ).otherwise(F.expr("(_p0 - _v0) DIV 86400").cast("bigint"))
+    return joined.groupBy(bucket.alias("days_to_convert")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+fv AS (
+  SELECT user_id, min(sec) AS v0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(e.sec) AS p0
+  FROM ev e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec >= fv.v0
+  GROUP BY e.user_id)
+SELECT CASE WHEN fp.p0 IS NULL THEN CAST(-1 AS BIGINT)
+       ELSE CAST((fp.p0 - fv.v0) // 86400 AS BIGINT) END AS days_to_convert,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+GROUP BY 1
+"""
+
+
 ORACLE_SESSION_FUNNEL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
@@ -4238,6 +4295,7 @@ QUERIES = {
     "funnel_restart_conversion": q_funnel_restart_conversion,
     "daily_order_cusum": q_daily_order_cusum,
     "session_funnel_conversion": q_session_funnel_conversion,
+    "conversion_latency_histogram": q_conversion_latency_histogram,
     "fk_integrity_audit": q_fk_integrity_audit,
     "order_value_percentiles": q_order_value_percentiles,
     "daily_volume_mad": q_daily_volume_mad,
@@ -4332,6 +4390,7 @@ ORACLES = {
     "funnel_restart_conversion": ORACLE_FUNNEL_RESTART,
     "daily_order_cusum": ORACLE_DAILY_CUSUM,
     "session_funnel_conversion": ORACLE_SESSION_FUNNEL,
+    "conversion_latency_histogram": ORACLE_CONVERSION_LATENCY,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     "daily_volume_mad": ORACLE_DAILY_MAD,
