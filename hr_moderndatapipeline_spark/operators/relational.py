@@ -415,13 +415,21 @@ def assign_grouped_ranks(
     from hr_moderndatapipeline_spark.cache import pin
 
     parts = pin(parts, tag="stable_ids")
+    # group values join back by their STRING form; nulls map to a
+    # sentinel on BOTH sides (a plain inner join on a NULL key would
+    # silently DROP every null-group row — null != null in joins)
+    _NULL = "\x00<null>"
+
+    def _k(v):
+        return _NULL if v is None else str(v)
+
     counts = sorted(
         parts.groupBy("_pid", *group_cols).count().collect(),
-        key=lambda r: tuple((*[r[g] for g in group_cols], r["_pid"])),
+        key=lambda r: tuple((*[_k(r[g]) for g in group_cols], r["_pid"])),
     )
     offsets, totals = [], {}
     for row in counts:
-        g = tuple(row[c] for c in group_cols)
+        g = tuple(_k(row[c]) for c in group_cols)
         offsets.append((row["_pid"], *g, totals.get(g, 0)))
         totals[g] = totals.get(g, 0) + row["count"]
     schema_bits = ", ".join(
@@ -429,19 +437,18 @@ def assign_grouped_ranks(
         + [f"`_g{i}` string" for i in range(len(group_cols))]
         + ["`_offset` long"]
     )
-    off_rows = [
-        (pid, *[str(v) for v in g_off[:-1]], g_off[-1])
-        for pid, *g_off in offsets
-    ]
+    off_rows = [(pid, *g_off) for pid, *g_off in offsets]
     offsets_df = spark.createDataFrame(off_rows, schema_bits)
-    tot_rows = [(*[str(v) for v in g], int(t)) for g, t in totals.items()]
+    tot_rows = [(*g, int(t)) for g, t in totals.items()]
     tot_schema = ", ".join(
         [f"`_g{i}` string" for i in range(len(group_cols))] + ["`_total` long"]
     )
     totals_df = spark.createDataFrame(tot_rows, tot_schema)
     joined = parts
     for i, g in enumerate(group_cols):
-        joined = joined.withColumn(f"_g{i}", F.col(g).cast("string"))
+        joined = joined.withColumn(
+            f"_g{i}", F.coalesce(F.col(g).cast("string"), F.lit(_NULL))
+        )
     gcols = [f"_g{i}" for i in range(len(group_cols))]
     w = Window.partitionBy("_pid", *gcols).orderBy(
         *[F.col(c) for c in order_by]

@@ -656,6 +656,16 @@ def test_assign_grouped_ranks_spans_partitions(spark):
         assert all(n == size for _, _, n in recs), g
     with _pytest.raises(ValueError, match="non-empty"):
         assign_grouped_ranks(df, [], ["v"])
+    # a NULL group value must rank as its own group, not silently drop
+    dfn = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "g string, v long"
+    )
+    outn = assign_grouped_ranks(dfn, ["g"], ["v"], id_col="rk", total_col="n")
+    rows = sorted(
+        ((r["g"], r["v"], r["rk"], r["n"]) for r in outn.collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    )
+    assert rows == [(None, 2, 0, 2), (None, 3, 1, 2), ("a", 1, 0, 1)]
     release_stable_ids_cache(spark)
 
 
