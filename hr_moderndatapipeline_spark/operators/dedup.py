@@ -901,6 +901,7 @@ def prefix_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.9,
+    stop_df_ratio: float | None = None,
 ) -> DataFrame:
     """EXACT word-set Jaccard ≥ t pairs over the WHOLE corpus via
     prefix filtering (the AllPairs/PPJoin family — Chaudhuri et al.
@@ -924,6 +925,15 @@ def prefix_jaccard_pairs(
     needs salting for. Verification is the exact intersect/union on
     the raw word arrays with the two-int size-ratio cull first.
 
+    ``stop_df_ratio`` is the documented mitigation for corpora whose
+    vocabulary is too common for rare-first prefixes to discriminate
+    (SCALING.md r8: this synthetic corpus): tokens appearing in more
+    than that FRACTION of documents are removed from the word sets
+    BEFORE similarity — the standard stopword-filtered Jaccard, an
+    explicit SEMANTICS change (similarity is then over the reduced
+    sets; docs reduced to nothing drop out), not a recall budget on
+    the same semantics. One bounded count() scalar prices the cutoff.
+
     Returns (``{id}_a``, ``{id}_b``, jaccard), a < b."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -933,6 +943,17 @@ def prefix_jaccard_pairs(
     )
     tok = d.select(F.col(id_col), F.explode("_words").alias("_w"))
     dfreq = tok.groupBy("_w").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    if stop_df_ratio is not None:
+        if not (0.0 < stop_df_ratio <= 1.0):
+            raise ValueError(
+                f"stop_df_ratio must be in (0, 1], got {stop_df_ratio}"
+            )
+        cutoff = int(stop_df_ratio * d.count())
+        dfreq = dfreq.filter(F.col("_df") <= cutoff)
+    # the token→df inner join below is ALSO the stopword filter: a
+    # token with no surviving dfreq row vanishes from every doc's
+    # sorted array, and the verify stage reads those arrays — the
+    # filtered semantics flow through candidates AND verification
     sorted_docs = (
         tok.join(dfreq, "_w")
         .groupBy(id_col)
@@ -965,8 +986,12 @@ def prefix_jaccard_pairs(
         .select(f"{id_col}_a", f"{id_col}_b")
         .distinct()
     )
-    wa = d.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_words").alias("_wa"))
-    wb = d.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_words").alias("_wb"))
+    wa = sorted_docs.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col("_arr").alias("_wa")
+    )
+    wb = sorted_docs.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col("_arr").alias("_wb")
+    )
     return (
         cand.join(wa, f"{id_col}_a")
         .join(wb, f"{id_col}_b")
@@ -985,6 +1010,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.9,
+    stop_df_ratio: float | None = None,
 ) -> DataFrame:
     """ASYMMETRIC set-containment pairs: C(x→y) = |x∩y| / |x| ≥ t
     with |x| ≤ |y| (ties by id) — "document x is (nearly) contained
@@ -1005,6 +1031,10 @@ def containment_pairs(
     prefix and trivially inside y's full index); property-tested
     against brute force.
 
+    ``stop_df_ratio``: same stopword-filtered-semantics mitigation
+    as ``prefix_jaccard_pairs`` (containment is then over the
+    reduced sets).
+
     Returns (``inner_id``, ``outer_id``, containment): inner ⊆~
     outer, inner strictly smaller or equal-size-lower-id."""
     if not (0.0 < threshold <= 1.0):
@@ -1015,6 +1045,13 @@ def containment_pairs(
     )
     tok = d.select(F.col(id_col), F.explode("_words").alias("_w"))
     dfreq = tok.groupBy("_w").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    if stop_df_ratio is not None:
+        if not (0.0 < stop_df_ratio <= 1.0):
+            raise ValueError(
+                f"stop_df_ratio must be in (0, 1], got {stop_df_ratio}"
+            )
+        cutoff = int(stop_df_ratio * d.count())
+        dfreq = dfreq.filter(F.col("_df") <= cutoff)
     sorted_docs = (
         tok.join(dfreq, "_w")
         .groupBy(id_col)
@@ -1032,9 +1069,15 @@ def containment_pairs(
         F.col("_n").alias("_n_in"),
         F.explode(F.slice("_arr", 1, plen)).alias("_w"),
     )
-    index = tok.select(F.col(id_col).alias("_outer"), "_w").join(
-        sorted_docs.select(F.col(id_col).alias("_outer"), F.col("_n").alias("_n_out")),
-        "_outer",
+    index = (
+        tok.join(dfreq.select("_w"), "_w")  # stopword-filtered full index
+        .select(F.col(id_col).alias("_outer"), "_w")
+        .join(
+            sorted_docs.select(
+                F.col(id_col).alias("_outer"), F.col("_n").alias("_n_out")
+            ),
+            "_outer",
+        )
     )
     smaller = (F.col("_n_in") < F.col("_n_out")) | (
         (F.col("_n_in") == F.col("_n_out")) & (F.col("_inner") < F.col("_outer"))
@@ -1045,8 +1088,12 @@ def containment_pairs(
         .select("_inner", "_outer")
         .distinct()
     )
-    wi = d.select(F.col(id_col).alias("_inner"), F.col("_words").alias("_wi"))
-    wo = d.select(F.col(id_col).alias("_outer"), F.col("_words").alias("_wo"))
+    wi = sorted_docs.select(
+        F.col(id_col).alias("_inner"), F.col("_arr").alias("_wi")
+    )
+    wo = sorted_docs.select(
+        F.col(id_col).alias("_outer"), F.col("_arr").alias("_wo")
+    )
     return (
         cand.join(wi, "_inner")
         .join(wo, "_outer")

@@ -132,6 +132,53 @@ def test_containment_lossless_on_random_corpora(spark):
             assert got == want, (trial, t, got ^ want)
 
 
+def test_prefix_jaccard_stop_df_ratio_semantics(spark):
+    """stop_df_ratio removes ultra-common tokens from the SETS before
+    similarity (documented semantics change): result must equal brute
+    force over the stopword-FILTERED sets; docs reduced to nothing
+    drop out."""
+    from itertools import combinations
+
+    from hr_moderndatapipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    # 'the'/'of' appear in every doc (df ratio 1.0) and would glue
+    # everything together; the content words are discriminative
+    rows = [
+        (1, "the of alpha beta gamma"),
+        (2, "the of alpha beta delta"),
+        (3, "the of zeta eta theta"),
+        (4, "the of"),                    # all stopwords: drops out
+        (5, "the of alpha beta gamma"),   # dup of 1 after filtering
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t, ratio = 0.6, 0.9
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_pairs(
+            df, "doc_id", "text", t, stop_df_ratio=ratio
+        ).collect()
+    }
+    n = len(rows)
+    dfreq: dict = {}
+    for _, text in rows:
+        for w in set(text.split(" ")):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    cutoff = int(ratio * n)
+    sets = {
+        i: {w for w in set(text.split(" ")) if dfreq[w] <= cutoff}
+        for i, text in rows
+    }
+    sets = {i: ws for i, ws in sets.items() if ws}
+    want = set()
+    for i, j in combinations(sorted(sets), 2):
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if jac >= t:
+            want.add((i, j, round(jac, 9)))
+    assert got == want and (1, 5, 1.0) in got and 4 not in {
+        a for a, _, _ in got
+    } | {b for _, b, _ in got}
+
+
 def test_prefix_filter_lossless_on_random_corpora(spark):
     """Prefix-filtered pairs == brute force on seeded random corpora
     (random vocab sizes, doc lengths, duplication rates) at two
