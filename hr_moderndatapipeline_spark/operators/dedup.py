@@ -896,45 +896,19 @@ def jaccard_pairs(
     )
 
 
-def prefix_jaccard_pairs(
+def _prefix_jaccard_stages(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.9,
-    stop_df_ratio: float | None = None,
-) -> DataFrame:
-    """EXACT word-set Jaccard ≥ t pairs over the WHOLE corpus via
-    prefix filtering (the AllPairs/PPJoin family — Chaudhuri et al.
-    2006, Bayardo et al. 2007; public method): order every doc's
-    distinct words by ascending global document frequency (rare
-    first, ties lexicographic), index only each doc's PREFIX of
-    ``n − ceil(t·n) + 1`` tokens, and generate a candidate pair only
-    when two prefixes share a token. The prefix theorem makes this
-    LOSSLESS for Jaccard ≥ t (two sets similar enough must overlap
-    within these prefixes — property-tested against brute force), so
-    unlike source/LSH blocking there is no recall budget — this is
-    the unblocked-exactness column of the near-dup family.
-
-    Scale shape: token explode → df aggregate (1 shuffle) → join
-    token→df → per-doc sort (1 shuffle on id) → prefix explode →
-    equi-join on the prefix TOKEN shipping only (token, id, n) —
-    the word arrays join back by id for verification, never riding
-    the token join. Rare-first ordering makes hot tokens
-    systematically UNLIKELY in prefixes (a token in many prefixes
-    has high df and sorts out of them) — the skew argument blocking
-    needs salting for. Verification is the exact intersect/union on
-    the raw word arrays with the two-int size-ratio cull first.
-
-    ``stop_df_ratio`` is the documented mitigation for corpora whose
-    vocabulary is too common for rare-first prefixes to discriminate
-    (SCALING.md r8: this synthetic corpus): tokens appearing in more
-    than that FRACTION of documents are removed from the word sets
-    BEFORE similarity — the standard stopword-filtered Jaccard, an
-    explicit SEMANTICS change (similarity is then over the reduced
-    sets; docs reduced to nothing drop out), not a recall budget on
-    the same semantics. One bounded count() scalar prices the cutoff.
-
-    Returns (``{id}_a``, ``{id}_b``, jaccard), a < b."""
+    threshold: float,
+    stop_df_ratio: float | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stages of ``prefix_jaccard_pairs``: (sorted_docs,
+    candidate id pairs). Split out so fixtures can COUNT the
+    candidate set the prefix filter emits (the AllPairs cost-model
+    quantity: candidates vs brute-force C(n,2)) without duplicating
+    the stage logic — ``prefix_jaccard_candidates`` is the public
+    face."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     d = df.select(
@@ -986,6 +960,69 @@ def prefix_jaccard_pairs(
         .select(f"{id_col}_a", f"{id_col}_b")
         .distinct()
     )
+    return sorted_docs, cand
+
+
+def prefix_jaccard_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    stop_df_ratio: float | None = None,
+) -> DataFrame:
+    """The candidate (``{id}_a``, ``{id}_b``) pairs the prefix filter
+    generates BEFORE verification — the cost-model observable of the
+    AllPairs family (candidate count vs brute-force C(n,2) is what
+    'sub-quadratic' means). Measured by tools/zipf_corpus_fixture.py
+    on a natural-vocabulary corpus; same stages as
+    ``prefix_jaccard_pairs``."""
+    return _prefix_jaccard_stages(
+        df, id_col, text_col, threshold, stop_df_ratio
+    )[1]
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    stop_df_ratio: float | None = None,
+) -> DataFrame:
+    """EXACT word-set Jaccard ≥ t pairs over the WHOLE corpus via
+    prefix filtering (the AllPairs/PPJoin family — Chaudhuri et al.
+    2006, Bayardo et al. 2007; public method): order every doc's
+    distinct words by ascending global document frequency (rare
+    first, ties lexicographic), index only each doc's PREFIX of
+    ``n − ceil(t·n) + 1`` tokens, and generate a candidate pair only
+    when two prefixes share a token. The prefix theorem makes this
+    LOSSLESS for Jaccard ≥ t (two sets similar enough must overlap
+    within these prefixes — property-tested against brute force), so
+    unlike source/LSH blocking there is no recall budget — this is
+    the unblocked-exactness column of the near-dup family.
+
+    Scale shape: token explode → df aggregate (1 shuffle) → join
+    token→df → per-doc sort (1 shuffle on id) → prefix explode →
+    equi-join on the prefix TOKEN shipping only (token, id, n) —
+    the word arrays join back by id for verification, never riding
+    the token join. Rare-first ordering makes hot tokens
+    systematically UNLIKELY in prefixes (a token in many prefixes
+    has high df and sorts out of them) — the skew argument blocking
+    needs salting for. Verification is the exact intersect/union on
+    the raw word arrays with the two-int size-ratio cull first.
+
+    ``stop_df_ratio`` is the documented mitigation for corpora whose
+    vocabulary is too common for rare-first prefixes to discriminate
+    (SCALING.md r8: this synthetic corpus): tokens appearing in more
+    than that FRACTION of documents are removed from the word sets
+    BEFORE similarity — the standard stopword-filtered Jaccard, an
+    explicit SEMANTICS change (similarity is then over the reduced
+    sets; docs reduced to nothing drop out), not a recall budget on
+    the same semantics. One bounded count() scalar prices the cutoff.
+
+    Returns (``{id}_a``, ``{id}_b``, jaccard), a < b."""
+    sorted_docs, cand = _prefix_jaccard_stages(
+        df, id_col, text_col, threshold, stop_df_ratio
+    )
     wa = sorted_docs.select(
         F.col(id_col).alias(f"{id_col}_a"), F.col("_arr").alias("_wa")
     )
@@ -1005,38 +1042,16 @@ def prefix_jaccard_pairs(
     )
 
 
-def containment_pairs(
+def _containment_stages(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.9,
-    stop_df_ratio: float | None = None,
-) -> DataFrame:
-    """ASYMMETRIC set-containment pairs: C(x→y) = |x∩y| / |x| ≥ t
-    with |x| ≤ |y| (ties by id) — "document x is (nearly) contained
-    in y", the sub-document duplication signal Jaccard misses
-    entirely (a paragraph quoted inside a long page has high
-    containment but tiny Jaccard; Broder's containment, public
-    method). The near-dup family's fourth semantics column next to
-    resemblance (jaccard/minhash), Hamming (simhash), and edit
-    distance.
-
-    Candidate generation is one-sided prefix filtering: C ≥ t forces
-    |x∩y| ≥ ⌈t·|x|⌉, so x's rare-first prefix of ``|x| − ⌈t·|x|⌉ + 1``
-    tokens must hit y SOMEWHERE — x probes with its prefix, y is
-    indexed in FULL (no y-prefix shortcut exists without a size
-    bound; that full posting side is the honest cost of asymmetric
-    containment). Lossless by the same argument as
-    ``prefix_jaccard_pairs`` (the minimum shared token is inside x's
-    prefix and trivially inside y's full index); property-tested
-    against brute force.
-
-    ``stop_df_ratio``: same stopword-filtered-semantics mitigation
-    as ``prefix_jaccard_pairs`` (containment is then over the
-    reduced sets).
-
-    Returns (``inner_id``, ``outer_id``, containment): inner ⊆~
-    outer, inner strictly smaller or equal-size-lower-id."""
+    threshold: float,
+    stop_df_ratio: float | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stages of ``containment_pairs``: (sorted_docs,
+    candidate (_inner, _outer) pairs) — split out for the same
+    candidate-count measurement as ``_prefix_jaccard_stages``."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     d = df.select(
@@ -1087,6 +1102,57 @@ def containment_pairs(
         .filter((F.col("_inner") != F.col("_outer")) & smaller)
         .select("_inner", "_outer")
         .distinct()
+    )
+    return sorted_docs, cand
+
+
+def containment_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    stop_df_ratio: float | None = None,
+) -> DataFrame:
+    """Candidate (``_inner``, ``_outer``) pairs from the one-sided
+    prefix probe BEFORE verification — the containment join's
+    cost-model observable (see ``prefix_jaccard_candidates``)."""
+    return _containment_stages(df, id_col, text_col, threshold, stop_df_ratio)[1]
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    stop_df_ratio: float | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set-containment pairs: C(x→y) = |x∩y| / |x| ≥ t
+    with |x| ≤ |y| (ties by id) — "document x is (nearly) contained
+    in y", the sub-document duplication signal Jaccard misses
+    entirely (a paragraph quoted inside a long page has high
+    containment but tiny Jaccard; Broder's containment, public
+    method). The near-dup family's fourth semantics column next to
+    resemblance (jaccard/minhash), Hamming (simhash), and edit
+    distance.
+
+    Candidate generation is one-sided prefix filtering: C ≥ t forces
+    |x∩y| ≥ ⌈t·|x|⌉, so x's rare-first prefix of ``|x| − ⌈t·|x|⌉ + 1``
+    tokens must hit y SOMEWHERE — x probes with its prefix, y is
+    indexed in FULL (no y-prefix shortcut exists without a size
+    bound; that full posting side is the honest cost of asymmetric
+    containment). Lossless by the same argument as
+    ``prefix_jaccard_pairs`` (the minimum shared token is inside x's
+    prefix and trivially inside y's full index); property-tested
+    against brute force.
+
+    ``stop_df_ratio``: same stopword-filtered-semantics mitigation
+    as ``prefix_jaccard_pairs`` (containment is then over the
+    reduced sets).
+
+    Returns (``inner_id``, ``outer_id``, containment): inner ⊆~
+    outer, inner strictly smaller or equal-size-lower-id."""
+    sorted_docs, cand = _containment_stages(
+        df, id_col, text_col, threshold, stop_df_ratio
     )
     wi = sorted_docs.select(
         F.col(id_col).alias("_inner"), F.col("_arr").alias("_wi")

@@ -185,7 +185,6 @@ def pq_probe(
     k: int = 10,
     dim: int = 64,
     m: int = 8,
-    round_digits: int = 6,
 ) -> DataFrame:
     """ADC scan: per query, an inner-product lookup table against
     every centroid (q, m, k_cb) is broadcast; the corpus pass sums
@@ -193,7 +192,12 @@ def pq_probe(
     ranked window takes the global top-k. The corpus codes never
     shuffle; only candidates (≤ partitions × q × k rows) move.
     Returns (q_id, c_id, score, rk) with approximate inner-product
-    scores — recall vs exact search is pinned in tests.
+    scores — recall vs exact search is pinned in tests. Scores are
+    emitted UNROUNDED: the folds are engine-exact, and Spark's
+    ``F.round`` (BigDecimal HALF_UP on the exact binary double) and
+    DuckDB's ``round`` (float-multiply) can disagree for doubles near
+    a decimal boundary, so rounding would WEAKEN the hash gate
+    (ADVICE r8).
 
     Engine-exact by construction (r8): the LUT and the per-vector
     score accumulate sequentially (dim order, then sub order), and
@@ -250,7 +254,6 @@ def pq_probe(
     return (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .withColumn("score", F.round(F.col("score"), round_digits))
         .orderBy("q_id", "rk")
     )
 
@@ -384,6 +387,5 @@ def ivfpq_probe(
     return (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .withColumn("score", F.round(F.col("score"), 6))
         .orderBy("q_id", "rk")
     )

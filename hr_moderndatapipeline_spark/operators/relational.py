@@ -417,19 +417,26 @@ def assign_grouped_ranks(
     parts = pin(parts, tag="stable_ids")
     # group values join back by their STRING form; nulls map to a
     # sentinel on BOTH sides (a plain inner join on a NULL key would
-    # silently DROP every null-group row — null != null in joins)
+    # silently DROP every null-group row — null != null in joins).
+    # The string key is derived from the SAME Spark cast on both the
+    # collected counts and the join columns: Python's str(v) and
+    # Spark's CAST(v AS STRING) render booleans/floats/decimals
+    # differently ('True' vs 'true', '1e-05' vs '1.0E-5'), and a
+    # rendering mismatch would silently drop every row of the group.
     _NULL = "\x00<null>"
-
-    def _k(v):
-        return _NULL if v is None else str(v)
-
+    joined = parts
+    for i, g in enumerate(group_cols):
+        joined = joined.withColumn(
+            f"_g{i}", F.coalesce(F.col(g).cast("string"), F.lit(_NULL))
+        )
+    gcols = [f"_g{i}" for i in range(len(group_cols))]
     counts = sorted(
-        parts.groupBy("_pid", *group_cols).count().collect(),
-        key=lambda r: tuple((*[_k(r[g]) for g in group_cols], r["_pid"])),
+        joined.groupBy("_pid", *gcols).count().collect(),
+        key=lambda r: tuple((*[r[g] for g in gcols], r["_pid"])),
     )
     offsets, totals = [], {}
     for row in counts:
-        g = tuple(_k(row[c]) for c in group_cols)
+        g = tuple(row[c] for c in gcols)
         offsets.append((row["_pid"], *g, totals.get(g, 0)))
         totals[g] = totals.get(g, 0) + row["count"]
     schema_bits = ", ".join(
@@ -444,12 +451,6 @@ def assign_grouped_ranks(
         [f"`_g{i}` string" for i in range(len(group_cols))] + ["`_total` long"]
     )
     totals_df = spark.createDataFrame(tot_rows, tot_schema)
-    joined = parts
-    for i, g in enumerate(group_cols):
-        joined = joined.withColumn(
-            f"_g{i}", F.coalesce(F.col(g).cast("string"), F.lit(_NULL))
-        )
-    gcols = [f"_g{i}" for i in range(len(group_cols))]
     w = Window.partitionBy("_pid", *gcols).orderBy(
         *[F.col(c) for c in order_by]
     )

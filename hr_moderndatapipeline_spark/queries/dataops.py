@@ -2885,7 +2885,7 @@ scored AS (
         FROM codes c JOIN lut l ON l.sub = c.sub AND l.cluster = c.code
         GROUP BY l.q_id, c.vec_id))
 SELECT CAST(q_id AS BIGINT) AS q_id, CAST(c_id AS BIGINT) AS c_id,
-       round(score, 6) AS score, CAST(rk AS INTEGER) AS rk
+       score, CAST(rk AS INTEGER) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                  ORDER BY score DESC, c_id) AS rk
       FROM scored)
@@ -2979,7 +2979,7 @@ scored AS (
                   AND l.cluster = c.code
         GROUP BY qa.q_id, a.c_id))
 SELECT CAST(q_id AS BIGINT) AS q_id, CAST(c_id AS BIGINT) AS c_id,
-       round(score, 6) AS score, CAST(rk AS INTEGER) AS rk
+       score, CAST(rk AS INTEGER) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                  ORDER BY score DESC, c_id) AS rk
       FROM scored)

@@ -27,6 +27,21 @@ from hr_moderndatapipeline_spark.streaming import (
 )
 from hr_moderndatapipeline_spark.streaming.sinks import read_snapshot
 
+
+def _await(q, timeout_s: int = 300) -> None:
+    """Wait for an availableNow query and FAIL LOUDLY on timeout:
+    ``awaitTermination(t)`` returns False when the trigger has not
+    finished — proceeding would read a half-processed checkpoint and
+    return a silently wrong result (ADVICE r8)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout_s}s — refusing to read a partial checkpoint"
+        )
+
+
+
 PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -74,8 +89,8 @@ def q_streaming_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid, dlq = parse_with_dlq(raw, "value", PAYLOAD_SCHEMA)
     q1 = start_append_sink(valid, valid_out, f"{wd}/cp_v", available_now=True)
     q2 = start_json_dlq_sink(dlq, dlq_out, f"{wd}/cp_d", available_now=True)
-    q1.awaitTermination(300)
-    q2.awaitTermination(300)
+    _await(q1)
+    _await(q2)
 
     v = spark.read.schema(
         "event_id long, user_id int, event_type string, ts string, value double"
@@ -116,7 +131,7 @@ def q_streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = foreach_batch_scd2(
         typed, target, f"{wd}/cp", ["user_id"], ["event_type"], "ts", available_now=True
     )
-    q.awaitTermination(300)
+    _await(q)
 
     snap = read_snapshot(spark, target)
     return snap.groupBy("user_id").agg(
@@ -221,7 +236,7 @@ def q_streaming_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="10 minutes", watermark="1 minute", how="leftOuter",
     )
     q = start_append_sink(joined, f"{wd}/out", f"{wd}/cp", available_now=True)
-    q.awaitTermination(300)
+    _await(q)
     out = spark.read.schema(
         "user_id int, error_ts timestamp, click_ts timestamp"
     ).parquet(f"{wd}/out")
@@ -269,7 +284,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = valid.withColumn("ts", F.to_timestamp("ts"))
     deduped = dedup_stream(typed, ["event_id"], "ts", watermark="1 hour")
     q = start_append_sink(deduped, f"{wd}/out", f"{wd}/cp", available_now=True)
-    q.awaitTermination(300)
+    _await(q)
 
     out = spark.read.schema(
         "event_id long, user_id int, event_type string, ts timestamp"
@@ -306,7 +321,7 @@ def q_streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.format("manifest_jsonl").option("path", feed).load()
     q = start_append_sink(stream, out, cp, available_now=True)
-    q.awaitTermination(300)
+    _await(q)
     # producer appends after the first drain; a fresh availableNow
     # run resumes from the checkpointed offset and reads ONLY the new file
     append_jsonl_batch(
@@ -315,7 +330,7 @@ def q_streaming_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream2 = spark.readStream.format("manifest_jsonl").option("path", feed).load()
     q2 = start_append_sink(stream2, out, cp, available_now=True)
-    q2.awaitTermination(300)
+    _await(q2)
 
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, score double"
@@ -384,7 +399,7 @@ def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
 
     back = spark.read.schema(
         "user_id int, n_events long, last_ts_ms long, ewma double"
@@ -456,7 +471,7 @@ def q_streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
 
     back = spark.read.schema(
         "user_id int, n_events long, steps_completed int, converted int"

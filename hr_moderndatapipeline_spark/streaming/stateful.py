@@ -282,9 +282,15 @@ def funnel_stream(
             yield _row(key, n, sc)
             return
         n, sc = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            ordered = pdf.sort_values([ts_col, tb], kind="mergesort")
+        # a key's micro-batch can arrive as MULTIPLE Arrow chunks in
+        # arbitrary order — sorting each chunk independently would fold
+        # events out of (ts, tiebreak) order across chunk boundaries.
+        # Materialize the whole group, then sort ONCE and fold.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            n += len(batch)
+            ordered = batch.sort_values([ts_col, tb], kind="mergesort")
             for e in ordered[type_col]:
                 if sc < len(step_list) and e == step_list[sc]:
                     sc += 1

@@ -44,7 +44,7 @@ def test_running_totals_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow trigger did not finish"
     rows = {r["key"]: (r["n_events"], r["sum_value"])
             for r in spark.sql("SELECT * FROM tw_totals").collect()}
     assert rows[0] == (4, 0 + 3 + 6 + 9)
