@@ -51,17 +51,41 @@ def test_rows_only_set_is_intentional():
     non-SQL classes (streaming execution, engine-native hashing,
     iterative) — additions to this set are a deliberate decision."""
     allowed = {
-        # the whole ANN family is oracle-backed as of r8
+        # The whole ANN family is oracle-backed as of r8
         # (ann_ivf/ivf_probe in r7; pq/ivfpq in r8 via portable-hash
-        # verification-mode codebooks + sequential ADC folds) — only
-        # the six streaming lifecycles remain, honestly non-SQL
-        # (stateful micro-batch execution).
+        # verification-mode codebooks + sequential ADC folds). The
+        # remaining seven are streaming LIFECYCLES: each runs a real
+        # micro-batch query (source → checkpointed sink → read-back),
+        # and what DuckDB could check — the final table — is not what
+        # the query exists to prove. Their invariants are pinned
+        # STRONGER than a result-hash, per entry below; this is the
+        # stable floor, not a backlog (VERDICT r8 task 6).
+        #
+        # incremental-offset resume: a second availableNow run reads
+        # ONLY the file appended after the first drain (checkpointed
+        # offsets, not results, are the subject)
         "streaming_custom_source",
+        # two-integer funnel state: bit-equal to the batch funnel_steps
+        # fold ACROSS a checkpoint restart (tests/test_streaming.py);
+        # an oracle on the final counts would not exercise the restart
         "streaming_funnel_state",
+        # watermarked dropDuplicates: exactness within the watermark
+        # is the contract; the duplicate set spans micro-batches
         "streaming_dedup_events",
+        # EWMA state: bitwise-equal fold across restart (order-
+        # sensitive float fold — a SQL restatement would have to
+        # replicate micro-batch boundaries to be meaningful)
         "streaming_ewma_state",
+        # from_json valid/corrupt routing through TWO checkpointed
+        # sinks; the subject is the split + sink replay safety
         "streaming_dlq_roundtrip",
+        # dual-watermark leftOuter stream-stream join: null-padding
+        # timing depends on watermark advancement, a streaming-only
+        # semantic
         "streaming_join_enrichment",
+        # foreachBatch SCD2 MERGE: two-phase close/insert replayed
+        # idempotently across batches; the versioned snapshot is the
+        # subject (unit-pinned), not the final aggregate
         "streaming_scd2_snapshot",
     }
     actual = set(queries()) - set(oracle_sql())

@@ -32,10 +32,25 @@ Measured per operator and scale (fresh lineages; SQLMetrics):
 - wall time of the full verified join, spill bytes, shuffle MiB,
   plan-fingerprint stability across the decade.
 
+Two vocabulary regimes, because they answer different questions:
+
+- FIXED vocabulary (default): both scales draw from the same 150k
+  words. Document frequencies grow 10x with the corpus, so the
+  coincidental-collision term Σ_t C(df_prefix_t, 2) grows ~x100 — the
+  AllPairs worst-case shape, with the measured constant (~1e-4 of
+  C(n,2)) showing how small the quadratic's coefficient is.
+- HEAPS vocabulary (--heaps): vocabulary grows with the corpus as
+  V(n) ∝ n^0.5 (Heaps' law, the empirical shape of real crawls) —
+  new documents keep introducing new rare words, prefix document
+  frequencies stay ~flat, and candidate growth should fall back
+  toward linear. This is the geometry the operator actually targets.
+
 Usage:
   python tools/zipf_corpus_fixture.py --gen      # build both corpora (~1 min)
   python tools/zipf_corpus_fixture.py            # measure, print JSON
   python tools/zipf_corpus_fixture.py --brute    # also brute-force-verify @5k
+  python tools/zipf_corpus_fixture.py --gen --heaps   # Heaps-law corpora
+  python tools/zipf_corpus_fixture.py --heaps         # measure those
 """
 
 from __future__ import annotations
@@ -59,8 +74,21 @@ CLONE_FRAC = 0.04
 CONTAIN_FRAC = 0.02
 
 
+HEAPS = False  # set by __main__: vocabulary grows as V(n) ∝ n^0.5
+
+
+def _vocab(n_docs: int) -> int:
+    if not HEAPS:
+        return VOCAB
+    # Heaps' law V = K·T^beta over total tokens T ≈ 110·n_docs;
+    # K=40, beta=0.5 lands ~30k words at 5k docs, ~95k at 50k — the
+    # English-crawl ballpark
+    return max(1000, int(40 * (110 * n_docs) ** 0.5))
+
+
 def _path(n: int) -> str:
-    return f"{ROOT}/documents_{n}.parquet"
+    tag = "heaps_" if HEAPS else ""
+    return f"{ROOT}/documents_{tag}{n}.parquet"
 
 
 def generate() -> None:
@@ -70,16 +98,16 @@ def generate() -> None:
 
     os.makedirs(ROOT, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
-    p = 1.0 / ranks**ZIPF_S
-    p /= p.sum()
-
     for n_docs in SCALES:
+        vocab = _vocab(n_docs)
+        ranks = np.arange(1, vocab + 1, dtype=np.float64)
+        p = 1.0 / ranks**ZIPF_S
+        p /= p.sum()
         lengths = np.clip(
             np.exp(rng.normal(math.log(90.0), 0.5, size=n_docs)), 20, 400
         ).astype(np.int64)
         total = int(lengths.sum())
-        flat = rng.choice(VOCAB, size=total, p=p)
+        flat = rng.choice(vocab, size=total, p=p)
         offs = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
         docs = [flat[offs[i]:offs[i + 1]].copy() for i in range(n_docs)]
@@ -95,7 +123,7 @@ def generate() -> None:
             mut_frac = float(rng.uniform(0.02, 0.12))
             k = max(1, int(len(base) * mut_frac))
             pos = rng.choice(len(base), size=min(k, len(base)), replace=False)
-            base[pos] = rng.choice(VOCAB, size=len(pos), p=p)
+            base[pos] = rng.choice(vocab, size=len(pos), p=p)
             docs[int(i)] = base
 
         # planted containments: doc i := contiguous ~30% slice of a
@@ -123,7 +151,7 @@ def generate() -> None:
         )
         pq.write_table(tbl, _path(n_docs))
         print(
-            f"generated {_path(n_docs)}: {n_docs} docs, "
+            f"generated {_path(n_docs)}: {n_docs} docs, vocab={vocab}, "
             f"{os.path.getsize(_path(n_docs)) // 1024} KiB, "
             f"{n_clone} clones, {n_cont} containment plants"
         )
@@ -244,6 +272,7 @@ def measure(brute: bool) -> None:
 
 
 if __name__ == "__main__":
+    HEAPS = "--heaps" in sys.argv[1:]
     if "--gen" in sys.argv[1:]:
         generate()
     else:
