@@ -62,6 +62,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Partition-sizing lesson from the sf10 spill frontier
+        # (SCALING.md r8): the salted big-big SMJ spilled 4.0 GiB at
+        # 32 shuffle partitions (~80 MiB compressed each — the SMJ
+        # sort of the deserialized rows blows past per-task execution
+        # memory) and 0 at ~20 MiB each. AQE can only COALESCE from
+        # ``initialPartitionNum`` downward — it never splits a
+        # too-big reducer partition outside skew-join handling — so
+        # the cores-sized shuffle.partitions default silently CAPS
+        # every shuffle at 32 reducers no matter the data. Raising the
+        # initial count to 512 and stating the advisory target
+        # explicitly (32 MiB compressed ≈ the measured zero-spill
+        # regime with margin) lets AQE pick the reducer count by
+        # size at every scale; at test SFs it coalesces right back,
+        # so plan skeletons are unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -39,6 +39,12 @@ def test_aqe_splits_skewed_join_partition(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            # hermetic vs the session factory's 512 initial partitions
+            # (r9): at 512-way the hot key's partition no longer trips
+            # the demo's thresholds the same way; this test pins the
+            # classic 1-shuffle-partition-per-core geometry it was
+            # written for
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "4",
             # keep the join a real shuffle join, not a broadcast
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
