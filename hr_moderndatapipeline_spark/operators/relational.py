@@ -1030,3 +1030,134 @@ def twap_features(
             / F.lit(1_000_000.0)
         ).alias("twap"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: per key, the maximal runs of CONSECUTIVE
+    calendar days with at least one row — "activity streaks", the
+    classic engagement readout (DAU streaks, login streaks, sensor
+    uptime islands). The standard anchor trick: over the DISTINCT
+    (key, day) grid, ``day − row_number()`` is constant within a
+    consecutive run and strictly decreasing across gaps, so grouping
+    by that anchor yields one row per island.
+
+    Scale shape: one distinct (shuffle on (keys, day) — map-side
+    combine), one window partitioned by the FULL key set (high
+    cardinality — no single-partition trap), one groupBy on
+    (keys, anchor). Day arithmetic is integer (days since epoch):
+    engine-exact.
+
+    Returns (keys…, streak_start DATE, streak_end DATE,
+    streak_days BIGINT), one row per island."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    kcols = [F.col(k) for k in key_cols]
+    days = (
+        df.select(*kcols, F.to_date(F.col(date_col)).alias("_d"))
+        .distinct()
+        .withColumn("_dn", F.datediff(F.col("_d"), F.lit("1970-01-01")))
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_dn")
+    anchored = days.withColumn(
+        "_anchor", F.col("_dn") - F.row_number().over(w)
+    )
+    return (
+        anchored.groupBy(*key_cols, "_anchor")
+        .agg(
+            F.min("_d").alias("streak_start"),
+            F.max("_d").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .drop("_anchor")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over right-censored integer
+    durations — the survival-analysis face of the funnel-latency
+    family (public method; Kaplan & Meier 1958). One row per subject:
+    ``duration_col`` an integer time (e.g. whole days),
+    ``event_col`` 1 if the event was OBSERVED at that time, 0 if the
+    subject was right-censored there. Output: one row per distinct
+    duration t with the at-risk count n_t, observed events d_t,
+    censorings c_t, and the product-limit estimate
+    S(t) = Π_{s≤t} (1 − d_s/n_s).
+
+    Scale + exactness shape: everything reduces to ONE bounded
+    aggregate — d_t/c_t per distinct duration (map-side combinable;
+    O(#distinct durations) rows, typically dozens) — collected into a
+    sorted array and folded SEQUENTIALLY in ascending-t order with
+    IEEE double multiplies (``F.aggregate``), the same engineered
+    sequential-fold exactness as the CUSUM/PQ faces: a recursive CTE
+    restates it fold-for-fold in the oracle. The subject table is
+    never windowed or single-partitioned; only the O(#durations)
+    digest crosses partitions."""
+    agg = df.groupBy(F.col(duration_col).cast("bigint").alias("t")).agg(
+        F.sum(F.col(event_col).cast("bigint")).alias("d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("bigint")).alias("c"),
+    )
+    packed = agg.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("_steps"),
+        F.sum(F.col("d") + F.col("c")).alias("_n0"),
+    )
+    # sequential product-limit fold: acc carries (remaining at-risk n,
+    # running survival s, emitted rows); floats multiply in ascending
+    # t order — deterministic and engine-exact
+    folded = packed.select(
+        F.aggregate(
+            "_steps",
+            F.struct(
+                F.col("_n0").alias("n"),
+                F.lit(1.0).alias("s"),
+                F.expr(
+                    "CAST(array() AS"
+                    " array<struct<t:bigint,n_at_risk:bigint,n_events:bigint,"
+                    "n_censored:bigint,survival:double>>)"
+                ).alias("rows"),
+            ),
+            lambda acc, st: F.struct(
+                (acc["n"] - st["d"] - st["c"]).alias("n"),
+                (
+                    acc["s"]
+                    * (
+                        F.lit(1.0)
+                        - st["d"].cast("double") / acc["n"].cast("double")
+                    )
+                ).alias("s"),
+                F.concat(
+                    acc["rows"],
+                    F.array(
+                        F.struct(
+                            st["t"].alias("t"),
+                            acc["n"].alias("n_at_risk"),
+                            st["d"].alias("n_events"),
+                            st["c"].alias("n_censored"),
+                            (
+                                acc["s"]
+                                * (
+                                    F.lit(1.0)
+                                    - st["d"].cast("double")
+                                    / acc["n"].cast("double")
+                                )
+                            ).alias("survival"),
+                        )
+                    ),
+                ).alias("rows"),
+            ),
+        ).alias("_out")
+    )
+    return folded.select(F.explode(F.col("_out.rows")).alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.n_censored").alias("n_censored"),
+        F.col("r.survival").alias("survival"),
+    )

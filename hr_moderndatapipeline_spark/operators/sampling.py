@@ -435,3 +435,74 @@ def negative_samples(
         "neg_label",
         (F.col("anchor_label") == F.col("neg_label")).alias("is_false_negative"),
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement — the
+    weighted-reservoir (A-Res, Efraimidis & Spirakis 2006; public
+    method) priority rule ``priority_i = u_i^(1/w_i)`` with the top-n
+    priorities selected — engineered for cross-engine EXACTNESS:
+
+    - ``u_i`` is a deterministic content-addressed draw quantized to
+      10 bits: ``p_i = mix32(key) mod 1023 + 1``, ``u_i = p_i/1024``
+      (same Knuth mixer as every sampler here — stable under retries
+      and engines, no RNG);
+    - weights must be INTEGERS in {1,2,3,4} (domain/priority tiers,
+      loudly asserted per row). Then ``u^(1/w)`` order-compares
+      exactly as the INTEGER ``p^(12/w) · 1024^(12-12/w)`` (raise to
+      the 12th power, common denominator 1024^12 < 10^38): pure
+      DECIMAL(38,0)/HUGEINT arithmetic — zero float pow/log, so the
+      selected SET is bit-identical on any engine, unlike the
+      textbook ``-ln(u)/w`` float key whose libm ULP differences can
+      flip the selection boundary.
+
+    Scale shape: one map-side integer key per row + global top-n —
+    Catalyst plans ``TakeOrderedAndProject`` (per-partition heaps,
+    no full sort). Quantization to 10 bits trades draw granularity
+    for exactness; ties broken by key ascending (deterministic).
+
+    Returns the n selected rows with ``sample_rank`` 1..n."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("int")
+    p = (F.pmod(_mix32(F.col(key_col)), F.lit(1023)) + F.lit(1)).cast(
+        "decimal(38,0)"
+    )
+    m = F.lit(1024).cast("decimal(38,0)")
+
+    def _ipow(base: Column, e: int) -> Column:
+        out = base
+        for _ in range(e - 1):
+            out = (out * base).cast("decimal(38,0)")
+        return out
+
+    # u^(1/w) ~ p^(12/w) * 1024^(12 - 12/w); exponent pairs per tier.
+    # The out-of-domain branch RAISES in the evaluated expression
+    # itself (a separate assert-only column would be pruned as dead
+    # by Catalyst and never fire).
+    prio = (
+        F.when(w == 1, _ipow(p, 12))
+        .when(w == 2, _ipow(p, 6) * _ipow(m, 6))
+        .when(w == 3, _ipow(p, 4) * _ipow(m, 8))
+        .when(w == 4, _ipow(p, 3) * _ipow(m, 9))
+        .otherwise(
+            F.raise_error(
+                F.lit("weighted_priority_sample: weight outside {1,2,3,4}")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+    )
+    checked = df.withColumn("_prio", prio)
+    top = checked.orderBy(F.col("_prio").desc(), F.col(key_col).asc()).limit(n)
+    # the global window ranks only the n already-selected rows —
+    # bounded by construction (like the top-k family)
+    rk_win = Window.orderBy(F.col("_prio").desc(), F.col(key_col).asc())
+    return (
+        top.withColumn("sample_rank", F.row_number().over(rk_win))
+        .drop("_prio")
+    )

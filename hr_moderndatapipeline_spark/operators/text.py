@@ -715,13 +715,18 @@ def bpe_apply(
     of JVM codegen, no Python, no shuffle at all — this is a pure map
     over the corpus).
 
-    Cost shape (r8 stress sweep): linear in the CORPUS, but the fold
-    appends to the accumulator array per symbol — an O(L²) term in
-    the word length L (array copy per element) — and the chained
-    expressions grow with the merge count, so this face caps out
-    around dozens of merges. ``bpe_apply_arrow`` is the scale path
-    for long words / real merge-table sizes; identical results (the
-    semantics are exact string ops, no floats).
+    Cost shape (r8 stress sweep; r9 natural-text fixture): linear in
+    the CORPUS, but the fold appends to the accumulator array per
+    symbol — an O(L²) term in the word length L (array copy per
+    element) — and the chained expressions grow with the merge count,
+    so this face caps out around dozens of merges. On a REALISTIC
+    word-length distribution (frequent short / rare long,
+    tools/bpe_fixture.py) the O(L²) term costs ×3.9–×22.5 vs the
+    Arrow face — worse than the short-word synthetic corpus
+    suggested. DEFAULT GUIDANCE: use ``bpe_apply_arrow`` for any
+    natural-text apply pass; keep THIS face as the zero-Python
+    verification face (bit-identical results — exact string ops, no
+    floats — pinned at 5k and 50k natural-text docs).
 
     Output per doc: ``n_chars`` (non-space symbol
     count), ``n_pieces`` (token count after merging) — the

@@ -3670,27 +3670,22 @@ FROM sel
 def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gaps-and-islands: collapse each user's distinct
     activity days into consecutive-day streaks (day number minus
-    row_number is constant within an island) and profile them. Two
-    key shuffles (distinct, then the per-user window+rollup share the
-    user partitioning); all-integer output."""
-    from pyspark.sql import Window
-
-    days = (
-        _t(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("d"))
-        .distinct()
+    row_number is constant within an island) and profile them. Since
+    r9 the islands come from the reusable
+    ``operators/relational.py activity_streaks`` operator (same
+    anchor trick, same two key shuffles; the per-user window+rollup
+    share the user partitioning); all-integer output."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        activity_streaks,
     )
-    w = Window.partitionBy("user_id").orderBy("d")
-    grp = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) - F.row_number().over(w)
-    streaks = (
-        days.withColumn("_g", grp)
-        .groupBy("user_id", "_g")
-        .agg(F.count(F.lit(1)).alias("_len"))
+
+    streaks = activity_streaks(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts"
     )
     return streaks.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
-        F.max("_len").cast("bigint").alias("longest_days"),
-        F.sum("_len").cast("bigint").alias("active_days"),
+        F.max("streak_days").cast("bigint").alias("longest_days"),
+        F.sum("streak_days").cast("bigint").alias("active_days"),
     )
 
 
@@ -4284,7 +4279,167 @@ FROM agg a JOIN ex ON a.event_type = ex.event_type
 """
 
 
+
+
+# ── Kaplan-Meier view->purchase survival curve (right-censored) ──
+
+def q_conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-limit survival of time-to-convert
+    (operators/relational.py kaplan_meier): per user, first view and
+    first purchase at-or-after it (the conversion_latency_histogram
+    subjects); non-converters are right-CENSORED at the corpus
+    horizon (max event time) instead of dropped — S(t) is the
+    fraction still unconverted at t days, corrected for censoring.
+    The per-duration digest is O(#distinct days); survival folds
+    sequentially in ascending-t order (engine-exact — the oracle
+    restates the fold with a recursive CTE, multiply for multiply).
+    The 1-row horizon aggregate broadcasts into the subject builder
+    (reviewed nested-loop allowlist)."""
+    from hr_moderndatapipeline_spark.operators.relational import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("_sec"),
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_v0"))
+    )
+    first_purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("_sec") >= F.col("_v0"))
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_p0"))
+    )
+    horizon = ev.agg(F.max("_sec").alias("_h"))
+    subjects = (
+        first_view.join(first_purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_p0").isNull(),
+                F.expr("(_h - _v0) DIV 86400"),
+            )
+            .otherwise(F.expr("(_p0 - _v0) DIV 86400"))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("_p0").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("ev"),
+        )
+    )
+    return kaplan_meier(subjects, "dur", "ev")
+
+
+ORACLE_CONVERSION_SURVIVAL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+fv AS (
+  SELECT user_id, min(sec) AS v0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(e.sec) AS p0
+  FROM ev e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec >= fv.v0
+  GROUP BY e.user_id),
+hz AS (SELECT max(sec) AS h FROM ev),
+subj AS (
+  SELECT CASE WHEN fp.p0 IS NULL THEN (hz.h - fv.v0) // 86400
+         ELSE (fp.p0 - fv.v0) // 86400 END AS t,
+         CASE WHEN fp.p0 IS NULL THEN 0 ELSE 1 END AS e
+  FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id CROSS JOIN hz),
+agg AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(sum(e) AS BIGINT) AS d,
+         CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM subj GROUP BY 1),
+ord AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS k FROM agg),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n0 FROM agg),
+rec AS (
+  WITH RECURSIVE r(k, t, n_at_risk, d, c, s) AS (
+    SELECT o.k, o.t, tot.n0, o.d, o.c,
+           1.0::DOUBLE * (1.0::DOUBLE - CAST(o.d AS DOUBLE)
+                          / CAST(tot.n0 AS DOUBLE))
+    FROM ord o CROSS JOIN tot WHERE o.k = 1
+    UNION ALL
+    SELECT o.k, o.t, r.n_at_risk - r.d - r.c, o.d, o.c,
+           r.s * (1.0::DOUBLE - CAST(o.d AS DOUBLE)
+                  / CAST(r.n_at_risk - r.d - r.c AS DOUBLE))
+    FROM r JOIN ord o ON o.k = r.k + 1)
+  SELECT * FROM r)
+SELECT t, n_at_risk, d AS n_events, c AS n_censored, s AS survival
+FROM rec
+"""
+
+
+# ── weighted fixed-size sample (A-Res priorities, integer-exact) ──
+
+def q_weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample of orders
+    (operators/sampling.py weighted_priority_sample): priority tiers
+    map to integer weights (URGENT=4, HIGH=3, MEDIUM=2, else 1) and
+    the A-Res rule u^(1/w) picks 200 orders — urgent orders ~4x as
+    likely per row. The u draw is the shared Knuth mixer quantized
+    to 10 bits and the priority key is pure DECIMAL(38,0)/HUGEINT
+    integer arithmetic (p^(12/w)·1024^(12-12/w)), so the selected
+    SET is engine-exact — no float pow/log anywhere. Global top-n
+    plans as TakeOrderedAndProject; the rank window runs over the
+    200 already-selected rows (reviewed global-window allowlist)."""
+    from hr_moderndatapipeline_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 4)
+        .when(F.col("o_orderpriority") == "2-HIGH", 3)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("weight"),
+    )
+    out = weighted_priority_sample(orders, "o_orderkey", "weight", 200)
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("weight").cast("int").alias("weight"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )
+
+
+ORACLE_WEIGHTED_ORDER_SAMPLE = """
+WITH w AS (
+  SELECT o_orderkey,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 4 WHEN '2-HIGH' THEN 3
+              WHEN '3-MEDIUM' THEN 2 ELSE 1 END AS weight,
+         CAST(((o_orderkey % 2147483648) * 2654435761) % 4294967296
+              % 1023 + 1 AS HUGEINT) AS p
+  FROM orders),
+prio AS (
+  SELECT o_orderkey, weight,
+         CASE weight
+           WHEN 1 THEN p*p*p*p*p*p*p*p*p*p*p*p
+           WHEN 2 THEN p*p*p*p*p*p * CAST(1152921504606846976 AS HUGEINT)
+           WHEN 3 THEN p*p*p*p * CAST(1208925819614629174706176 AS HUGEINT)
+           WHEN 4 THEN p*p*p * CAST(1237940039285380274899124224 AS HUGEINT)
+         END AS k
+  FROM w)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(weight AS INTEGER) AS weight,
+       CAST(row_number() OVER (ORDER BY k DESC, o_orderkey) AS INTEGER)
+         AS sample_rank
+FROM prio
+ORDER BY k DESC, o_orderkey
+LIMIT 200
+"""
+
+
 QUERIES = {
+    "conversion_survival_curve": q_conversion_survival_curve,
+    "weighted_order_sample": q_weighted_order_sample,
     "snapshot_orders_diff": q_snapshot_orders_diff,
     "supplier_golden_records": q_supplier_golden_records,
     "rolling_weekly_active_users": q_rolling_weekly_active_users,
@@ -4380,6 +4535,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conversion_survival_curve": ORACLE_CONVERSION_SURVIVAL,
+    "weighted_order_sample": ORACLE_WEIGHTED_ORDER_SAMPLE,
     "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,
     "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,
     "rolling_weekly_active_users": ORACLE_ROLLING_WAU,

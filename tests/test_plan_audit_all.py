@@ -48,6 +48,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "tfidf_top_terms": "1-row corpus doc-count broadcast into the scorer",
     "monthly_order_spine": "recursive year spine (≈7 rows) crossed with a "
     "12-row literal month dim — bounded by the schema's date span",
+    "conversion_survival_curve": "1-row corpus-horizon aggregate broadcast "
+    "into the subject builder (the censoring cutoff)",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 
@@ -79,6 +81,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "segment_priority_chisq": "expected-count window over the "
     "O(segments × priorities) contingency aggregate",
     "weekday_order_profile": "share window over the 7-row weekday aggregate",
+    "weighted_order_sample": "rank window over the n=200 rows ALREADY "
+    "selected by the upstream TakeOrderedAndProject limit",
 }
 
 _TREE_PREFIX = re.compile(r"^[\s:+\-*]*(\(\d+\)\s*)?")

@@ -1,0 +1,107 @@
+"""Round-9 operators: gaps-and-islands streaks, Kaplan–Meier
+survival, and the integer-exact weighted priority sample."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.relational import (
+    activity_streaks,
+    kaplan_meier,
+)
+from hr_moderndatapipeline_spark.operators.sampling import (
+    weighted_priority_sample,
+)
+
+
+def test_activity_streaks_islands_and_gaps(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-02 09:00:00"),
+            (1, "2024-01-02 23:00:00"),  # same day — distinct collapses it
+            (1, "2024-01-04 01:00:00"),
+            (2, "2024-02-10 00:00:00"),
+            (2, "2024-02-11 00:00:00"),
+            (2, "2024-02-12 00:00:00"),
+        ],
+        "uid int, ts string",
+    )
+    rows = {
+        (r["uid"], str(r["streak_start"])): (str(r["streak_end"]), r["streak_days"])
+        for r in activity_streaks(df, ["uid"], "ts").collect()
+    }
+    assert rows == {
+        (1, "2024-01-01"): ("2024-01-02", 2),
+        (1, "2024-01-04"): ("2024-01-04", 1),
+        (2, "2024-02-10"): ("2024-02-12", 3),
+    }
+
+
+def test_kaplan_meier_matches_hand_computation(spark):
+    # the classic textbook shape: events at 1,2,3,5; censorings at 2,4,6
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0), (5, 1), (5, 1), (6, 0)],
+        "dur int, ev int",
+    )
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1]["n_at_risk"] == 8 and got[1]["n_events"] == 1
+    assert got[1]["survival"] == 7.0 / 8.0
+    assert got[2]["n_at_risk"] == 7 and got[2]["n_censored"] == 1
+    assert got[2]["survival"] == (7.0 / 8.0) * (1.0 - 1.0 / 7.0)
+    assert got[3]["survival"] == got[2]["survival"] * (1.0 - 1.0 / 5.0)
+    # censor-only times keep S flat
+    assert got[4]["n_events"] == 0 and got[4]["survival"] == got[3]["survival"]
+    assert got[5]["n_at_risk"] == 3 and got[5]["n_events"] == 2
+    assert got[5]["survival"] == got[3]["survival"] * (1.0 - 2.0 / 3.0)
+    assert got[6]["survival"] == got[5]["survival"]
+    # at-risk bookkeeping: counts telescope to zero
+    assert got[6]["n_at_risk"] - got[6]["n_events"] - got[6]["n_censored"] == 0
+
+
+def test_kaplan_meier_no_censoring_is_empirical_survival(spark):
+    # without censoring S(t) must equal the plain empirical tail
+    df = spark.createDataFrame([(d, 1) for d in [1, 1, 2, 3, 3, 3, 4, 10]],
+                               "dur int, ev int")
+    got = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1] == pytest.approx(6 / 8)
+    assert got[2] == pytest.approx(5 / 8)
+    assert got[3] == pytest.approx(2 / 8)
+    assert got[4] == pytest.approx(1 / 8)
+    assert got[10] == pytest.approx(0.0)
+
+
+def test_weighted_priority_sample_fixed_size_and_deterministic(spark):
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.pmod(F.col("id"), 4) + 1).cast("int").alias("w"),
+    )
+    s1 = weighted_priority_sample(df, "id", "w", 500)
+    s2 = weighted_priority_sample(df, "id", "w", 500)
+    r1 = [(r["id"], r["sample_rank"]) for r in s1.orderBy("sample_rank").collect()]
+    r2 = [(r["id"], r["sample_rank"]) for r in s2.orderBy("sample_rank").collect()]
+    assert r1 == r2  # deterministic, content-addressed
+    assert len(r1) == 500
+    assert [rk for _, rk in r1] == list(range(1, 501))
+    assert len({i for i, _ in r1}) == 500  # without replacement
+
+
+def test_weighted_priority_sample_prefers_heavy_weights(spark):
+    # equal counts of weight-1 and weight-4 rows: the A-Res rule must
+    # select weight-4 rows far more often (expected ~4:1)
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 4).otherwise(1).cast("int").alias("w"),
+    )
+    out = weighted_priority_sample(df, "id", "w", 1000).collect()
+    heavy = sum(1 for r in out if r["w"] == 4)
+    assert heavy > 700, f"weight-4 rows selected only {heavy}/1000"
+
+
+def test_weighted_priority_sample_rejects_bad_weight(spark):
+    df = spark.range(100).select(
+        F.col("id"), F.lit(7).cast("int").alias("w")
+    )
+    with pytest.raises(Exception, match="weight outside"):
+        weighted_priority_sample(df, "id", "w", 10).collect()
