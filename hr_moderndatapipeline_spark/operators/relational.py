@@ -1161,3 +1161,100 @@ def kaplan_meier(
         F.col("r.n_censored").alias("n_censored"),
         F.col("r.survival").alias("survival"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    value_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Multi-touch revenue attribution — first-touch, last-touch and
+    linear credit in ONE pass (the three standard marketing models;
+    public method). For every conversion event, the touchpoints are
+    the user's ``touch_types`` events in the lookback window ending
+    at the conversion; conversions with no touchpoint are credited to
+    the ``(none)`` channel so totals reconcile (the silent-drop every
+    naive attribution query makes).
+
+    Exactness: conversion value quantizes to integer MICRO-units via
+    ``floor(value · 1e6)`` (floor of the same IEEE double product —
+    identical on any engine, unlike decimal rounding); linear credit
+    is integer DIV by the touch count (the per-conversion remainder
+    of up to n−1 micro-units stays unattributed — documented, exact,
+    order-independent). All sums are BIGINT.
+
+    Scale shape: one equi-join on the user key (high cardinality)
+    with the window predicate as a residual filter; the per-
+    conversion windows partition by (user, conversion id) — never
+    global. Returns one row per channel:
+    (channel, first_touch_micro, last_touch_micro, linear_micro,
+    n_touches, n_conversions)."""
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    u, ts, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    conv = events.filter(ty == conversion_type).select(
+        u.alias("_u"),
+        F.unix_timestamp(ts).cast("bigint").alias("_cts"),
+        F.col(id_col).alias("_cid"),
+        F.floor(F.col(value_col) * F.lit(1e6)).cast("bigint").alias("_vmicro"),
+    )
+    touch = events.filter(ty.isin(*[str(t) for t in touch_types])).select(
+        u.alias("_u"),
+        F.unix_timestamp(ts).cast("bigint").alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        ty.alias("_channel"),
+    )
+    j = conv.join(touch, "_u").filter(
+        (F.col("_tts") <= F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.lit(lookback_seconds))
+    )
+    # conversions with zero in-window touchpoints vanish from the
+    # inner join; re-attach them as the '(none)' channel via anti
+    # join so every conversion's value reconciles
+    matched = j.select("_u", "_cid").distinct()
+    untouched = conv.join(
+        matched, ["_u", "_cid"], "left_anti"
+    ).select(
+        "_u", "_cts", "_cid", "_vmicro",
+        F.lit(None).cast("bigint").alias("_tts"),
+        F.lit(None).cast(conv.schema["_cid"].dataType).alias("_tid"),
+        F.lit(None).cast("string").alias("_channel"),
+    )
+    full = j.unionByName(untouched)
+    pw = Window.partitionBy("_u", "_cid")
+    w_first = pw.orderBy(F.col("_tts").asc(), F.col("_tid").asc())
+    w_last = pw.orderBy(F.col("_tts").desc(), F.col("_tid").desc())
+    scored = (
+        full.withColumn("_n", F.count(F.lit(1)).over(pw))
+        .withColumn("_rn_first", F.row_number().over(w_first))
+        .withColumn("_rn_last", F.row_number().over(w_last))
+        .select(
+            F.coalesce(F.col("_channel"), F.lit("(none)")).alias("channel"),
+            F.when(F.col("_rn_first") == 1, F.col("_vmicro"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("_first"),
+            F.when(F.col("_rn_last") == 1, F.col("_vmicro"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("_last"),
+            F.expr("_vmicro DIV _n").cast("bigint").alias("_linear"),
+            F.col("_cid"),
+            F.col("_tid"),
+        )
+    )
+    return scored.groupBy("channel").agg(
+        F.sum("_first").cast("bigint").alias("first_touch_micro"),
+        F.sum("_last").cast("bigint").alias("last_touch_micro"),
+        F.sum("_linear").cast("bigint").alias("linear_micro"),
+        F.sum(F.when(F.col("_tid").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_touches"),
+        F.countDistinct("_cid").cast("bigint").alias("n_conversions"),
+    )

@@ -4437,7 +4437,80 @@ LIMIT 200
 """
 
 
+
+
+# ── multi-touch revenue attribution (first/last/linear in one pass) ──
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream
+    (operators/relational.py touch_attribution): every purchase's
+    value credits the user's view/click/signup touchpoints in the
+    7-day window ending at the purchase — first-touch, last-touch and
+    linear models in one pass, with purchases that had NO in-window
+    touchpoint reconciled under the '(none)' channel instead of
+    silently dropped. Value quantizes to integer micro-units via
+    floor(value·1e6) (engine-exact — floor of the same IEEE product);
+    linear credit is integer DIV by the touch count (per-purchase
+    remainder unattributed, documented in the operator). All-BIGINT
+    output, one row per channel."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        touch_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id", "value",
+        "purchase", ["view", "click", "signup"],
+        lookback_seconds=7 * 86400,
+    )
+
+
+ORACLE_PURCHASE_ATTRIBUTION = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+conv AS (
+  SELECT user_id AS u, sec AS cts, event_id AS cid,
+         CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+  FROM ev WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS u, sec AS tts, event_id AS tid,
+         event_type AS channel
+  FROM ev WHERE event_type IN ('view', 'click', 'signup')),
+j AS (
+  SELECT c.*, t.tts, t.tid, t.channel
+  FROM conv c JOIN touch t ON t.u = c.u
+  WHERE t.tts <= c.cts AND t.tts >= c.cts - 604800),
+untouched AS (
+  SELECT c.u, c.cts, c.cid, c.vmicro,
+         CAST(NULL AS BIGINT) AS tts, CAST(NULL AS BIGINT) AS tid,
+         CAST(NULL AS VARCHAR) AS channel
+  FROM conv c
+  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.u = c.u AND j.cid = c.cid)),
+full_rows AS (SELECT * FROM j UNION ALL SELECT * FROM untouched),
+scored AS (
+  SELECT COALESCE(channel, '(none)') AS channel,
+         CASE WHEN row_number() OVER (PARTITION BY u, cid
+                ORDER BY tts ASC, tid ASC) = 1 THEN vmicro ELSE 0 END AS f,
+         CASE WHEN row_number() OVER (PARTITION BY u, cid
+                ORDER BY tts DESC, tid DESC) = 1 THEN vmicro ELSE 0 END AS l,
+         vmicro // count(*) OVER (PARTITION BY u, cid) AS lin,
+         cid, tid
+  FROM full_rows)
+SELECT channel,
+       CAST(sum(f) AS BIGINT) AS first_touch_micro,
+       CAST(sum(l) AS BIGINT) AS last_touch_micro,
+       CAST(sum(lin) AS BIGINT) AS linear_micro,
+       CAST(sum(CASE WHEN tid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_touches,
+       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions
+FROM scored GROUP BY channel
+"""
+
+
 QUERIES = {
+    "purchase_attribution": q_purchase_attribution,
     "conversion_survival_curve": q_conversion_survival_curve,
     "weighted_order_sample": q_weighted_order_sample,
     "snapshot_orders_diff": q_snapshot_orders_diff,
@@ -4535,6 +4608,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "purchase_attribution": ORACLE_PURCHASE_ATTRIBUTION,
     "conversion_survival_curve": ORACLE_CONVERSION_SURVIVAL,
     "weighted_order_sample": ORACLE_WEIGHTED_ORDER_SAMPLE,
     "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,

@@ -105,3 +105,55 @@ def test_weighted_priority_sample_rejects_bad_weight(spark):
     )
     with pytest.raises(Exception, match="weight outside"):
         weighted_priority_sample(df, "id", "w", 10).collect()
+
+
+def test_touch_attribution_models_and_reconciliation(spark):
+    from hr_moderndatapipeline_spark.operators.relational import (
+        touch_attribution,
+    )
+
+    rows = [
+        # user 1: view(t10) -> click(t20) -> purchase(t30, 10.0):
+        # first=view, last=click, linear 5/5 (both in 25s window)
+        (1, 10, 1, "view", 0.0),
+        (1, 20, 2, "click", 0.0),
+        (1, 30, 3, "purchase", 10.0),
+        # user 2: purchase with no touches at all -> (none)
+        (2, 50, 4, "purchase", 3.5),
+        # user 3: only touch OUTSIDE the window -> (none)
+        (3, 1, 5, "view", 0.0),
+        (3, 30, 6, "purchase", 2.0),
+        # user 4: three touches, value 1.0 -> linear 333333 each,
+        # remainder 1 micro unattributed (integer DIV)
+        (4, 10, 7, "view", 0.0),
+        (4, 11, 8, "click", 0.0),
+        (4, 12, 9, "signup", 0.0),
+        (4, 20, 10, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid int, sec long, eid long, etype string, value double"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    out = {
+        r["channel"]: r
+        for r in touch_attribution(
+            df, "uid", "ts", "etype", "eid", "value",
+            "purchase", ["view", "click", "signup"], lookback_seconds=25,
+        ).collect()
+    }
+    # user 1's first touch is the view (10.0) AND user 4's is too (1.0)
+    assert out["view"]["first_touch_micro"] == 11_000_000
+    assert out["click"]["last_touch_micro"] == 10_000_000  # user 1 last
+    assert out["view"]["linear_micro"] == 5_000_000 + 333_333
+    assert out["click"]["linear_micro"] == 5_000_000 + 333_333
+    assert out["signup"]["linear_micro"] == 333_333
+    assert out["signup"]["first_touch_micro"] == 0
+    assert out["signup"]["last_touch_micro"] == 1_000_000  # user 4 last
+    assert out["(none)"]["n_conversions"] == 2
+    assert out["(none)"]["first_touch_micro"] == 5_500_000
+    # reconciliation: every model's grand total covers all purchases
+    # (minus the documented linear DIV remainder of 1 micro)
+    tot_first = sum(r["first_touch_micro"] for r in out.values())
+    tot_last = sum(r["last_touch_micro"] for r in out.values())
+    tot_lin = sum(r["linear_micro"] for r in out.values())
+    assert tot_first == tot_last == 16_500_000
+    assert tot_lin == 16_500_000 - 1
