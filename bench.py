@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "daily_volume_mad",           # robust median/MAD outlier screen (r8)
     "session_funnel_conversion",  # session-scoped funnel composition (r8)
     "conversion_latency_histogram",  # censored time-to-convert buckets (r8)
+    "conversion_survival_curve",  # Kaplan-Meier product-limit fold (r9)
+    "weighted_order_sample",      # integer-exact A-Res weighted top-n (r9)
+    "purchase_attribution",       # first/last/linear multi-touch credit (r9)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

@@ -412,6 +412,83 @@ def q_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization THROUGH the streaming
+    state store (streaming/windows.py sessionized_counts — the same
+    code path the batch query session_window_counts verifies
+    cross-engine): the first 2000 events split at their event-time
+    midpoint into two producer drops; the first drains into a
+    checkpointed COMPLETE-mode sink (Spark forbids update mode for
+    session-window streaming aggregations), then a RESTARTED query
+    recovers each user's sessions from the checkpoint state store and
+    extends them with the second drop — complete mode re-emits the
+    full session set per run, so the second run's overwrite IS the
+    final state, and a batch-1 session extended by batch-2 events
+    proves cross-restart state recovery (pinned equal to the one-shot
+    batch ``session_window`` result in tests/test_streaming.py).
+    Returns (user_id, session_start_epoch, session_end_epoch,
+    n_events). Rows-only: state-store execution is not
+    ANSI-SQL-expressible (the BATCH session_window query carries the
+    cross-engine oracle)."""
+    from hr_moderndatapipeline_spark.streaming.windows import sessionized_counts
+
+    wd = _workdir(spark, sf_dir, "sesswin")
+    src, out, cp = f"{wd}/src", f"{wd}/out", f"{wd}/cp"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.to_json(
+        F.struct(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        )
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    for name, part in (("b0", ev.filter(F.col("ts") < cut)),
+                       ("b1", ev.filter(F.col("ts") >= cut))):
+        part.select(payload.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{src}/{name}")
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.IntegerType()),
+                T.StructField("ts", T.StringType()),
+            ]
+        )
+        valid, _ = parse_with_dlq(
+            file_json_stream(spark, f"{src}/*"), "value", schema
+        )
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        sess = sessionized_counts(
+            typed, "ts", "30 minutes", ["user_id"], watermark="30 days"
+        )
+
+        def _sink(batch, _bid):
+            # complete mode re-emits the FULL session set each batch;
+            # overwrite keeps only the latest full picture
+            batch.write.mode("overwrite").parquet(out)
+
+        q = (
+            sess.writeStream.foreachBatch(_sink)
+            .outputMode("complete")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    back = spark.read.schema(
+        "session_start timestamp, session_end timestamp, user_id int,"
+        " n_events long"
+    ).parquet(out)
+    return back.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        F.unix_timestamp("session_end").alias("session_end_epoch"),
+        "n_events",
+    )
+
+
 def q_streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming funnel progress end to end (streaming/stateful.py
     funnel_stream, applyInPandasWithState): the first 2000 events
@@ -489,6 +566,7 @@ def q_streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_custom_source": q_streaming_custom_source,
+    "streaming_session_windows": q_streaming_session_windows,
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,
     "streaming_scd2_snapshot": q_streaming_scd2_snapshot,
     "streaming_join_enrichment": q_streaming_join_enrichment,

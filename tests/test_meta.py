@@ -87,6 +87,12 @@ def test_rows_only_set_is_intentional():
         # idempotently across batches; the versioned snapshot is the
         # subject (unit-pinned), not the final aggregate
         "streaming_scd2_snapshot",
+        # native session_window through the state store (complete
+        # mode — Spark forbids update for session aggregations),
+        # pinned equal to the one-shot batch session_window across a
+        # checkpoint restart; the BATCH session_window_counts query
+        # carries the cross-engine oracle for the session semantics
+        "streaming_session_windows",
     }
     actual = set(queries()) - set(oracle_sql())
     assert actual == allowed, (

@@ -639,3 +639,37 @@ def test_batch_publish_replay_is_noop(spark, tmp_path):
     _publish_batch_snapshot(spark.range(10, 20).toDF("k"), target, batch_id=1)
     assert sorted(d for d in os.listdir(target) if d.startswith("v")) == ["v0", "v1"]
     assert read_snapshot(spark, target).count() == 10
+
+
+def test_streaming_session_windows_matches_batch(spark, sf_dir):
+    """The session-window lifecycle's final state (two availableNow
+    runs through one checkpoint, complete mode) must equal the
+    one-shot BATCH session_window over the same events — the
+    cross-restart state-recovery pin for native sessionization."""
+    from hr_moderndatapipeline_spark.queries.streaming_queries import (
+        q_streaming_session_windows,
+    )
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["session_end_epoch"],
+         r["n_events"])
+        for r in q_streaming_session_windows(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("user_id", "ts")
+    )
+    batch = sessionized_counts(ev, "ts", "30 minutes", ["user_id"])
+    expect = {
+        (r["user_id"], r["start_epoch"], r["end_epoch"], r["n_events"])
+        for r in batch.select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("start_epoch"),
+            F.unix_timestamp("session_end").alias("end_epoch"),
+            "n_events",
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 100  # real session structure, not a degenerate set
