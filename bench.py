@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "conversion_survival_curve",  # Kaplan-Meier product-limit fold (r9)
     "weighted_order_sample",      # integer-exact A-Res weighted top-n (r9)
     "purchase_attribution",       # first/last/linear multi-touch credit (r9)
+    "customer_supplier_communities",  # deterministic sync LPA, 4 rounds (r9)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

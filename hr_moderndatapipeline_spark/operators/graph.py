@@ -22,7 +22,7 @@ the classic quality prior for pretraining data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,75 @@ def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
         wedges.join(ac, ["a", "c"], "left_semi")
         .select("a", "b", "c")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection; Raghavan et al. 2007, public method) over an
+    UNDIRECTED edge list: labels initialize to the vertex id; each
+    round every vertex adopts the MOST FREQUENT label among its
+    neighbors, ties broken by the smallest label (the deterministic
+    variant — classic LPA breaks ties randomly, which no two engines
+    would agree on), isolated vertices keep their label. Fixed
+    iteration count, synchronous updates: the result is a pure
+    integer function of the edge set — engine-exact, no floats
+    anywhere (unlike PageRank's double folds). Synchronous LPA's
+    known bipartite oscillation applies (an isolated edge's two
+    vertices SWAP labels every round — after an even round count
+    each keeps its own); callers wanting stable 2-cycles should use
+    an odd iteration count or treat those pairs downstream. The
+    fixed-count synchronous form is kept BECAUSE it is the
+    deterministic one — the asynchronous variant's result depends on
+    visit order.
+
+    Scale shape per round: one join of the O(V) label table against
+    the symmetrized edge list on the vertex key + one (vertex, label)
+    count groupBy + one per-vertex argmax via a vertex-partitioned
+    rank window — all shuffles on the vertex key, co-partitioned
+    like ``pagerank``; ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the growing lineage.
+    Returns (vertex, label)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    sym = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    verts = sym.select(F.col("src").alias("vertex")).distinct()
+    labels = verts.withColumn("label", F.col("vertex")).repartition("vertex")
+    w = Window.partitionBy("vertex").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for i in range(iterations):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("vertex").alias("dst"), F.col("label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vertex"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mode = (
+            nb.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vertex", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(mode, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -2691,6 +2691,77 @@ def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (operators/graph.py label_propagation) over the customer–supplier
+    BIPARTITE graph (an edge per distinct (custkey, suppkey) pair
+    that ever traded, vertex ids disambiguated as 2·cust / 2·supp+1):
+    4 synchronous most-frequent-neighbor-label rounds, ties to the
+    smallest label — a pure INTEGER function of the edge set, so
+    unlike PageRank no quantization is needed for cross-engine
+    equality. The oracle unrolls the fixed rounds into a MATERIALIZED
+    CTE chain (the _pagerank_oracle_sql pattern: depth = iteration
+    count, never data). Readout: the community-size histogram."""
+    from hr_moderndatapipeline_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+    )
+    labels = label_propagation(edges, iterations=4)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cs"))
+    return sizes.groupBy(F.col("cs").cast("bigint").alias("community_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("cs").cast("bigint").alias("n_members"),
+    )
+
+
+def _lpa_oracle_sql(iterations: int = 4) -> str:
+    """Unroll the fixed synchronous LPA rounds into a MATERIALIZED
+    CTE chain (the _pagerank_oracle_sql pattern — depth is the
+    iteration count, never the data; MATERIALIZED because l{i} is
+    referenced twice per round and DuckDB would otherwise inline the
+    whole prefix exponentially). All-integer: mode counts, ids, and
+    the smallest-label tie-break are engine-exact by construction."""
+    sql = ["""
+WITH raw AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS vertex, src AS label FROM sym)"""]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        sql.append(f""",
+nb{i} AS MATERIALIZED (
+  SELECT e.src AS vertex, p.label, count(*) AS c
+  FROM sym e JOIN {prev} p ON p.vertex = e.dst
+  GROUP BY 1, 2),
+m{i} AS MATERIALIZED (
+  SELECT vertex, label FROM (
+    SELECT vertex, label,
+           row_number() OVER (PARTITION BY vertex
+                              ORDER BY c DESC, label ASC) AS rk
+    FROM nb{i})
+  WHERE rk = 1),
+l{i} AS MATERIALIZED (
+  SELECT v.vertex, COALESCE(m.label, v.label) AS label
+  FROM {prev} v LEFT JOIN m{i} m ON m.vertex = v.vertex)""")
+        prev = f"l{i}"
+    sql.append(f""",
+sizes AS (SELECT label, count(*) AS cs FROM {prev} GROUP BY label)
+SELECT CAST(cs AS BIGINT) AS community_size,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(cs) AS BIGINT) AS n_members
+FROM sizes GROUP BY 1""")
+    return "".join(sql)
+
+
 def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 10) -> str:
     """Unroll the fixed-step power iteration into a CTE chain DuckDB
     can run — one (dangling-mass, contributions, ranks) triple per
@@ -3554,6 +3625,7 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
+    "customer_supplier_communities": q_customer_supplier_communities,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
@@ -3683,6 +3755,7 @@ ORACLES = {
     # Fixed-step power iteration unrolled into a CTE chain; both
     # sides quantize to integer ppb (round-7 candidate 3, done early).
     "event_type_pagerank": _pagerank_oracle_sql(),
+    "customer_supplier_communities": _lpa_oracle_sql(),
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_probe_dedup": ORACLE_PARAGRAPH_PROBE,

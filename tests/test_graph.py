@@ -71,3 +71,38 @@ def test_triangle_enumerate_k4_and_orientation(spark):
 
     wedge = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert triangle_enumerate(wedge).count() == 0
+
+
+def test_label_propagation_deterministic_communities(spark):
+    from hr_moderndatapipeline_spark.operators.graph import label_propagation
+
+    # two triangles joined by a bridge: each triangle keeps its own
+    # min label; the bridge does not merge them at 4 rounds
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = dict(
+        (r["vertex"], r["label"])
+        for r in label_propagation(df, iterations=4).collect()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    # determinism: same result twice
+    out2 = dict(
+        (r["vertex"], r["label"])
+        for r in label_propagation(df, iterations=4).collect()
+    )
+    assert out == out2
+    # the KNOWN synchronous-LPA bipartite oscillation, pinned: an
+    # isolated edge's vertices swap labels every round, so after an
+    # even round count each keeps its own label and after an odd
+    # count they swap
+    df2 = spark.createDataFrame(edges + [(10, 11)], "src bigint, dst bigint")
+    out_even = dict(
+        (r["vertex"], r["label"])
+        for r in label_propagation(df2, iterations=4).collect()
+    )
+    assert out_even[10] == 10 and out_even[11] == 11
+    out_odd = dict(
+        (r["vertex"], r["label"])
+        for r in label_propagation(df2, iterations=3).collect()
+    )
+    assert out_odd[10] == 11 and out_odd[11] == 10
