@@ -157,3 +157,30 @@ def test_touch_attribution_models_and_reconciliation(spark):
     tot_lin = sum(r["linear_micro"] for r in out.values())
     assert tot_first == tot_last == 16_500_000
     assert tot_lin == 16_500_000 - 1
+
+
+def test_weighted_priority_sample_matches_integer_reference(spark):
+    """The selected SET equals a pure-Python evaluation of the exact
+    integer priority key p^(12/w) * 1024^(12-12/w) with the same
+    mixer — pins the exponent table and the tie-break order."""
+    n, k = 5_000, 137
+    df = spark.range(n).select(
+        F.col("id"), (F.pmod(F.col("id") * 7, 4) + 1).cast("int").alias("w")
+    )
+    got = [
+        (r["id"], r["sample_rank"])
+        for r in weighted_priority_sample(df, "id", "w", k)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+
+    def prio(key: int, w: int) -> int:
+        p = ((key % 2**31) * 2654435761 % 2**32) % 1023 + 1
+        e = {1: 12, 2: 6, 3: 4, 4: 3}[w]
+        return p**e * 1024 ** (12 - e)
+
+    ref = sorted(
+        ((i, (i * 7) % 4 + 1) for i in range(n)),
+        key=lambda t: (-prio(t[0], t[1]), t[0]),
+    )[:k]
+    assert got == [(i, rk + 1) for rk, (i, _) in enumerate(ref)]
