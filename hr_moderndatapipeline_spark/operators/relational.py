@@ -1080,6 +1080,7 @@ def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Kaplan–Meier survival estimator over right-censored integer
     durations — the survival-analysis face of the funnel-latency
@@ -1099,12 +1100,18 @@ def kaplan_meier(
     sequential-fold exactness as the CUSUM/PQ faces: a recursive CTE
     restates it fold-for-fold in the oracle. The subject table is
     never windowed or single-partitioned; only the O(#durations)
-    digest crosses partitions."""
-    agg = df.groupBy(F.col(duration_col).cast("bigint").alias("t")).agg(
+    digest crosses partitions. With ``group_cols`` the estimator runs
+    PER GROUP (one curve per segment/cohort) and even the digest
+    aggregate is group-partitioned — no SinglePartition at any
+    cardinality."""
+    gcols = [F.col(g) for g in group_cols]
+    agg = df.groupBy(
+        *gcols, F.col(duration_col).cast("bigint").alias("t")
+    ).agg(
         F.sum(F.col(event_col).cast("bigint")).alias("d"),
         F.sum(F.lit(1) - F.col(event_col).cast("bigint")).alias("c"),
     )
-    packed = agg.groupBy().agg(
+    packed = agg.groupBy(*[F.col(g) for g in group_cols]).agg(
         F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("_steps"),
         F.sum(F.col("d") + F.col("c")).alias("_n0"),
     )
@@ -1112,6 +1119,7 @@ def kaplan_meier(
     # running survival s, emitted rows); floats multiply in ascending
     # t order — deterministic and engine-exact
     folded = packed.select(
+        *[F.col(g) for g in group_cols],
         F.aggregate(
             "_steps",
             F.struct(
@@ -1154,7 +1162,11 @@ def kaplan_meier(
             ),
         ).alias("_out")
     )
-    return folded.select(F.explode(F.col("_out.rows")).alias("r")).select(
+    return folded.select(
+        *[F.col(g) for g in group_cols],
+        F.explode(F.col("_out.rows")).alias("r"),
+    ).select(
+        *[F.col(g) for g in group_cols],
         F.col("r.t").alias("t"),
         F.col("r.n_at_risk").alias("n_at_risk"),
         F.col("r.n_events").alias("n_events"),

@@ -4376,6 +4376,116 @@ FROM rec
 """
 
 
+# ── grouped Kaplan-Meier: signup-cohort survival comparison ──
+
+def q_signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COHORT survival curves — the grouped face of
+    ``kaplan_meier``: the same right-censored view→purchase subjects
+    as conversion_survival_curve, split by whether the user EVER
+    fired a signup event (the treatment-vs-control comparison
+    survival analysis exists for). With ``group_cols`` even the
+    per-duration digest is group-partitioned — no SinglePartition at
+    any cohort cardinality; the sequential survival fold runs per
+    cohort and the oracle's recursive CTE carries the cohort key
+    through the recursion (one product chain per group)."""
+    from hr_moderndatapipeline_spark.operators.relational import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("_sec"),
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_v0"))
+    )
+    first_purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("_sec") >= F.col("_v0"))
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_p0"))
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .withColumn("_s", F.lit(1))
+    )
+    horizon = ev.agg(F.max("_sec").alias("_h"))
+    subjects = (
+        first_view.join(first_purch, "user_id", "left")
+        .join(signups, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.coalesce(F.col("_s"), F.lit(0)).cast("int").alias("signed_up"),
+            F.when(
+                F.col("_p0").isNull(),
+                F.expr("(_h - _v0) DIV 86400"),
+            )
+            .otherwise(F.expr("(_p0 - _v0) DIV 86400"))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("_p0").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("ev"),
+        )
+    )
+    return kaplan_meier(subjects, "dur", "ev", group_cols=["signed_up"])
+
+
+ORACLE_SIGNUP_SURVIVAL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+fv AS (
+  SELECT user_id, min(sec) AS v0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(e.sec) AS p0
+  FROM ev e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec >= fv.v0
+  GROUP BY e.user_id),
+su AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'),
+hz AS (SELECT max(sec) AS h FROM ev),
+subj AS (
+  SELECT CASE WHEN su.user_id IS NULL THEN 0 ELSE 1 END AS g,
+         CASE WHEN fp.p0 IS NULL THEN (hz.h - fv.v0) // 86400
+         ELSE (fp.p0 - fv.v0) // 86400 END AS t,
+         CASE WHEN fp.p0 IS NULL THEN 0 ELSE 1 END AS e
+  FROM fv
+  LEFT JOIN fp ON fv.user_id = fp.user_id
+  LEFT JOIN su ON fv.user_id = su.user_id
+  CROSS JOIN hz),
+agg AS (
+  SELECT CAST(g AS INTEGER) AS g, CAST(t AS BIGINT) AS t,
+         CAST(sum(e) AS BIGINT) AS d,
+         CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2),
+ord AS (SELECT g, t, d, c,
+               row_number() OVER (PARTITION BY g ORDER BY t) AS k
+        FROM agg),
+tot AS (SELECT g, CAST(sum(d + c) AS BIGINT) AS n0 FROM agg GROUP BY g),
+rec AS (
+  WITH RECURSIVE r(g, k, t, n_at_risk, d, c, s) AS (
+    SELECT o.g, o.k, o.t, tot.n0, o.d, o.c,
+           1.0::DOUBLE * (1.0::DOUBLE - CAST(o.d AS DOUBLE)
+                          / CAST(tot.n0 AS DOUBLE))
+    FROM ord o JOIN tot ON tot.g = o.g WHERE o.k = 1
+    UNION ALL
+    SELECT o.g, o.k, o.t, r.n_at_risk - r.d - r.c, o.d, o.c,
+           r.s * (1.0::DOUBLE - CAST(o.d AS DOUBLE)
+                  / CAST(r.n_at_risk - r.d - r.c AS DOUBLE))
+    FROM r JOIN ord o ON o.g = r.g AND o.k = r.k + 1)
+  SELECT * FROM r)
+SELECT g AS signed_up, t, n_at_risk, d AS n_events, c AS n_censored,
+       s AS survival
+FROM rec
+"""
+
+
 # ── weighted fixed-size sample (A-Res priorities, integer-exact) ──
 
 def q_weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4512,6 +4622,7 @@ FROM scored GROUP BY channel
 QUERIES = {
     "purchase_attribution": q_purchase_attribution,
     "conversion_survival_curve": q_conversion_survival_curve,
+    "signup_conversion_survival": q_signup_conversion_survival,
     "weighted_order_sample": q_weighted_order_sample,
     "snapshot_orders_diff": q_snapshot_orders_diff,
     "supplier_golden_records": q_supplier_golden_records,
@@ -4610,6 +4721,7 @@ QUERIES = {
 ORACLES = {
     "purchase_attribution": ORACLE_PURCHASE_ATTRIBUTION,
     "conversion_survival_curve": ORACLE_CONVERSION_SURVIVAL,
+    "signup_conversion_survival": ORACLE_SIGNUP_SURVIVAL,
     "weighted_order_sample": ORACLE_WEIGHTED_ORDER_SAMPLE,
     "snapshot_orders_diff": ORACLE_SNAPSHOT_ORDERS_DIFF,
     "supplier_golden_records": ORACLE_SUPPLIER_GOLDEN_RECORDS,

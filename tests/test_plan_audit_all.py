@@ -50,6 +50,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "12-row literal month dim — bounded by the schema's date span",
     "conversion_survival_curve": "1-row corpus-horizon aggregate broadcast "
     "into the subject builder (the censoring cutoff)",
+    "signup_conversion_survival": "same 1-row horizon broadcast as "
+    "conversion_survival_curve (grouped face)",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 

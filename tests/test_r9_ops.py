@@ -184,3 +184,27 @@ def test_weighted_priority_sample_matches_integer_reference(spark):
         key=lambda t: (-prio(t[0], t[1]), t[0]),
     )[:k]
     assert got == [(i, rk + 1) for rk, (i, _) in enumerate(ref)]
+
+
+def test_kaplan_meier_grouped_matches_per_group_ungrouped(spark):
+    """group_cols must give EXACTLY the per-group ungrouped curves —
+    the grouped fold is the same fold, partitioned."""
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1),
+            ("b", 1, 0), ("b", 2, 1), ("b", 2, 1), ("b", 5, 0)]
+    df = spark.createDataFrame(rows, "g string, dur int, ev int")
+    grouped = {
+        (r["g"], r["t"]): (r["n_at_risk"], r["n_events"], r["n_censored"],
+                           r["survival"])
+        for r in kaplan_meier(df, "dur", "ev", group_cols=["g"]).collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            (g, r["t"]): (r["n_at_risk"], r["n_events"], r["n_censored"],
+                          r["survival"])
+            for r in kaplan_meier(
+                df.filter(F.col("g") == g), "dur", "ev"
+            ).collect()
+        }
+        for key, v in solo.items():
+            assert grouped[key] == v, key
+    assert len(grouped) == 6  # 3 distinct durations per group
