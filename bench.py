@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "purchase_attribution",       # first/last/linear multi-touch credit (r9)
     "customer_supplier_communities",  # deterministic sync LPA, 4 rounds (r9)
     "signup_conversion_survival",  # grouped Kaplan-Meier cohort curves (r9)
+    "xml_roundtrip",              # native XML source/sink identity (r9)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

@@ -577,6 +577,53 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML source end-to-end (S-family format
+    coverage): the orders table written as XML (one <order> element
+    per row) into the process workdir and read back with an EXPLICIT
+    schema (no inference drift). The oracle is the identity — a
+    lossless roundtrip must hash-match the source rows, including the
+    DOUBLE o_totalprice (Spark serializes doubles with a
+    round-trippable representation). One writer quirk pinned here:
+    the XML writer serializes DateType as a Zulu TIMESTAMP string
+    ("1997-07-27T00:00:00.000Z"), so the read schema takes the column
+    as timestamp and casts back to date (value-identical under the
+    pinned UTC session zone). Rows scale with the table; the
+    write/read is a pure per-partition map — no shuffle either
+    way."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    root = process_workdir(spark, "hr_mdp_xml", sf_dir)
+    orders.write.mode("overwrite").format("xml").option(
+        "rowTag", "order"
+    ).save(f"{root}/orders_xml")
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(f"{root}/orders_xml")
+    )
+    return back.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    ).select(*cols)
+
+
+ORACLE_XML_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
 def q_pit_order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-store point-in-time enrichment: the order spine picks
     up, from TWO independent feature event logs (purchase values,
@@ -696,6 +743,7 @@ FROM events
 QUERIES = {
     "cdc_upsert_current_orders": q_cdc_upsert_current_orders,
     "avro_roundtrip": q_avro_roundtrip,
+    "xml_roundtrip": q_xml_roundtrip,
     "schema_evolution_read": q_schema_evolution_read,
     "debezium_unwrap": q_debezium_unwrap,
     "attrition_fact": q_attrition_fact,
@@ -713,6 +761,7 @@ QUERIES = {
 ORACLES = {
     "cdc_upsert_current_orders": ORACLE_CDC_UPSERT,
     "avro_roundtrip": ORACLE_AVRO_ROUNDTRIP,
+    "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
     "schema_evolution_read": ORACLE_SCHEMA_EVOLUTION_READ,
     "debezium_unwrap": ORACLE_DEBEZIUM_UNWRAP,
     "attrition_fact": ORACLE_ATTRITION_FACT,
