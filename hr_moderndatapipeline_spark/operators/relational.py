@@ -1197,9 +1197,11 @@ def touch_attribution(
     Exactness: conversion value quantizes to integer MICRO-units via
     ``floor(value · 1e6)`` (floor of the same IEEE double product —
     identical on any engine, unlike decimal rounding); linear credit
-    is integer DIV by the touch count (the per-conversion remainder
-    of up to n−1 micro-units stays unattributed — documented, exact,
-    order-independent). All sums are BIGINT.
+    is integer FLOOR division by the touch count (the per-conversion
+    remainder of up to n−1 micro-units stays unattributed —
+    documented, exact, order-independent; floor semantics hold for
+    NEGATIVE values too, e.g. refund conversions). All sums are
+    BIGINT.
 
     Scale shape: one equi-join on the user key (high cardinality)
     with the window predicate as a residual filter; the per-
@@ -1256,7 +1258,14 @@ def touch_attribution(
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("_last"),
-            F.expr("_vmicro DIV _n").cast("bigint").alias("_linear"),
+            # FLOOR division in pure BIGINTs: (a - pmod(a,b)) DIV b.
+            # Spark's DIV truncates toward zero while SQL floor-div
+            # (//) floors, and the two differ on NEGATIVE values
+            # (refund conversions) — subtracting the non-negative
+            # pmod first makes the quotient exact for either sign.
+            F.expr("(_vmicro - pmod(_vmicro, _n)) DIV _n")
+            .cast("bigint")
+            .alias("_linear"),
             F.col("_cid"),
             F.col("_tid"),
         )

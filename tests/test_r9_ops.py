@@ -208,3 +208,33 @@ def test_kaplan_meier_grouped_matches_per_group_ungrouped(spark):
         for key, v in solo.items():
             assert grouped[key] == v, key
     assert len(grouped) == 6  # 3 distinct durations per group
+
+
+def test_touch_attribution_negative_value_floor_division(spark):
+    """Refund conversions (negative value): the linear split must use
+    FLOOR division on both engines — Spark's DIV truncates toward
+    zero and would disagree with SQL // on negatives."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        touch_attribution,
+    )
+
+    rows = [
+        (1, 10, 1, "view", 0.0),
+        (1, 11, 2, "click", 0.0),
+        (1, 12, 3, "signup", 0.0),
+        (1, 20, 4, "purchase", -1.0),  # refund: -1_000_000 micro
+    ]
+    df = spark.createDataFrame(
+        rows, "uid int, sec long, eid long, etype string, value double"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    out = {
+        r["channel"]: r
+        for r in touch_attribution(
+            df, "uid", "ts", "etype", "eid", "value",
+            "purchase", ["view", "click", "signup"], lookback_seconds=25,
+        ).collect()
+    }
+    # floor(-1_000_000 / 3) = -333_334 (NOT the trunc -333_333)
+    assert out["view"]["linear_micro"] == -333_334
+    assert out["click"]["linear_micro"] == -333_334
+    assert out["signup"]["linear_micro"] == -333_334
