@@ -673,3 +673,62 @@ def test_streaming_session_windows_matches_batch(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 100  # real session structure, not a degenerate set
+
+
+def test_session_window_append_mode_finalizes_on_watermark(spark, tmp_path):
+    """Production session emission: APPEND mode emits a session only
+    once the watermark passes its close (end + gap). A later sentinel
+    event advances the watermark and flushes the earlier sessions;
+    the sentinel's own still-open session is NOT emitted — the
+    complement of the complete-mode lifecycle
+    (q_streaming_session_windows), which re-emits open state."""
+    from hr_moderndatapipeline_spark.streaming.windows import sessionized_counts
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    b0 = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:00"},
+        {"user_id": 2, "ts": "2024-01-01 10:05:00"},
+    ]
+    b1 = [{"user_id": 999, "ts": "2024-01-01 20:00:00"}]  # sentinel
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    write_events(src, "b0.jsonl", b0)
+
+    def run():
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", schema)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        sess = sessionized_counts(
+            typed, "ts", "30 minutes", ["user_id"], watermark="1 minute"
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    write_events(src, "b1.jsonl", b1)
+    run()
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # exactly the b0 sessions, finalized by the sentinel's watermark
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2),
+        (2, "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1),
+    }
+    assert all(u != 999 for u, *_ in got)  # open session not emitted
