@@ -169,7 +169,11 @@ def label_propagation(
     sym = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition("src")
+        # partition on DST — the per-round label join keys on dst, so
+        # the (static) edge list co-locates with the label table once
+        # and never reshuffles; the only per-round shuffle is the
+        # map-side-combined (src, label) count groupBy
+        .repartition("dst")
         .localCheckpoint(eager=True)
     )
     verts = sym.select(F.col("src").alias("vertex")).distinct()
