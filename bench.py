@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "customer_supplier_communities",  # deterministic sync LPA, 4 rounds (r9)
     "signup_conversion_survival",  # grouped Kaplan-Meier cohort curves (r9)
     "xml_roundtrip",              # native XML source/sink identity (r9)
+    "ivfpq_rerank_topk",          # two-stage ANN: ADC shortlist + exact re-rank (r9)
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

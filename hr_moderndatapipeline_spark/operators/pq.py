@@ -389,3 +389,64 @@ def ivfpq_probe(
         .filter(F.col("rk") <= k)
         .orderBy("q_id", "rk")
     )
+
+
+def ivfpq_rerank(
+    queries: DataFrame,
+    index: DataFrame,
+    ivf_codebook: DataFrame,
+    pq_cb: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Two-stage production ANN (the standard IVF-PQ + re-rank
+    architecture, Jégou et al. 2011 §V): stage 1 takes a SHORTLIST of
+    candidates per query from the compressed-domain ADC scan
+    (``ivfpq_probe`` — reads nprobe/n_cells of the corpus, 8-byte
+    codes, approximate scores); stage 2 re-scores ONLY the shortlist
+    against the raw float vectors with the exact sequential-fold dot
+    product and keeps the top-k. Recall approaches exact search while
+    the full-precision vectors are touched for just
+    ``q × shortlist`` rows — at 100 TB the raw-vector table is the
+    expensive side and this join ships a per-query constant of it.
+
+    Exactness: the shortlist SET is the oracle-pinned ivfpq_probe
+    output; the re-rank score is the same sequential fold as
+    ann_bruteforce (index order, seed 0.0) — unrounded, bit-identical
+    cross-engine. Plan shape: the tiny (q_id, c_id) shortlist
+    broadcast-joins the corpus scan; no full pairwise anywhere.
+
+    Returns (q_id, c_id, score, rk), rk 1..k by exact score."""
+    cand = ivfpq_probe(
+        queries, index, ivf_codebook, pq_cb, id_col, vec_col,
+        k=shortlist, nprobe=nprobe, dim=dim, m=m,
+    ).select("q_id", "c_id")
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("_cv")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("score", dot(F.col("_qv"), F.col("_cv"), dim))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "score", "rk")
+        .orderBy("q_id", "rk")
+    )

@@ -2864,6 +2864,47 @@ def q_ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE production ANN (operators/pq.py ivfpq_rerank): the
+    IVF-PQ compressed-domain scan takes a 50-candidate shortlist per
+    query (nprobe=4 of 16 cells, 8-byte codes), then ONLY the
+    shortlist re-scores against the raw float vectors with the exact
+    sequential-fold dot product — recall approaches exact search
+    while full-precision vectors are read for q×50 rows. The oracle
+    nests the full ivfpq_probe restatement (rk ≤ 50) as the shortlist
+    subquery and re-ranks it with the same fold; scores are UNROUNDED
+    (the r9 pq convention)."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_rerank,
+        pq_codebooks,
+    )
+    from hr_moderndatapipeline_spark.operators.similarity import ivf_codebook
+
+    emb = _emb(spark, sf_dir)
+    root = process_workdir(spark, "hr_mdp_ivfpq_rr", sf_dir)
+    ivf_cb = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=16)
+    ivf_cb.write.mode("overwrite").parquet(f"{root}/ivf_codebook")
+    pq_cb = pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, m=8, k=16,
+        refine_iterations=0, sample_hash="portable",
+    )
+    pq_cb.write.mode("overwrite").parquet(f"{root}/pq_codebooks")
+    ivfpq_index(emb, ivf_cb, pq_cb, "vec_id", "embedding", dim=64, m=8).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{root}/index")
+
+    stored_ivf = spark.read.parquet(f"{root}/ivf_codebook")
+    stored_pq = spark.read.parquet(f"{root}/pq_codebooks")
+    stored_index = spark.read.parquet(f"{root}/index")
+    queries = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 5000))
+    return ivfpq_rerank(
+        queries, stored_index, stored_ivf, stored_pq, emb,
+        "vec_id", "embedding", k=10, shortlist=50, nprobe=4, dim=64, m=8,
+    )
+
+
 def q_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN lifecycle (operators/pq.py): train
     per-subspace codebooks once, encode the corpus to 8-byte codes,
@@ -3056,6 +3097,33 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
       FROM scored)
 WHERE rk <= 10
 """
+
+
+#: Two-stage re-rank restatement: the FULL ivfpq_probe chain (rk ≤ 50
+#: instead of 10) nests as the shortlist subquery; the re-rank is the
+#: same sequential inner-product fold as the brute-force oracle over
+#: the raw double vectors, unrounded, ranked (score DESC, c_id).
+ORACLE_IVFPQ_RERANK = (
+    "WITH short AS (SELECT q_id, c_id FROM ("
+    + ORACLE_IVFPQ_PROBE.replace("WHERE rk <= 10", "WHERE rk <= 50")
+    + ") s),\n"
+    + """ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT short.q_id, short.c_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> q.v[i] * c.v[i])),
+           (acc, x) -> acc + x) AS score
+  FROM short JOIN ev q ON q.vec_id = short.q_id
+             JOIN ev c ON c.vec_id = short.c_id)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(c_id AS BIGINT) AS c_id,
+       score, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, c_id) AS rk
+      FROM scored)
+WHERE rk <= 10
+"""
+)
+
 
 
 # ── bigram-interpolated LM quality score ──
@@ -3628,6 +3696,7 @@ QUERIES = {
     "customer_supplier_communities": q_customer_supplier_communities,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
+    "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_probe_dedup": q_paragraph_probe_dedup,
@@ -3776,4 +3845,5 @@ ORACLES = {
     # ann_ivf/ivf_probe): portable seed hash + sequential folds.
     "pq_probe_topk": ORACLE_PQ_PROBE,
     "ivfpq_probe_topk": ORACLE_IVFPQ_PROBE,
+    "ivfpq_rerank_topk": ORACLE_IVFPQ_RERANK,
 }

@@ -122,3 +122,49 @@ def test_ivfpq_prunes_cells_and_keeps_recall(spark):
         approx_all.setdefault(r["q_id"], set()).add(r["c_id"])
     recalls_all = [len(approx_all[q] & exact[q]) / 10 for q in exact]
     assert sum(recalls_all) / len(recalls_all) >= mean_recall
+
+
+def test_ivfpq_rerank_recall_beats_adc_shortlist(spark):
+    """The exact re-rank stage must never lower recall vs taking the
+    ADC top-10 directly, and the self-vector must rank FIRST (an
+    exact dot of a vector with itself beats every other candidate in
+    its shortlist)."""
+    from hr_moderndatapipeline_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_probe,
+        ivfpq_rerank,
+    )
+    from hr_moderndatapipeline_spark.operators.similarity import ivf_codebook
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf_cb = ivf_codebook(emb, "vec_id", "embedding", dim=64, n_centroids=8)
+    pq_cb = pq_codebooks(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    idx = ivfpq_index(emb, ivf_cb, pq_cb, "vec_id", "embedding", dim=64, m=8)
+
+    adc = {}
+    for r in ivfpq_probe(
+        queries, idx, ivf_cb, pq_cb, "vec_id", "embedding",
+        k=10, nprobe=4, dim=64, m=8,
+    ).collect():
+        adc.setdefault(r["q_id"], set()).add(r["c_id"])
+    rr_rows = ivfpq_rerank(
+        queries, idx, ivf_cb, pq_cb, emb, "vec_id", "embedding",
+        k=10, shortlist=50, nprobe=4, dim=64, m=8,
+    ).collect()
+    rr = {}
+    first = {}
+    for r in rr_rows:
+        rr.setdefault(r["q_id"], set()).add(r["c_id"])
+        if r["rk"] == 1:
+            first[r["q_id"]] = r["c_id"]
+
+    exact = _exact_ip_topk(queries.collect(), emb.collect(), k=10)
+    rec_adc = sum(len(adc[q] & exact[q]) for q in exact) / (10 * len(exact))
+    rec_rr = sum(len(rr[q] & exact[q]) for q in exact) / (10 * len(exact))
+    assert rec_rr >= rec_adc, (rec_rr, rec_adc)
+    assert rec_rr >= 0.5, f"re-rank recall {rec_rr}"
+    # the query's own vector is in its shortlist (self is the nearest
+    # cell + exact ADC self-score is high) => exact re-rank puts it first
+    self_first = sum(1 for q, c in first.items() if q == c)
+    assert self_first >= len(first) * 0.9
