@@ -1185,6 +1185,7 @@ def touch_attribution(
     conversion_type: str,
     touch_types: Sequence[str],
     lookback_seconds: int = 7 * 86400,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Multi-touch revenue attribution — first-touch, last-touch and
     linear credit in ONE pass (the three standard marketing models;
@@ -1203,12 +1204,27 @@ def touch_attribution(
     NEGATIVE values too, e.g. refund conversions). All sums are
     BIGINT.
 
-    Scale shape: one equi-join on the user key (high cardinality)
-    with the window predicate as a residual filter; the per-
-    conversion windows partition by (user, conversion id) — never
-    global. Returns one row per channel:
-    (channel, first_touch_micro, last_touch_micro, linear_micro,
-    n_touches, n_conversions)."""
+    Scale shape (VERDICT r9 #1): the conv×touch join is the same
+    bucketized interval-join pattern as :func:`interval_join` — NOT a
+    bare user-key equi-join. A join on the user key alone with the
+    lookback as a residual filter materializes C·T rows per user
+    before filtering: trivial for humans, but one bot/service account
+    with 10⁵–10⁶ events (every real event stream has one) funnels a
+    10¹⁰⁺-row product into a single SMJ partition. Here each TOUCH
+    maps to exactly ONE ``bucket_seconds``-wide time bucket (so every
+    matching pair is emitted exactly once — no post-join dedup) and
+    each CONVERSION replicates to the ≤ ceil(lookback/bucket)+1
+    buckets its window spans; the hash join keys on
+    ``(user, bucket)``, so a hot user's candidates are bounded by the
+    in-bucket product (≈ C·T·(lookback+bucket)/span instead of C·T)
+    AND spread across as many tasks as the user has active buckets.
+    ``bucket_seconds`` defaults to ``lookback_seconds`` (replication
+    factor exactly 2, candidate overhead ≤2× the true in-window
+    pairs); pass a smaller bucket when conversions are rare and
+    touches extremely dense. The per-conversion windows partition by
+    (user, conversion id) — never global. Returns one row per
+    channel: (channel, first_touch_micro, last_touch_micro,
+    linear_micro, n_touches, n_conversions)."""
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
     u, ts, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
@@ -1224,9 +1240,34 @@ def touch_attribution(
         F.col(id_col).alias("_tid"),
         ty.alias("_channel"),
     )
-    j = conv.join(touch, "_u").filter(
-        (F.col("_tts") <= F.col("_cts"))
-        & (F.col("_tts") >= F.col("_cts") - F.lit(lookback_seconds))
+    lb = int(lookback_seconds)
+    bkt = int(bucket_seconds) if bucket_seconds is not None else lb
+    if bkt <= 0 or lb < 0:
+        raise ValueError("bucket_seconds must be > 0 and lookback_seconds >= 0")
+    # Integer FLOOR bucketing for any epoch sign: (x - pmod(x, B)) is
+    # exactly divisible by B and pmod is non-negative, so DIV's
+    # truncation IS the floor quotient (the resample_fill/ADVICE-r6
+    # lesson — float-divide-then-cast lands negative epochs one
+    # bucket high).
+    touch_b = touch.withColumn(
+        "_bkt", F.expr(f"(_tts - pmod(_tts, {bkt})) DIV {bkt}")
+    )
+    conv_b = conv.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"((_cts - {lb}) - pmod(_cts - {lb}, {bkt})) DIV {bkt}"),
+                F.expr(f"(_cts - pmod(_cts, {bkt})) DIV {bkt}"),
+            )
+        ),
+    )
+    j = (
+        conv_b.join(touch_b, ["_u", "_bkt"])
+        .filter(
+            (F.col("_tts") <= F.col("_cts"))
+            & (F.col("_tts") >= F.col("_cts") - F.lit(lb))
+        )
+        .drop("_bkt")
     )
     # conversions with zero in-window touchpoints vanish from the
     # inner join; re-attach them as the '(none)' channel via anti

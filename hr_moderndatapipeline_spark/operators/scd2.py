@@ -223,6 +223,82 @@ def as_of_join(
     return out.drop(*[f"_d_{k}" for k in keys])
 
 
+def as_of_join_sorted(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    start_col: str = START,
+    end_col: str = END,
+    how: str = "left",
+) -> DataFrame:
+    """Merge-based as-of join — same semantics as :func:`as_of_join`
+    (latest dim version with ``start <= ts < end`` per fact row) with
+    a fundamentally different cost shape: union facts + version
+    starts, ONE sort per key on ``(ts, row-kind)``, and a running
+    ``last(ignorenulls)`` carry-forward picks each fact's governing
+    version. Per-key work is O((P+V)·log(P+V)) instead of the hash
+    probe's O(P·V) bucket scans.
+
+    When to use which (measured, tools/hot_user_fixture.py r10):
+    ``as_of_join`` broadcasts a SMALL dim and never shuffles the fact
+    stream — the right plan for a classic dimension. But its hash
+    probe scans ALL of a key's versions per fact row, so a HOT key
+    (bot/service account with 10⁵–10⁶ versions, or a dim derived from
+    the event stream itself) degrades to the C·T quadratic this repo
+    eliminates elsewhere. This variant pays one (facts+dim) shuffle
+    and is immune to per-key version counts — the plan you want when
+    the dim is event-derived, version-heavy, or skewed.
+
+    Implementation notes: dim payload travels as ONE struct so the
+    carry-forward can never mix columns from different versions
+    (per-column ``last(ignorenulls)`` would, on a version with a
+    legitimately NULL attribute); at equal timestamps the version row
+    sorts BEFORE the fact row, making ``start <= ts`` inclusive
+    exactly like the range predicate; the carried version is voided
+    when ``ts >= end`` (validity gap), preserving LEFT semantics.
+    Output columns match :func:`as_of_join`: facts.* then the dim's
+    non-key columns (including the range bounds)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    payload_cols = [c for c in dim.columns if c not in keys]
+    f = facts.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_fact"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("_fact"),
+    )
+    d = dim.select(
+        *[F.col(k) for k in keys],
+        F.col(start_col).alias("_ts"),
+        F.lit(0).alias("_is_fact"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_pay"),
+    )
+    f = f.withColumn("_pay", F.lit(None).cast(d.schema["_pay"].dataType))
+    d = d.withColumn("_fact", F.lit(None).cast(f.schema["_fact"].dataType))
+    u = f.unionByName(d.select(*f.columns))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_is_fact").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_cp", F.last("_pay", ignorenulls=True).over(w)
+    ).filter(F.col("_is_fact") == 1)
+    live = F.col("_cp").isNotNull() & (
+        F.col("_ts") < F.col(f"_cp.{end_col}")
+    )
+    carried = carried.withColumn(
+        "_cp", F.when(live, F.col("_cp"))
+    )
+    if how == "inner":
+        carried = carried.filter(F.col("_cp").isNotNull())
+    return carried.select(
+        F.col("_fact.*"),
+        *[F.col(f"_cp.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def point_in_time_join(
     spine: DataFrame,
     ts_col: str,

@@ -23,7 +23,10 @@ from hr_moderndatapipeline_spark.operators.facts import (
     headcount_monthly,
 )
 from hr_moderndatapipeline_spark.operators.relational import latest_per_key
-from hr_moderndatapipeline_spark.operators.scd2 import as_of_join, scd2_from_history
+from hr_moderndatapipeline_spark.operators.scd2 import (
+    as_of_join_sorted,
+    scd2_from_history,
+)
 from hr_moderndatapipeline_spark.sources.readers import load_table
 
 
@@ -173,10 +176,14 @@ FROM events
 
 def q_asof_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase event, resolve the user's most recent
-    non-purchase state at purchase time via ``as_of_join`` on the
-    SCD2 ranges (the idiomatic completion of the reference's SCD2
-    model — SURVEY.md §2.4). Dim is broadcast: the fact side never
-    shuffles."""
+    non-purchase state at purchase time via ``as_of_join_sorted`` on
+    the SCD2 ranges (the idiomatic completion of the reference's SCD2
+    model — SURVEY.md §2.4). The dim here is EVENT-DERIVED — ~all of
+    each user's non-purchase events become versions — so the
+    broadcast-probe ``as_of_join`` would scan a hot user's entire
+    version list per purchase (the P·V quadratic measured in
+    tools/hot_user_fixture.py r10); the merge-based variant sorts
+    once per user instead and is immune to per-key version counts."""
     ev = _t(spark, sf_dir, "events")
     dim = scd2_from_history(
         ev.filter(F.col("event_type") != "purchase").select(
@@ -188,7 +195,7 @@ def q_asof_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts")
     )
-    out = as_of_join(facts, dim, ["user_id"], "purchase_ts")
+    out = as_of_join_sorted(facts, dim, ["user_id"], "purchase_ts")
     return out.select(
         "event_id", "user_id", "purchase_ts", "state_type", "effective_start_date"
     )

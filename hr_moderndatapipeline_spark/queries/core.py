@@ -4560,8 +4560,13 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     touchpoint reconciled under the '(none)' channel instead of
     silently dropped. Value quantizes to integer micro-units via
     floor(value·1e6) (engine-exact — floor of the same IEEE product);
-    linear credit is integer DIV by the touch count (per-purchase
-    remainder unattributed, documented in the operator). All-BIGINT
+    linear credit is integer FLOOR division by the touch count
+    (per-purchase remainder unattributed, documented in the
+    operator; the oracle floors in pure integer arithmetic too —
+    ADVICE r9). The conv×touch join is the bucketized interval-join
+    shape (VERDICT r9 #1): keyed on (user, 7-day bucket), so a
+    bot-grade hot user's candidates stay bounded per bucket instead
+    of materializing the full C·T product in one task. All-BIGINT
     output, one row per channel."""
     from hr_moderndatapipeline_spark.operators.relational import (
         touch_attribution,
@@ -4599,15 +4604,23 @@ untouched AS (
   FROM conv c
   WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.u = c.u AND j.cid = c.cid)),
 full_rows AS (SELECT * FROM j UNION ALL SELECT * FROM untouched),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY u, cid) AS cnt FROM full_rows),
 scored AS (
   SELECT COALESCE(channel, '(none)') AS channel,
          CASE WHEN row_number() OVER (PARTITION BY u, cid
                 ORDER BY tts ASC, tid ASC) = 1 THEN vmicro ELSE 0 END AS f,
          CASE WHEN row_number() OVER (PARTITION BY u, cid
                 ORDER BY tts DESC, tid DESC) = 1 THEN vmicro ELSE 0 END AS l,
-         vmicro // count(*) OVER (PARTITION BY u, cid) AS lin,
+         -- FLOOR division in pure integers (ADVICE r9): DuckDB's //
+         -- TRUNCATES toward zero (-7 // 2 = -3), unlike SQL floor-div,
+         -- so subtract the non-negative mod ((v % c) + c) % c first —
+         -- the numerator is then exactly divisible and // is the true
+         -- floor quotient for either sign, matching the Spark
+         -- operator's (v - pmod(v, n)) DIV n for refund conversions.
+         (vmicro - ((vmicro % cnt) + cnt) % cnt) // cnt AS lin,
          cid, tid
-  FROM full_rows)
+  FROM counted)
 SELECT channel,
        CAST(sum(f) AS BIGINT) AS first_touch_micro,
        CAST(sum(l) AS BIGINT) AS last_touch_micro,
