@@ -1046,6 +1046,88 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide
+    a w-wide window over the positional hash sequence, and from each
+    window select the MINIMUM hash, rightmost position on ties.
+    Guarantee: any shared run of ≥ w+k−1 words between two documents
+    shares at least one selected fingerprint, at an expected
+    fingerprint density of only 2/(w+1) — the LOCAL, position-aware
+    complement to MinHash (which fingerprints whole-document
+    similarity, not shared passages).
+
+    Engine-exact argmin without a per-window UDF: each (hash, pos)
+    packs into ONE BIGINT ``h·2²¹ + (2²¹−1−pos)``, so a plain
+    ``min()`` over the trailing w-row window picks the smallest hash
+    AND the rightmost position among equals in a single integer
+    comparison (gram hash < 1e9+7 < 2³⁰ ⇒ packed key < 2⁵¹, no
+    overflow). Docs with ≥ 2²¹ grams fail LOUDLY via raise_error
+    threaded through the consumed column (the resample_fill
+    discipline) instead of silently corrupting keys. Docs shorter
+    than w grams (but ≥ k words) fingerprint their single full-doc
+    window, so every gram-bearing doc yields ≥ 1 fingerprint.
+
+    Scale shape: one shuffle on the doc id for the two windows (both
+    share the same (id, pos) sort); output is the DISTINCT selected
+    set, ~2/(w+1) of gram positions. Returns (id, fp_hash, fp_pos)
+    with fp_pos the 0-based gram position of the selection."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    from pyspark.sql import Window
+
+    lim = 1 << 21
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    pos_grams = df.select(
+        F.col(id_col), F.posexplode(grams).alias("_pos", "_gram")
+    )
+    h = F.expr(
+        "aggregate(transform(sequence(1, length(_gram)), "
+        "i -> ascii(substring(_gram, i, 1))), "
+        "0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    packed = F.when(
+        F.col("_pos") < lim,
+        h * F.lit(lim) + (F.lit(lim - 1) - F.col("_pos")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnowing_fingerprints: doc exceeds 2^21 grams at "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    doc_w = Window.partitionBy(id_col)
+    trail = doc_w.orderBy(F.col("_pos").asc()).rowsBetween(-(w - 1), 0)
+    sel = (
+        pos_grams.withColumn("_key", packed)
+        .withColumn("_min", F.min("_key").over(trail))
+        .withColumn("_maxp", F.max("_pos").over(doc_w))
+        # full windows end at pos >= w-1; a doc with fewer grams than
+        # w contributes its one whole-doc window at its last position
+        .filter((F.col("_pos") >= w - 1) | (F.col("_pos") == F.col("_maxp")))
+        .select(F.col(id_col), F.col("_min"))
+        .distinct()
+    )
+    return sel.select(
+        F.col(id_col),
+        F.expr(f"_min DIV {lim}").alias("fp_hash"),
+        (F.lit(lim - 1) - F.pmod(F.col("_min"), F.lit(lim)))
+        .cast("int")
+        .alias("fp_pos"),
+    )
+
+
 def corpus_freq_score(
     df: DataFrame, id_col: str, text_col: str, rare_max: int = 2
 ) -> DataFrame:

@@ -1254,6 +1254,172 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── winnowing fingerprints (Schleimer et al. 2003 — MOSS) ──
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint census (operators/text.py
+    winnowing_fingerprints, k=5-gram hashes, w=4 window): number of
+    selected fingerprints, gram count, and the integer-ppm density —
+    winnowing guarantees density near 2/(w+1) = 0.4, the storage
+    budget of a MOSS-style passage-match index. All-integer output
+    (counts + DIV ppm) ⇒ hash-exact."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints")
+    )
+    words = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.greatest(F.size(words) - 4, F.lit(0)).cast("bigint").alias("n_grams"),
+    )
+    return grams.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr(
+                "CAST(1000000 * coalesce(n_fingerprints, 0) DIV n_grams"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("fp_density_ppm"),
+    )
+
+
+ORACLE_WINNOWING_FINGERPRINTS = """
+WITH ws AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM ws, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+h AS (
+  SELECT doc_id, pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(gram) + 1),
+                                    i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007)
+           * 2097152 + (2097151 - pos) AS key,
+         pos AS p
+  FROM g),
+sel AS (
+  SELECT DISTINCT doc_id, mn FROM (
+    SELECT doc_id, p,
+           min(key) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn,
+           max(p) OVER (PARTITION BY doc_id) AS maxp
+    FROM h)
+  WHERE p >= 3 OR p = maxp),
+per_doc AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_grams
+  FROM ws)
+SELECT g2.doc_id, g2.n_grams,
+       CAST(COALESCE(p.n_fp, 0) AS BIGINT) AS n_fingerprints,
+       CAST(CASE WHEN g2.n_grams > 0
+                 THEN 1000000 * COALESCE(p.n_fp, 0) // g2.n_grams
+                 ELSE 0 END AS BIGINT) AS fp_density_ppm
+FROM grams g2 LEFT JOIN per_doc p ON p.doc_id = g2.doc_id
+"""
+
+
+def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level plagiarism pairs via shared winnowing
+    fingerprints: the corpus is documents ∪ a 'quoting' copy of each
+    doc (doc_id + 1e6, text = its FIRST-HALF word slice — a planted
+    partial overlap, the case whole-doc MinHash under-scores but
+    winnowing's local guarantee catches). Fingerprints with
+    doc-frequency > 8 are dropped first (the standard boilerplate
+    cap — a viral fingerprint would otherwise fan the self-join
+    quadratically); pairs sharing ≥ 3 distinct fingerprint hashes
+    report their overlap count. All-integer ⇒ hash-exact."""
+    from pyspark.sql import Window
+
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    # half-length via integer FLOOR division on both engines (a
+    # double cast would TRUNCATE here but ROUND in DuckDB)
+    half = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.floor(F.size(words) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(half)
+    fps = winnowing_fingerprints(corpus, "doc_id", "text", k=5, w=4).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    dfreq = Window.partitionBy("fp_hash")
+    rare = fps.withColumn("_df", F.count(F.lit(1)).over(dfreq)).filter(
+        F.col("_df") <= 8
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 3)
+    )
+
+
+ORACLE_WINNOWING_DUP_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(str_split(text, ' '), 1,
+             len(str_split(text, ' ')) // 2), ' ') AS text
+  FROM documents),
+ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM ws, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+h AS (
+  SELECT doc_id, pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(gram) + 1),
+                                    i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007)
+           * 2097152 + (2097151 - pos) AS key,
+         pos AS p
+  FROM g),
+sel AS (
+  SELECT DISTINCT doc_id, mn // 2097152 AS fp_hash FROM (
+    SELECT doc_id, p,
+           min(key) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn,
+           max(p) OVER (PARTITION BY doc_id) AS maxp
+    FROM h)
+  WHERE p >= 3 OR p = maxp),
+rare AS (
+  SELECT doc_id, fp_hash FROM (
+    SELECT doc_id, fp_hash,
+           count(*) OVER (PARTITION BY fp_hash) AS dfreq
+    FROM sel)
+  WHERE dfreq <= 8)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM rare a JOIN rare b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 _BOILERPLATE_PARA = "subscribe to our newsletter for updates"
 
 
@@ -2696,12 +2862,18 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     (operators/graph.py label_propagation) over the customer–supplier
     BIPARTITE graph (an edge per distinct (custkey, suppkey) pair
     that ever traded, vertex ids disambiguated as 2·cust / 2·supp+1):
-    4 synchronous most-frequent-neighbor-label rounds, ties to the
+    5 synchronous most-frequent-neighbor-label rounds, ties to the
     smallest label — a pure INTEGER function of the edge set, so
     unlike PageRank no quantization is needed for cross-engine
-    equality. The oracle unrolls the fixed rounds into a MATERIALIZED
-    CTE chain (the _pagerank_oracle_sql pattern: depth = iteration
-    count, never data). Readout: the community-size histogram."""
+    equality. The iteration count is ODD on purpose (ADVICE r9): on
+    a strictly bipartite graph synchronous LPA oscillates with
+    period 2 (the operator docstring's documented hazard), and an
+    even-round snapshot can read out mid-oscillation labels; an odd
+    count lands every vertex on the same oscillation phase it
+    started from, so the histogram is a stable-phase readout. The
+    oracle unrolls the fixed rounds into a MATERIALIZED CTE chain
+    (the _pagerank_oracle_sql pattern: depth = iteration count,
+    never data). Readout: the community-size histogram."""
     from hr_moderndatapipeline_spark.operators.graph import label_propagation
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2712,7 +2884,7 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("o_custkey") * 2).cast("bigint").alias("src"),
         (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
     )
-    labels = label_propagation(edges, iterations=4)
+    labels = label_propagation(edges, iterations=5)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cs"))
     return sizes.groupBy(F.col("cs").cast("bigint").alias("community_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
@@ -2720,7 +2892,7 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _lpa_oracle_sql(iterations: int = 4) -> str:
+def _lpa_oracle_sql(iterations: int = 5) -> str:
     """Unroll the fixed synchronous LPA rounds into a MATERIALIZED
     CTE chain (the _pagerank_oracle_sql pattern — depth is the
     iteration count, never the data; MATERIALIZED because l{i} is
@@ -3737,6 +3909,8 @@ QUERIES = {
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnowing_dup_pairs": q_winnowing_dup_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -3795,6 +3969,8 @@ ORACLES = {
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,
+    "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
+    "winnowing_dup_pairs": ORACLE_WINNOWING_DUP_PAIRS,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,
