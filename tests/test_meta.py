@@ -93,6 +93,14 @@ def test_rows_only_set_is_intentional():
         # checkpoint restart; the BATCH session_window_counts query
         # carries the cross-engine oracle for the session semantics
         "streaming_session_windows",
+        # the PRODUCTION append-mode face of the same operator
+        # (lifecycle #9, VERDICT r9 #3): watermark-driven exactly-once
+        # session emission + state EVICTION — the subject is WHEN a
+        # session flushes and that its state row leaves the store
+        # (pinned via lastProgress numRowsTotal and the
+        # finalized-vs-open partition against batch sessionization in
+        # tests/test_streaming.py), not the final table's values
+        "streaming_session_windows_append",
     }
     actual = set(queries()) - set(oracle_sql())
     assert actual == allowed, (

@@ -732,3 +732,107 @@ def test_session_window_append_mode_finalizes_on_watermark(spark, tmp_path):
         (2, "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1),
     }
     assert all(u != 999 for u, *_ in got)  # open session not emitted
+
+
+def test_session_window_append_state_eviction_via_lastprogress(
+    spark, tmp_path
+):
+    """Flushed sessions must leave the state store (VERDICT r9 #3 —
+    the reason the append face is the production one: complete mode's
+    state is ALL sessions ever, append mode's is open sessions only).
+    Pinned on the query's own lastProgress state-operator counters:
+    after run 1 both sessions are open (2 state rows, 0 emitted);
+    after the sentinel advances the watermark, the two finalized
+    sessions are emitted AND evicted — state holds only the
+    sentinel's open session."""
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    b0 = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:00"},
+        {"user_id": 2, "ts": "2024-01-01 10:05:00"},
+    ]
+    b1 = [{"user_id": 999, "ts": "2024-01-01 20:00:00"}]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+
+    def run():
+        raw = file_json_stream(spark, src)
+        valid, _ = parse_with_dlq(raw, "value", schema)
+        typed = valid.withColumn("ts", F.to_timestamp("ts"))
+        sess = sessionized_counts(
+            typed, "ts", "30 minutes", ["user_id"], watermark="1 minute"
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        ops = q.lastProgress["stateOperators"]
+        assert len(ops) == 1
+        return ops[0]
+
+    write_events(src, "b0.jsonl", b0)
+    st1 = run()
+    assert st1["numRowsTotal"] == 2          # both sessions open, in state
+    write_events(src, "b1.jsonl", b1)
+    st2 = run()
+    assert st2["numRowsTotal"] == 1          # flushed sessions EVICTED
+    assert spark.read.parquet(out).count() == 2  # ...and emitted once
+
+
+def test_streaming_session_windows_append_lifecycle(spark, sf_dir):
+    """The append-mode lifecycle entry
+    (q_streaming_session_windows_append): across two checkpointed
+    availableNow runs with a restart, the exactly-once file sink must
+    hold precisely the sessions the final watermark (max event time −
+    1 h) finalized — every batch session closed before the watermark,
+    none after, and no duplicates across the restart."""
+    from hr_moderndatapipeline_spark.queries.streaming_queries import (
+        q_streaming_session_windows_append,
+    )
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    rows = q_streaming_session_windows_append(spark, sf_dir).collect()
+    got = [
+        (r["user_id"], r["session_start_epoch"], r["session_end_epoch"],
+         r["n_events"])
+        for r in rows
+    ]
+    assert len(set(got)) == len(got), "duplicate emission across restart"
+    got_set = set(got)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("user_id", "ts")
+    )
+    wm = (
+        ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0] - 3600
+    )
+    batch = {
+        (r["user_id"], r["s"], r["e"], r["n_events"])
+        for r in sessionized_counts(ev, "ts", "30 minutes", ["user_id"])
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("s"),
+            F.unix_timestamp("session_end").alias("e"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got_set <= batch, "emitted a session batch sessionization lacks"
+    closed = {t for t in batch if t[2] < wm}
+    still_open = batch - closed
+    assert closed <= got_set, "a watermark-closed session was never emitted"
+    assert not (got_set & still_open), "an open-tail session leaked out"
+    assert len(closed) > 100  # real finalized structure
