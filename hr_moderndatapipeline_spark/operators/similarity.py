@@ -17,6 +17,23 @@ Scoring math uses explicit element-order folds (``aggregate`` over
 ``sequence``) rather than float-reduction built-ins so scores are
 bit-deterministic across engines and retries; ranking ties break on
 corpus id.
+
+ROUNDING POLICY (VERDICT r9 #4 — the r8 ADVICE #3 adjudication):
+every ``F.round(cosine, round_digits)`` in this module RANKS or
+THRESHOLDS **on** the rounded value — the rounding is part of the
+operator's SEMANTICS, not output formatting. Quantizing to
+``round_digits`` (default 6) before the top-k window / the SemDeDup
+threshold makes near-equal scores (the same geometric similarity
+reached via different float paths) compare EQUAL, so the id
+tie-break — not 1-ulp noise — decides ranks, keeping results stable
+under retries, partition reordering, and cross-engine restatement;
+the oracle then compares the same quantized values. This is the
+opposite of the class removed in r9 (PQ/IVF-PQ REPORT-rounding —
+rounding applied after ranking, which only weakened the oracle and
+was deleted; see operators/pq.py). Rule: round-then-rank is a
+semantics choice and stays; rank-then-round is a bug and none
+remain. Each site below carries a "POLICY: rank-on-rounded" /
+"POLICY: threshold-on-rounded" marker pointing here.
 """
 
 from __future__ import annotations
@@ -101,6 +118,7 @@ def ann_bruteforce(
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
             "cosine",
+            # POLICY: rank-on-rounded (module ROUNDING POLICY)
             F.round(
                 cosine_prenormed(
                     F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
@@ -234,6 +252,7 @@ def ann_lsh(
         .join(F.broadcast(q), "q_id")
         .withColumn(
             "cosine",
+            # POLICY: rank-on-rounded (module ROUNDING POLICY)
             F.round(
                 cosine_prenormed(
                     F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
@@ -318,6 +337,7 @@ def lsh_probe(
     )
     scored = cands.withColumn(
         "cosine",
+        # POLICY: rank-on-rounded (module ROUNDING POLICY)
         F.round(
             cosine_prenormed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim),
             round_digits,
@@ -489,6 +509,7 @@ def ivf_probe(
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
             "cosine",
+            # POLICY: rank-on-rounded (module ROUNDING POLICY)
             F.round(
                 cosine_prenormed(
                     F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
@@ -611,6 +632,7 @@ def centroid_classify(
     ).withColumn("_vn", l2_norm(F.col("_v"), dim))
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "cosine",
+        # POLICY: rank-on-rounded (module ROUNDING POLICY)
         F.round(
             cosine_prenormed(F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn"), dim),
             round_digits,
@@ -680,6 +702,7 @@ def kmeans_refine(
             vecs.crossJoin(F.broadcast(c))
             .withColumn(
                 "_cos",
+                # POLICY: rank-on-rounded (module ROUNDING POLICY)
                 F.round(
                     cosine_prenormed(
                         F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn"), dim
@@ -725,6 +748,7 @@ def neardup_pairs_by_cosine(
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .withColumn(
             "cosine",
+            # POLICY: threshold-on-rounded (module ROUNDING POLICY)
             F.round(
                 cosine_prenormed(
                     F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
@@ -831,6 +855,7 @@ def semantic_dedup_survivors(
         a.join(b, ["_tbl", "_tblk", "_salt"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .filter(
+            # POLICY: threshold-on-rounded (module ROUNDING POLICY)
             F.round(
                 cosine_prenormed(
                     F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim

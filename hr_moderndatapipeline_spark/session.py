@@ -72,8 +72,8 @@ def get_spark(
         # the cores-sized shuffle.partitions default silently CAPS
         # every shuffle at 32 reducers no matter the data. Raising the
         # initial count to 512 and stating the advisory target
-        # explicitly (32 MiB compressed ≈ the measured zero-spill
-        # regime with margin) lets AQE pick the reducer count by
+        # explicitly (20 MiB compressed ≈ the measured zero-spill
+        # regime) lets AQE pick the reducer count by
         # size at every scale; at test SFs it coalesces right back,
         # so plan skeletons are unchanged.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")

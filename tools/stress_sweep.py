@@ -56,6 +56,11 @@ SCALES = {
     # All base keys are dense (o_orderkey < 150k, event_id < 100k),
     # so the per-copy offsets stay collision-free at 100 copies.
     "sf10": ("/tmp/hr_mdp_stress_sf10", 100, 10_000_000),
+    # next frontier (VERDICT r9 task 5): 300 copies ≈ sf30 — where do
+    # the 512 initial partitions stop being enough? Offsets stay
+    # collision-free at 300 copies (orderkey 3e8 < 1e9 spacing head-
+    # room, custkey/partkey bases < 1e5, suppkey base < 1e4).
+    "sf30": ("/tmp/hr_mdp_stress_sf30", 300, 10_000_000),
 }
 
 #: The expensive tail VERDICT r6 names, plus the r7 paragraph census.
@@ -223,7 +228,7 @@ def sweep(stress_tag: str, stress_dir: str) -> None:
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             names = a.split("=", 1)[1].split(",")
-    if stress_tag in ("sf3.0", "sf10"):
+    if stress_tag in ("sf3.0", "sf10", "sf30"):
         # fixed-4-bit semantic dedup is the DOCUMENTED quadratic
         # (x61.6 at 10x == ~25 min at 30x) - the law entry replaces it
         names = [n for n in names if n != "semantic_dedup_survivors"]
@@ -275,7 +280,8 @@ def sweep(stress_tag: str, stress_dir: str) -> None:
 
 if __name__ == "__main__":
     tag = (
-        "sf10" if "--sf10" in sys.argv[1:]
+        "sf30" if "--sf30" in sys.argv[1:]
+        else "sf10" if "--sf10" in sys.argv[1:]
         else "sf3.0" if "--sf3" in sys.argv[1:]
         else "sf1.0"
     )
