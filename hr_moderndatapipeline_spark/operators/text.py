@@ -1046,6 +1046,89 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query (Robertson &
+    Zaragoza 2009; Lucene's non-negative idf variant
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``) — the relevance scorer a
+    training-data pipeline uses for query-targeted data selection
+    (e.g. retrieving domain-relevant documents for a mixture). Scores
+    quantize per (doc, term) to integer MICRO-units via
+    ``floor(x·1e6 + 0.5)`` — the repo's DSIR/bigram-LM idiom — so the
+    per-doc sum is an exact BIGINT under any accumulation order and
+    cross-engine hashing survives the ``ln``/division doubles.
+
+    Dataflow: per-doc term frequencies for the QUERY terms only
+    (map-side higher-order ``filter`` over the token array — the
+    corpus is scanned once and never exploded per token); document
+    frequencies are one tiny groupBy on ≤|query| rows per doc;
+    (N, total tokens) is a broadcast 1-row aggregate; the final
+    top-n is TakeOrderedAndProject, never a full sort. Returns
+    (id, n_terms_matched, bm25_micro) for the global top ``top_n``
+    by (bm25_micro desc, id desc)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), words.alias("_ws"), F.size(words).alias("_dl")
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_tok")
+    )
+    per_term = (
+        base.select(
+            F.col(id_col),
+            F.col("_dl"),
+            F.explode(
+                F.array(*[F.lit(str(t)) for t in query_terms])
+            ).alias("_t"),
+            F.col("_ws"),
+        )
+        .withColumn(
+            "_tf", F.size(F.filter(F.col("_ws"), lambda w: w == F.col("_t")))
+        )
+        .filter(F.col("_tf") > 0)
+        .drop("_ws")
+    )
+    df_t = per_term.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = per_term.join(F.broadcast(df_t), "_t").crossJoin(
+        F.broadcast(totals)
+    )
+    # Parenthesization pinned to match the SQL oracle term for term.
+    avgdl = F.col("_tok").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        (
+            (F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5)
+        ) / (F.col("_df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("_tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("_tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+        )
+    )
+    contrib = F.floor(idf * tfn * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        F.sum(contrib).cast("bigint").alias("bm25_micro"),
+    )
+    from hr_moderndatapipeline_spark.operators.relational import topk
+
+    return topk(per_doc, [F.col("bm25_micro"), F.col(id_col)], top_n)
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -1254,6 +1254,61 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── BM25 retrieval (query-targeted data selection) ──
+
+_BM25_QUERY = ("window", "merge", "stream", "spark")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 relevance to a fixed 4-term query
+    (operators/text.py bm25_rank — Lucene idf variant, k1=1.2,
+    b=0.75): the retrieval scorer for query-targeted training-data
+    selection. Per-(doc, term) contributions quantize to integer
+    micro-units (the DSIR/bigram-LM ln idiom), so the per-doc sum is
+    an exact BIGINT and the global top-20 is a deterministic
+    (score desc, doc_id desc) TakeOrderedAndProject."""
+    from hr_moderndatapipeline_spark.operators.text import bm25_rank
+
+    return bm25_rank(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id", "text", list(_BM25_QUERY), k1=1.2, b=0.75, top_n=20,
+    )
+
+
+ORACLE_BM25_SEARCH = """
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS ws,
+         len(str_split(text, ' ')) AS dl
+  FROM documents),
+tot AS (SELECT count(*) AS n, sum(dl) AS tok FROM base),
+pt AS (
+  SELECT doc_id, dl, t,
+         len(list_filter(ws, w -> w = t)) AS tf
+  FROM base, UNNEST(['window', 'merge', 'stream', 'spark']) AS u(t)),
+filtered AS (SELECT * FROM pt WHERE tf > 0),
+dft AS (SELECT t, count(*) AS df FROM filtered GROUP BY t),
+scored AS (
+  SELECT f.doc_id,
+         floor(
+           ln(((CAST(tot.n - d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5)) + 1.0)
+           * ((CAST(f.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(f.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(f.dl AS DOUBLE)
+                           / (CAST(tot.tok AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS c
+  FROM filtered f JOIN dft d USING (t) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(c) AS BIGINT) AS bm25_micro
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id DESC LIMIT 20
+"""
+
+
 # ── winnowing fingerprints (Schleimer et al. 2003 — MOSS) ──
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3911,6 +3966,7 @@ QUERIES = {
     "contamination_overlap": q_contamination_overlap,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_dup_pairs": q_winnowing_dup_pairs,
+    "bm25_search": q_bm25_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -3971,6 +4027,7 @@ ORACLES = {
     "contamination_overlap": ORACLE_CONTAMINATION,
     "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
     "winnowing_dup_pairs": ORACLE_WINNOWING_DUP_PAIRS,
+    "bm25_search": ORACLE_BM25_SEARCH,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,

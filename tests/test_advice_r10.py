@@ -210,3 +210,51 @@ def test_as_of_join_sorted_matches_probe_join(spark, how):
     )
     assert got == want
     assert len(got) > 50  # the fixture actually exercises matches
+
+
+def test_bm25_rank_matches_python_reference(spark):
+    """bm25_rank == a transliterated pure-Python BM25 (Lucene idf,
+    micro-quantized contributions) on a small corpus with repeated
+    terms, varied doc lengths, and an unmatched doc."""
+    import math
+
+    from hr_moderndatapipeline_spark.operators.text import bm25_rank
+
+    corpus = [
+        (1, "spark window merge window window stream"),
+        (2, "merge merge merge merge merge merge merge merge"),
+        (3, "the quick brown fox"),                      # no query term
+        (4, "stream spark"),
+        (5, "window stream merge spark window stream spark window"),
+    ]
+    terms = ["window", "merge", "stream", "spark"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["bm25_micro"])
+        for r in bm25_rank(df, "doc_id", "text", terms, top_n=10).collect()
+    }
+
+    docs = {i: t.split(" ") for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    dft = {
+        t: sum(1 for w in docs.values() if t in w) for t in terms
+    }
+    want = {}
+    for i, w in docs.items():
+        s, m = 0, 0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(((n - dft[t]) + 0.5) / (dft[t] + 0.5) + 1.0)
+            tfn = (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (len(w) / avgdl))
+            )
+            s += math.floor(idf * tfn * 1000000.0 + 0.5)
+        if m:
+            want[i] = (m, s)
+    assert got == want
+    assert 3 not in got  # unmatched doc never appears

@@ -46,6 +46,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "centroid_classify": "k centroids broadcast against the corpus; "
     "O(n*k) assignment is the operator",
     "tfidf_top_terms": "1-row corpus doc-count broadcast into the scorer",
+    "bm25_search": "1-row (N, total-tokens) aggregate broadcast into the "
+    "scorer — the avgdl/idf constants, same class as tfidf_top_terms",
     "monthly_order_spine": "recursive year spine (≈7 rows) crossed with a "
     "12-row literal month dim — bounded by the schema's date span",
     "conversion_survival_curve": "1-row corpus-horizon aggregate broadcast "
