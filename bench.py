@@ -137,10 +137,16 @@ BENCH_QUERIES = [
     "conversion_survival_curve",  # Kaplan-Meier product-limit fold (r9)
     "weighted_order_sample",      # integer-exact A-Res weighted top-n (r9)
     "purchase_attribution",       # first/last/linear multi-touch credit (r9)
-    "customer_supplier_communities",  # deterministic sync LPA, 4 rounds (r9)
+    "customer_supplier_communities",  # deterministic sync LPA, 5 rounds (r9/r10)
     "signup_conversion_survival",  # grouped Kaplan-Meier cohort curves (r9)
     "xml_roundtrip",              # native XML source/sink identity (r9)
     "ivfpq_rerank_topk",          # two-stage ANN: ADC shortlist + exact re-rank (r9)
+    "winnowing_fingerprints",     # MOSS min-in-window fingerprint census (r10)
+    "winnowing_dup_pairs",        # shared-fingerprint passage-match pairs (r10)
+    "bm25_search",                # BM25 query-targeted retrieval top-20 (r10)
+    # streaming lifecycles stay OFF the bench list (checkpointed
+    # micro-batch drives, not throughput shapes) — same policy as
+    # every round since r7
     # prefix_jaccard_neardups / containment_dup_profile are driver
     # queries but NOT bench entries: the synthetic corpus's tiny
     # vocabulary defeats rare-first prefix discrimination (measured

@@ -243,9 +243,13 @@ def sweep(stress_tag: str, stress_dir: str) -> None:
             # executed_metrics reads real counters (a noop write builds
             # its own execution and reads zeros), and Arrow transfer
             # keeps multi-million-row results from billing
-            # row-conversion time to the engine.
-            df = runnable[name](spark, sf_dir)
+            # row-conversion time to the engine. The clock starts
+            # BEFORE re-construction: queries with eager
+            # localCheckpoint stages (LPA, PageRank) do their real
+            # work at construction and would otherwise time as ~0
+            # (caught r10 — the LPA sf3 row in SCALING.md).
             t0 = time.time()
+            df = runnable[name](spark, sf_dir)
             try:
                 df.toPandas()
             except Exception:  # noqa: BLE001 — arrow-unfriendly types
