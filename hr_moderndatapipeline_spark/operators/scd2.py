@@ -304,6 +304,7 @@ def point_in_time_join(
     ts_col: str,
     features: Sequence[tuple[DataFrame, Sequence[str], str]],
     broadcast_features: bool = True,
+    merge_sorted: bool = False,
 ) -> DataFrame:
     """Feature-store point-in-time join: enrich every spine row
     (entity keys + observation timestamp) with, from EACH feature
@@ -314,18 +315,31 @@ def point_in_time_join(
     ``features`` is a sequence of (df, keys, feature_ts_col). Each
     feature table's event log is first converted to validity ranges
     (``scd2_from_history`` — one window shuffle per feature table),
-    then range-resolved against the spine with ``as_of_join``. The
-    spine is never shuffled when features broadcast; with
-    ``broadcast_features=False`` each enrichment is a key-equi join
-    with a range residual, still one shuffle per feature table."""
+    then range-resolved against the spine. Three resolution plans:
+
+    - default: ``as_of_join`` with the feature broadcast — the spine
+      is never shuffled; right when feature tables are dimension-
+      sized (the common feature-store case);
+    - ``broadcast_features=False``: key-equi join with a range
+      residual — one spine shuffle per feature table; right when a
+      feature table is too big to broadcast but versions-per-key are
+      modest (the probe scans ALL of a key's versions per spine row);
+    - ``merge_sorted=True``: ``as_of_join_sorted`` — one
+      (spine+feature) sort per table, per-key cost O((P+V)·log)
+      regardless of version counts; right when a feature table is
+      event-derived or carries hot keys (the quadratic measured in
+      tools/hot_user_fixture.py r10)."""
     out = spine
     for fdf, keys, fts in features:
         # the feature's own timestamp is folded into the validity
         # range (and would collide with the spine's ts column name)
         hist = scd2_from_history(fdf, keys, fts).drop(CURRENT, fts)
-        out = as_of_join(
-            out, hist, keys, ts_col, broadcast_dim=broadcast_features
-        ).drop(START, END)
+        if merge_sorted:
+            out = as_of_join_sorted(out, hist, keys, ts_col).drop(START, END)
+        else:
+            out = as_of_join(
+                out, hist, keys, ts_col, broadcast_dim=broadcast_features
+            ).drop(START, END)
     return out
 
 

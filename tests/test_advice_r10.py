@@ -258,3 +258,34 @@ def test_bm25_rank_matches_python_reference(spark):
             want[i] = (m, s)
     assert got == want
     assert 3 not in got  # unmatched doc never appears
+
+
+def test_point_in_time_join_merge_sorted_matches_broadcast(spark):
+    """merge_sorted=True routes each feature through as_of_join_sorted
+    and must enrich identically to the broadcast probe plan."""
+    from hr_moderndatapipeline_spark.operators.scd2 import point_in_time_join
+
+    spine = spark.createDataFrame(
+        [(1, 100, 10), (1, 250, 11), (2, 50, 12), (3, 100, 13)],
+        "uid int, t int, label int",
+    ).select("uid", F.timestamp_seconds("t").alias("obs_ts"), "label")
+    feat = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 200, 2.0), (2, 60, 3.0)],
+        "uid int, t int, score double",
+    ).select("uid", F.timestamp_seconds("t").alias("fts"), "score")
+
+    def rows(merge_sorted):
+        return sorted(
+            (r["uid"], r["label"], r["score"])
+            for r in point_in_time_join(
+                spine, "obs_ts", [(feat, ["uid"], "fts")],
+                merge_sorted=merge_sorted,
+            ).collect()
+        )
+
+    got, want = rows(True), rows(False)
+    assert got == want
+    # the leakage guard: user 2's obs at t=50 predates its t=60
+    # feature -> NULL; user 3 has no features -> NULL
+    assert (2, 12, None) in got and (3, 13, None) in got
+    assert (1, 11, 2.0) in got  # latest <= obs, not the t=90 one
