@@ -112,9 +112,14 @@ def measure() -> None:
     )
     from hr_moderndatapipeline_spark.queries.core import (
         q_event_change_pairs,
+        q_event_transition_matrix,
         q_funnel_conversion,
         q_purchase_attribution,
+        q_rolling_weekly_active_users,
+        q_user_activity_streaks,
+        q_user_hourly_resampled,
         q_user_sessions,
+        q_user_value_twap,
     )
 
     spark = get_spark("hot_user_fixture")
@@ -237,6 +242,11 @@ def measure() -> None:
             ("user_sessions", q_user_sessions),
             ("asof_purchase_state", q_asof_purchase_state),
             ("event_change_pairs", q_event_change_pairs),
+            ("event_transition_matrix", q_event_transition_matrix),
+            ("rolling_weekly_active_users", q_rolling_weekly_active_users),
+            ("user_activity_streaks", q_user_activity_streaks),
+            ("user_hourly_resampled", q_user_hourly_resampled),
+            ("user_value_twap", q_user_value_twap),
         ):
             t0 = time.time()
             df = fn(spark, d)
@@ -291,6 +301,9 @@ def measure() -> None:
         for q in (
             "purchase_attribution", "funnel_conversion", "user_sessions",
             "asof_purchase_state", "event_change_pairs",
+            "event_transition_matrix", "rolling_weekly_active_users",
+            "user_activity_streaks", "user_hourly_resampled",
+            "user_value_twap",
         )
         if lo[q]["sec"] > 0
     }
