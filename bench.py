@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",     # MOSS min-in-window fingerprint census (r10)
     "winnowing_dup_pairs",        # shared-fingerprint passage-match pairs (r10)
     "bm25_search",                # BM25 query-targeted retrieval top-20 (r10)
+    "kmeans_cluster_profile",     # Lloyd k-means, literal-centroid rounds (r10)
+    "kmeans_balanced_selection",  # cluster-balanced curation top-25/cluster (r10)
+    "hybrid_rrf_search",          # BM25 ⊕ dense-cosine RRF fusion top-20 (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

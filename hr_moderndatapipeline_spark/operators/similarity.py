@@ -38,6 +38,9 @@ remain. Each site below carries a "POLICY: rank-on-rounded" /
 
 from __future__ import annotations
 
+import math
+from typing import Sequence
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -716,6 +719,116 @@ def kmeans_refine(
         )
         cent = _decimal_centroids(assigned, "_v", "cluster").localCheckpoint(eager=True)
     return cent
+
+
+def _py_seq_l2(vec: Sequence[float]) -> float:
+    """Driver-side L2 norm with the SAME sequential fold order as
+    ``l2_norm`` (acc starts at 0.0, adds x·x in element order) —
+    Python floats are IEEE doubles, so the result is bit-identical
+    to the Spark/DuckDB fold over the same values."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def centroid_assign_literal(
+    vecs: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    dim: int,
+    round_digits: int = 6,
+    vec_col: str = "_v",
+    norm_col: str = "_vn",
+) -> DataFrame:
+    """Nearest-centroid assignment against a DRIVER-LITERAL centroid
+    list — the shuffle-free Lloyd assignment step. Each input row
+    evaluates k sequential-fold cosines against k literal arrays and
+    takes the argmax via ``array_max`` over (cosine, −cluster)
+    structs (max cosine, ties to the LOWER cluster id — the same
+    total order as ``kmeans_refine``'s rank window). The corpus is
+    scanned once with ZERO shuffle: no crossJoin row explosion, no
+    per-id window — the k×dim centroid model rides inside the plan as
+    literals (the broadcast-variable pattern expressed in Catalyst).
+
+    ``vecs`` must carry materialized ``vec_col`` (array<double>) and
+    ``norm_col`` (its L2 norm) projections — referencing an
+    unmaterialized array expression from inside fold lambdas
+    re-evaluates it per element (SCALING.md round 2).
+
+    Appends ``cluster`` (int) and ``_cos`` (rounded cosine; POLICY:
+    rank-on-rounded, module ROUNDING POLICY)."""
+    structs = []
+    for cid, cv in centroids:
+        cn = _py_seq_l2(cv)
+        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+        cos = F.round(
+            cosine_prenormed(
+                F.col(vec_col), lit_cv, F.col(norm_col), F.lit(cn), dim
+            ),
+            round_digits,
+        )
+        structs.append(
+            F.struct(
+                cos.cast("double").alias("_c"),
+                F.lit(-int(cid)).cast("int").alias("_nj"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return (
+        vecs.withColumn("_best", best)
+        .withColumn("cluster", (-F.col("_best._nj")).cast("int"))
+        .withColumn("_cos", F.col("_best._c"))
+        .drop("_best")
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    k: int = 8,
+    iterations: int = 2,
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means over an embedding corpus, returning the trained
+    centroid list (the model parameters, O(k·dim) scalars). Seeds are
+    the same portable-hash-selected corpus representatives as
+    ``ivf_codebook`` (deterministic, ANSI-SQL-restatable); each round
+    is [literal-centroid argmax assignment (``centroid_assign_literal``
+    — zero corpus shuffle) → DECIMAL-exact means (one map-side-
+    combinable (cluster, pos) aggregate, k·dim keys)]. The ONLY
+    driver-side movement is the per-round k×dim centroid collect —
+    the codebook-collect class (SCALING.md "no driver-side data"
+    policy), identical in kind to ``ivf_codebook``'s seed collect.
+    Per-round cost at 100 TB: one corpus scan + one k·dim-key
+    aggregate; the corpus itself is never shuffled, windowed, or
+    cross-joined — unlike ``kmeans_refine``'s crossJoin+rank-window
+    face, which this operator is test-pinned equal to.
+
+    Empty clusters drop out (standard Lloyd; cluster ids keep their
+    identity). Bit-deterministic: exact DECIMAL accumulation,
+    sequential-fold cosines, total tie-breaks."""
+    seed_df = ivf_codebook(
+        corpus, id_col, vec_col, dim=dim, n_centroids=k, refine_iterations=0
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["cluster"]), [float(x) for x in r["_cv"]])
+        for r in seed_df.collect()
+    ]
+    vecs = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), dim))
+    for _ in range(iterations):
+        assigned = centroid_assign_literal(
+            vecs, cents, dim, round_digits
+        ).select("cluster", "_v")
+        cent_df = _decimal_centroids(assigned, "_v", "cluster")
+        cents = sorted(
+            (int(r["cluster"]), [float(x) for x in r["_cv"]])
+            for r in cent_df.collect()
+        )
+    return cents
 
 
 def neardup_pairs_by_cosine(

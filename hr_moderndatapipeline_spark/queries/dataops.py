@@ -1094,6 +1094,325 @@ WHERE rk = 1
 """
 
 
+# ── k-means corpus clustering (Lloyd, literal-centroid rounds) ──
+
+_KM_K, _KM_ITER, _KM_DIM = 8, 2, 64
+
+
+def _km_fold(a: str, b: str, dim: int = _KM_DIM) -> str:
+    """DuckDB sequential-fold dot product — same element order as the
+    Spark ``dot`` fold, so doubles are bit-identical."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_oracle_with(k: int = _KM_K, iterations: int = _KM_ITER) -> str:
+    """The shared WITH-prefix restating ``kmeans_train`` round for
+    round: portable-hash seeds → per round [argmax assignment on the
+    rounded sequential-fold cosine → DECIMAL(28,10) per-dimension
+    means] → final assignment ``af(vec_id, v, vn, cluster, cos)``
+    against the trained centroids. CTEs are MATERIALIZED so each
+    round computes once (the LPA-oracle discipline)."""
+    parts = [
+        "WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "en AS MATERIALIZED (SELECT vec_id, v, "
+        f"sqrt({_km_fold('v', 'v')}) AS vn FROM ev),",
+        "seeds AS (SELECT v, row_number() OVER ("
+        "ORDER BY ((vec_id % 1000000007) * 2654435761 + 40503) % 1000000007, "
+        f"vec_id) - 1 AS cluster FROM ev QUALIFY cluster < {k}),",
+        f"cb0 AS (SELECT cluster, v AS cv, sqrt({_km_fold('v', 'v')}) AS cn FROM seeds),",
+    ]
+    for r in range(1, iterations + 1):
+        parts += [
+            f"s{r} AS MATERIALIZED (SELECT en.vec_id, en.v, en.vn, cb.cluster, "
+            f"round({_km_fold('en.v', 'cb.cv')} / (en.vn * cb.cn), 6) AS cos "
+            f"FROM en CROSS JOIN cb{r - 1} cb),",
+            f"a{r} AS MATERIALIZED (SELECT vec_id, v, vn, cluster, cos FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY cos DESC, cluster) AS rk FROM s{r}) WHERE rk = 1),",
+            f"m{r} AS MATERIALIZED (SELECT cluster, pos, "
+            "CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM "
+            f"(SELECT cluster, u.r AS pos, v[u.r + 1] AS x FROM a{r}, "
+            "unnest(range(0, len(v))) AS u(r)) GROUP BY 1, 2),",
+            f"cb{r} AS MATERIALIZED (SELECT cluster, cv, "
+            f"sqrt({_km_fold('cv', 'cv')}) AS cn FROM "
+            f"(SELECT cluster, list(c ORDER BY pos) AS cv FROM m{r} GROUP BY 1)),",
+        ]
+    parts += [
+        f"sf AS MATERIALIZED (SELECT en.vec_id, en.v, en.vn, cb.cluster, "
+        f"round({_km_fold('en.v', 'cb.cv')} / (en.vn * cb.cn), 6) AS cos "
+        f"FROM en CROSS JOIN cb{iterations} cb),",
+        "af AS MATERIALIZED (SELECT vec_id, v, vn, cluster, cos FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cos DESC, cluster) AS rk FROM sf) WHERE rk = 1)",
+    ]
+    return "\n".join(parts)
+
+
+def _km_assigned(spark: SparkSession, sf_dir: str):
+    """Train ``kmeans_train`` (k=8, 2 Lloyd rounds) and return the
+    final literal-centroid assignment frame (vec_id, _v, _vn,
+    cluster, _cos) — shared by the profile and selection queries."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        centroid_assign_literal,
+        kmeans_train,
+        l2_norm,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_train(
+        emb, "vec_id", "embedding", dim=_KM_DIM, k=_KM_K, iterations=_KM_ITER
+    )
+    vecs = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), _KM_DIM))
+    return centroid_assign_literal(vecs, cents, _KM_DIM)
+
+
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus (k=8, 2 rounds,
+    ``operators/similarity.py kmeans_train``) + the per-cluster
+    profile: member count, integer-micro inertia (Σ (1−cos)·1e6 —
+    BIGINT, order-independent), and the min/max member cosine. The
+    assignment step is shuffle-free (driver-literal centroids,
+    ``array_max`` argmax); each training round costs one corpus scan
+    plus one map-side-combinable k·dim-key DECIMAL aggregate — the
+    100 TB clustering posture (the corpus is never windowed,
+    cross-joined, or shuffled). Oracle unrolls both Lloyd rounds into
+    MATERIALIZED CTEs, mean for DECIMAL mean."""
+    assigned = _km_assigned(spark, sf_dir)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(
+            F.floor(
+                (F.lit(1.0) - F.col("_cos")) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("inertia_micro"),
+        F.min("_cos").alias("min_cos"),
+        F.max("_cos").alias("max_cos"),
+    )
+
+
+def _kmeans_profile_oracle_sql() -> str:
+    return (
+        _kmeans_oracle_with()
+        + """
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(floor((1.0 - cos) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS inertia_micro,
+       min(cos) AS min_cos, max(cos) AS max_cos
+FROM af GROUP BY cluster
+"""
+    )
+
+
+def q_kmeans_balanced_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced training-data selection: assign every
+    embedded document to its k-means cluster, then keep the top-25
+    per cluster by (n_chars desc, doc_id desc) — the diversity-
+    preserving curation step (select evenly across semantic clusters
+    instead of letting one mode dominate the mixture). The per-
+    cluster rank is a ``row_number ≤ k`` window, which Spark executes
+    with WindowGroupLimit: every map task pre-truncates to 25 rows
+    per cluster BEFORE the shuffle, so the exchange carries
+    O(k·clusters·tasks) rows, not the corpus."""
+    assigned = _km_assigned(spark, sf_dir).select("vec_id", "cluster")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    joined = assigned.join(
+        docs, assigned.vec_id == docs.doc_id
+    ).select("doc_id", "cluster", "source", "n_chars")
+    from hr_moderndatapipeline_spark.operators.relational import topk_per_group
+
+    sel = topk_per_group(
+        joined,
+        ["cluster"],
+        [F.col("n_chars"), F.col("doc_id")],
+        25,
+        rank_col="sel_rank",
+    )
+    return sel.select(
+        "doc_id",
+        "cluster",
+        "source",
+        "n_chars",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+    )
+
+
+def _kmeans_selection_oracle_sql() -> str:
+    return (
+        _kmeans_oracle_with()
+        + """
+SELECT doc_id, cluster, source, n_chars, CAST(rk AS INTEGER) AS sel_rank
+FROM (SELECT d.doc_id, a.cluster, d.source, d.n_chars,
+             row_number() OVER (PARTITION BY a.cluster
+                                ORDER BY d.n_chars DESC, d.doc_id DESC) AS rk
+      FROM af a JOIN documents d ON d.doc_id = a.vec_id)
+WHERE rk <= 25
+"""
+    )
+
+
+# ── hybrid retrieval: BM25 ⊕ dense cosine via RRF ──
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009, k=60): the BM25 top-50 for the fixed 4-term query fuses
+    with the dense top-50 by cosine to the doc-0 embedding;
+    ``rrf_ppb = Σ 1e9 DIV (60 + rank)`` (exact integer — no float
+    fusion), final top-20 by (rrf_ppb desc, doc_id desc). The two
+    retrievals are the proven machinery (``bm25_rank``'s map-side tf
+    + TakeOrderedAndProject; literal-query-vector fold scoring with
+    per-row norm hoisting); the rank windows run over the ALREADY
+    top-50-limited frames (bounded — the weighted_order_sample
+    class), and the fusion join touches 50+50 rows."""
+    from hr_moderndatapipeline_spark.operators.relational import topk
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        _py_seq_l2,
+        as_double_vec,
+        cosine_prenormed,
+        l2_norm,
+    )
+    from hr_moderndatapipeline_spark.operators.text import bm25_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lex = bm25_rank(
+        docs, "doc_id", "text", list(_BM25_QUERY), k1=1.2, b=0.75, top_n=50
+    )
+    wl = Window.orderBy(F.desc("bm25_micro"), F.desc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("lex_rank")
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(as_double_vec(F.col("embedding")).alias("_v"))
+        .collect()[0]["_v"]
+    ]
+    qn = _py_seq_l2(qv)
+    vecs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), 64))
+    scored = vecs.select(
+        "vec_id",
+        # POLICY: rank-on-rounded (operators/similarity.py ROUNDING POLICY)
+        F.round(
+            cosine_prenormed(
+                F.col("_v"),
+                F.array(*[F.lit(x) for x in qv]),
+                F.col("_vn"),
+                F.lit(qn),
+                64,
+            ),
+            6,
+        ).alias("cos6"),
+    )
+    dense = topk(scored, [F.col("cos6"), F.col("vec_id")], 50)
+    wd = Window.orderBy(F.desc("cos6"), F.desc("vec_id"))
+    denr = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).cast("int").alias("dense_rank"),
+    )
+
+    fused = (
+        lexr.join(denr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+        )
+        .withColumn(
+            "rrf_ppb",
+            (
+                F.expr(
+                    "CASE WHEN lex_rank > 0 "
+                    "THEN 1000000000 div (60 + lex_rank) ELSE 0 END"
+                )
+                + F.expr(
+                    "CASE WHEN dense_rank > 0 "
+                    "THEN 1000000000 div (60 + dense_rank) ELSE 0 END"
+                )
+            ).cast("bigint"),
+        )
+    )
+    return topk(fused, [F.col("rrf_ppb"), F.col("doc_id")], 20)
+
+
+ORACLE_HYBRID_RRF = """
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS ws,
+         len(str_split(text, ' ')) AS dl
+  FROM documents),
+tot AS (SELECT count(*) AS n, sum(dl) AS tok FROM base),
+pt AS (
+  SELECT doc_id, dl, t,
+         len(list_filter(ws, w -> w = t)) AS tf
+  FROM base, UNNEST(['window', 'merge', 'stream', 'spark']) AS u(t)),
+filtered AS (SELECT * FROM pt WHERE tf > 0),
+dft AS (SELECT t, count(*) AS df FROM filtered GROUP BY t),
+bscored AS (
+  SELECT f.doc_id,
+         floor(
+           ln(((CAST(tot.n - d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5)) + 1.0)
+           * ((CAST(f.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(f.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(f.dl AS DOUBLE)
+                           / (CAST(tot.tok AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS c
+  FROM filtered f JOIN dft d USING (t) CROSS JOIN tot),
+lex AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id DESC)
+              AS INTEGER) AS lex_rank
+  FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro
+        FROM bscored GROUP BY doc_id
+        ORDER BY bm25_micro DESC, doc_id DESC LIMIT 50)),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> v[i] * v[i])),
+                   (acc, x) -> acc + x)) AS vn
+       FROM ev),
+q AS (SELECT v AS qv, vn AS qn FROM en WHERE vec_id = 0),
+dscored AS (
+  SELECT vec_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> v[i] * qv[i])),
+               (acc, x) -> acc + x) / (vn * qn), 6) AS cos6
+  FROM en CROSS JOIN q WHERE vec_id <> 0),
+dense AS MATERIALIZED (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos6 DESC, doc_id_o DESC)
+              AS INTEGER) AS dense_rank
+  FROM (SELECT vec_id, vec_id AS doc_id_o, cos6 FROM dscored
+        ORDER BY cos6 DESC, vec_id DESC LIMIT 50)),
+fused AS (
+  SELECT doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d USING (doc_id))
+SELECT doc_id, lex_rank, dense_rank,
+       CAST((CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END)
+           + (CASE WHEN dense_rank > 0 THEN 1000000000 // (60 + dense_rank) ELSE 0 END)
+         AS BIGINT) AS rrf_ppb
+FROM fused
+ORDER BY rrf_ppb DESC, doc_id DESC LIMIT 20
+"""
+
+
 # ── training order + embedding storage ──
 
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3961,6 +4280,9 @@ QUERIES = {
     "training_shuffle": q_training_shuffle,
     "embedding_quantize": q_embedding_quantize,
     "centroid_classify": q_centroid_classify,
+    "kmeans_cluster_profile": q_kmeans_cluster_profile,
+    "kmeans_balanced_selection": q_kmeans_balanced_selection,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -4022,6 +4344,12 @@ ORACLES = {
     "training_shuffle": ORACLE_TRAINING_SHUFFLE,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
+    # Lloyd rounds unrolled into MATERIALIZED CTEs (the LPA-oracle
+    # discipline); DECIMAL means + rounded sequential-fold cosines
+    # are bit-identical on both engines.
+    "kmeans_cluster_profile": _kmeans_profile_oracle_sql(),
+    "kmeans_balanced_selection": _kmeans_selection_oracle_sql(),
+    "hybrid_rrf_search": ORACLE_HYBRID_RRF,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,

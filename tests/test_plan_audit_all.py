@@ -48,6 +48,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "tfidf_top_terms": "1-row corpus doc-count broadcast into the scorer",
     "bm25_search": "1-row (N, total-tokens) aggregate broadcast into the "
     "scorer — the avgdl/idf constants, same class as tfidf_top_terms",
+    "hybrid_rrf_search": "bm25_rank's 1-row (N, total-tokens) broadcast "
+    "(the bm25_search entry) inside the lexical arm",
     "monthly_order_spine": "recursive year spine (≈7 rows) crossed with a "
     "12-row literal month dim — bounded by the schema's date span",
     "conversion_survival_curve": "1-row corpus-horizon aggregate broadcast "
@@ -76,6 +78,9 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "(reason set is fixed by the rule list)",
     "daily_order_anomalies": "mean/σ window over the O(#days) daily "
     "aggregate — time span, not row count",
+    "hybrid_rrf_search": "rank windows over the two n=50 retrieval lists "
+    "ALREADY selected by upstream TakeOrderedAndProject limits "
+    "(the weighted_order_sample class)",
     "dictionary_encode_digest": "frequency-rank window over the O(vocab) "
     "aggregate in build_vocab",
     "domain_mix_weights": "share window over the O(#domains) aggregate",

@@ -1,0 +1,145 @@
+"""Round-10 operators: literal-centroid k-means (shuffle-free Lloyd
+assignment), cluster-balanced selection, and RRF hybrid retrieval."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.similarity import (
+    _py_seq_l2,
+    as_double_vec,
+    centroid_assign_literal,
+    ivf_codebook,
+    kmeans_refine,
+    kmeans_train,
+    l2_norm,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_kmeans_train_equals_refine(spark):
+    """The literal-centroid training loop is bit-identical to the
+    crossJoin+rank-window face on the same seeds: same rounded
+    cosines, same argmax tie-break, same DECIMAL means."""
+    emb = _emb(spark)
+    got = kmeans_train(emb, "vec_id", "embedding", dim=64, k=8, iterations=2)
+    seeds = ivf_codebook(
+        emb, "vec_id", "embedding", dim=64, n_centroids=8, refine_iterations=0
+    )
+    ref = kmeans_refine(emb, "vec_id", "embedding", seeds, 64, iterations=2)
+    ref_l = sorted(
+        (int(r["cluster"]), [float(x) for x in r["_cv"]]) for r in ref.collect()
+    )
+    assert got == ref_l
+
+
+def test_kmeans_train_zero_iterations_returns_seeds(spark):
+    emb = _emb(spark)
+    got = kmeans_train(emb, "vec_id", "embedding", dim=64, k=4, iterations=0)
+    seeds = sorted(
+        (int(r["cluster"]), [float(x) for x in r["_cv"]])
+        for r in ivf_codebook(
+            emb, "vec_id", "embedding", dim=64, n_centroids=4
+        ).collect()
+    )
+    assert got == seeds
+
+
+def test_centroid_assign_literal_matches_python_argmax(spark):
+    """Argmax + lower-cluster tie-break pinned against a plain Python
+    reference, including an exact-tie centroid pair (clusters 1 and 2
+    are identical vectors — the rounded cosines tie and the LOWER id
+    must win)."""
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.5, 0.5, 0.0, 0.0]),
+        (2, [0.0, 0.1, 0.9, 0.0]),
+        (3, [0.2, 0.2, 0.2, 0.2]),
+    ]
+    cents = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),  # duplicate of 1 — forces the tie
+    ]
+    df = spark.createDataFrame(rows, "vid int, v array<double>")
+    vecs = df.select(
+        "vid", as_double_vec(F.col("v")).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), dim))
+    got = {
+        r["vid"]: (r["cluster"], r["_cos"])
+        for r in centroid_assign_literal(vecs, cents, dim).collect()
+    }
+
+    def pyref(v):
+        vn = _py_seq_l2(v)
+        best = None
+        for cid, cv in cents:
+            cn = _py_seq_l2(cv)
+            acc = 0.0
+            for a, b in zip(v, cv):
+                acc = acc + a * b
+            cos = round(acc / (vn * cn), 6)
+            # round() HALF_EVEN vs Spark HALF_UP differ only at exact
+            # .5 ulp boundaries, absent from this fixture
+            if best is None or cos > best[1] or (cos == best[1] and cid < best[0]):
+                best = (cid, cos)
+        return best
+
+    for vid, v in rows:
+        assert got[vid] == pyref(v), vid
+    # the tie case specifically: vector 2 is nearest the duplicated
+    # centroid — cluster 1 (not 2) must be chosen
+    assert got[2][0] == 1
+
+
+def test_kmeans_balanced_selection_invariants(spark):
+    from hr_moderndatapipeline_spark.queries.dataops import (
+        q_kmeans_balanced_selection,
+    )
+
+    sel = q_kmeans_balanced_selection(spark, SF_DIR).collect()
+    per_cluster: dict[int, list[int]] = {}
+    for r in sel:
+        per_cluster.setdefault(r["cluster"], []).append(r["sel_rank"])
+    assert per_cluster, "no clusters selected"
+    for cid, ranks in per_cluster.items():
+        assert len(ranks) <= 25, cid
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), cid
+
+
+def test_hybrid_rrf_search_fusion_arithmetic(spark):
+    from hr_moderndatapipeline_spark.queries.dataops import q_hybrid_rrf_search
+
+    out = q_hybrid_rrf_search(spark, SF_DIR).collect()
+    assert 0 < len(out) <= 20
+    prev = None
+    for r in out:
+        for c in ("lex_rank", "dense_rank"):
+            assert 0 <= r[c] <= 50, (c, r)
+        expect = (1_000_000_000 // (60 + r["lex_rank"]) if r["lex_rank"] else 0) + (
+            1_000_000_000 // (60 + r["dense_rank"]) if r["dense_rank"] else 0
+        )
+        assert r["rrf_ppb"] == expect, r
+        assert r["lex_rank"] or r["dense_rank"], r
+        key = (r["rrf_ppb"], r["doc_id"])
+        if prev is not None:
+            assert key < prev, "output not (rrf desc, doc_id desc) ordered"
+        prev = key
+
+
+def test_py_seq_l2_matches_spark_fold(spark):
+    vec = [0.1, -2.5, 3.75, 0.0, 1e-7, 42.0]
+    got = _py_seq_l2(vec)
+    spark_val = spark.createDataFrame(
+        [(vec,)], "v array<double>"
+    ).select(l2_norm(as_double_vec(F.col("v")), len(vec)).alias("n")).collect()[0]["n"]
+    assert got == spark_val
+    assert got == math.sqrt(sum(x * x for x in vec))  # no cancellation here
