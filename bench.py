@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "kmeans_cluster_profile",     # Lloyd k-means, literal-centroid rounds (r10)
     "kmeans_balanced_selection",  # cluster-balanced curation top-25/cluster (r10)
     "hybrid_rrf_search",          # BM25 ⊕ dense-cosine RRF fusion top-20 (r10)
+    "mmr_diverse_rerank",         # MMR diversified rerank of the dense head (r10)
+    "spend_decile_woe",           # WOE/IV supervised feature binning (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

@@ -173,6 +173,34 @@ def leakage_safe_split(
     return joined.withColumn("split", split).drop("_unit")
 
 
+def purged_time_split(
+    df: DataFrame,
+    ts_col: str,
+    purge_start: str,
+    test_start: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Temporal train/test split with a PURGE gap (the de Prado
+    time-series discipline): rows before ``purge_start`` train, rows
+    from ``test_start`` on test, and rows in between are PURGED —
+    dropped from both sides so label/feature windows that straddle
+    the cutoff cannot leak future information into training (the
+    failure a random or group split cannot prevent on temporal
+    data). A pure map-side projection: no shuffle, fully pushdown-
+    friendly, deterministic on every engine.
+
+    Complements ``leakage_safe_split`` (group exclusivity): that one
+    guards against NEAR-DUP leakage, this one against TEMPORAL
+    leakage."""
+    ts = F.col(ts_col)
+    split = (
+        F.when(ts < F.lit(purge_start).cast("timestamp"), F.lit("train"))
+        .when(ts < F.lit(test_start).cast("timestamp"), F.lit("purged"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, split)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

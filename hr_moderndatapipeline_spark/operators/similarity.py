@@ -831,6 +831,60 @@ def kmeans_train(
     return cents
 
 
+def mmr_rerank(
+    shortlist: Sequence[tuple[int, float, Sequence[float]]],
+    dim: int,
+    select: int = 10,
+    lam: float = 0.7,
+) -> list[tuple[int, int, float, float]]:
+    """Maximal-marginal-relevance greedy selection (Carbonell &
+    Goldstein 1998) over an ALREADY-RETRIEVED shortlist of
+    ``(id, relevance, vector)`` rows: repeatedly pick
+    ``argmax λ·rel − (1−λ)·max_sim_to_selected`` (ties to the HIGHER
+    id — the repo's retrieval tie-break). The first pick maximizes
+    relevance alone (empty selected set ⇒ zero penalty).
+
+    This is DRIVER-SIDE on purpose: MMR is O(select·|shortlist|·dim)
+    over the top-k head (20 rows here) — the bounded post-processing
+    class (codebooks, top-k diagnostics; SCALING.md "no driver-side
+    data" policy). The distributed work is producing the shortlist;
+    at ANY corpus scale the greedy step never grows. All arithmetic
+    is plain IEEE-double with sequential folds, so the result is
+    bit-restatable in SQL (the unrolled-round oracle).
+
+    Returns ``[(id, mmr_rank, relevance, penalty_at_pick)]``."""
+    cands = [
+        (int(i), float(r), [float(x) for x in v], _py_seq_l2(v))
+        for i, r, v in shortlist
+    ]
+
+    def _sim(a, b):
+        acc = 0.0
+        for x, y in zip(a[2], b[2]):
+            acc = acc + x * y
+        return acc / (a[3] * b[3])
+
+    picked: list[tuple[int, int, float, float]] = []
+    chosen: list[tuple[int, float, list[float], float]] = []
+    remaining = list(cands)
+    while remaining and len(picked) < select:
+        best = None
+        for c in remaining:
+            if chosen:
+                penalty = max(_sim(c, s) for s in chosen)
+            else:
+                penalty = 0.0
+            score = lam * c[1] - (1.0 - lam) * penalty
+            key = (score, c[0])
+            if best is None or key > best[0]:
+                best = (key, c, penalty)
+        _, pick, penalty = best
+        picked.append((pick[0], len(picked) + 1, pick[1], penalty))
+        chosen.append(pick)
+        remaining = [c for c in remaining if c[0] != pick[0]]
+    return picked
+
+
 def neardup_pairs_by_cosine(
     df: DataFrame,
     id_col: str,

@@ -1413,6 +1413,279 @@ ORDER BY rrf_ppb DESC, doc_id DESC LIMIT 20
 """
 
 
+# ── MMR diversified rerank over the dense shortlist ──
+
+def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: the dense top-20 shortlist (cosine to
+    the doc-0 query embedding — the hybrid_rrf_search dense arm)
+    reranked by maximal marginal relevance (λ=0.7, 10 picks —
+    ``operators/similarity.py mmr_rerank``). The DISTRIBUTED work is
+    the corpus scan + TakeOrderedAndProject shortlist; the greedy
+    step is O(10·20·dim) driver arithmetic over the already-bounded
+    head (the codebook/top-k-diagnostics collect class) — at any
+    corpus scale the rerank cost is constant. Every double is a
+    sequential fold or plain IEEE arithmetic, so the oracle restates
+    the 10 greedy rounds exactly (unrolled MATERIALIZED CTEs)."""
+    from hr_moderndatapipeline_spark.operators.relational import topk
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        _py_seq_l2,
+        as_double_vec,
+        cosine_prenormed,
+        l2_norm,
+        mmr_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(as_double_vec(F.col("embedding")).alias("_v"))
+        .collect()[0]["_v"]
+    ]
+    qn = _py_seq_l2(qv)
+    vecs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), 64))
+    scored = vecs.select(
+        "vec_id",
+        "_v",
+        # POLICY: rank-on-rounded (operators/similarity.py ROUNDING POLICY)
+        F.round(
+            cosine_prenormed(
+                F.col("_v"),
+                F.array(*[F.lit(x) for x in qv]),
+                F.col("_vn"),
+                F.lit(qn),
+                64,
+            ),
+            6,
+        ).alias("rel"),
+    )
+    shortlist = [
+        (r["vec_id"], r["rel"], r["_v"])
+        for r in topk(scored, [F.col("rel"), F.col("vec_id")], 20).collect()
+    ]
+    picks = mmr_rerank(shortlist, dim=64, select=10, lam=0.7)
+    return spark.createDataFrame(
+        picks, "doc_id bigint, mmr_rank int, rel6 double, penalty double"
+    )
+
+
+def _mmr_oracle_sql(select: int = 10) -> str:
+    """The 10 greedy MMR rounds unrolled: shortlist → pairwise raw
+    sims → per round [max-sim-to-selected aggregate → 1-row argmax
+    pick]. λ and (1−λ) are spelled as the SAME IEEE expressions the
+    operator computes (1.0 − 0.7 is NOT the double 0.3)."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    score = (
+        "CAST(0.7 AS DOUBLE) * {rel} - "
+        "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * {pen}"
+    )
+    parts = [
+        "WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "en AS (SELECT vec_id, v, "
+        f"sqrt({fold.format(a='v', b='v')}) AS vn FROM ev),",
+        "q AS (SELECT v AS qv, vn AS qn FROM en WHERE vec_id = 0),",
+        "dsc AS (SELECT vec_id, v, vn, "
+        f"round({fold.format(a='v', b='qv')} / (vn * qn), 6) AS rel "
+        "FROM en CROSS JOIN q WHERE vec_id <> 0),",
+        "sl AS MATERIALIZED (SELECT * FROM dsc "
+        "ORDER BY rel DESC, vec_id DESC LIMIT 20),",
+        "sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        f"{fold.format(a='a.v', b='b.v')} / (a.vn * b.vn) AS sim "
+        "FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),",
+        "sel1 AS MATERIALIZED (SELECT vec_id, 1 AS mmr_rank, rel, "
+        "CAST(0.0 AS DOUBLE) AS penalty FROM sl "
+        f"ORDER BY {score.format(rel='rel', pen='CAST(0.0 AS DOUBLE)')} DESC, "
+        "vec_id DESC LIMIT 1),",
+    ]
+    for r in range(2, select + 1):
+        parts += [
+            f"cand{r} AS (SELECT c.vec_id, c.rel, max(s.sim) AS maxsim "
+            f"FROM sl c JOIN sims s ON s.ia = c.vec_id "
+            f"AND s.ib IN (SELECT vec_id FROM sel{r - 1}) "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}) "
+            "GROUP BY 1, 2),",
+            f"pick{r} AS (SELECT vec_id, {r} AS mmr_rank, rel, "
+            f"maxsim AS penalty FROM cand{r} "
+            f"ORDER BY {score.format(rel='rel', pen='maxsim')} DESC, "
+            "vec_id DESC LIMIT 1),",
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} "
+            f"UNION ALL SELECT * FROM pick{r}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vec_id AS doc_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, "
+        f"rel AS rel6, penalty FROM sel{select}"
+    )
+    return "\n".join(parts)
+
+
+# ── temporal split with purge gap ──
+
+def q_purged_event_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL split of the event stream
+    (operators/sampling.py purged_time_split): train before
+    2024-01-20, test from 2024-01-22, the two days between PURGED —
+    the de Prado gap that keeps look-ahead feature/label windows
+    from leaking across the cutoff. Map-side projection, no
+    shuffle."""
+    from hr_moderndatapipeline_spark.operators.sampling import (
+        purged_time_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return purged_time_split(
+        ev, "ts", "2024-01-20 00:00:00", "2024-01-22 00:00:00"
+    ).select("event_id", "user_id", "split")
+
+
+ORACLE_PURGED_EVENT_SPLIT = """
+SELECT event_id, user_id,
+       CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'purged'
+            ELSE 'test' END AS split
+FROM events
+"""
+
+
+# ── weight-of-evidence feature binning ──
+
+def q_spend_decile_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value readout of customer
+    spend vs the has-returned-item label — the classic supervised
+    feature-binning diagnostic (credit-scoring WOE, here: does spend
+    predict returns?). Deciles come from the range-partitioned rank
+    (assign_stable_ids + the r8 ntile arithmetic — no
+    SinglePartition window over customers); the label flags
+    customers owning ≥1 order with an 'R' lineitem (semi-join
+    aggregate). Per decile: counts plus integer-micro-nat WOE
+    ``ln(ps/ns)`` and its IV contribution, where ps/ns are
+    half-smoothed share ratios ((pos+0.5)/(pos_tot+5.0)) — exact
+    BIGINT count ratios through identical IEEE arithmetic on both
+    engines. The totals window runs over the 10-row decile
+    aggregate (bounded)."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    ret_orders = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    per_order = orders.join(
+        ret_orders.withColumn("_r", F.lit(1)), "o_orderkey", "left"
+    )
+    per_cust = per_order.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_spend"),
+        F.max(F.coalesce(F.col("_r"), F.lit(0))).alias("_pos"),
+    )
+    labeled = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(22,2)")).alias(
+            "spend"
+        ),
+        F.coalesce(F.col("_pos"), F.lit(0)).cast("bigint").alias("is_pos"),
+    )
+    ranked = assign_stable_ids(
+        labeled, ["spend", "c_custkey"], id_col="_sid", total_col="_n"
+    )
+    binned = (
+        ranked.withColumn("_base", F.expr("_n DIV 10"))
+        .withColumn("_r", F.pmod(F.col("_n"), F.lit(10)))
+        .withColumn("_cut", F.col("_r") * (F.col("_base") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_sid") < F.col("_cut"),
+                F.expr("_sid DIV (_base + 1) + 1"),
+            )
+            .otherwise(F.expr("_r + (_sid - _cut) DIV _base + 1"))
+            .cast("bigint"),
+        )
+    )
+    agg = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("is_pos").cast("bigint").alias("n_returners"),
+    )
+    w = Window.partitionBy()
+    ps = (F.col("n_returners").cast("double") + F.lit(0.5)) / (
+        F.sum("n_returners").over(w).cast("double") + F.lit(5.0)
+    )
+    neg = F.col("n_customers") - F.col("n_returners")
+    ns = (neg.cast("double") + F.lit(0.5)) / (
+        (F.sum("n_customers").over(w) - F.sum("n_returners").over(w)).cast(
+            "double"
+        )
+        + F.lit(5.0)
+    )
+    lnv = F.log(ps / ns)
+    return agg.select(
+        "decile",
+        "n_customers",
+        "n_returners",
+        F.floor(lnv * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("woe_micro_nat"),
+        F.floor((ps - ns) * lnv * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("iv_micro_nat"),
+    )
+
+
+ORACLE_SPEND_DECILE_WOE = """
+WITH ret_orders AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+  WHERE l_returnflag = 'R'),
+per_cust AS (
+  SELECT o.o_custkey, sum(o.o_totalprice) AS spend,
+         max(CASE WHEN r.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS pos
+  FROM orders o LEFT JOIN ret_orders r USING (o_orderkey)
+  GROUP BY 1),
+labeled AS (
+  SELECT c.c_custkey,
+         COALESCE(p.spend, CAST(0 AS DECIMAL(22,2))) AS spend,
+         CAST(COALESCE(p.pos, 0) AS BIGINT) AS is_pos
+  FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey),
+binned AS (
+  SELECT ntile(10) OVER (ORDER BY spend ASC, c_custkey ASC) AS decile,
+         is_pos
+  FROM labeled),
+agg AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(is_pos) AS BIGINT) AS n_returners
+  FROM binned GROUP BY 1),
+shares AS (
+  SELECT decile, n_customers, n_returners,
+         (CAST(n_returners AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(sum(n_returners) OVER () AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS ps,
+         (CAST(n_customers - n_returners AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(sum(n_customers) OVER () - sum(n_returners) OVER () AS DOUBLE)
+              + CAST(5.0 AS DOUBLE)) AS ns
+  FROM agg)
+SELECT decile, n_customers, n_returners,
+       CAST(floor(ln(ps / ns) * 1000000.0 + 0.5) AS BIGINT) AS woe_micro_nat,
+       CAST(floor((ps - ns) * ln(ps / ns) * 1000000.0 + 0.5) AS BIGINT)
+         AS iv_micro_nat
+FROM shares
+"""
+
+
 # ── training order + embedding storage ──
 
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4283,6 +4556,9 @@ QUERIES = {
     "kmeans_cluster_profile": q_kmeans_cluster_profile,
     "kmeans_balanced_selection": q_kmeans_balanced_selection,
     "hybrid_rrf_search": q_hybrid_rrf_search,
+    "mmr_diverse_rerank": q_mmr_diverse_rerank,
+    "purged_event_split": q_purged_event_split,
+    "spend_decile_woe": q_spend_decile_woe,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -4350,6 +4626,11 @@ ORACLES = {
     "kmeans_cluster_profile": _kmeans_profile_oracle_sql(),
     "kmeans_balanced_selection": _kmeans_selection_oracle_sql(),
     "hybrid_rrf_search": ORACLE_HYBRID_RRF,
+    # 10 greedy MMR rounds unrolled; λ spelled as the same IEEE
+    # expressions the operator computes (1.0 − 0.7 ≠ the double 0.3).
+    "mmr_diverse_rerank": _mmr_oracle_sql(),
+    "purged_event_split": ORACLE_PURGED_EVENT_SPLIT,
+    "spend_decile_woe": ORACLE_SPEND_DECILE_WOE,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,

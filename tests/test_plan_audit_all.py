@@ -81,6 +81,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "hybrid_rrf_search": "rank windows over the two n=50 retrieval lists "
     "ALREADY selected by upstream TakeOrderedAndProject limits "
     "(the weighted_order_sample class)",
+    "spend_decile_woe": "pos/neg-totals window over the 10-row decile "
+    "aggregate (the quality_calibration_curve class)",
     "dictionary_encode_digest": "frequency-rank window over the O(vocab) "
     "aggregate in build_vocab",
     "domain_mix_weights": "share window over the O(#domains) aggregate",

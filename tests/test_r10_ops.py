@@ -135,6 +135,81 @@ def test_hybrid_rrf_search_fusion_arithmetic(spark):
         prev = key
 
 
+def test_mmr_rerank_properties():
+    from hr_moderndatapipeline_spark.operators.similarity import mmr_rerank
+
+    # doc 11 duplicates doc 10 (the top-relevance vector): pure
+    # relevance would rank it second; MMR must defer it for the
+    # orthogonal doc 12.
+    shortlist = [
+        (10, 0.99, [1.0, 0.0, 0.0]),
+        (11, 0.98, [1.0, 0.0, 0.0]),
+        # 0.7·0.98 − 0.3·1.0 = 0.386 for the duplicate; 0.7·0.60 =
+        # 0.42 for the orthogonal doc — diversity must win
+        (12, 0.60, [0.0, 1.0, 0.0]),
+        (13, 0.40, [0.0, 0.0, 1.0]),
+    ]
+    picks = mmr_rerank(shortlist, dim=3, select=4, lam=0.7)
+    ids = [p[0] for p in picks]
+    assert len(set(ids)) == 4
+    assert ids[0] == 10  # first pick = max relevance
+    assert picks[0][3] == 0.0  # empty selected set ⇒ zero penalty
+    assert ids[1] == 12, "duplicate of the top pick must be deferred"
+    assert [p[1] for p in picks] == [1, 2, 3, 4]
+    # λ=1.0 degenerates to pure relevance order
+    rel_only = mmr_rerank(shortlist, dim=3, select=4, lam=1.0)
+    assert [p[0] for p in rel_only] == [10, 11, 12, 13]
+
+
+def test_mmr_rerank_tie_breaks_to_higher_id():
+    from hr_moderndatapipeline_spark.operators.similarity import mmr_rerank
+
+    shortlist = [
+        (1, 0.9, [1.0, 0.0]),
+        (2, 0.9, [0.0, 1.0]),  # identical relevance — higher id wins
+    ]
+    picks = mmr_rerank(shortlist, dim=2, select=1, lam=0.7)
+    assert picks[0][0] == 2
+
+
+def test_purged_time_split_boundaries(spark):
+    from hr_moderndatapipeline_spark.operators.sampling import (
+        purged_time_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-19 23:59:59"),
+            (2, "2024-01-20 00:00:00"),  # boundary: purged, not train
+            (3, "2024-01-21 12:00:00"),
+            (4, "2024-01-22 00:00:00"),  # boundary: test, not purged
+            (5, "2024-01-25 00:00:00"),
+        ],
+        "id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["id"]: r["split"]
+        for r in purged_time_split(
+            df, "ts", "2024-01-20 00:00:00", "2024-01-22 00:00:00"
+        ).collect()
+    }
+    assert got == {1: "train", 2: "purged", 3: "purged", 4: "test", 5: "test"}
+
+
+def test_spend_decile_woe_invariants(spark):
+    from hr_moderndatapipeline_spark.queries.dataops import q_spend_decile_woe
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    rows = q_spend_decile_woe(spark, SF_DIR).collect()
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r["n_returners"] <= r["n_customers"]
+        assert r["woe_micro_nat"] is not None
+        assert r["iv_micro_nat"] is not None
+
+
 def test_py_seq_l2_matches_spark_fold(spark):
     vec = [0.1, -2.5, 3.75, 0.0, 1e-7, 42.0]
     got = _py_seq_l2(vec)
