@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "hybrid_rrf_search",          # BM25 ⊕ dense-cosine RRF fusion top-20 (r10)
     "mmr_diverse_rerank",         # MMR diversified rerank of the dense head (r10)
     "spend_decile_woe",           # WOE/IV supervised feature binning (r10)
+    "classifier_auc",             # exact rank-sum ROC-AUC, dual tie-break (r10)
+    "did_experiment_readout",     # 2x2 diff-in-differences single-agg (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

@@ -77,3 +77,121 @@ def cuped_adjusted_means(
         mean_y_v.alias("mean_y"),
         (mean_y_v - theta * (mean_x_v - mean_x_pooled)).alias("mean_y_adjusted"),
     )
+
+
+def rank_sum_auc(
+    df: DataFrame, id_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact tie-averaged ROC-AUC via the Mann–Whitney rank-sum
+    identity — the ONLY formulation that scales: pairwise
+    pos×neg comparison is O(n²), the rank sum is two global
+    rankings + one aggregate.
+
+    Ties are handled EXACTLY without per-group averaging (which
+    would need a cumulative window over the O(#distinct scores)
+    relation — a scaling relation, so banned): rank twice with
+    OPPOSITE id tie-breaks. With ranks by (score, id asc),
+    U_up = R⁺ − np(np+1)/2 counts {score_p > score_n} plus the tied
+    pairs the id-order resolves upward; with (score, id desc) the
+    tied pairs resolve the other way, so
+
+        U_up + U_dn = 2·U_strict + T  =  2·U_tie-averaged
+
+    exactly, in BIGINT. Both rankings use ``assign_stable_ids``
+    (range-partitioned two-pass rank — no single-partition window);
+    the two ranked frames union into ONE map-side-combinable
+    aggregate, no join anywhere.
+
+    Returns one row: (n_pos, n_neg, u2, auc_ppm, gini_ppm) with
+    ``auc_ppm = u2·1e6 DIV (2·np·nn)`` (floor; u2 ≤ 2·np·nn keeps
+    BIGINT safe to np·nn < 4.6e18 — beyond that move the final
+    division to DECIMAL(38,0), the weighted-sample idiom)."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_sc"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    ).withColumn("_negid", -F.col("_id"))
+    up = assign_stable_ids(base, ["_sc", "_id"], id_col="_sid").select(
+        "_y", (F.col("_sid") + 1).alias("_rk"), F.lit("up").alias("_side")
+    )
+    dn = assign_stable_ids(base, ["_sc", "_negid"], id_col="_sid").select(
+        "_y", (F.col("_sid") + 1).alias("_rk"), F.lit("dn").alias("_side")
+    )
+    stats = up.unionByName(dn).agg(
+        F.sum(F.when((F.col("_side") == "up") & (F.col("_y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when((F.col("_side") == "up") & (F.col("_y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when((F.col("_side") == "up") & (F.col("_y") == 1), F.col("_rk")))
+        .cast("bigint")
+        .alias("_rp_up"),
+        F.sum(F.when((F.col("_side") == "dn") & (F.col("_y") == 1), F.col("_rk")))
+        .cast("bigint")
+        .alias("_rp_dn"),
+    )
+    u2 = (
+        F.col("_rp_up") + F.col("_rp_dn") - F.col("n_pos") * (F.col("n_pos") + 1)
+    )
+    return stats.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.expr(
+            "CAST((_rp_up + _rp_dn - n_pos * (n_pos + 1)) * 1000000 "
+            "DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CAST((_rp_up + _rp_dn - n_pos * (n_pos + 1)) * 1000000 "
+            "DIV (n_pos * n_neg) - 1000000 AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def did_readout(
+    per_row: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimate from row-level
+    (treat, post, integer value) observations: the 2×2 cell means
+    from ONE map-side-combinable conditional aggregate (no window,
+    no join, no shuffle beyond the single 1-row gather), then
+        DiD = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre).
+    Cell sums are exact BIGINT; the four means and the estimate are
+    fixed double expressions over them — identical on any engine.
+
+    Returns one row: per-cell counts + the DiD point estimate in the
+    value column's own integer unit (double)."""
+    t, p, v = F.col(treat_col), F.col(post_col), F.col(value_col)
+
+    def _cell(tv: int, pv: int, agg) -> object:
+        return agg(F.when((t == tv) & (p == pv), v))
+
+    cells = per_row.agg(
+        F.count(F.when((t == 1) & (p == 0), 1)).cast("bigint").alias("n_treat_pre"),
+        F.count(F.when((t == 1) & (p == 1), 1)).cast("bigint").alias("n_treat_post"),
+        F.count(F.when((t == 0) & (p == 0), 1)).cast("bigint").alias("n_ctrl_pre"),
+        F.count(F.when((t == 0) & (p == 1), 1)).cast("bigint").alias("n_ctrl_post"),
+        _cell(1, 0, F.sum).cast("bigint").alias("_s_tp0"),
+        _cell(1, 1, F.sum).cast("bigint").alias("_s_tp1"),
+        _cell(0, 0, F.sum).cast("bigint").alias("_s_cp0"),
+        _cell(0, 1, F.sum).cast("bigint").alias("_s_cp1"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    did = (
+        mean("_s_tp1", "n_treat_post") - mean("_s_tp0", "n_treat_pre")
+    ) - (mean("_s_cp1", "n_ctrl_post") - mean("_s_cp0", "n_ctrl_pre"))
+    return cells.select(
+        "n_treat_pre",
+        "n_treat_post",
+        "n_ctrl_pre",
+        "n_ctrl_post",
+        did.alias("did_estimate"),
+    )

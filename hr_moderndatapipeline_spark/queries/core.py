@@ -1590,6 +1590,52 @@ def q_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_means(pu, "variant", "x", "y")
 
 
+def q_did_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (operators/experiments.py
+    did_readout): treatment = user parity (the cuped variant split),
+    period cut at 2024-01-15, event value milli-quantized (the cuped
+    idiom). One map-side-combinable conditional aggregate — no
+    window, no join — emits the 2×2 cell counts and the DiD point
+    estimate as a fixed double expression over exact BIGINT cell
+    sums."""
+    from hr_moderndatapipeline_spark.operators.experiments import did_readout
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    rows = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("treat"),
+        (F.col("ts") >= cut).cast("int").alias("post"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    return did_readout(rows, "treat", "post", "vm")
+
+
+ORACLE_DID_READOUT = """
+WITH r AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS t,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS p,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+    CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre,
+    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post,
+    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN v END) AS BIGINT) AS s_tp0,
+    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN v END) AS BIGINT) AS s_tp1,
+    CAST(sum(CASE WHEN t = 0 AND p = 0 THEN v END) AS BIGINT) AS s_cp0,
+    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN v END) AS BIGINT) AS s_cp1
+  FROM r)
+SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+       (CAST(s_tp1 AS DOUBLE) / CAST(n_treat_post AS DOUBLE)
+        - CAST(s_tp0 AS DOUBLE) / CAST(n_treat_pre AS DOUBLE))
+       - (CAST(s_cp1 AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE)
+          - CAST(s_cp0 AS DOUBLE) / CAST(n_ctrl_pre AS DOUBLE)) AS did_estimate
+FROM cells
+"""
+
+
 ORACLE_CUPED_READOUT = """
 WITH pu AS (
   SELECT user_id % 2 AS variant,
@@ -4655,6 +4701,7 @@ QUERIES = {
     "customer_revenue_gini": q_customer_revenue_gini,
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
+    "did_experiment_readout": q_did_experiment_readout,
     "customer_spend_percentile": q_customer_spend_percentile,
     "order_status_bookends": q_order_status_bookends,
     "weekday_order_profile": q_weekday_order_profile,
@@ -4754,6 +4801,7 @@ ORACLES = {
     "customer_revenue_gini": ORACLE_CUSTOMER_REVENUE_GINI,
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,
+    "did_experiment_readout": ORACLE_DID_READOUT,
     "customer_spend_percentile": ORACLE_SPEND_PERCENTILE,
     "order_status_bookends": ORACLE_ORDER_BOOKENDS,
     "weekday_order_profile": ORACLE_WEEKDAY_ORDER_PROFILE,

@@ -4171,6 +4171,75 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+# ── exact distributed ROC-AUC of the quality classifier ──
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-averaged ROC-AUC of the hashed linear quality
+    classifier against the src0 label (operators/experiments.py
+    rank_sum_auc): the Mann–Whitney rank-sum identity with TWO
+    opposite-tiebreak range-partitioned rankings —
+    U_up + U_dn = 2·U_tie-averaged exactly, in BIGINT — so the
+    pairwise O(pos·neg) comparison and the per-tie-group cumulative
+    window are both avoided. The eval metric a curation team reads
+    before trusting `classifier_quality_gate`, computed at corpus
+    scale."""
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        rank_sum_auc,
+    )
+    from hr_moderndatapipeline_spark.operators.text import hashed_linear_score
+
+    docs = _docs(spark, sf_dir)
+    scored = hashed_linear_score(docs, "doc_id", "text").select(
+        "doc_id", "score_micro"
+    )
+    labeled = scored.join(
+        docs.select(
+            "doc_id",
+            (F.col("source") == "src0").cast("bigint").alias("is_target"),
+        ),
+        "doc_id",
+    )
+    return rank_sum_auc(labeled, "doc_id", "score_micro", "is_target")
+
+
+ORACLE_CLASSIFIER_AUC = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents)),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(tok) + 1),
+                            i -> CAST(ord(tok[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS b
+  FROM toks),
+w AS (SELECT doc_id, ((b * 2654435761 + 40503) % 1000001) - 500000 AS wm FROM h),
+sc AS (SELECT doc_id, sum(wm) AS sm FROM w GROUP BY 1),
+s AS (
+  SELECT d.doc_id, CAST(coalesce(sc.sm, 0) AS BIGINT) AS score,
+         CAST(CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+up AS (SELECT y, row_number() OVER (ORDER BY score, doc_id) AS rk FROM s),
+dn AS (SELECT y, row_number() OVER (ORDER BY score, -doc_id) AS rk FROM s),
+stats AS (
+  SELECT
+    CAST(sum(CASE WHEN side = 'up' AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(CASE WHEN side = 'up' AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+    CAST(sum(CASE WHEN side = 'up' AND y = 1 THEN rk END) AS BIGINT) AS rp_up,
+    CAST(sum(CASE WHEN side = 'dn' AND y = 1 THEN rk END) AS BIGINT) AS rp_dn
+  FROM (SELECT y, rk, 'up' AS side FROM up
+        UNION ALL SELECT y, rk, 'dn' AS side FROM dn))
+SELECT n_pos, n_neg,
+       CAST(rp_up + rp_dn - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST((rp_up + rp_dn - n_pos * (n_pos + 1)) * 1000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
+       CAST((rp_up + rp_dn - n_pos * (n_pos + 1)) * 1000000
+            // (n_pos * n_neg) - 1000000 AS BIGINT) AS gini_ppm
+FROM stats
+"""
+
+
 # ── count-min sketch term frequencies ──
 
 def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4559,6 +4628,7 @@ QUERIES = {
     "mmr_diverse_rerank": q_mmr_diverse_rerank,
     "purged_event_split": q_purged_event_split,
     "spend_decile_woe": q_spend_decile_woe,
+    "classifier_auc": q_classifier_auc,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -4631,6 +4701,7 @@ ORACLES = {
     "mmr_diverse_rerank": _mmr_oracle_sql(),
     "purged_event_split": ORACLE_PURGED_EVENT_SPLIT,
     "spend_decile_woe": ORACLE_SPEND_DECILE_WOE,
+    "classifier_auc": ORACLE_CLASSIFIER_AUC,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,

@@ -1,5 +1,7 @@
 """Round-10 operators: literal-centroid k-means (shuffle-free Lloyd
-assignment), cluster-balanced selection, and RRF hybrid retrieval."""
+assignment), cluster-balanced selection, RRF hybrid retrieval, MMR
+diversified rerank, purged temporal split, WOE binning, rank-sum AUC,
+and the DiD experiment readout."""
 
 from __future__ import annotations
 
@@ -218,3 +220,47 @@ def test_py_seq_l2_matches_spark_fold(spark):
     ).select(l2_norm(as_double_vec(F.col("v")), len(vec)).alias("n")).collect()[0]["n"]
     assert got == spark_val
     assert got == math.sqrt(sum(x * x for x in vec))  # no cancellation here
+
+
+def test_rank_sum_auc_matches_bruteforce_pairwise(spark):
+    """Tie-averaged AUC from the two opposite-tiebreak rank sums ==
+    the O(pos·neg) pairwise definition, on seeded random frames WITH
+    heavy score ties."""
+    import random
+
+    from hr_moderndatapipeline_spark.operators.experiments import rank_sum_auc
+
+    rng = random.Random(421)
+    for trial in range(3):
+        rows = [
+            (i, rng.randrange(0, 8), rng.randrange(0, 2))  # few score levels → many ties
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, score bigint, y bigint")
+        got = rank_sum_auc(df, "id", "score", "y").collect()[0]
+        pos = [s for _, s, y in rows if y == 1]
+        neg = [s for _, s, y in rows if y == 0]
+        u2_ref = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg), trial
+        assert got["u2"] == u2_ref, trial
+        assert got["auc_ppm"] == u2_ref * 1_000_000 // (2 * len(pos) * len(neg))
+        assert got["gini_ppm"] == u2_ref * 1_000_000 // (len(pos) * len(neg)) - 1_000_000
+
+
+def test_did_readout_matches_python_reference(spark):
+    from hr_moderndatapipeline_spark.operators.experiments import did_readout
+
+    rows = [
+        # (treat, post, value)
+        (1, 0, 10), (1, 0, 14), (1, 1, 30), (1, 1, 34),
+        (0, 0, 5), (0, 1, 9), (0, 1, 11),
+    ]
+    df = spark.createDataFrame(rows, "treat int, post int, vm bigint")
+    got = did_readout(df, "treat", "post", "vm").collect()[0]
+    assert (
+        got["n_treat_pre"], got["n_treat_post"], got["n_ctrl_pre"], got["n_ctrl_post"]
+    ) == (2, 2, 1, 2)
+    did_ref = (64 / 2 - 24 / 2) - (20 / 2 - 5 / 1)
+    assert got["did_estimate"] == did_ref
