@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "spend_decile_woe",           # WOE/IV supervised feature binning (r10)
     "classifier_auc",             # exact rank-sum ROC-AUC, dual tie-break (r10)
     "did_experiment_readout",     # 2x2 diff-in-differences single-agg (r10)
+    "conversion_logrank",  # log-rank O/E/V in the KM fold discipline (r10)
+    "value_qte_readout",          # per-variant exact quantile treatment effects (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

@@ -1175,6 +1175,99 @@ def kaplan_meier(
     )
 
 
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; public method) over
+    right-censored integer durations — the significance companion to
+    the ``kaplan_meier`` curves: is the treatment cohort's survival
+    DIFFERENT, or just noisy? ``group_col`` must be 0 (control) / 1
+    (treatment).
+
+    At each distinct time t with n at risk (n₁ treat, n₀ control)
+    and d observed events, treatment expects e += d·n₁/n under H₀
+    and contributes hypergeometric variance
+    v += d·(n₁/n)·(n₀/n)·(n−d)/(n−1); the statistic is
+    χ² = (O₁ − E₁)²/V (1 df).
+
+    Scale + exactness shape — the ``kaplan_meier`` discipline: ONE
+    map-side-combinable per-duration aggregate (O(#distinct
+    durations) rows), collected into a sorted array and folded
+    SEQUENTIALLY in ascending-t order; e/v accumulate in the fold, so
+    the double sums have a pinned order and a recursive CTE restates
+    them add-for-add. O₁ and the at-risk totals are exact BIGINTs.
+    Subjects are never windowed or single-partitioned.
+
+    Returns one row: (n_treat, n_ctrl, o_treat, e_treat, var_treat,
+    chi2)."""
+    g = F.col(group_col).cast("int")
+    e = F.col(event_col).cast("bigint")
+    agg = df.groupBy(F.col(duration_col).cast("bigint").alias("t")).agg(
+        F.sum(F.when(g == 1, e).otherwise(0)).alias("d1"),
+        F.sum(F.when(g == 1, 1 - e).otherwise(0)).alias("c1"),
+        F.sum(F.when(g == 0, e).otherwise(0)).alias("d0"),
+        F.sum(F.when(g == 0, 1 - e).otherwise(0)).alias("c0"),
+    )
+    packed = agg.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d1", "c1", "d0", "c0"))
+        ).alias("_steps"),
+        F.sum(F.col("d1") + F.col("c1")).cast("bigint").alias("_n1_0"),
+        F.sum(F.col("d0") + F.col("c0")).cast("bigint").alias("_n0_0"),
+        F.sum("d1").cast("bigint").alias("_o1"),
+    )
+
+    def _step(acc, st):
+        n_b = acc["n1"] + acc["n0"]
+        d_b = st["d1"] + st["d0"]
+        dd = d_b.cast("double")
+        nn1 = acc["n1"].cast("double")
+        nn0 = acc["n0"].cast("double")
+        nn = n_b.cast("double")
+        e_term = (dd * nn1) / nn
+        v_term = F.when(
+            n_b > 1,
+            ((dd * nn1) / nn * (nn0 / nn))
+            * ((n_b - d_b).cast("double") / (n_b - 1).cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            (acc["n1"] - st["d1"] - st["c1"]).alias("n1"),
+            (acc["n0"] - st["d0"] - st["c0"]).alias("n0"),
+            (acc["e"] + e_term).alias("e"),
+            (acc["v"] + v_term).alias("v"),
+        )
+
+    folded = packed.select(
+        F.col("_n1_0"),
+        F.col("_n0_0"),
+        F.col("_o1"),
+        F.aggregate(
+            "_steps",
+            F.struct(
+                F.col("_n1_0").alias("n1"),
+                F.col("_n0_0").alias("n0"),
+                F.lit(0.0).alias("e"),
+                F.lit(0.0).alias("v"),
+            ),
+            _step,
+        ).alias("_acc"),
+    )
+    o1d = F.col("_o1").cast("double")
+    ev_ = F.col("_acc.e")
+    vv = F.col("_acc.v")
+    return folded.select(
+        F.col("_n1_0").alias("n_treat"),
+        F.col("_n0_0").alias("n_ctrl"),
+        F.col("_o1").alias("o_treat"),
+        ev_.alias("e_treat"),
+        vv.alias("var_treat"),
+        F.when(vv > 0, ((o1d - ev_) * (o1d - ev_)) / vv).alias("chi2"),
+    )
+
+
 def touch_attribution(
     events: DataFrame,
     user_col: str,

@@ -1636,6 +1636,88 @@ FROM cells
 """
 
 
+def q_value_qte_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: per-variant (user parity) EXACT
+    p25/p50/p75 of post-period milli-quantized event value, then the
+    treat−control difference per quantile — the distributional
+    companion to the mean readouts (cuped/DiD): a treatment that
+    moves the tail but not the median shows up here and nowhere
+    else. Grouped percentiles use ``assign_grouped_ranks``
+    (range-partitioned, no per-group one-task window, the
+    order_value_percentiles discipline); the final 2-row pivot is a
+    conditional aggregate. All-BIGINT output — exact."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_grouped_ranks,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    rows = ev.filter(F.col("ts") >= cut).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    ranked = assign_grouped_ranks(
+        rows, ["variant"], ["vm", "event_id"], id_col="_rk", total_col="_n"
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("_rk") == F.expr(f"(_n - 1) * {pct} DIV 100"),
+                F.col("vm"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"p{pct}")
+        for pct in (25, 50, 75)
+    ]
+    per_variant = ranked.groupBy("variant").agg(
+        F.max("_n").cast("bigint").alias("n_events"), *picks
+    )
+    t1 = lambda c: F.max(F.when(F.col("variant") == 1, F.col(c)))  # noqa: E731
+    t0 = lambda c: F.max(F.when(F.col("variant") == 0, F.col(c)))  # noqa: E731
+    return per_variant.agg(
+        t1("n_events").cast("bigint").alias("n_treat"),
+        t0("n_events").cast("bigint").alias("n_ctrl"),
+        (t1("p25") - t0("p25")).cast("bigint").alias("qte_p25_milli"),
+        (t1("p50") - t0("p50")).cast("bigint").alias("qte_p50_milli"),
+        (t1("p75") - t0("p75")).cast("bigint").alias("qte_p75_milli"),
+    )
+
+
+ORACLE_VALUE_QTE = """
+WITH rows_ AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+         CAST(round(value * 1000) AS BIGINT) AS vm,
+         event_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+r AS (
+  SELECT variant, vm,
+         row_number() OVER (PARTITION BY variant
+                            ORDER BY vm, event_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY variant) AS n
+  FROM rows_),
+pv AS (
+  SELECT variant,
+         CAST(max(n) AS BIGINT) AS n_events,
+         CAST(max(CASE WHEN rk = (n - 1) * 25 // 100 THEN vm END) AS BIGINT) AS p25,
+         CAST(max(CASE WHEN rk = (n - 1) * 50 // 100 THEN vm END) AS BIGINT) AS p50,
+         CAST(max(CASE WHEN rk = (n - 1) * 75 // 100 THEN vm END) AS BIGINT) AS p75
+  FROM r GROUP BY variant)
+SELECT
+  CAST(max(CASE WHEN variant = 1 THEN n_events END) AS BIGINT) AS n_treat,
+  CAST(max(CASE WHEN variant = 0 THEN n_events END) AS BIGINT) AS n_ctrl,
+  CAST(max(CASE WHEN variant = 1 THEN p25 END)
+       - max(CASE WHEN variant = 0 THEN p25 END) AS BIGINT) AS qte_p25_milli,
+  CAST(max(CASE WHEN variant = 1 THEN p50 END)
+       - max(CASE WHEN variant = 0 THEN p50 END) AS BIGINT) AS qte_p50_milli,
+  CAST(max(CASE WHEN variant = 1 THEN p75 END)
+       - max(CASE WHEN variant = 0 THEN p75 END) AS BIGINT) AS qte_p75_milli
+FROM pv
+"""
+
+
 ORACLE_CUPED_READOUT = """
 WITH pu AS (
   SELECT user_id % 2 AS variant,
@@ -4532,6 +4614,125 @@ FROM rec
 """
 
 
+# ── log-rank test: is the signup cohort's survival different? ──
+
+def q_conversion_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/relational.py
+    logrank_test) on the conversion-survival subjects, cohorts by
+    user parity — the repo's standard deterministic treatment split
+    (cuped/DiD/QTE) rather than the signup flag, because every
+    viewing user in the synthetic stream also signs up (n_ctrl
+    would be 0 and χ² degenerately NULL at every SF). O/E/V
+    accumulate inside the SAME sequential ascending-t fold
+    discipline as the Kaplan–Meier product, so the double sums have
+    a pinned order and the oracle's recursive CTE restates them
+    add-for-add; the subject table reduces to ONE O(#distinct
+    durations) digest aggregate."""
+    from hr_moderndatapipeline_spark.operators.relational import logrank_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("_sec"),
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_v0"))
+    )
+    first_purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("_sec") >= F.col("_v0"))
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_p0"))
+    )
+    horizon = ev.agg(F.max("_sec").alias("_h"))
+    subjects = (
+        first_view.join(first_purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            F.when(
+                F.col("_p0").isNull(),
+                F.expr("(_h - _v0) DIV 86400"),
+            )
+            .otherwise(F.expr("(_p0 - _v0) DIV 86400"))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("_p0").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("ev"),
+        )
+    )
+    return logrank_test(subjects, "dur", "ev", "variant")
+
+
+ORACLE_CONVERSION_LOGRANK = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+fv AS (
+  SELECT user_id, min(sec) AS v0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(e.sec) AS p0
+  FROM ev e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec >= fv.v0
+  GROUP BY e.user_id),
+hz AS (SELECT max(sec) AS h FROM ev),
+subj AS (
+  SELECT CAST(fv.user_id % 2 AS INTEGER) AS g,
+         CASE WHEN fp.p0 IS NULL THEN (hz.h - fv.v0) // 86400
+         ELSE (fp.p0 - fv.v0) // 86400 END AS t,
+         CASE WHEN fp.p0 IS NULL THEN 0 ELSE 1 END AS e
+  FROM fv
+  LEFT JOIN fp ON fv.user_id = fp.user_id
+  CROSS JOIN hz),
+agg AS (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 - e ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 0 THEN e ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN g = 0 THEN 1 - e ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY 1),
+ord AS (SELECT t, d1, c1, d0, c0,
+               row_number() OVER (ORDER BY t) AS k FROM agg),
+tot AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS n1_0,
+               CAST(sum(d0 + c0) AS BIGINT) AS n0_0,
+               CAST(sum(d1) AS BIGINT) AS o1
+        FROM agg),
+rec AS (
+  WITH RECURSIVE r(k, n1, n0, e, v) AS (
+    SELECT 0, tot.n1_0, tot.n0_0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+    FROM tot
+    UNION ALL
+    SELECT o.k,
+           r.n1 - o.d1 - o.c1,
+           r.n0 - o.d0 - o.c0,
+           r.e + (CAST(o.d1 + o.d0 AS DOUBLE) * CAST(r.n1 AS DOUBLE))
+                 / CAST(r.n1 + r.n0 AS DOUBLE),
+           r.v + CASE WHEN r.n1 + r.n0 > 1 THEN
+             ((CAST(o.d1 + o.d0 AS DOUBLE) * CAST(r.n1 AS DOUBLE))
+              / CAST(r.n1 + r.n0 AS DOUBLE)
+              * (CAST(r.n0 AS DOUBLE) / CAST(r.n1 + r.n0 AS DOUBLE)))
+             * (CAST(r.n1 + r.n0 - (o.d1 + o.d0) AS DOUBLE)
+                / CAST(r.n1 + r.n0 - 1 AS DOUBLE))
+           ELSE CAST(0 AS DOUBLE) END
+    FROM r JOIN ord o ON o.k = r.k + 1)
+  SELECT * FROM r)
+SELECT tot.n1_0 AS n_treat, tot.n0_0 AS n_ctrl, tot.o1 AS o_treat,
+       rec.e AS e_treat, rec.v AS var_treat,
+       CASE WHEN rec.v > 0 THEN
+         ((CAST(tot.o1 AS DOUBLE) - rec.e) * (CAST(tot.o1 AS DOUBLE) - rec.e))
+         / rec.v
+       END AS chi2
+FROM rec CROSS JOIN tot
+WHERE rec.k = (SELECT max(k) FROM ord)
+"""
+
+
 # ── weighted fixed-size sample (A-Res priorities, integer-exact) ──
 
 def q_weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4702,6 +4903,8 @@ QUERIES = {
     "price_decile_stats": q_price_decile_stats,
     "cuped_experiment_readout": q_cuped_experiment_readout,
     "did_experiment_readout": q_did_experiment_readout,
+    "value_qte_readout": q_value_qte_readout,
+    "conversion_logrank": q_conversion_logrank,
     "customer_spend_percentile": q_customer_spend_percentile,
     "order_status_bookends": q_order_status_bookends,
     "weekday_order_profile": q_weekday_order_profile,
@@ -4802,6 +5005,8 @@ ORACLES = {
     "price_decile_stats": ORACLE_PRICE_DECILE_STATS,
     "cuped_experiment_readout": ORACLE_CUPED_READOUT,
     "did_experiment_readout": ORACLE_DID_READOUT,
+    "value_qte_readout": ORACLE_VALUE_QTE,
+    "conversion_logrank": ORACLE_CONVERSION_LOGRANK,
     "customer_spend_percentile": ORACLE_SPEND_PERCENTILE,
     "order_status_bookends": ORACLE_ORDER_BOOKENDS,
     "weekday_order_profile": ORACLE_WEEKDAY_ORDER_PROFILE,

@@ -56,6 +56,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "into the subject builder (the censoring cutoff)",
     "signup_conversion_survival": "same 1-row horizon broadcast as "
     "conversion_survival_curve (grouped face)",
+    "conversion_logrank": "same 1-row horizon broadcast as "
+    "conversion_survival_curve (log-rank face, identical subjects)",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 

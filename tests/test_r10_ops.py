@@ -264,3 +264,78 @@ def test_did_readout_matches_python_reference(spark):
     ) == (2, 2, 1, 2)
     did_ref = (64 / 2 - 24 / 2) - (20 / 2 - 5 / 1)
     assert got["did_estimate"] == did_ref
+
+
+def test_logrank_test_matches_python_reference(spark):
+    """O/E/V/chi² pinned against a direct-formula Python loop (same
+    ascending-t accumulation order) on seeded random right-censored
+    two-group subjects, including duration ties and censor-only
+    times."""
+    import random
+
+    from hr_moderndatapipeline_spark.operators.relational import logrank_test
+
+    rng = random.Random(99)
+    rows = [
+        (rng.randrange(0, 2), rng.randrange(0, 10), rng.randrange(0, 2))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g int, dur bigint, ev int")
+    got = logrank_test(df, "dur", "ev", "g").collect()[0]
+
+    from collections import defaultdict
+
+    per_t = defaultdict(lambda: [0, 0, 0, 0])  # d1, c1, d0, c0
+    for g, t, e in rows:
+        idx = (0 if e else 1) + (0 if g == 1 else 2)
+        per_t[t][idx] += 1
+    n1 = sum(1 for g, _, _ in rows if g == 1)
+    n0 = len(rows) - n1
+    o1 = sum(1 for g, _, e in rows if g == 1 and e == 1)
+    e1 = v = 0.0
+    for t in sorted(per_t):
+        d1, c1, d0, c0 = per_t[t]
+        n, d = n1 + n0, d1 + d0
+        e1 = e1 + (float(d) * float(n1)) / float(n)
+        if n > 1:
+            v = v + (
+                (float(d) * float(n1)) / float(n) * (float(n0) / float(n))
+            ) * (float(n - d) / float(n - 1))
+        n1 -= d1 + c1
+        n0 -= d0 + c0
+    assert (got["n_treat"] + got["n_ctrl"]) == len(rows)
+    assert got["o_treat"] == o1
+    assert got["e_treat"] == e1
+    assert got["var_treat"] == v
+    assert got["chi2"] == ((o1 - e1) * (o1 - e1)) / v
+
+
+def test_value_qte_readout_matches_python_quantiles(spark):
+    """The per-variant p25/p50/p75 (lower-value convention at
+    0-based rank (n−1)·p DIV 100) and their treat−control diffs,
+    re-derived in plain Python from the same events slice."""
+    from hr_moderndatapipeline_spark.queries.core import q_value_qte_readout
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    got = q_value_qte_readout(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events").collect()
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 15)
+    by_variant = {0: [], 1: []}
+    for r in ev:
+        if r["ts"] >= cut:
+            by_variant[r["user_id"] % 2].append(
+                (int(round(r["value"] * 1000)), r["event_id"])
+            )
+    pref = {}
+    for var, vals in by_variant.items():
+        vals.sort()
+        n = len(vals)
+        pref[var] = {
+            p: vals[(n - 1) * p // 100][0] for p in (25, 50, 75)
+        }
+    assert got["n_treat"] == len(by_variant[1])
+    assert got["n_ctrl"] == len(by_variant[0])
+    for p in (25, 50, 75):
+        assert got[f"qte_p{p}_milli"] == pref[1][p] - pref[0][p], p
