@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "did_experiment_readout",     # 2x2 diff-in-differences single-agg (r10)
     "conversion_logrank",  # log-rank O/E/V in the KM fold discipline (r10)
     "value_qte_readout",          # per-variant exact quantile treatment effects (r10)
+    "price_psi_by_era",           # PSI drift scalar over matched histograms (r10)
+    "event_value_ks_by_type",     # exact integer two-sample KS per metric (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

@@ -195,3 +195,69 @@ def did_readout(
         "n_ctrl_post",
         did.alias("did_estimate"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group —
+    the distribution-free "did the treatment change the SHAPE of
+    this metric?" test, one D per ``group_col`` value (e.g. per
+    event type). ``variant_col`` must be 0/1.
+
+    ENTIRELY integer arithmetic: at every observed value v,
+    D's numerator is |cum₁(v)·n₀ − cum₀(v)·n₁| (BIGINT — the
+    cross-multiplied ECDF difference), maximized per group;
+    ``ks_ppm = max·1e6 DIV (n₁·n₀)`` (safe to n₁·n₀ < 9.2e18; past
+    that, DECIMAL(38,0) — the weighted-sample idiom). No doubles
+    anywhere, so the statistic is exact on any engine.
+
+    Scale shape: one map-side-combinable (group, value) aggregate;
+    the ECDF cumulative window is partitioned BY GROUP over that
+    aggregate — its per-group row count is bounded by the DISTINCT
+    quantized value domain (milli-quantized metrics: fixed by the
+    metric's range, not the row count), the contingency-aggregate
+    window class. Subjects are never windowed row-wise."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v1 = (F.col(variant_col) == 1).cast("bigint")
+    per_value = df.groupBy(g.alias("_g"), F.col(value_col).alias("_v")).agg(
+        F.sum(v1).alias("_c1"),
+        F.sum(1 - v1).alias("_c0"),
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("_g")
+    cum = per_value.select(
+        "_g",
+        F.sum("_c1").over(wcum).alias("_cum1"),
+        F.sum("_c0").over(wcum).alias("_cum0"),
+        F.sum("_c1").over(wtot).cast("bigint").alias("_n1"),
+        F.sum("_c0").over(wtot).cast("bigint").alias("_n0"),
+    )
+    return (
+        cum.groupBy(F.col("_g").alias(group_col), "_n1", "_n0")
+        .agg(
+            F.max(
+                F.abs(F.col("_cum1") * F.col("_n0") - F.col("_cum0") * F.col("_n1"))
+            )
+            .cast("bigint")
+            .alias("ks_num")
+        )
+        .select(
+            group_col,
+            F.col("_n1").alias("n_treat"),
+            F.col("_n0").alias("n_ctrl"),
+            "ks_num",
+            F.expr(
+                "CAST(ks_num * 1000000 DIV greatest(_n1 * _n0, 1) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )

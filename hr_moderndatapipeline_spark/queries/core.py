@@ -3857,6 +3857,112 @@ def q_price_drift_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_psi_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-price distribution
+    across the 1997 era split (operators/diagnostics.histogram_psi)
+    — the industry drift scalar beside price_drift_by_era's L1/TV:
+    PSI = Σ (pₐ−p_b)·ln(pₐ/p_b) over the same 64 matched bins, with
+    half-count smoothing so empty bins never ln(0). Per-bin terms
+    quantize to integer micro-nats BEFORE the sum (exact BIGINT
+    under any accumulation order); bins absent from BOTH eras are
+    excluded — their smoothed self-term is a support artifact, not
+    drift."""
+    from hr_moderndatapipeline_spark.operators.diagnostics import histogram_psi
+    from hr_moderndatapipeline_spark.operators.sketch import histogram_build
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("_y"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    build = lambda d: histogram_build(  # noqa: E731
+        d, "price_cents", lo=0, hi=60_000_000, nbins=64
+    )
+    return histogram_psi(
+        build(o.filter(F.col("_y") < 1997)),
+        build(o.filter(F.col("_y") >= 1997)),
+        nbins=64,
+    )
+
+
+ORACLE_PRICE_PSI_BY_ERA = """
+WITH v AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN year(CAST(o_orderdate AS DATE)) < 1997 THEN 'a' ELSE 'b' END AS era
+  FROM orders),
+b AS (SELECT era, greatest(0, least(63, (c * 64) // 60000000)) AS bin_idx FROM v),
+h AS (SELECT era, bin_idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+p AS (SELECT bin_idx,
+             CAST(coalesce(sum(cnt) FILTER (era = 'a'), 0) AS BIGINT) AS cnt_a,
+             CAST(coalesce(sum(cnt) FILTER (era = 'b'), 0) AS BIGINT) AS cnt_b
+      FROM h GROUP BY bin_idx),
+t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b FROM p),
+terms AS (
+  SELECT t.n_a, t.n_b,
+         CAST(floor(
+           ((CAST(p.cnt_a AS DOUBLE) + 0.5) / (CAST(t.n_a AS DOUBLE) + 32.0)
+            - (CAST(p.cnt_b AS DOUBLE) + 0.5) / (CAST(t.n_b AS DOUBLE) + 32.0))
+           * ln(((CAST(p.cnt_a AS DOUBLE) + 0.5) / (CAST(t.n_a AS DOUBLE) + 32.0))
+                / ((CAST(p.cnt_b AS DOUBLE) + 0.5) / (CAST(t.n_b AS DOUBLE) + 32.0)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tm
+  FROM p CROSS JOIN t)
+SELECT n_a, n_b, CAST(sum(tm) AS BIGINT) AS psi_micro_nat
+FROM terms GROUP BY n_a, n_b
+"""
+
+
+def q_event_value_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test per event type
+    (operators/experiments.py ks_two_sample): did the parity
+    treatment change the SHAPE of the milli-quantized value
+    distribution, not just its mean? D's numerator is the
+    cross-multiplied ECDF difference |cum₁·n₀ − cum₀·n₁| — pure
+    BIGINT, no doubles, exact on any engine. The ECDF window is
+    per-type over the (type, value) aggregate, whose cardinality is
+    bounded by the quantized value domain."""
+    from hr_moderndatapipeline_spark.operators.experiments import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    return ks_two_sample(rows, "event_type", "variant", "vm")
+
+
+ORACLE_EVENT_VALUE_KS = """
+WITH r AS (
+  SELECT event_type,
+         CAST(user_id % 2 AS INTEGER) AS variant,
+         CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events),
+pv AS (
+  SELECT event_type, vm,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM r GROUP BY 1, 2),
+cum AS (
+  SELECT event_type,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY vm
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c0) OVER (PARTITION BY event_type ORDER BY vm
+                       ROWS UNBOUNDED PRECEDING) AS cum0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0
+  FROM pv)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       CAST(max(abs(cum1 * n0 - cum0 * n1)) AS BIGINT) AS ks_num,
+       CAST(max(abs(cum1 * n0 - cum0 * n1)) * 1000000
+            // greatest(n1 * n0, 1) AS BIGINT) AS ks_ppm
+FROM cum GROUP BY event_type, n1, n0
+"""
+
+
 ORACLE_PRICE_DRIFT_BY_ERA = """
 WITH v AS (
   SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS c,
@@ -4945,6 +5051,8 @@ QUERIES = {
     "user_activity_streaks": q_user_activity_streaks,
     "ivm_order_customer_join": q_ivm_order_customer_join,
     "price_drift_by_era": q_price_drift_by_era,
+    "price_psi_by_era": q_price_psi_by_era,
+    "event_value_ks_by_type": q_event_value_ks_by_type,
     "orders_lineitem_join_size": q_orders_lineitem_join_size,
     "event_type_overlap": q_event_type_overlap,
     "part_copurchase_pairs": q_part_copurchase_pairs,
@@ -5047,6 +5155,8 @@ ORACLES = {
     "user_activity_streaks": ORACLE_USER_ACTIVITY_STREAKS,
     "ivm_order_customer_join": ORACLE_IVM_ORDER_CUSTOMER_JOIN,
     "price_drift_by_era": ORACLE_PRICE_DRIFT_BY_ERA,
+    "price_psi_by_era": ORACLE_PRICE_PSI_BY_ERA,
+    "event_value_ks_by_type": ORACLE_EVENT_VALUE_KS,
     "orders_lineitem_join_size": ORACLE_ORDERS_LINEITEM_JOIN_SIZE,
     "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,
     "part_copurchase_pairs": ORACLE_PART_COPURCHASE,

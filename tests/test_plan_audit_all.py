@@ -91,6 +91,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "dsir_importance_weights": "log-ratio window over the fixed 4096-bucket "
     "hashed-unigram aggregate",
     "price_drift_by_era": "histogram L1 over the fixed 64-bin aggregate",
+    "price_psi_by_era": "PSI terms over the fixed 64-bin aggregate "
+    "(the price_drift_by_era class)",
     "segment_priority_chisq": "expected-count window over the "
     "O(segments × priorities) contingency aggregate",
     "weekday_order_profile": "share window over the 7-row weekday aggregate",

@@ -339,3 +339,61 @@ def test_value_qte_readout_matches_python_quantiles(spark):
     assert got["n_ctrl"] == len(by_variant[0])
     for p in (25, 50, 75):
         assert got[f"qte_p{p}_milli"] == pref[1][p] - pref[0][p], p
+
+
+def test_histogram_psi_matches_python_reference(spark):
+    from hr_moderndatapipeline_spark.operators.diagnostics import histogram_psi
+
+    ha = spark.createDataFrame(
+        [(0, 50), (1, 30), (2, 20)], "bin_idx int, cnt bigint"
+    )
+    hb = spark.createDataFrame(
+        [(0, 10), (1, 40), (3, 50)], "bin_idx int, cnt bigint"
+    )
+    got = histogram_psi(ha, hb, nbins=8).collect()[0]
+    import math
+
+    na, nb, half = 100.0, 100.0, 8 * 0.5
+    counts = {0: (50, 10), 1: (30, 40), 2: (20, 0), 3: (0, 50)}
+    psi = 0
+    for ca, cb in counts.values():
+        pa = (ca + 0.5) / (na + half)
+        pb = (cb + 0.5) / (nb + half)
+        psi += math.floor((pa - pb) * math.log(pa / pb) * 1000000.0 + 0.5)
+    assert (got["n_a"], got["n_b"]) == (100, 100)
+    assert got["psi_micro_nat"] == psi
+    # identical histograms ⇒ exactly zero
+    same = histogram_psi(ha, ha, nbins=8).collect()[0]
+    assert same["psi_micro_nat"] == 0
+
+
+def test_ks_two_sample_matches_python_ecdf(spark):
+    """KS numerator pinned against a brute-force ECDF scan on seeded
+    random two-group samples, including heavy value ties."""
+    import random
+
+    from hr_moderndatapipeline_spark.operators.experiments import ks_two_sample
+
+    rng = random.Random(7)
+    rows = [
+        ("t%d" % (i % 2), rng.randrange(0, 2), rng.randrange(0, 12))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, variant int, vm bigint")
+    got = {r["g"]: r for r in ks_two_sample(df, "g", "variant", "vm").collect()}
+    for gname in ("t0", "t1"):
+        s1 = sorted(v for g, var, v in rows if g == gname and var == 1)
+        s0 = sorted(v for g, var, v in rows if g == gname and var == 0)
+        n1, n0 = len(s1), len(s0)
+        values = sorted(set(s1) | set(s0))
+        ks_num = max(
+            abs(
+                sum(1 for x in s1 if x <= v) * n0
+                - sum(1 for x in s0 if x <= v) * n1
+            )
+            for v in values
+        )
+        r = got[gname]
+        assert (r["n_treat"], r["n_ctrl"]) == (n1, n0), gname
+        assert r["ks_num"] == ks_num, gname
+        assert r["ks_ppm"] == ks_num * 1_000_000 // max(n1 * n0, 1), gname
