@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "value_qte_readout",          # per-variant exact quantile treatment effects (r10)
     "price_psi_by_era",           # PSI drift scalar over matched histograms (r10)
     "event_value_ks_by_type",     # exact integer two-sample KS per metric (r10)
+    "purchase_uplift_qini",       # cumulative-decile Qini uplift curve (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

@@ -3857,6 +3857,146 @@ def q_price_drift_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift targeting (Radcliffe 2007): users
+    ranked by a targeting score (pre-period activity count,
+    descending), cut into deciles by the range-partitioned stable
+    rank (no SinglePartition window over users), then per cumulative
+    decile the incremental responders
+    ``qini = Y_t − Y_c·(N_t/N_c)`` — how many extra post-period
+    purchasers the parity "treatment" produced among the top-k%
+    targeted. The evaluation readout every uplift model is judged
+    by; a random split should hover near zero at every cut (the A/A
+    shape). Cumulative sums run over the 10-row decile aggregate
+    (bounded); counts are exact BIGINT, qini is a fixed double
+    expression over them, micro-quantized for the readout."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_stable_ids,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        "user_id",
+        "score",
+        "y",
+        (-F.col("score")).alias("_negscore"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("treat"),
+    )
+    ranked = assign_stable_ids(
+        per_user, ["_negscore", "user_id"], id_col="_sid", total_col="_n"
+    )
+    binned = (
+        ranked.withColumn("_base", F.expr("_n DIV 10"))
+        .withColumn("_r", F.pmod(F.col("_n"), F.lit(10)))
+        .withColumn("_cut", F.col("_r") * (F.col("_base") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_sid") < F.col("_cut"),
+                F.expr("_sid DIV (_base + 1) + 1"),
+            )
+            .otherwise(F.expr("_r + (_sid - _cut) DIV _base + 1"))
+            .cast("bigint"),
+        )
+    )
+    agg = binned.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("y_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("y_c"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = agg.select(
+        "decile",
+        F.sum("n_t").over(w).cast("bigint").alias("n_treat_cum"),
+        F.sum("n_c").over(w).cast("bigint").alias("n_ctrl_cum"),
+        F.sum("y_t").over(w).cast("bigint").alias("resp_treat_cum"),
+        F.sum("y_c").over(w).cast("bigint").alias("resp_ctrl_cum"),
+    )
+    qini = F.col("resp_treat_cum").cast("double") - F.col(
+        "resp_ctrl_cum"
+    ).cast("double") * (
+        F.col("n_treat_cum").cast("double") / F.col("n_ctrl_cum").cast("double")
+    )
+    return cums.select(
+        "decile",
+        "n_treat_cum",
+        "n_ctrl_cum",
+        "resp_treat_cum",
+        "resp_ctrl_cum",
+        F.floor(qini * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qini_micro"),
+    )
+
+
+ORACLE_PURCHASE_UPLIFT_QINI = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS score,
+         CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                            AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(user_id % 2 AS INTEGER) AS treat
+  FROM events GROUP BY user_id),
+binned AS (
+  SELECT ntile(10) OVER (ORDER BY -score ASC, user_id ASC) AS decile,
+         treat, y
+  FROM pu),
+agg AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+         CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+  FROM binned GROUP BY 1),
+cums AS (
+  SELECT decile,
+         CAST(sum(n_t) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_treat_cum,
+         CAST(sum(n_c) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ctrl_cum,
+         CAST(sum(y_t) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS resp_treat_cum,
+         CAST(sum(y_c) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS resp_ctrl_cum
+  FROM agg)
+SELECT decile, n_treat_cum, n_ctrl_cum, resp_treat_cum, resp_ctrl_cum,
+       CAST(floor(
+         (CAST(resp_treat_cum AS DOUBLE)
+          - CAST(resp_ctrl_cum AS DOUBLE)
+            * (CAST(n_treat_cum AS DOUBLE) / CAST(n_ctrl_cum AS DOUBLE)))
+         * 1000000.0 + 0.5) AS BIGINT) AS qini_micro
+FROM cums
+"""
+
+
 def q_price_psi_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index of the order-price distribution
     across the 1997 era split (operators/diagnostics.histogram_psi)
@@ -5052,6 +5192,7 @@ QUERIES = {
     "ivm_order_customer_join": q_ivm_order_customer_join,
     "price_drift_by_era": q_price_drift_by_era,
     "price_psi_by_era": q_price_psi_by_era,
+    "purchase_uplift_qini": q_purchase_uplift_qini,
     "event_value_ks_by_type": q_event_value_ks_by_type,
     "orders_lineitem_join_size": q_orders_lineitem_join_size,
     "event_type_overlap": q_event_type_overlap,
@@ -5156,6 +5297,7 @@ ORACLES = {
     "ivm_order_customer_join": ORACLE_IVM_ORDER_CUSTOMER_JOIN,
     "price_drift_by_era": ORACLE_PRICE_DRIFT_BY_ERA,
     "price_psi_by_era": ORACLE_PRICE_PSI_BY_ERA,
+    "purchase_uplift_qini": ORACLE_PURCHASE_UPLIFT_QINI,
     "event_value_ks_by_type": ORACLE_EVENT_VALUE_KS,
     "orders_lineitem_join_size": ORACLE_ORDERS_LINEITEM_JOIN_SIZE,
     "event_type_overlap": ORACLE_EVENT_TYPE_OVERLAP,

@@ -93,6 +93,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "price_drift_by_era": "histogram L1 over the fixed 64-bin aggregate",
     "price_psi_by_era": "PSI terms over the fixed 64-bin aggregate "
     "(the price_drift_by_era class)",
+    "purchase_uplift_qini": "cumulative window over the 10-row decile "
+    "aggregate (the quality_calibration_curve class)",
     "segment_priority_chisq": "expected-count window over the "
     "O(segments × priorities) contingency aggregate",
     "weekday_order_profile": "share window over the 7-row weekday aggregate",

@@ -397,3 +397,34 @@ def test_ks_two_sample_matches_python_ecdf(spark):
         assert (r["n_treat"], r["n_ctrl"]) == (n1, n0), gname
         assert r["ks_num"] == ks_num, gname
         assert r["ks_ppm"] == ks_num * 1_000_000 // max(n1 * n0, 1), gname
+
+
+def test_purchase_uplift_qini_invariants(spark):
+    from hr_moderndatapipeline_spark.queries.core import q_purchase_uplift_qini
+    from hr_moderndatapipeline_spark.sources.readers import load_table
+
+    rows = sorted(
+        q_purchase_uplift_qini(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    last = rows[-1]
+    assert last["n_treat_cum"] + last["n_ctrl_cum"] == n_users
+    prev = None
+    for r in rows:
+        for c in ("n_treat_cum", "n_ctrl_cum", "resp_treat_cum", "resp_ctrl_cum"):
+            assert r[c] >= 0
+            if prev is not None:
+                assert r[c] >= prev[c], c  # cumulative monotone
+        assert r["resp_treat_cum"] <= r["n_treat_cum"]
+        assert r["resp_ctrl_cum"] <= r["n_ctrl_cum"]
+        import math
+
+        qini = float(r["resp_treat_cum"]) - float(r["resp_ctrl_cum"]) * (
+            float(r["n_treat_cum"]) / float(r["n_ctrl_cum"])
+        )
+        assert r["qini_micro"] == math.floor(qini * 1000000.0 + 0.5)
+        prev = r
