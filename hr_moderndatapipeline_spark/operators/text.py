@@ -1129,6 +1129,102 @@ def bm25_rank(
     return topk(per_doc, [F.col("bm25_micro"), F.col(id_col)], top_n)
 
 
+def bm25_rank_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_map: "Sequence[tuple[str, Sequence[str]]]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 for a BATCH of queries in ONE corpus pass — the serving
+    shape of ``bm25_rank``: N queries share the scan, the per-doc tf
+    computation (map-side higher-order ``filter`` over the UNION of
+    all query terms), the document-frequency aggregate, and the
+    1-row (N, total-tokens) broadcast; only the final per-query
+    top-n differs, planned as a WindowGroupLimit rank over the
+    (query, doc) scores (each map task pre-truncates to ``top_n``
+    rows per query BEFORE the shuffle). Batching Q queries costs one
+    scan + |∪terms| tf evaluations per doc — NOT Q scans.
+
+    ``query_map``: (query_id, [terms]) pairs; terms and scoring are
+    the exact ``bm25_rank`` math (Lucene idf, micro-quantized
+    integer contributions), so per-query results equal the
+    single-query operator's. Returns (query_id, id, n_terms_matched,
+    bm25_micro, rk ≤ top_n) ordered within each query by
+    (bm25_micro desc, id desc)."""
+    all_terms = sorted({str(t) for _, ts in query_map for t in ts})
+    if not all_terms:
+        raise ValueError("query_map must contain at least one term")
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), words.alias("_ws"), F.size(words).alias("_dl")
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_tok")
+    )
+    per_term = (
+        base.select(
+            F.col(id_col),
+            F.col("_dl"),
+            F.explode(F.array(*[F.lit(t) for t in all_terms])).alias("_t"),
+            F.col("_ws"),
+        )
+        .withColumn(
+            "_tf", F.size(F.filter(F.col("_ws"), lambda w: w == F.col("_t")))
+        )
+        .filter(F.col("_tf") > 0)
+        .drop("_ws")
+    )
+    df_t = per_term.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = per_term.join(F.broadcast(df_t), "_t").crossJoin(
+        F.broadcast(totals)
+    )
+    avgdl = F.col("_tok").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        (
+            (F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5)
+        ) / (F.col("_df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("_tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("_tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+        )
+    )
+    contrib = F.floor(idf * tfn * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    spark = df.sparkSession
+    qmap = spark.createDataFrame(
+        [(str(q), str(t)) for q, ts in query_map for t in ts],
+        "query_id string, _t string",
+    )
+    per_doc = (
+        scored.withColumn("_c", contrib)
+        .join(F.broadcast(qmap), "_t")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum("_c").cast("bigint").alias("bm25_micro"),
+        )
+    )
+    from hr_moderndatapipeline_spark.operators.relational import (
+        topk_per_group,
+    )
+
+    return topk_per_group(
+        per_doc,
+        ["query_id"],
+        [F.col("bm25_micro"), F.col(id_col)],
+        top_n,
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,

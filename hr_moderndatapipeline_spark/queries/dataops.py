@@ -1259,6 +1259,83 @@ WHERE rk <= 25
     )
 
 
+# ── batched BM25: N queries, one corpus pass ──
+
+_BM25_BATCH = (
+    ("q_scan_filter", ("scan", "filter", "column", "hash")),
+    ("q_stream_join", ("stream", "spark", "join")),
+    ("q_window_merge", ("window", "merge")),
+)
+
+
+def q_bm25_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 retrieval (operators/text.py bm25_rank_batch):
+    three queries answered from ONE corpus scan — shared tf over the
+    union of all query terms, shared document frequencies, shared
+    1-row totals broadcast, then a WindowGroupLimit top-20 per
+    query. The serving shape: batching Q queries costs one scan, not
+    Q scans."""
+    from hr_moderndatapipeline_spark.operators.text import bm25_rank_batch
+
+    return bm25_rank_batch(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        list(_BM25_BATCH),
+        k1=1.2,
+        b=0.75,
+        top_n=20,
+    )
+
+
+ORACLE_BM25_MULTI = """
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS ws,
+         len(str_split(text, ' ')) AS dl
+  FROM documents),
+tot AS (SELECT count(*) AS n, sum(dl) AS tok FROM base),
+pt AS (
+  SELECT doc_id, dl, t,
+         len(list_filter(ws, w -> w = t)) AS tf
+  FROM base, UNNEST(['column', 'filter', 'hash', 'join', 'merge',
+                     'scan', 'spark', 'stream', 'window']) AS u(t)),
+filtered AS (SELECT * FROM pt WHERE tf > 0),
+dft AS (SELECT t, count(*) AS df FROM filtered GROUP BY t),
+bscored AS (
+  SELECT f.doc_id, f.t,
+         floor(
+           ln(((CAST(tot.n - d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5)) + 1.0)
+           * ((CAST(f.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(f.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(f.dl AS DOUBLE)
+                           / (CAST(tot.tok AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS c
+  FROM filtered f JOIN dft d USING (t) CROSS JOIN tot),
+qm(query_id, t) AS (VALUES
+  ('q_scan_filter', 'scan'), ('q_scan_filter', 'filter'),
+  ('q_scan_filter', 'column'), ('q_scan_filter', 'hash'),
+  ('q_stream_join', 'stream'), ('q_stream_join', 'spark'),
+  ('q_stream_join', 'join'),
+  ('q_window_merge', 'window'), ('q_window_merge', 'merge')),
+pd AS (
+  SELECT qm.query_id, s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(sum(s.c) AS BIGINT) AS bm25_micro
+  FROM bscored s JOIN qm USING (t)
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, n_terms_matched, bm25_micro, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25_micro DESC, doc_id DESC) AS rk
+      FROM pd)
+WHERE rk <= 20
+"""
+
+
 # ── hybrid retrieval: BM25 ⊕ dense cosine via RRF ──
 
 def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4629,6 +4706,7 @@ QUERIES = {
     "purged_event_split": q_purged_event_split,
     "spend_decile_woe": q_spend_decile_woe,
     "classifier_auc": q_classifier_auc,
+    "bm25_multi_search": q_bm25_multi_search,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -4702,6 +4780,7 @@ ORACLES = {
     "purged_event_split": ORACLE_PURGED_EVENT_SPLIT,
     "spend_decile_woe": ORACLE_SPEND_DECILE_WOE,
     "classifier_auc": ORACLE_CLASSIFIER_AUC,
+    "bm25_multi_search": ORACLE_BM25_MULTI,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,

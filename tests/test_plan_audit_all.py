@@ -48,6 +48,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "tfidf_top_terms": "1-row corpus doc-count broadcast into the scorer",
     "bm25_search": "1-row (N, total-tokens) aggregate broadcast into the "
     "scorer — the avgdl/idf constants, same class as tfidf_top_terms",
+    "bm25_multi_search": "the same 1-row totals broadcast as bm25_search "
+    "(batched face, shared corpus pass)",
     "hybrid_rrf_search": "bm25_rank's 1-row (N, total-tokens) broadcast "
     "(the bm25_search entry) inside the lexical arm",
     "monthly_order_spine": "recursive year spine (≈7 rows) crossed with a "

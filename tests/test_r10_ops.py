@@ -428,3 +428,34 @@ def test_purchase_uplift_qini_invariants(spark):
         )
         assert r["qini_micro"] == math.floor(qini * 1000000.0 + 0.5)
         prev = r
+
+
+def test_bm25_batch_equals_single_query(spark):
+    """Each query's batched top-n equals the single-query bm25_rank
+    run separately — same scores, same (bm25_micro desc, id desc)
+    order."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bm25_rank,
+        bm25_rank_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = [
+        ("qa", ["scan", "filter"]),
+        ("qb", ["window", "merge", "stream"]),
+    ]
+    got = bm25_rank_batch(docs, "doc_id", "text", batch, top_n=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rk"], r["doc_id"], r["n_terms_matched"], r["bm25_micro"])
+        )
+    for qid, terms in batch:
+        single = bm25_rank(docs, "doc_id", "text", terms, top_n=10).collect()
+        want = [
+            (i + 1, r["doc_id"], r["n_terms_matched"], r["bm25_micro"])
+            for i, r in enumerate(single)
+        ]
+        assert sorted(by_q[qid]) == sorted(want), qid
