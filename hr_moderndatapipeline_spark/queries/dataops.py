@@ -1336,6 +1336,176 @@ WHERE rk <= 20
 """
 
 
+# ── batched hybrid retrieval: RRF over both batched arms ──
+
+#: (query name, query-embedding vec_id) — pairs the lexical term sets
+#: of _BM25_BATCH with dense query vectors.
+_HYBRID_BATCH_VECS = (
+    ("q_scan_filter", 0),
+    ("q_stream_join", 50),
+    ("q_window_merge", 100),
+)
+
+
+def q_hybrid_rrf_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval — the full serving stack: the
+    three-query batched BM25 arm (`bm25_rank_batch`, one corpus
+    pass) fuses per query with the batched dense arm
+    (`ann_bruteforce` over a 3-vector query table, one corpus pass)
+    via exact integer RRF (Σ 1e9 DIV (60 + rank), k=60), top-20 per
+    query by (rrf desc, doc_id desc) with WindowGroupLimit. Batching
+    means the whole 3-query hybrid costs TWO corpus passes total —
+    not six."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        topk_per_group,
+    )
+    from hr_moderndatapipeline_spark.operators.similarity import ann_bruteforce
+    from hr_moderndatapipeline_spark.operators.text import bm25_rank_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lex = bm25_rank_batch(
+        docs, "doc_id", "text", list(_BM25_BATCH), k1=1.2, b=0.75, top_n=50
+    )
+    lexr = lex.select(
+        "query_id", "doc_id", F.col("rk").cast("int").alias("lex_rank")
+    )
+
+    emb = _emb(spark, sf_dir)
+    vec_ids = [v for _, v in _HYBRID_BATCH_VECS]
+    dense = ann_bruteforce(
+        emb, emb.filter(F.col("vec_id").isin(vec_ids)), "vec_id",
+        "embedding", k=50, dim=64,
+    )
+    qnames = spark.createDataFrame(
+        [(n, v) for n, v in _HYBRID_BATCH_VECS], "query_id string, q_id bigint"
+    )
+    denr = dense.join(F.broadcast(qnames), "q_id").select(
+        "query_id",
+        F.col("c_id").alias("doc_id"),
+        F.col("rk").cast("int").alias("dense_rank"),
+    )
+
+    fused = (
+        lexr.join(denr, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+        )
+        .withColumn(
+            "rrf_ppb",
+            (
+                F.expr(
+                    "CASE WHEN lex_rank > 0 "
+                    "THEN 1000000000 div (60 + lex_rank) ELSE 0 END"
+                )
+                + F.expr(
+                    "CASE WHEN dense_rank > 0 "
+                    "THEN 1000000000 div (60 + dense_rank) ELSE 0 END"
+                )
+            ).cast("bigint"),
+        )
+    )
+    out = topk_per_group(
+        fused, ["query_id"], [F.col("rrf_ppb"), F.col("doc_id")], 20
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        "rrf_ppb",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+ORACLE_HYBRID_RRF_MULTI = """
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS ws,
+         len(str_split(text, ' ')) AS dl
+  FROM documents),
+tot AS (SELECT count(*) AS n, sum(dl) AS tok FROM base),
+pt AS (
+  SELECT doc_id, dl, t,
+         len(list_filter(ws, w -> w = t)) AS tf
+  FROM base, UNNEST(['column', 'filter', 'hash', 'join', 'merge',
+                     'scan', 'spark', 'stream', 'window']) AS u(t)),
+filtered AS (SELECT * FROM pt WHERE tf > 0),
+dft AS (SELECT t, count(*) AS df FROM filtered GROUP BY t),
+bscored AS (
+  SELECT f.doc_id, f.t,
+         floor(
+           ln(((CAST(tot.n - d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5)) + 1.0)
+           * ((CAST(f.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(f.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(f.dl AS DOUBLE)
+                           / (CAST(tot.tok AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS c
+  FROM filtered f JOIN dft d USING (t) CROSS JOIN tot),
+qm(query_id, t) AS (VALUES
+  ('q_scan_filter', 'scan'), ('q_scan_filter', 'filter'),
+  ('q_scan_filter', 'column'), ('q_scan_filter', 'hash'),
+  ('q_stream_join', 'stream'), ('q_stream_join', 'spark'),
+  ('q_stream_join', 'join'),
+  ('q_window_merge', 'window'), ('q_window_merge', 'merge')),
+pd AS (
+  SELECT qm.query_id, s.doc_id, CAST(sum(s.c) AS BIGINT) AS bm25_micro
+  FROM bscored s JOIN qm USING (t)
+  GROUP BY 1, 2),
+lex AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST(rk AS INTEGER) AS lex_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25_micro DESC, doc_id DESC) AS rk
+        FROM pd)
+  WHERE rk <= 50),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> v[i] * v[i])),
+                   (acc, x) -> acc + x)) AS vn
+       FROM ev),
+qv AS (SELECT vec_id AS q_id, v AS qvv, vn AS qn FROM en
+       WHERE vec_id IN (0, 50, 100)),
+dscored AS (
+  SELECT q.q_id, e.vec_id AS c_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> q.qvv[i] * e.v[i])),
+               (acc, x) -> acc + x) / (q.qn * e.vn), 6) AS cosine
+  FROM qv q, en e WHERE e.vec_id <> q.q_id),
+vn2q(query_id, q_id) AS (VALUES
+  ('q_scan_filter', 0), ('q_stream_join', 50), ('q_window_merge', 100)),
+dense AS MATERIALIZED (
+  SELECT m.query_id, d.c_id AS doc_id, CAST(d.rk AS INTEGER) AS dense_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rk
+        FROM dscored) d
+  JOIN vn2q m ON m.q_id = d.q_id
+  WHERE d.rk <= 50),
+fused AS (
+  SELECT query_id, doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d USING (query_id, doc_id))
+SELECT query_id, doc_id, lex_rank, dense_rank,
+       CAST((CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END)
+           + (CASE WHEN dense_rank > 0 THEN 1000000000 // (60 + dense_rank) ELSE 0 END)
+         AS BIGINT) AS rrf_ppb,
+       CAST(rrf_rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY
+        (CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END)
+        + (CASE WHEN dense_rank > 0 THEN 1000000000 // (60 + dense_rank) ELSE 0 END)
+        DESC, doc_id DESC) AS rrf_rk
+      FROM fused)
+WHERE rrf_rk <= 20
+"""
+
+
 # ── hybrid retrieval: BM25 ⊕ dense cosine via RRF ──
 
 def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4707,6 +4877,7 @@ QUERIES = {
     "spend_decile_woe": q_spend_decile_woe,
     "classifier_auc": q_classifier_auc,
     "bm25_multi_search": q_bm25_multi_search,
+    "hybrid_rrf_multi_search": q_hybrid_rrf_multi_search,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
     "contamination_overlap": q_contamination_overlap,
@@ -4781,6 +4952,7 @@ ORACLES = {
     "spend_decile_woe": ORACLE_SPEND_DECILE_WOE,
     "classifier_auc": ORACLE_CLASSIFIER_AUC,
     "bm25_multi_search": ORACLE_BM25_MULTI,
+    "hybrid_rrf_multi_search": ORACLE_HYBRID_RRF_MULTI,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,
     "contamination_overlap": ORACLE_CONTAMINATION,

@@ -459,3 +459,31 @@ def test_bm25_batch_equals_single_query(spark):
             for i, r in enumerate(single)
         ]
         assert sorted(by_q[qid]) == sorted(want), qid
+
+
+def test_hybrid_rrf_multi_fusion_arithmetic(spark):
+    from hr_moderndatapipeline_spark.queries.dataops import (
+        q_hybrid_rrf_multi_search,
+    )
+
+    out = q_hybrid_rrf_multi_search(spark, SF_DIR).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q_scan_filter", "q_stream_join", "q_window_merge"}
+    for qid, rows in by_q.items():
+        assert 0 < len(rows) <= 20, qid
+        rows.sort(key=lambda r: r["rk"])
+        prev = None
+        for r in rows:
+            expect = (
+                1_000_000_000 // (60 + r["lex_rank"]) if r["lex_rank"] else 0
+            ) + (
+                1_000_000_000 // (60 + r["dense_rank"]) if r["dense_rank"] else 0
+            )
+            assert r["rrf_ppb"] == expect, (qid, r)
+            assert r["lex_rank"] or r["dense_rank"], (qid, r)
+            key = (r["rrf_ppb"], r["doc_id"])
+            if prev is not None:
+                assert key < prev, (qid, "not (rrf desc, doc_id desc) ordered")
+            prev = key
