@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "purchase_uplift_qini",       # cumulative-decile Qini uplift curve (r10)
     "bm25_multi_search",          # batched BM25: 3 queries, one corpus pass (r10)
     "hybrid_rrf_multi_search",    # batched hybrid RRF: 2 passes for 3 queries (r10)
+    "conversion_hazard_curve",    # Nelson-Aalen cumulative hazard fold (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed
     # micro-batch drives, not throughput shapes) — same policy as
     # every round since r7

@@ -1175,6 +1175,80 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978; public method) — the Kaplan–Meier companion: instead of the
+    product-limit survival, the SUM of per-time hazards
+    H(t) = Σ_{s≤t} d_s/n_s, the curve actuarial/reliability teams
+    read (and the basis of the Fleming–Harrington estimator).
+
+    Same scale + exactness shape as ``kaplan_meier``: ONE map-side-
+    combinable per-duration aggregate (O(#distinct durations) rows),
+    collected into a sorted array and folded SEQUENTIALLY in
+    ascending-t order, so the double additions have a pinned order
+    and a recursive CTE restates them add-for-add. Subjects are
+    never windowed or single-partitioned.
+
+    Output: one row per distinct duration t with (t, n_at_risk,
+    n_events, n_censored, cum_hazard)."""
+    agg = df.groupBy(F.col(duration_col).cast("bigint").alias("t")).agg(
+        F.sum(F.col(event_col).cast("bigint")).alias("d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("bigint")).alias("c"),
+    )
+    packed = agg.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("_steps"),
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("_n0"),
+    )
+    folded = packed.select(
+        F.aggregate(
+            "_steps",
+            F.struct(
+                F.col("_n0").alias("n"),
+                F.lit(0.0).alias("h"),
+                F.expr(
+                    "CAST(array() AS"
+                    " array<struct<t:bigint,n_at_risk:bigint,n_events:bigint,"
+                    "n_censored:bigint,cum_hazard:double>>)"
+                ).alias("rows"),
+            ),
+            lambda acc, st: F.struct(
+                (acc["n"] - st["d"] - st["c"]).alias("n"),
+                (
+                    acc["h"]
+                    + st["d"].cast("double") / acc["n"].cast("double")
+                ).alias("h"),
+                F.concat(
+                    acc["rows"],
+                    F.array(
+                        F.struct(
+                            st["t"].alias("t"),
+                            acc["n"].alias("n_at_risk"),
+                            st["d"].alias("n_events"),
+                            st["c"].alias("n_censored"),
+                            (
+                                acc["h"]
+                                + st["d"].cast("double")
+                                / acc["n"].cast("double")
+                            ).alias("cum_hazard"),
+                        )
+                    ),
+                ).alias("rows"),
+            ),
+        ).alias("_out")
+    )
+    return folded.select(F.explode(F.col("_out.rows")).alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.n_censored").alias("n_censored"),
+        F.col("r.cum_hazard").alias("cum_hazard"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     duration_col: str,

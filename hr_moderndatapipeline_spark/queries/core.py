@@ -4860,6 +4860,97 @@ FROM rec
 """
 
 
+# ── Nelson–Aalen cumulative hazard of time-to-convert ──
+
+def q_conversion_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of time-to-convert
+    (operators/relational.py nelson_aalen) on the SAME
+    right-censored view→purchase subjects as
+    conversion_survival_curve — the additive companion to the
+    product-limit curve (H(t) = Σ d/n vs S(t) = Π(1−d/n)): the
+    instantaneous-risk readout reliability analysis prefers. Same
+    O(#durations) digest + sequential ascending-t fold; the oracle's
+    recursive CTE restates the hazard sum add-for-add."""
+    from hr_moderndatapipeline_spark.operators.relational import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("_sec"),
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_v0"))
+    )
+    first_purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("_sec") >= F.col("_v0"))
+        .groupBy("user_id")
+        .agg(F.min("_sec").alias("_p0"))
+    )
+    horizon = ev.agg(F.max("_sec").alias("_h"))
+    subjects = (
+        first_view.join(first_purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_p0").isNull(),
+                F.expr("(_h - _v0) DIV 86400"),
+            )
+            .otherwise(F.expr("(_p0 - _v0) DIV 86400"))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("_p0").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("ev"),
+        )
+    )
+    return nelson_aalen(subjects, "dur", "ev")
+
+
+ORACLE_CONVERSION_HAZARD = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+fv AS (
+  SELECT user_id, min(sec) AS v0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(e.sec) AS p0
+  FROM ev e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec >= fv.v0
+  GROUP BY e.user_id),
+hz AS (SELECT max(sec) AS h FROM ev),
+subj AS (
+  SELECT CASE WHEN fp.p0 IS NULL THEN (hz.h - fv.v0) // 86400
+         ELSE (fp.p0 - fv.v0) // 86400 END AS t,
+         CASE WHEN fp.p0 IS NULL THEN 0 ELSE 1 END AS e
+  FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id CROSS JOIN hz),
+agg AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(sum(e) AS BIGINT) AS d,
+         CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM subj GROUP BY 1),
+ord AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS k FROM agg),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n0 FROM agg),
+rec AS (
+  WITH RECURSIVE r(k, t, n_at_risk, d, c, h) AS (
+    SELECT o.k, o.t, tot.n0, o.d, o.c,
+           CAST(0 AS DOUBLE) + CAST(o.d AS DOUBLE) / CAST(tot.n0 AS DOUBLE)
+    FROM ord o CROSS JOIN tot WHERE o.k = 1
+    UNION ALL
+    SELECT o.k, o.t, r.n_at_risk - r.d - r.c, o.d, o.c,
+           r.h + CAST(o.d AS DOUBLE)
+                 / CAST(r.n_at_risk - r.d - r.c AS DOUBLE)
+    FROM r JOIN ord o ON o.k = r.k + 1)
+  SELECT * FROM r)
+SELECT t, n_at_risk, d AS n_events, c AS n_censored, h AS cum_hazard
+FROM rec
+"""
+
+
 # ── log-rank test: is the signup cohort's survival different? ──
 
 def q_conversion_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5151,6 +5242,7 @@ QUERIES = {
     "did_experiment_readout": q_did_experiment_readout,
     "value_qte_readout": q_value_qte_readout,
     "conversion_logrank": q_conversion_logrank,
+    "conversion_hazard_curve": q_conversion_hazard_curve,
     "customer_spend_percentile": q_customer_spend_percentile,
     "order_status_bookends": q_order_status_bookends,
     "weekday_order_profile": q_weekday_order_profile,
@@ -5256,6 +5348,7 @@ ORACLES = {
     "did_experiment_readout": ORACLE_DID_READOUT,
     "value_qte_readout": ORACLE_VALUE_QTE,
     "conversion_logrank": ORACLE_CONVERSION_LOGRANK,
+    "conversion_hazard_curve": ORACLE_CONVERSION_HAZARD,
     "customer_spend_percentile": ORACLE_SPEND_PERCENTILE,
     "order_status_bookends": ORACLE_ORDER_BOOKENDS,
     "weekday_order_profile": ORACLE_WEEKDAY_ORDER_PROFILE,

