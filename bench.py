@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "event_value_ks_by_type",     # exact integer two-sample KS per metric (r10)
     "purchase_uplift_qini",       # cumulative-decile Qini uplift curve (r10)
     "bm25_multi_search",          # batched BM25: 3 queries, one corpus pass (r10)
+    "bm25_index_probe",           # publish-once postings + pruned probe (r11)
     "hybrid_rrf_multi_search",    # batched hybrid RRF: 2 passes for 3 queries (r10)
     "conversion_hazard_curve",    # Nelson-Aalen cumulative hazard fold (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed

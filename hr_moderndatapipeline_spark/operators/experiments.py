@@ -103,9 +103,12 @@ def rank_sum_auc(
     aggregate, no join anywhere.
 
     Returns one row: (n_pos, n_neg, u2, auc_ppm, gini_ppm) with
-    ``auc_ppm = u2·1e6 DIV (2·np·nn)`` (floor; u2 ≤ 2·np·nn keeps
-    BIGINT safe to np·nn < 4.6e18 — beyond that move the final
-    division to DECIMAL(38,0), the weighted-sample idiom)."""
+    ``auc_ppm = u2·1e6 DIV (2·np·nn)``. The ×1e6 scaling runs in
+    DECIMAL(38,0): u2 ≤ 2·np·nn, so a BIGINT ``u2·1e6`` would wrap
+    SILENTLY (non-ANSI) once np·nn exceeds ~4.6e12 — e.g. ~2.2M pos
+    × 2.2M neg, squarely reachable at 100 TB (ADVICE r10). In
+    DECIMAL(38,0) the product is exact to np·nn < 4.6e31; only the
+    final ≤1e6-valued quotient returns to BIGINT."""
     from hr_moderndatapipeline_spark.operators.relational import (
         assign_stable_ids,
     )
@@ -143,12 +146,14 @@ def rank_sum_auc(
         "n_neg",
         u2.alias("u2"),
         F.expr(
-            "CAST((_rp_up + _rp_dn - n_pos * (n_pos + 1)) * 1000000 "
-            "DIV (2 * n_pos * n_neg) AS BIGINT)"
+            "CAST(CAST(_rp_up + _rp_dn - n_pos * (n_pos + 1) AS DECIMAL(38,0))"
+            " * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+            " AS BIGINT)"
         ).alias("auc_ppm"),
         F.expr(
-            "CAST((_rp_up + _rp_dn - n_pos * (n_pos + 1)) * 1000000 "
-            "DIV (n_pos * n_neg) - 1000000 AS BIGINT)"
+            "CAST(CAST(_rp_up + _rp_dn - n_pos * (n_pos + 1) AS DECIMAL(38,0))"
+            " * 1000000 DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            " - 1000000 AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -211,9 +216,12 @@ def ks_two_sample(
     ENTIRELY integer arithmetic: at every observed value v,
     D's numerator is |cum₁(v)·n₀ − cum₀(v)·n₁| (BIGINT — the
     cross-multiplied ECDF difference), maximized per group;
-    ``ks_ppm = max·1e6 DIV (n₁·n₀)`` (safe to n₁·n₀ < 9.2e18; past
-    that, DECIMAL(38,0) — the weighted-sample idiom). No doubles
-    anywhere, so the statistic is exact on any engine.
+    ``ks_ppm = max·1e6 DIV (n₁·n₀)``, with the ×1e6 scaling in
+    DECIMAL(38,0): ks_num ≤ n₁·n₀, so a BIGINT ``ks_num·1e6`` would
+    wrap silently once n₁·n₀ exceeds ~9.2e12 — ~3M vs 3M subjects,
+    reachable at 100 TB (ADVICE r10). DECIMAL keeps the product
+    exact to n₁·n₀ < 9.2e31. No doubles anywhere, so the statistic
+    is exact on any engine.
 
     Scale shape: one map-side-combinable (group, value) aggregate;
     the ECDF cumulative window is partitioned BY GROUP over that
@@ -257,7 +265,9 @@ def ks_two_sample(
             F.col("_n0").alias("n_ctrl"),
             "ks_num",
             F.expr(
-                "CAST(ks_num * 1000000 DIV greatest(_n1 * _n0, 1) AS BIGINT)"
+                "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(CAST(_n1 AS DECIMAL(38,0)) * _n0, 1)"
+                " AS BIGINT)"
             ).alias("ks_ppm"),
         )
     )

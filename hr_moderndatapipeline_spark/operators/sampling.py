@@ -191,7 +191,25 @@ def purged_time_split(
 
     Complements ``leakage_safe_split`` (group exclusivity): that one
     guards against NEAR-DUP leakage, this one against TEMPORAL
-    leakage."""
+    leakage.
+
+    Raises ``ValueError`` when ``purge_start > test_start``: with
+    the arguments swapped, the first ``when`` clause would win and
+    silently label the [test_start, purge_start) rows 'train' —
+    exactly the leak this operator exists to prevent (ADVICE r10)."""
+    from datetime import datetime
+
+    try:
+        p0 = datetime.fromisoformat(str(purge_start))
+        t0 = datetime.fromisoformat(str(test_start))
+    except ValueError:
+        p0 = t0 = None  # unparseable format: fall through to Spark's cast
+    if p0 is not None and p0 > t0:
+        raise ValueError(
+            f"purge_start ({purge_start!r}) must be <= test_start "
+            f"({test_start!r}); swapped arguments would silently label "
+            "the purge window 'train'"
+        )
     ts = F.col(ts_col)
     split = (
         F.when(ts < F.lit(purge_start).cast("timestamp"), F.lit("train"))

@@ -1046,6 +1046,31 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _bm25_contrib(k1: float, b: float) -> Column:
+    """Micro-quantized per-(doc, term) BM25 contribution over the
+    canonical intermediate columns ``_tf``/``_dl``/``_df``/``_n``/
+    ``_tok`` — the ONE place the scoring math lives, so the one-shot,
+    batched, and index/probe faces are bit-identical by construction
+    (same Lucene idf, same parenthesization as the SQL oracle, same
+    ``floor(x·1e6 + 0.5)`` quantization)."""
+    avgdl = F.col("_tok").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        (
+            (F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5)
+        ) / (F.col("_df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("_tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("_tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+        )
+    )
+    return F.floor(idf * tfn * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+
 def bm25_rank(
     df: DataFrame,
     id_col: str,
@@ -1075,6 +1100,10 @@ def bm25_rank(
     by (bm25_micro desc, id desc)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # The query is a term SET: a duplicate term must not double its
+    # contribution or n_terms_matched (same contract as the batch
+    # face's deduplicated qmap — ADVICE r10).
+    uniq_terms = sorted({str(t) for t in query_terms})
     words = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col), words.alias("_ws"), F.size(words).alias("_dl")
@@ -1087,7 +1116,7 @@ def bm25_rank(
             F.col(id_col),
             F.col("_dl"),
             F.explode(
-                F.array(*[F.lit(str(t)) for t in query_terms])
+                F.array(*[F.lit(t) for t in uniq_terms])
             ).alias("_t"),
             F.col("_ws"),
         )
@@ -1102,24 +1131,7 @@ def bm25_rank(
         F.broadcast(totals)
     )
     # Parenthesization pinned to match the SQL oracle term for term.
-    avgdl = F.col("_tok").cast("double") / F.col("_n").cast("double")
-    idf = F.log(
-        (
-            (F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5)
-        ) / (F.col("_df").cast("double") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tfn = (F.col("_tf").cast("double") * F.lit(k1 + 1.0)) / (
-        F.col("_tf").cast("double")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
-        )
-    )
-    contrib = F.floor(idf * tfn * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "bigint"
-    )
+    contrib = _bm25_contrib(k1, b)
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
         F.sum(contrib).cast("bigint").alias("bm25_micro"),
@@ -1181,31 +1193,112 @@ def bm25_rank_batch(
     scored = per_term.join(F.broadcast(df_t), "_t").crossJoin(
         F.broadcast(totals)
     )
-    avgdl = F.col("_tok").cast("double") / F.col("_n").cast("double")
-    idf = F.log(
-        (
-            (F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5)
-        ) / (F.col("_df").cast("double") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tfn = (F.col("_tf").cast("double") * F.lit(k1 + 1.0)) / (
-        F.col("_tf").cast("double")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
-        )
-    )
-    contrib = F.floor(idf * tfn * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "bigint"
-    )
+    contrib = _bm25_contrib(k1, b)
     spark = df.sparkSession
+    # Dedup (query_id, term) pairs: a duplicate term inside one
+    # query's list would otherwise double-count that term's
+    # contribution and n_terms_matched after the join, diverging
+    # from bm25_rank's single-query semantics (ADVICE r10).
     qmap = spark.createDataFrame(
-        [(str(q), str(t)) for q, ts in query_map for t in ts],
+        sorted({(str(q), str(t)) for q, ts in query_map for t in ts}),
         "query_id string, _t string",
     )
     per_doc = (
         scored.withColumn("_c", contrib)
+        .join(F.broadcast(qmap), "_t")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum("_c").cast("bigint").alias("bm25_micro"),
+        )
+    )
+    from hr_moderndatapipeline_spark.operators.relational import (
+        topk_per_group,
+    )
+
+    return topk_per_group(
+        per_doc,
+        ["query_id"],
+        [F.col("bm25_micro"), F.col(id_col)],
+        top_n,
+    )
+
+
+def bm25_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Publish-once BM25 statistics (VERDICT r10 #4 — the
+    ``minhash_index`` pattern applied to retrieval): at 100 TB the
+    serving shape builds the inverted index ONCE and probes it per
+    query batch, instead of re-tokenizing the corpus on every call
+    the way ``bm25_rank``/``bm25_rank_batch`` do.
+
+    Returns ``(postings, stats)``:
+
+    - ``postings`` — one row per (term, doc) with the term frequency
+      and the doc length: ``(_t, id, _dl, _tf)``. Build cost is the
+      standard inverted-index shape: one token explode + one
+      map-side-combinable (term, doc) count. Publish partitioned (or
+      bucketed) BY ``_t`` so a probe's ``_t IN (...)`` filter becomes
+      partition pruning — the probe then reads only the queried
+      terms' postings, never the corpus.
+    - ``stats`` — the 1-row (``_n`` docs, ``_tok`` total tokens)
+      aggregate the probe broadcasts for avgdl/idf.
+
+    ``bm25_probe`` over these equals the one-shot faces bit-for-bit
+    (test-pinned): document frequency recomputed from postings counts
+    exactly the tf>0 docs the one-shot face counts, and the scoring
+    math is the shared ``_bm25_contrib``."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), words.alias("_ws"), F.size(words).alias("_dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_tok")
+    )
+    postings = (
+        base.select(F.col(id_col), F.col("_dl"), F.explode("_ws").alias("_t"))
+        .groupBy("_t", id_col, "_dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("_tf"))
+    )
+    return postings, stats
+
+
+def bm25_probe(
+    postings: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    query_map: "Sequence[tuple[str, Sequence[str]]]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Answer a query batch from a published ``bm25_index``: filter
+    the postings to the union of query terms (partition pruning when
+    the index is published by ``_t``), recompute per-term document
+    frequency from the pruned postings (one tiny aggregate over
+    O(matched postings) rows), broadcast the 1-row stats, score with
+    the shared ``_bm25_contrib``, and take the per-query top-n via
+    WindowGroupLimit. Nothing in this plan touches the corpus — cost
+    scales with the queried terms' posting lists only.
+
+    Same output contract as ``bm25_rank_batch`` (bit-identical,
+    test-pinned): (query_id, id, n_terms_matched, bm25_micro,
+    rk ≤ top_n)."""
+    all_terms = sorted({str(t) for _, ts in query_map for t in ts})
+    if not all_terms:
+        raise ValueError("query_map must contain at least one term")
+    pt = postings.filter(F.col("_t").isin(all_terms))
+    df_t = pt.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = pt.join(F.broadcast(df_t), "_t").crossJoin(F.broadcast(stats))
+    spark = postings.sparkSession
+    # term-set semantics, same as the one-shot faces (ADVICE r10)
+    qmap = spark.createDataFrame(
+        sorted({(str(q), str(t)) for q, ts in query_map for t in ts}),
+        "query_id string, _t string",
+    )
+    per_doc = (
+        scored.withColumn("_c", _bm25_contrib(k1, b))
         .join(F.broadcast(qmap), "_t")
         .groupBy("query_id", id_col)
         .agg(

@@ -183,7 +183,12 @@ def q_asof_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-probe ``as_of_join`` would scan a hot user's entire
     version list per purchase (the P·V quadratic measured in
     tools/hot_user_fixture.py r10); the merge-based variant sorts
-    once per user instead and is immune to per-key version counts."""
+    once per user instead and is immune to per-key version counts.
+
+    POLICY (bench): the merge-based shape costs ~+25% wall at sf0.1
+    (0.53→0.66s, r9→r10) — a toy-scale constant bought for the
+    13.9s→0.4s win at 540k hot-user events. Intentional; do not
+    re-litigate on a bench diff."""
     ev = _t(spark, sf_dir, "events")
     dim = scd2_from_history(
         ev.filter(F.col("event_type") != "purchase").select(

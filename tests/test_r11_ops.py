@@ -1,0 +1,149 @@
+"""Round-11 operator pins.
+
+1. ``centroid_assign_arrow`` (VERDICT r10 #1): the numpy assignment
+   kernel must be BIT-identical to ``centroid_assign_literal`` — on
+   the real embedding corpus, and on an adversarial fixture where the
+   raw argmax and the round-then-rank argmax DISAGREE (two centroids
+   whose cosines differ raw but round equal at 6 digits: the rounded
+   tie must go to the LOWER cluster id, not the higher raw cosine).
+2. ``kmeans_train(arrow=True)`` returns the same centroids as the
+   pure-Catalyst face, so the query path's default is pinned to the
+   verification face end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hr_moderndatapipeline_spark.operators.similarity import (
+    as_double_vec,
+    centroid_assign_arrow,
+    centroid_assign_literal,
+    kmeans_train,
+    l2_norm,
+)
+
+DIM = 64
+
+
+def _vecs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), DIM))
+
+
+def _collect(df):
+    return sorted(
+        (r["vec_id"], r["cluster"], r["_cos"])
+        for r in df.select("vec_id", "cluster", "_cos").collect()
+    )
+
+
+def test_centroid_assign_arrow_bit_identical_on_corpus(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir).cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_train(
+        emb, "vec_id", "embedding", dim=DIM, k=8, iterations=1, arrow=False
+    )
+    try:
+        got = _collect(centroid_assign_arrow(vecs, cents, DIM))
+        want = _collect(centroid_assign_literal(vecs, cents, DIM))
+    finally:
+        vecs.unpersist()
+    assert got == want
+
+
+def test_centroid_assign_arrow_rounded_tie_beats_raw_argmax(spark):
+    """v is closest to centroid 7 in RAW cosine (1.0 vs
+    0.99999999995), but both round to 1.0 at 6 digits — the module
+    ROUNDING POLICY says the tie goes to cluster 2. A kernel that
+    ranked on raw scores would answer 7."""
+    e1 = [1.0] + [0.0] * (DIM - 1)
+    tilt = [1.0, 1e-5] + [0.0] * (DIM - 2)
+    vecs = (
+        spark.createDataFrame([(1, e1)], "vec_id long, _v array<double>")
+        .withColumn("_v", as_double_vec(F.col("_v")))
+        .withColumn("_vn", l2_norm(F.col("_v"), DIM))
+    )
+    cents = [(7, e1), (2, tilt)]
+    got = centroid_assign_arrow(vecs, cents, DIM).collect()[0]
+    want = centroid_assign_literal(vecs, cents, DIM).collect()[0]
+    assert (got["cluster"], got["_cos"]) == (want["cluster"], want["_cos"])
+    assert got["cluster"] == 2
+    assert got["_cos"] == 1.0
+
+
+def test_centroid_assign_arrow_exact_tie_lower_id(spark):
+    """Bitwise-equal cosines (duplicate centroids): lower id wins on
+    both faces."""
+    e1 = [0.5] * DIM
+    vecs = (
+        spark.createDataFrame([(1, e1)], "vec_id long, _v array<double>")
+        .withColumn("_v", as_double_vec(F.col("_v")))
+        .withColumn("_vn", l2_norm(F.col("_v"), DIM))
+    )
+    cents = [(9, e1), (4, e1)]
+    got = centroid_assign_arrow(vecs, cents, DIM).collect()[0]
+    want = centroid_assign_literal(vecs, cents, DIM).collect()[0]
+    assert got["cluster"] == want["cluster"] == 4
+
+
+def test_bm25_index_probe_equals_one_shot_batch(spark, sf_dir):
+    """The publish-once lifecycle (VERDICT r10 #4): probe(index) is
+    bit-identical to bm25_rank_batch, per query, on the real corpus
+    — including n_terms_matched and the integer micro scores."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bm25_index,
+        bm25_probe,
+        bm25_rank_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qmap = [
+        ("q_scan_filter", ["scan", "filter", "column", "hash"]),
+        ("q_stream_join", ["stream", "spark", "join"]),
+        ("q_window_merge", ["window", "merge"]),
+    ]
+    postings, stats = bm25_index(docs, "doc_id", "text")
+    got = sorted(
+        tuple(r) for r in bm25_probe(postings, stats, "doc_id", qmap).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bm25_rank_batch(docs, "doc_id", "text", qmap).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bm25_probe_single_query_equals_single_face(spark, sf_dir):
+    from hr_moderndatapipeline_spark.operators.text import (
+        bm25_index,
+        bm25_probe,
+        bm25_rank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    postings, stats = bm25_index(docs, "doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["n_terms_matched"], r["bm25_micro"])
+        for r in bm25_probe(
+            postings, stats, "doc_id", [("q", ["data", "spark"])]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_rank(docs, "doc_id", "text", ["data", "spark"]).collect()
+    )
+    assert got == want
+
+
+def test_kmeans_train_arrow_equals_catalyst_face(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_train(emb, "vec_id", "embedding", dim=DIM, k=8, iterations=2, arrow=True)
+    b = kmeans_train(emb, "vec_id", "embedding", dim=DIM, k=8, iterations=2, arrow=False)
+    assert a == b
