@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "ivfpq_rerank_topk",          # two-stage ANN: ADC shortlist + exact re-rank (r9)
     "winnowing_fingerprints",     # MOSS min-in-window fingerprint census (r10)
     "winnowing_dup_pairs",        # shared-fingerprint passage-match pairs (r10)
+    "winnowing_probe_pairs",      # indexed passage-match probe lifecycle (r11)
     "bm25_search",                # BM25 query-targeted retrieval top-20 (r10)
     "kmeans_cluster_profile",     # Lloyd k-means, literal-centroid rounds (r10)
     "kmeans_balanced_selection",  # cluster-balanced curation top-25/cluster (r10)

@@ -1400,6 +1400,126 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Build the persistent winnowing-fingerprint INDEX for a corpus
+    (VERDICT r10 #2 — the ``minhash_index``/``paragraph_index``
+    lifecycle at passage granularity): one row per distinct
+    (doc, fingerprint hash), carrying the fingerprint's CORPUS
+    doc-frequency so a probe can reconstruct the exact union
+    doc-frequency (corpus + batch) without rescanning the corpus —
+    the df-based boilerplate cap then behaves identically to the
+    one-shot ``winnowing_dup_pairs`` shape. Publish partitioned or
+    bucketed by ``fp_hash``; the probe's joins are then co-located.
+
+    Returns (id, fp_hash, corpus_df). One doc-keyed window shuffle
+    (the fingerprint extraction — the expensive step the index
+    exists to amortize) plus one fp-keyed count."""
+    from pyspark.sql import Window
+
+    fps = (
+        winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    dfreq = Window.partitionBy("fp_hash")
+    return fps.withColumn(
+        "corpus_df", F.count(F.lit(1)).over(dfreq).cast("bigint")
+    )
+
+
+def winnowing_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Match an incremental batch against a prebuilt
+    ``winnowing_index``: fingerprint ONLY the batch, reconstruct each
+    fingerprint's union doc-frequency as corpus_df + batch_df (exact
+    — no corpus rescan), drop viral fingerprints (union df >
+    ``max_df``, the boilerplate cap), and report (doc_a, doc_b,
+    n_shared_fps ≥ ``min_shared``) for every pair with at least one
+    batch member — batch↔corpus and batch↔batch, never
+    corpus↔corpus (the probe's whole point: candidate work scales
+    with the batch's posting lists, not the corpus²).
+
+    Equivalence law (test-pinned, tests/test_r11_ops.py): with
+    corpus and batch ids disjoint,
+    ``winnowing_probe(batch, winnowing_index(corpus))`` ==
+    the one-shot pair query over corpus ∪ batch restricted to pairs
+    involving a batch doc — including the df cap, which the
+    reconstructed union df makes exact. Output matches the one-shot
+    convention: doc_a < doc_b."""
+    from pyspark.sql import Window
+
+    batch = (
+        winnowing_fingerprints(new_docs, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    bfreq = Window.partitionBy("fp_hash")
+    batch = batch.withColumn(
+        "batch_df", F.count(F.lit(1)).over(bfreq).cast("bigint")
+    )
+    # union doc-frequency, exact: corpus_df rides on every index row,
+    # batch_df on every batch row; a LEFT join from each side to the
+    # other side's 1-row-per-fp df table would be two more shuffles —
+    # instead each side joins the OTHER side's per-fp df once, below,
+    # fused into the candidate join itself.
+    idx_df = index.select("fp_hash", "corpus_df").distinct()
+    bat_df = batch.select("fp_hash", "batch_df").distinct()
+    union_ok = (
+        idx_df.join(bat_df, "fp_hash", "full")
+        .select(
+            "fp_hash",
+            (
+                F.coalesce(F.col("corpus_df"), F.lit(0))
+                + F.coalesce(F.col("batch_df"), F.lit(0))
+            ).alias("_udf"),
+        )
+        .filter(F.col("_udf") <= max_df)
+        .select("fp_hash")
+    )
+    a = batch.join(union_ok, "fp_hash").select(
+        F.col(id_col).alias("_da"), "fp_hash"
+    )
+    others = (
+        index.select(F.col(id_col).alias("_db"), "fp_hash", F.lit("c").alias("_src"))
+        .unionByName(
+            batch.select(
+                F.col(id_col).alias("_db"), "fp_hash", F.lit("b").alias("_src")
+            )
+        )
+        .join(union_ok, "fp_hash")
+    )
+    cand = a.join(others, "fp_hash").filter(
+        # corpus partners once per orientation (a is always batch);
+        # batch-batch pairs would appear in BOTH orientations — keep
+        # the a<b one only
+        (F.col("_src") == "c") & (F.col("_da") != F.col("_db"))
+        | (F.col("_src") == "b") & (F.col("_da") < F.col("_db"))
+    )
+    return (
+        cand.select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def corpus_freq_score(
     df: DataFrame, id_col: str, text_col: str, rare_max: int = 2
 ) -> DataFrame:

@@ -2352,6 +2352,46 @@ HAVING count(*) >= 3
 """
 
 
+def q_winnowing_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental face of ``winnowing_dup_pairs`` (VERDICT r10 #2 —
+    operators/text.py winnowing_index/winnowing_probe): the corpus'
+    fingerprints are INDEXED once (with per-fingerprint corpus
+    doc-frequency), then the 'quoting' half-doc batch (doc_id + 1e6,
+    first-half word slice) probes the index — fingerprinting only the
+    batch, reconstructing the exact union doc-frequency for the ≤8
+    boilerplate cap, and emitting batch↔corpus / batch↔batch pairs
+    sharing ≥3 fingerprints. Equals the one-shot pair query over
+    corpus ∪ batch restricted to batch-involving pairs (law pinned in
+    tests/test_r11_ops.py); the oracle is that restriction."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_index,
+        winnowing_probe,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    half = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.floor(F.size(words) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    idx = winnowing_index(docs, "doc_id", "text", k=5, w=4)
+    return winnowing_probe(
+        half, idx, "doc_id", "text", k=5, w=4, max_df=8, min_shared=3
+    )
+
+
+# the one-shot pair SQL restricted to pairs involving a batch doc
+# (batch ids are the +1e6 range; doc_b = max of the pair)
+ORACLE_WINNOWING_PROBE_PAIRS = (
+    ORACLE_WINNOWING_DUP_PAIRS.replace(
+        "HAVING count(*) >= 3",
+        "HAVING count(*) >= 3 AND max(b.doc_id) >= 1000000",
+    )
+)
+
+
 _BOILERPLATE_PARA = "subscribe to our newsletter for updates"
 
 
@@ -4922,6 +4962,7 @@ QUERIES = {
     "contamination_overlap": q_contamination_overlap,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_dup_pairs": q_winnowing_dup_pairs,
+    "winnowing_probe_pairs": q_winnowing_probe_pairs,
     "bm25_search": q_bm25_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
@@ -5000,6 +5041,7 @@ ORACLES = {
     "contamination_overlap": ORACLE_CONTAMINATION,
     "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
     "winnowing_dup_pairs": ORACLE_WINNOWING_DUP_PAIRS,
+    "winnowing_probe_pairs": ORACLE_WINNOWING_PROBE_PAIRS,
     "bm25_search": ORACLE_BM25_SEARCH,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,

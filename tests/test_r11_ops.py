@@ -147,3 +147,132 @@ def test_kmeans_train_arrow_equals_catalyst_face(spark, sf_dir):
     a = kmeans_train(emb, "vec_id", "embedding", dim=DIM, k=8, iterations=2, arrow=True)
     b = kmeans_train(emb, "vec_id", "embedding", dim=DIM, k=8, iterations=2, arrow=False)
     assert a == b
+
+
+# ── winnowing index/probe lifecycle (VERDICT r10 #2) ──
+
+def _one_shot_pairs(corpus, max_df=8, min_shared=3):
+    """The one-shot winnowing pair shape (q_winnowing_dup_pairs's
+    logic) over an arbitrary corpus DataFrame."""
+    from pyspark.sql import Window
+
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    fps = (
+        winnowing_fingerprints(corpus, "doc_id", "text", k=5, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    rare = fps.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+    ).filter(F.col("_df") <= max_df)
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def test_winnowing_probe_equals_one_shot_restricted(spark, sf_dir):
+    """The equivalence law: probe(batch, index(corpus)) == one-shot
+    over corpus ∪ batch restricted to batch-involving pairs — df cap
+    included (union doc-frequency reconstructed exactly)."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_index,
+        winnowing_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(F.col("text"), " ")
+    batch = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.floor(F.size(words) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    idx = winnowing_index(docs, "doc_id", "text", k=5, w=4)
+    got = sorted(
+        tuple(r)
+        for r in winnowing_probe(batch, idx, "doc_id", "text", k=5, w=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _one_shot_pairs(docs.unionByName(batch))
+        .filter(F.col("doc_b") >= 1_000_000)
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_cap_keeps_planted_subcap_pairs(spark):
+    """VERDICT r10 #3 unit pin: with the df ≤ 8 cap ON, passage
+    pairs planted BELOW the cap are all found even when every doc
+    shares a viral boilerplate passage — the cap removes the
+    boilerplate fanout, not the signal. (The measured fixture at
+    N=2000 lives in tools/winnowing_fixture.py; SCALING.md r11.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.winnowing_fixture import _docs as fixture_docs
+    from tools.winnowing_fixture import pairs_with_cap
+
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = fixture_docs(spark, 40, 10, 12)
+    fps = (
+        winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    pairs, _ = pairs_with_cap(fps, 8, 3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    planted = {(2 * p, 2 * p + 1) for p in range(10)}
+    assert planted <= got
+    # nothing beyond planted pairs + (possibly) none: the viral
+    # boilerplate (df=40) and the 12-doc cohort passage (df=12) are
+    # both above the cap, so no pair rides on them
+    assert got == planted
+
+
+def test_winnowing_probe_union_df_cap_is_exact(spark):
+    """A fingerprint under the cap in the corpus alone but over it in
+    the union must be dropped — the cap sees corpus_df + batch_df,
+    not corpus_df. 5 corpus docs + 5 batch docs share one passage
+    (union df 10 > 8 → no pairs from it); a second passage planted
+    in exactly 1 corpus + 1 batch doc must still pair them."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        winnowing_index,
+        winnowing_probe,
+    )
+
+    viral = "alpha beta gamma delta epsilon zeta eta theta"
+    rare = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(i, viral) for i in range(5)] + [(5, rare)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, viral) for i in range(5)] + [(105, rare)],
+        "doc_id long, text string",
+    )
+    idx = winnowing_index(corpus, "doc_id", "text", k=5, w=4)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_probe(
+            batch, idx, "doc_id", "text", k=5, w=4, max_df=8, min_shared=1
+        ).collect()
+    }
+    # the viral passage (10 docs > cap 8) must produce NO pairs; the
+    # rare passage pairs its two owners
+    assert got == {(5, 105)}
