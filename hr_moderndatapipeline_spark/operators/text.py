@@ -1264,6 +1264,30 @@ def bm25_index(
     return postings, stats
 
 
+def bm25_index_merge(
+    postings_a: DataFrame,
+    stats_a: DataFrame,
+    postings_b: DataFrame,
+    stats_b: DataFrame,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental index maintenance: fold a new batch's
+    ``bm25_index`` into an existing one WITHOUT touching the old
+    corpus. For doc-disjoint inputs the law is exact (test-pinned):
+
+        merge(index(corpus), index(batch)) == index(corpus ∪ batch)
+
+    because postings are keyed by (term, doc) — disjoint docs union
+    losslessly — and the stats row is a sum of per-doc counts. The
+    merged postings are a pure union (publish appends the batch's
+    partitions); only the 2-row stats fold is recomputed."""
+    postings = postings_a.unionByName(postings_b)
+    stats = (
+        stats_a.unionByName(stats_b)
+        .agg(F.sum("_n").alias("_n"), F.sum("_tok").alias("_tok"))
+    )
+    return postings, stats
+
+
 def bm25_probe(
     postings: DataFrame,
     stats: DataFrame,

@@ -50,6 +50,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "scorer — the avgdl/idf constants, same class as tfidf_top_terms",
     "bm25_multi_search": "the same 1-row totals broadcast as bm25_search "
     "(batched face, shared corpus pass)",
+    "bm25_index_probe": "the same 1-row stats broadcast as bm25_search, "
+    "crossed into the PRUNED postings (index/probe face)",
     "hybrid_rrf_multi_search": "bm25's 1-row totals broadcast + "
     "ann_bruteforce's 3-query-vector broadcast (both reviewed classes)",
     "hybrid_rrf_search": "bm25_rank's 1-row (N, total-tokens) broadcast "

@@ -142,6 +142,34 @@ def test_bm25_probe_single_query_equals_single_face(spark, sf_dir):
     assert got == want
 
 
+def test_bm25_index_merge_law(spark, sf_dir):
+    """merge(index(corpus), index(batch)) == index(corpus ∪ batch)
+    for doc-disjoint inputs — probing the merged index answers
+    queries exactly as a full rebuild would."""
+    from hr_moderndatapipeline_spark.operators.text import (
+        bm25_index,
+        bm25_index_merge,
+        bm25_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    pm, sm = bm25_index_merge(
+        *bm25_index(corpus, "doc_id", "text"),
+        *bm25_index(batch, "doc_id", "text"),
+    )
+    pf, sf = bm25_index(docs, "doc_id", "text")
+    qmap = [("q", ["data", "spark", "scan"])]
+    got = sorted(tuple(r) for r in bm25_probe(pm, sm, "doc_id", qmap).collect())
+    want = sorted(tuple(r) for r in bm25_probe(pf, sf, "doc_id", qmap).collect())
+    assert got == want
+    assert sorted(map(tuple, pm.collect())) == sorted(map(tuple, pf.collect()))
+    assert sm.collect() == sf.collect()
+
+
 def test_kmeans_train_arrow_equals_catalyst_face(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = kmeans_train(emb, "vec_id", "embedding", dim=DIM, k=8, iterations=2, arrow=True)
