@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "purchase_uplift_qini",       # cumulative-decile Qini uplift curve (r10)
     "bm25_multi_search",          # batched BM25: 3 queries, one corpus pass (r10)
     "bm25_index_probe",           # publish-once postings + pruned probe (r11)
+    "retrieval_eval",             # judged MRR/P/R/nDCG retrieval readout (r11)
+    "calibration_ece",            # fixed-bin reliability + exact ECE (r11)
+    "rater_agreement_kappa",      # Cohen's kappa inter-rater readout (r11)
     "hybrid_rrf_multi_search",    # batched hybrid RRF: 2 passes for 3 queries (r10)
     "conversion_hazard_curve",    # Nelson-Aalen cumulative hazard fold (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed

@@ -271,3 +271,290 @@ def ks_two_sample(
             ).alias("ks_ppm"),
         )
     )
+
+
+#: DCG position discounts for ranks 1..20, parts-per-million:
+#: round_half_up(1e6 / log2(rank + 1)). A LITERAL table so every
+#: engine shares the exact same integers — computing log2 on data
+#: would put an engine-specific double into the canon. 20 entries
+#: bounds the supported cutoff (k ≤ 20); deeper evaluation extends
+#: the table, it does not compute logs at runtime.
+DCG_DISCOUNT_PPM: dict[int, int] = {
+    1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853,
+    6: 356207, 7: 333333, 8: 315465, 9: 301030, 10: 289065,
+    11: 278943, 12: 270238, 13: 262650, 14: 255958, 15: 250000,
+    16: 244651, 17: 239812, 18: 235409, 19: 231378, 20: 227670,
+}
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Offline retrieval evaluation (TREC-style): per-query MRR@k,
+    precision@k, recall@k and nDCG@k of a ranked ``run``
+    (query, doc, rank — rank 1-based, unique per query) against
+    graded relevance judgments ``qrels`` (query, doc, rel ≥ 0;
+    rel > 0 means relevant). The offline-eval half of the BM25 /
+    hybrid-RRF / ANN serving stack: every retrieval family needs a
+    judged readout before a ranking change ships.
+
+    Exactness contract: every metric is parts-per-million computed
+    by integer floor division from exact BIGINT sufficient
+    statistics — the DCG position discounts are the LITERAL
+    ``DCG_DISCOUNT_PPM`` table (never log2 on data), so
+    dcg/idcg are exact integer dot products and the readout hashes
+    identically on any engine. Conventions: MRR uses the first
+    relevant rank WITHIN the cutoff (0 if none); recall divides by
+    the query's total relevant count (0 if the query has no
+    judgments); nDCG divides the fixed-point DCG by the ideal DCG
+    over the query's top-k judgments by grade (ties among equal
+    grades don't affect the ideal value).
+
+    Scale shape: run is per-query top-k (bounded rows per query);
+    qrels is data-volume. One (query, doc) equi-join of the k-capped
+    run against qrels, one groupBy per side on the query key, and
+    one qrels-side rank window PARTITIONED BY query (bounded work
+    per partition by the per-query judgment count) for the ideal
+    DCG — no global windows, no driver movement.
+    """
+    if k > len(DCG_DISCOUNT_PPM):
+        raise ValueError(
+            f"k={k} exceeds the {len(DCG_DISCOUNT_PPM)}-entry literal "
+            "discount table; extend DCG_DISCOUNT_PPM with "
+            "round_half_up(1e6/log2(rank+1)) entries"
+        )
+    from pyspark.sql import Window
+
+    disc = F.create_map(
+        *[F.lit(x) for r in range(1, k + 1) for x in (r, DCG_DISCOUNT_PPM[r])]
+    )
+    q = F.col(query_col).alias("query_id")
+    # run side, cut to k: joined grades (unjudged docs grade 0)
+    r = (
+        run.filter(F.col(rank_col) <= k)
+        .select(q, F.col(doc_col).alias("doc_id"), F.col(rank_col).alias("rank"))
+        .join(
+            qrels.select(
+                q, F.col(doc_col).alias("doc_id"), F.col(rel_col).alias("rel")
+            ),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)).cast("bigint"))
+    )
+    got = r.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_k"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_first_rel"),
+        F.sum(F.col("rel") * disc[F.col("rank")]).cast("bigint").alias("dcg_fixed"),
+    )
+    # qrels side: total relevant + ideal DCG over the top-k grades
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        qrels.select(
+            q, F.col(doc_col).alias("doc_id"), F.col(rel_col).cast("bigint").alias("rel")
+        )
+        .filter(F.col("rel") > 0)
+        .withColumn("_pos", F.row_number().over(wq))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+            F.sum(
+                F.when(F.col("_pos") <= k, F.col("rel") * disc[F.col("_pos")])
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("idcg_fixed"),
+        )
+    )
+    return (
+        got.join(ideal, "query_id", "full")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce("hits_at_k", F.lit(0)).cast("bigint").alias("hits_at_k"),
+            F.coalesce(
+                F.expr("CAST(1000000 DIV _first_rel AS BIGINT)"), F.lit(0)
+            ).alias("mrr_ppm"),
+            F.expr(
+                f"CAST(1000000 * coalesce(hits_at_k, 0) DIV {k} AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.coalesce(
+                F.expr(
+                    "CAST(1000000 * hits_at_k DIV nullif(n_rel, 0) AS BIGINT)"
+                ),
+                F.lit(0),
+            ).alias("recall_ppm"),
+            F.coalesce("dcg_fixed", F.lit(0)).cast("bigint").alias("dcg_fixed"),
+            F.coalesce("idcg_fixed", F.lit(0)).cast("bigint").alias("idcg_fixed"),
+            F.coalesce(
+                F.expr(
+                    "CAST(1000000 * coalesce(dcg_fixed, 0)"
+                    " DIV nullif(idcg_fixed, 0) AS BIGINT)"
+                ),
+                F.lit(0),
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    score_ppm_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table + Expected Calibration Error (Naeini et al.
+    2015 / Guo et al. 2017, public method) over fixed-width
+    probability bins: the standard readout for "does this quality /
+    relevance classifier's confidence mean anything" before its
+    scores gate a 100 TB curation pass. Complements the r8 decile
+    reliability curve (quality_calibration_curve), which bins by
+    score RANK — ECE bins by score VALUE, the form the papers and
+    model cards quote.
+
+    Input: integer scores in parts-per-million (0..1e6 — the caller
+    quantizes, keeping the canon engine-exact) and 0/1 labels.
+    bin b covers [b/B, (b+1)/B) with the top edge closed:
+    ``least(score_ppm * B DIV 1e6, B-1)``.
+
+    Exactness: per-bin accuracy and confidence are integer ppm floor
+    divisions of BIGINT sums; the per-bin ECE contribution
+    ``n_b·|acc_b − conf_b|`` reduces EXACTLY to
+    ``|1e6·Σlabel − Σscore_ppm|`` (no per-row division at all), so
+    ``ece_ppm = Σ_b |…| DIV N`` is a pure integer function of the
+    sums. The ECE scalar is attached to every bin row via an
+    unpartitioned window over the ≤``bins``-row aggregate — the
+    schema-bounded-aggregate window class (same as the 64-bin
+    histogram readouts), NOT a data-volume window.
+
+    Scale shape: one map-side-combined groupBy on the bin key
+    (≤``bins`` groups) — nothing else touches data volume.
+    """
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.expr(f"CAST({score_ppm_col} AS BIGINT) * {bins} DIV 1000000"),
+        F.lit(bins - 1),
+    ).cast("bigint")
+    per = (
+        df.select(
+            b.alias("bin"),
+            F.col(label_col).cast("bigint").alias("_y"),
+            F.col(score_ppm_col).cast("bigint").alias("_s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("sum_label"),
+            F.sum("_s").cast("bigint").alias("sum_score_ppm"),
+        )
+        .withColumn(
+            "gap_fixed",
+            F.abs(F.lit(1000000) * F.col("sum_label") - F.col("sum_score_ppm"))
+            .cast("bigint"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "bin",
+        "n",
+        "sum_label",
+        F.expr("CAST(1000000 * sum_label DIV n AS BIGINT)").alias("acc_ppm"),
+        F.expr("CAST(sum_score_ppm DIV n AS BIGINT)").alias("conf_ppm"),
+        "gap_fixed",
+        F.sum("gap_fixed").over(w).cast("bigint").alias("_gap_total"),
+        F.sum("n").over(w).cast("bigint").alias("_n_total"),
+    ).select(
+        "bin",
+        "n",
+        "sum_label",
+        "acc_ppm",
+        "conf_ppm",
+        "gap_fixed",
+        F.expr("CAST(_gap_total DIV _n_total AS BIGINT)").alias("ece_ppm"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, rater1_col: str, rater2_col: str
+) -> DataFrame:
+    """Cohen's kappa (1960, public method): chance-corrected
+    agreement between two categorical raters —
+    ``κ = (p_o − p_e) / (1 − p_e)`` — the standard readout for "do
+    two labeling heuristics / annotator pools / model versions
+    actually agree" before their labels train anything. One row out:
+    n, raw agreement, expected agreement, and kappa, all integer ppm.
+
+    Exactness: from the (rater1, rater2) contingency counts,
+    ``κ = (n·agree − Σ_k n1_k·n2_k) / (n² − Σ_k n1_k·n2_k)`` in pure
+    integers; products run in DECIMAL(38,0) (n² overflows BIGINT past
+    n ≈ 3e9 — at 100 TB row counts that is reachable) and the final
+    ppm division truncates toward ZERO on both engines (Spark ``DIV``
+    natively; the oracle emulates with a sign-split CASE), so a
+    negative kappa (worse-than-chance agreement) hashes identically.
+
+    Scale shape: one map-side-combined groupBy on the class pair
+    (≤ #classes² groups); everything after runs on that bounded
+    contingency table — marginal products via two tiny re-aggregates
+    and one 1-row cross join (the bounded 1-row-stats broadcast
+    class).
+    """
+    cont = (
+        df.select(
+            F.col(rater1_col).cast("bigint").alias("_c1"),
+            F.col(rater2_col).cast("bigint").alias("_c2"),
+        )
+        .groupBy("_c1", "_c2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    tot = cont.agg(
+        F.sum("_cnt").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_c1") == F.col("_c2"), F.col("_cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    m1 = cont.groupBy(F.col("_c1").alias("_k")).agg(
+        F.sum("_cnt").cast("bigint").alias("_n1")
+    )
+    m2 = cont.groupBy(F.col("_c2").alias("_k")).agg(
+        F.sum("_cnt").cast("bigint").alias("_n2")
+    )
+    pe = (
+        m1.join(m2, "_k")
+        .agg(
+            F.sum(
+                F.col("_n1").cast("decimal(38,0)")
+                * F.col("_n2").cast("decimal(38,0)")
+            ).alias("pe_num")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .withColumn("_nd", F.col("n").cast("decimal(38,0)"))
+        .withColumn("_num", F.col("_nd") * F.col("agree") - F.col("pe_num"))
+        .withColumn("_den", F.col("_nd") * F.col("_nd") - F.col("pe_num"))
+        .select(
+            "n",
+            "agree",
+            F.expr("CAST(1000000 * agree DIV n AS BIGINT)").alias("po_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * pe_num"
+                " DIV (_nd * _nd) AS BIGINT)"
+            ).alias("pe_ppm"),
+            F.expr(
+                "CASE WHEN _den = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * _num DIV _den"
+                " AS BIGINT) END"
+            ).alias("kappa_ppm"),
+        )
+    )

@@ -22,7 +22,7 @@ the classic quality prior for pretraining data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -160,9 +160,15 @@ def label_propagation(
 
     Scale shape per round: one join of the O(V) label table against
     the symmetrized edge list on the vertex key + one (vertex, label)
-    count groupBy + one per-vertex argmax via a vertex-partitioned
-    rank window — all shuffles on the vertex key, co-partitioned
-    like ``pagerank``; ``localCheckpoint`` every
+    count groupBy + one per-vertex argmax as a second HASH AGGREGATE
+    ``min(struct(-count, label))`` — NOT a rank window: the aggregate
+    gets a map-side partial combine (each mapper ships one candidate
+    per vertex instead of every (vertex, label) count row) and skips
+    the window's per-partition sort. The r11 phase probe
+    (tools/lpa_phase_probe.py, 117.4M edges) showed the per-round
+    count-plus-argmax shuffles dominate LPA wall (~70%), which is
+    what this shape shrinks. All shuffles stay on the vertex key,
+    co-partitioned like ``pagerank``; ``localCheckpoint`` every
     ``checkpoint_every`` rounds truncates the growing lineage.
     Returns (vertex, label)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -178,9 +184,6 @@ def label_propagation(
     )
     verts = sym.select(F.col("src").alias("vertex")).distinct()
     labels = verts.withColumn("label", F.col("vertex")).repartition("vertex")
-    w = Window.partitionBy("vertex").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for i in range(iterations):
         nb = (
             sym.join(
@@ -192,10 +195,21 @@ def label_propagation(
             .groupBy(F.col("src").alias("vertex"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax by (count desc, label asc) == lexicographic min of
+        # (-count, label): a partially-combinable hash aggregate,
+        # exactly equivalent to the former row_number()==1 window
+        # (pinned vs the Python reference in tests/test_property_r9.py)
         mode = (
-            nb.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("vertex", F.col("label").alias("_new"))
+            nb.groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("_negc"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_best")
+            )
+            .select("vertex", F.col("_best._l").alias("_new"))
         )
         labels = (
             labels.join(mode, "vertex", "left")

@@ -2186,6 +2186,238 @@ ORDER BY bm25_micro DESC, doc_id DESC LIMIT 20
 """
 
 
+# ── offline retrieval evaluation (TREC-style MRR/P/R/nDCG) ──
+
+_EVAL_TERMS = ("window", "merge", "stream")
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged readout of a 3-query term-frequency retrieval run
+    (operators/experiments.py retrieval_metrics): per query term the
+    run ranks matching docs by (tf desc, doc_id desc) top-10; the
+    judgments grade a doc least(tf, 3) iff it ALSO contains 'spark'
+    (an intent term the ranker ignores, so the metrics are
+    non-trivial). MRR@10 / precision@10 / recall@10 / nDCG@10, all
+    integer ppm from BIGINT sufficient statistics with the LITERAL
+    DCG_DISCOUNT_PPM position table — the offline-eval half of the
+    BM25 / hybrid-RRF serving stack. One corpus pass builds run and
+    qrels for all 3 queries; the run's top-10/query is a
+    WindowGroupLimit (map-side partial top-k), the same class as the
+    batched-BM25 cutoff."""
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        retrieval_metrics,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+
+    def tf(t: str):
+        return F.size(F.filter(F.col("ws"), lambda w: w == F.lit(t)))
+
+    per = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("query_id"), tf(t).alias("tf")
+                    )
+                    for t in _EVAL_TERMS
+                ]
+            )
+        ).alias("s"),
+        tf("spark").alias("tf_spark"),
+    ).select(
+        F.col("s.query_id").alias("query_id"),
+        "doc_id",
+        F.col("s.tf").alias("tf"),
+        "tf_spark",
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("tf").desc(), F.col("doc_id").desc()
+    )
+    run = (
+        per.filter(F.col("tf") > 0)
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = per.filter((F.col("tf") > 0) & (F.col("tf_spark") > 0)).select(
+        "query_id", "doc_id", F.least(F.col("tf"), F.lit(3)).alias("rel")
+    )
+    return retrieval_metrics(run, qrels, k=10).orderBy("query_id")
+
+
+def _disc_values_sql(k: int) -> str:
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        DCG_DISCOUNT_PPM,
+    )
+
+    return ", ".join(f"({r}, {DCG_DISCOUNT_PPM[r]})" for r in range(1, k + 1))
+
+
+ORACLE_RETRIEVAL_EVAL = f"""
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+per AS (
+  SELECT t AS query_id, doc_id,
+         len(list_filter(ws, w -> w = t)) AS tf,
+         len(list_filter(ws, w -> w = 'spark')) AS tf_spark
+  FROM base, UNNEST(['window', 'merge', 'stream']) AS u(t)),
+run AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, doc_id DESC) AS rnk
+  FROM per WHERE tf > 0
+  QUALIFY rnk <= 10),
+qrels AS (
+  SELECT query_id, doc_id, least(tf, 3) AS rel
+  FROM per WHERE tf > 0 AND tf_spark > 0),
+disc(rnk, d) AS (VALUES {_disc_values_sql(10)}),
+joined AS (
+  SELECT r.query_id, r.rnk, COALESCE(q.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels q USING (query_id, doc_id)),
+got AS (
+  SELECT j.query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits_at_k,
+         min(CASE WHEN rel > 0 THEN j.rnk END) AS first_rel,
+         sum(rel * d.d) AS dcg_fixed
+  FROM joined j JOIN disc d USING (rnk) GROUP BY j.query_id),
+ideal AS (
+  SELECT query_id, count(*) AS n_rel,
+         sum(rel * COALESCE(d2.d, 0)) AS idcg_fixed
+  FROM (SELECT query_id, doc_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id ASC) AS pos
+        FROM qrels WHERE rel > 0) i
+  LEFT JOIN disc d2 ON d2.rnk = i.pos
+  GROUP BY query_id)
+SELECT query_id,
+       CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(COALESCE(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_ppm,
+       CAST(1000000 * COALESCE(hits_at_k, 0) // 10 AS BIGINT)
+         AS precision_ppm,
+       CAST(COALESCE(1000000 * hits_at_k // nullif(n_rel, 0), 0) AS BIGINT)
+         AS recall_ppm,
+       CAST(COALESCE(dcg_fixed, 0) AS BIGINT) AS dcg_fixed,
+       CAST(COALESCE(idcg_fixed, 0) AS BIGINT) AS idcg_fixed,
+       CAST(COALESCE(1000000 * COALESCE(dcg_fixed, 0)
+                     // nullif(idcg_fixed, 0), 0) AS BIGINT) AS ndcg_ppm
+FROM got FULL JOIN ideal USING (query_id)
+ORDER BY query_id
+"""
+
+
+# ── calibration ECE + inter-rater agreement (experiments family) ──
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error over 10 fixed-width probability
+    bins (operators/experiments.py calibration_ece): a deterministic
+    pseudo-confidence (order cents mod 1e6+1 — engine-exact, fully
+    decorrelated from the label, so the readout shows the
+    miscalibration ECE exists to expose) vs the 'F' order-status
+    label. Per-bin n / accuracy / confidence in integer ppm plus the
+    exact ECE scalar — one bounded-bin groupBy, the ECE window runs
+    over the ≤10-row aggregate (schema-bounded class)."""
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        calibration_ece,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.expr(
+            "pmod(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT), 1000001)"
+        ).alias("score_ppm"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("label"),
+    )
+    return calibration_ece(scored, "score_ppm", "label", bins=10).orderBy(
+        "bin"
+    )
+
+
+ORACLE_CALIBRATION_ECE = """
+WITH scored AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           % 1000001 AS score_ppm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders),
+binned AS (
+  SELECT least(score_ppm * 10 // 1000000, 9) AS bin, score_ppm, label
+  FROM scored),
+per AS (
+  SELECT bin, count(*) AS n, sum(label) AS sum_label,
+         sum(score_ppm) AS sum_score_ppm,
+         abs(1000000 * sum(label) - sum(score_ppm)) AS gap_fixed
+  FROM binned GROUP BY bin)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_label AS BIGINT) AS sum_label,
+       CAST(1000000 * sum_label // n AS BIGINT) AS acc_ppm,
+       CAST(sum_score_ppm // n AS BIGINT) AS conf_ppm,
+       CAST(gap_fixed AS BIGINT) AS gap_fixed,
+       CAST(sum(gap_fixed) OVER () // sum(n) OVER () AS BIGINT) AS ece_ppm
+FROM per ORDER BY bin
+"""
+
+
+def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document-quality raters
+    (operators/experiments.py cohen_kappa): rater 1 grades by length
+    (word count ≥60 → 2, ≥30 → 1, else 0), rater 2 by 'spark'
+    term occurrences capped at 2 — two real curation heuristics whose
+    chance-corrected agreement says whether they measure the same
+    thing. One contingency groupBy over the corpus; everything after
+    is bounded. Integer-ppm readout, truncation-toward-zero division
+    on both engines (kappa can be negative)."""
+    from hr_moderndatapipeline_spark.operators.experiments import cohen_kappa
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    nw = F.size(ws)
+    graded = docs.select(
+        F.when(nw >= 60, 2).when(nw >= 30, 1).otherwise(0).alias("r1"),
+        F.least(
+            F.size(F.filter(ws, lambda w: w == F.lit("spark"))), F.lit(2)
+        ).alias("r2"),
+    )
+    return cohen_kappa(graded, "r1", "r2")
+
+
+ORACLE_RATER_AGREEMENT_KAPPA = """
+WITH graded AS (
+  SELECT CASE WHEN len(str_split(text, ' ')) >= 60 THEN 2
+              WHEN len(str_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS r1,
+         least(len(list_filter(str_split(text, ' '), w -> w = 'spark')), 2)
+           AS r2
+  FROM documents),
+cont AS (SELECT r1, r2, count(*) AS cnt FROM graded GROUP BY r1, r2),
+tot AS (
+  SELECT sum(cnt) AS n,
+         sum(CASE WHEN r1 = r2 THEN cnt ELSE 0 END) AS agree
+  FROM cont),
+m1 AS (SELECT r1 AS k, sum(cnt) AS n1 FROM cont GROUP BY r1),
+m2 AS (SELECT r2 AS k, sum(cnt) AS n2 FROM cont GROUP BY r2),
+pe AS (
+  SELECT sum(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)) AS pe_num
+  FROM m1 JOIN m2 USING (k))
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(agree AS BIGINT) AS agree,
+       CAST(1000000 * agree // n AS BIGINT) AS po_ppm,
+       CAST(1000000 * pe_num // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         AS pe_ppm,
+       CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 0
+                 WHEN CAST(n AS HUGEINT) * agree - pe_num >= 0 THEN
+                   1000000 * (CAST(n AS HUGEINT) * agree - pe_num)
+                     // (CAST(n AS HUGEINT) * n - pe_num)
+                 ELSE
+                   -((1000000 * (pe_num - CAST(n AS HUGEINT) * agree))
+                     // (CAST(n AS HUGEINT) * n - pe_num))
+            END AS BIGINT) AS kappa_ppm
+FROM tot CROSS JOIN pe
+"""
+
+
 # ── winnowing fingerprints (Schleimer et al. 2003 — MOSS) ──
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4964,6 +5196,9 @@ QUERIES = {
     "winnowing_dup_pairs": q_winnowing_dup_pairs,
     "winnowing_probe_pairs": q_winnowing_probe_pairs,
     "bm25_search": q_bm25_search,
+    "retrieval_eval": q_retrieval_eval,
+    "calibration_ece": q_calibration_ece,
+    "rater_agreement_kappa": q_rater_agreement_kappa,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -5043,6 +5278,9 @@ ORACLES = {
     "winnowing_dup_pairs": ORACLE_WINNOWING_DUP_PAIRS,
     "winnowing_probe_pairs": ORACLE_WINNOWING_PROBE_PAIRS,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "retrieval_eval": ORACLE_RETRIEVAL_EVAL,
+    "calibration_ece": ORACLE_CALIBRATION_ECE,
+    "rater_agreement_kappa": ORACLE_RATER_AGREEMENT_KAPPA,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,

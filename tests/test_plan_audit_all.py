@@ -56,6 +56,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "ann_bruteforce's 3-query-vector broadcast (both reviewed classes)",
     "hybrid_rrf_search": "bm25_rank's 1-row (N, total-tokens) broadcast "
     "(the bm25_search entry) inside the lexical arm",
+    "rater_agreement_kappa": "1-row totals × 1-row pe_num marginal-product "
+    "aggregate cross join — both sides single-row by construction "
+    "(the tfidf_top_terms class)",
     "monthly_order_spine": "recursive year spine (≈7 rows) crossed with a "
     "12-row literal month dim — bounded by the schema's date span",
     "conversion_survival_curve": "1-row corpus-horizon aggregate broadcast "
@@ -82,6 +85,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "aggregate; the rank itself is TakeOrderedAndProject",
     "bigram_lm_score": "unigram-total window over the O(vocab) aggregate "
     "(micro-nat quantization of p(w))",
+    "calibration_ece": "ECE-total window over the ≤10-row probability-bin "
+    "aggregate (the spend_decile_woe class)",
     "cuped_experiment_readout": "pooled-moments window over the 2-row "
     "per-variant aggregate",
     "curation_funnel": "ppm-share window over the O(#reasons) aggregate "

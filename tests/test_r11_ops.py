@@ -304,3 +304,151 @@ def test_winnowing_probe_union_df_cap_is_exact(spark):
     # the viral passage (10 docs > cap 8) must produce NO pairs; the
     # rare passage pairs its two owners
     assert got == {(5, 105)}
+
+
+# ── retrieval_metrics (offline MRR/P/R/nDCG readout) ──
+
+
+def _metrics(spark, run_rows, qrel_rows, k):
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        run_rows, "query_id string, doc_id bigint, rank int"
+    )
+    qrels = spark.createDataFrame(
+        qrel_rows, "query_id string, doc_id bigint, rel int"
+    )
+    return {
+        r["query_id"]: r.asDict()
+        for r in retrieval_metrics(run, qrels, k=k).collect()
+    }
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # q1 run (ranks 1..5): d5(unjudged) d1(rel3) d7(unjudged) d3(rel2) d2(rel1)
+    run = [
+        ("q1", 5, 1),
+        ("q1", 1, 2),
+        ("q1", 7, 3),
+        ("q1", 3, 4),
+        ("q1", 2, 5),
+    ]
+    qrels = [("q1", 1, 3), ("q1", 2, 1), ("q1", 3, 2), ("q1", 9, 1)]
+    m = _metrics(spark, run, qrels, k=3)["q1"]
+    assert m["n_rel"] == 4
+    assert m["hits_at_k"] == 1  # only d1 inside the cutoff
+    assert m["mrr_ppm"] == 1000000 // 2  # first relevant at rank 2
+    assert m["precision_ppm"] == 1000000 * 1 // 3
+    assert m["recall_ppm"] == 1000000 * 1 // 4
+    assert m["dcg_fixed"] == 3 * 630930  # rel 3 at rank 2
+    # ideal top-3 grades are (3, 2, 1) at literal discounts
+    assert m["idcg_fixed"] == 3 * 1000000 + 2 * 630930 + 1 * 500000
+    assert m["ndcg_ppm"] == 1000000 * m["dcg_fixed"] // m["idcg_fixed"]
+
+
+def test_retrieval_metrics_degenerate_queries(spark):
+    # q_norel: retrieved but zero judgments; q_norun: judged but no run
+    run = [("q_norel", 1, 1), ("q_norel", 2, 2)]
+    qrels = [("q_norun", 4, 2), ("q_norun", 5, 1)]
+    m = _metrics(spark, run, qrels, k=2)
+    a = m["q_norel"]
+    assert (a["n_rel"], a["hits_at_k"], a["mrr_ppm"]) == (0, 0, 0)
+    assert (a["recall_ppm"], a["ndcg_ppm"], a["idcg_fixed"]) == (0, 0, 0)
+    b = m["q_norun"]
+    assert b["n_rel"] == 2
+    assert (b["hits_at_k"], b["precision_ppm"], b["dcg_fixed"]) == (0, 0, 0)
+    assert b["idcg_fixed"] == 2 * 1000000 + 1 * 630930
+    assert b["ndcg_ppm"] == 0
+
+
+def test_retrieval_metrics_k_cutoff_and_bounds(spark):
+    import pytest as _pytest
+
+    # the only relevant doc sits at rank 3 — invisible at k=2
+    run = [("q", 8, 1), ("q", 9, 2), ("q", 1, 3)]
+    qrels = [("q", 1, 2)]
+    m = _metrics(spark, run, qrels, k=2)["q"]
+    assert (m["hits_at_k"], m["mrr_ppm"], m["dcg_fixed"]) == (0, 0, 0)
+    assert m["n_rel"] == 1 and m["idcg_fixed"] == 2 * 1000000
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        retrieval_metrics,
+    )
+
+    with _pytest.raises(ValueError):
+        retrieval_metrics(
+            spark.createDataFrame(run, "query_id string, doc_id bigint, rank int"),
+            spark.createDataFrame(qrels, "query_id string, doc_id bigint, rel int"),
+            k=21,
+        )
+
+
+def test_dcg_discount_table_is_round_half_up():
+    import math
+
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        DCG_DISCOUNT_PPM,
+    )
+
+    for r, ppm in DCG_DISCOUNT_PPM.items():
+        assert ppm == int(math.floor(1e6 / math.log2(r + 1) + 0.5)), r
+
+
+# ── calibration_ece + cohen_kappa ──
+
+
+def test_calibration_ece_hand_computed(spark):
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        calibration_ece,
+    )
+
+    # two bins at B=2: [0, .5) and [.5, 1]; score 1e6 lands in the top bin
+    rows = [
+        (100000, 0),
+        (300000, 1),   # bin 0: n=2, sum_label=1, sum_score=400000
+        (600000, 1),
+        (900000, 1),
+        (1000000, 0),  # bin 1: n=3, sum_label=2, sum_score=2500000
+    ]
+    df = spark.createDataFrame(rows, "score_ppm bigint, label int")
+    got = {
+        r["bin"]: r.asDict()
+        for r in calibration_ece(df, "score_ppm", "label", bins=2).collect()
+    }
+    b0, b1 = got[0], got[1]
+    assert (b0["n"], b0["sum_label"]) == (2, 1)
+    assert b0["acc_ppm"] == 500000 and b0["conf_ppm"] == 200000
+    assert b0["gap_fixed"] == abs(1000000 * 1 - 400000)  # 600000
+    assert (b1["n"], b1["sum_label"]) == (3, 2)
+    assert b1["acc_ppm"] == 1000000 * 2 // 3 and b1["conf_ppm"] == 2500000 // 3
+    assert b1["gap_fixed"] == abs(1000000 * 2 - 2500000)  # 500000
+    # ece = (600000 + 500000) DIV 5 on both rows
+    assert b0["ece_ppm"] == b1["ece_ppm"] == (600000 + 500000) // 5
+
+
+def test_cohen_kappa_hand_computed_and_negative(spark):
+    from hr_moderndatapipeline_spark.operators.experiments import cohen_kappa
+
+    # classic 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10 (n=50)
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    df = spark.createDataFrame(rows, "r1 int, r2 int")
+    m = cohen_kappa(df, "r1", "r2").collect()[0].asDict()
+    assert (m["n"], m["agree"]) == (50, 35)
+    # marginals: r1 {1:25, 0:25}, r2 {1:30, 0:20}; pe_num = 25*30+25*20=1250
+    assert m["po_ppm"] == 1000000 * 35 // 50  # 700000
+    assert m["pe_ppm"] == 1000000 * 1250 // 2500  # 500000
+    # kappa = (50*35 - 1250)/(2500 - 1250) = 500/1250 = 0.4
+    assert m["kappa_ppm"] == 1000000 * (50 * 35 - 1250) // (2500 - 1250)
+
+    # worse-than-chance: perfect disagreement on a 2-class balance
+    rows2 = [(1, 0)] * 10 + [(0, 1)] * 10
+    m2 = cohen_kappa(
+        spark.createDataFrame(rows2, "r1 int, r2 int"), "r1", "r2"
+    ).collect()[0].asDict()
+    # n=20 agree=0; pe_num = 10*10+10*10 = 200; num=-200 den=200
+    # truncation toward zero: -(200*1e6 // 200) = -1000000
+    assert m2["kappa_ppm"] == -1000000
+    assert m2["po_ppm"] == 0 and m2["pe_ppm"] == 500000

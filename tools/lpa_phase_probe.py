@@ -6,11 +6,17 @@ the operator inline with a clock around each phase:
 
 - edge build + symmetrize + repartition(dst) + localCheckpoint (the
   one-time edge materialization),
-- each LPA round's join + groupBy + rank (lazy — billed to the next
+- each LPA round's join + groupBy + argmax (lazy — billed to the next
   checkpoint), and each labels localCheckpoint (eager),
 - the final histogram readout.
 
-Usage: python tools/lpa_phase_probe.py [sf_dir]
+The argmax face is selectable so the r11 window→aggregate rewrite of
+label_propagation's mode step can be measured head-to-head at the
+same scale: ``--window`` replays the pre-r11 row_number() rank
+window; the default replays the shipped min(struct(-c, label)) hash
+aggregate (map-side partial combine, no sort).
+
+Usage: python tools/lpa_phase_probe.py [sf_dir] [--window]
 """
 
 from __future__ import annotations
@@ -29,8 +35,11 @@ from hr_moderndatapipeline_spark.sources.readers import load_table  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hr_mdp_stress_sf10"
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    use_window = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/tmp/hr_mdp_stress_sf10"
     spark = get_spark("lpa_phase_probe")
+    print(f"mode face: {'rank window (pre-r11)' if use_window else 'min-struct aggregate'}", flush=True)
     t0 = time.time()
 
     def mark(tag: str) -> None:
@@ -63,11 +72,25 @@ def main() -> None:
             .groupBy(F.col("src").alias("vertex"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        mode = (
-            nb.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("vertex", F.col("label").alias("_new"))
-        )
+        if use_window:
+            mode = (
+                nb.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("vertex", F.col("label").alias("_new"))
+            )
+        else:
+            mode = (
+                nb.groupBy("vertex")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("_negc"),
+                            F.col("label").alias("_l"),
+                        )
+                    ).alias("_best")
+                )
+                .select("vertex", F.col("_best._l").alias("_new"))
+            )
         labels = labels.join(mode, "vertex", "left").select(
             "vertex", F.coalesce(F.col("_new"), F.col("label")).alias("label")
         )
