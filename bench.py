@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "retrieval_eval",             # judged MRR/P/R/nDCG retrieval readout (r11)
     "calibration_ece",            # fixed-bin reliability + exact ECE (r11)
     "rater_agreement_kappa",      # Cohen's kappa inter-rater readout (r11)
+    "segment_fairness_audit",     # parity/equalized-odds gap audit (r11)
+    "kmeans_silhouette",          # simplified-silhouette k readout (r11)
+    "source_quantile_normalize",  # cross-source percent-rank remap (r11)
     "hybrid_rrf_multi_search",    # batched hybrid RRF: 2 passes for 3 queries (r10)
     "conversion_hazard_curve",    # Nelson-Aalen cumulative hazard fold (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed

@@ -558,3 +558,85 @@ def cohen_kappa(
             ).alias("kappa_ppm"),
         )
     )
+
+
+def fairness_readout(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Group-fairness audit (Hardt et al. 2016 equalized odds /
+    demographic parity — public method) of a binary classifier over a
+    protected/segment attribute: per-group confusion counts, selection
+    rate, TPR and FPR in integer ppm, plus the cross-group max−min
+    gaps (the numbers a model card quotes: demographic-parity gap,
+    equalized-odds TPR/FPR gaps) attached to every row. A quality /
+    routing classifier gating a 100 TB corpus needs this readout per
+    source/language/domain before anyone trusts its cut.
+
+    Exactness: confusion cells are exact BIGINT counts from ONE
+    map-side-combined groupBy on the group key; rates are ppm floor
+    divisions; degenerate groups (no positives / no negatives) emit
+    NULL for the undefined rate and are EXCLUDED from that rate's gap
+    (never conflated with an observed 0). Gap columns are min/max
+    windows over the O(#groups) aggregate — the schema-bounded window
+    class, not a data-volume relation.
+
+    Scale shape: one groupBy on the group key over data volume;
+    everything downstream runs on the bounded per-group table.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("bigint")
+    p = F.col(pred_col).cast("bigint")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((y == 1) & (p == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((y == 0) & (p == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    rated = per.select(
+        "grp",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(1000000 * (tp + fp) DIV n AS BIGINT)").alias(
+            "selection_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 * tp DIV nullif(tp + fn, 0) AS BIGINT)"
+        ).alias("tpr_ppm"),
+        F.expr(
+            "CAST(1000000 * fp DIV nullif(fp + tn, 0) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )
+    w = Window.partitionBy()
+    gap = lambda c: (  # noqa: E731 — max−min over the bounded group table
+        F.max(c).over(w) - F.min(c).over(w)
+    ).cast("bigint")
+    return rated.select(
+        "grp",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "selection_ppm",
+        "tpr_ppm",
+        "fpr_ppm",
+        gap("selection_ppm").alias("parity_gap_ppm"),
+        gap("tpr_ppm").alias("eo_tpr_gap_ppm"),
+        gap("fpr_ppm").alias("eo_fpr_gap_ppm"),
+    )

@@ -1147,3 +1147,68 @@ def semantic_dedup_survivors(
     return d.join(drops, id_col, "left_anti").select(
         F.col(id_col), F.col("_blk").alias("block")
     )
+
+
+def centroid_silhouette_literal(
+    vecs: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    dim: int,
+    round_digits: int = 6,
+    vec_col: str = "_v",
+    norm_col: str = "_vn",
+) -> DataFrame:
+    """Per-point SIMPLIFIED silhouette against driver-literal
+    centroids (the medoid-free variant every large-scale clustering
+    stack uses — classic silhouette's pairwise distances are O(n²),
+    a non-starter; the centroid form needs only the k cosines each
+    point already evaluates for assignment). In cosine distance
+    (d = 1 − cos): a = distance to the OWN (nearest) centroid,
+    b = distance to the best OTHER centroid,
+    s = (b − a) / max(a, b) = (own_cos − other_cos) /
+    (1 − least(own_cos, other_cos)), in [−1, 1] — the k-selection
+    readout for the Lloyd family (``kmeans_train``).
+
+    Same scan shape as ``centroid_assign_literal``: k sequential-fold
+    rounded cosines per row, zero shuffle; the top-2 fall out of one
+    descending ``sort_array`` over the (cos, −cluster) structs (same
+    rank-on-rounded total order as assignment — a rounded TIE between
+    two centroids yields s = 0, the honest "on the boundary" value).
+    ``s_ppm`` is floor(s·1e6 + 0.5) over the 6-digit-rounded cosines
+    — one fixed expression tree, engine-exact; the degenerate
+    denominator (own == other == 1.0 exactly) maps to 0.
+
+    Appends ``cluster``, ``_cos`` (own), ``_cos2`` (best other) and
+    ``s_ppm``. Requires k ≥ 2."""
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs k >= 2 centroids")
+    structs = []
+    for cid, cv in centroids:
+        cn = _py_seq_l2(cv)
+        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+        cos = F.round(
+            cosine_prenormed(
+                F.col(vec_col), lit_cv, F.col(norm_col), F.lit(cn), dim
+            ),
+            round_digits,
+        )
+        structs.append(
+            F.struct(
+                cos.cast("double").alias("_c"),
+                F.lit(-int(cid)).cast("int").alias("_nj"),
+            )
+        )
+    top2 = F.slice(F.sort_array(F.array(*structs), asc=False), 1, 2)
+    own_c = F.col("_t2")[0]["_c"]
+    other_c = F.col("_t2")[1]["_c"]
+    denom = F.lit(1.0) - F.least(own_c, other_c)
+    s_ppm = F.when(denom == 0.0, F.lit(0)).otherwise(
+        F.floor((own_c - other_c) / denom * F.lit(1000000.0) + F.lit(0.5))
+    )
+    return (
+        vecs.withColumn("_t2", top2)
+        .withColumn("cluster", (-F.col("_t2")[0]["_nj"]).cast("int"))
+        .withColumn("_cos", own_c)
+        .withColumn("_cos2", other_c)
+        .withColumn("s_ppm", s_ppm.cast("bigint"))
+        .drop("_t2")
+    )

@@ -1262,6 +1262,67 @@ WHERE rk <= 25
     )
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified-silhouette readout for the trained
+    Lloyd model (operators/similarity.py centroid_silhouette_literal
+    over kmeans_train's k=8 centroids): member count and the
+    mean/min/max per-point silhouette in ppm — the k-selection
+    number a clustering-based curation stage quotes before trusting
+    its partitions. Same zero-shuffle scan as assignment (k literal
+    cosines per row, top-2 from one sort_array); per-point s is a
+    fixed expression over the 6-digit-rounded cosines, so the
+    grouped sums are engine-exact integers. Oracle extends the
+    materialized Lloyd CTEs with a best-other-centroid join."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        centroid_silhouette_literal,
+        kmeans_train,
+        l2_norm,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_train(
+        emb, "vec_id", "embedding", dim=_KM_DIM, k=_KM_K, iterations=_KM_ITER
+    )
+    vecs = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v"), _KM_DIM))
+    sil = centroid_silhouette_literal(vecs, cents, _KM_DIM)
+    return sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr("CAST(sum(s_ppm) DIV count(1) AS BIGINT)").alias(
+            "mean_s_ppm"
+        ),
+        F.min("s_ppm").cast("bigint").alias("min_s_ppm"),
+        F.max("s_ppm").cast("bigint").alias("max_s_ppm"),
+    )
+
+
+def _kmeans_silhouette_oracle_sql() -> str:
+    return (
+        _kmeans_oracle_with()
+        + """,
+second AS MATERIALIZED (
+  SELECT s.vec_id, max(s.cos) AS other_cos
+  FROM sf s JOIN af a ON s.vec_id = a.vec_id AND s.cluster <> a.cluster
+  GROUP BY s.vec_id),
+sil AS (
+  SELECT a.cluster,
+         CASE WHEN 1.0 - least(a.cos, o.other_cos) = 0 THEN 0
+              ELSE CAST(floor((a.cos - o.other_cos)
+                        / (1.0 - least(a.cos, o.other_cos))
+                        * 1000000.0 + 0.5) AS BIGINT)
+         END AS s_ppm
+  FROM af a JOIN second o USING (vec_id))
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm,
+       CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+       CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
+FROM sil GROUP BY cluster
+"""
+    )
+
+
 # ── batched BM25: N queries, one corpus pass ──
 
 _BM25_BATCH = (
@@ -2415,6 +2476,167 @@ SELECT CAST(n AS BIGINT) AS n,
                      // (CAST(n AS HUGEINT) * n - pe_num))
             END AS BIGINT) AS kappa_ppm
 FROM tot CROSS JOIN pe
+"""
+
+
+def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the integer quality
+    score: each document's score becomes its PERCENT RANK within its
+    own source (``pct_ppm = rank·1e6 DIV (n_src − 1)``), so a
+    threshold like "keep the top 30%" means the same thing in every
+    source regardless of how differently their raw score
+    distributions sit — the standard fix for per-source quality-gate
+    bias before a global cut. Ranks come from
+    ``assign_grouped_ranks`` (range-partitioned per-group rank — a
+    huge source parallelizes across its partition run; no
+    partition-per-source window), ties broken by doc_id so the map
+    is a pure integer function of the data. Single-doc sources map
+    to 0."""
+    from hr_moderndatapipeline_spark.operators.relational import (
+        assign_grouped_ranks,
+    )
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "source", _q10_expr().alias("q10")
+    )
+    ranked = assign_grouped_ranks(
+        scored,
+        ["source"],
+        ["q10", "doc_id"],
+        id_col="src_rank",
+        total_col="n_src",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "q10",
+        F.col("src_rank").cast("bigint").alias("src_rank"),
+        F.when(
+            F.col("n_src") > 1,
+            F.expr("CAST(src_rank * 1000000 DIV (n_src - 1) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pct_ppm"),
+    )
+
+
+ORACLE_SOURCE_QUANTILE_NORMALIZE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_Q10_CASE_SQL} AS q10 FROM documents),
+ranked AS (
+  SELECT doc_id, source, q10,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q10, doc_id) - 1 AS src_rank,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scored)
+SELECT doc_id, source, q10,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(CASE WHEN n_src > 1 THEN src_rank * 1000000 // (n_src - 1)
+                 ELSE 0 END AS BIGINT) AS pct_ppm
+FROM ranked
+"""
+
+
+def q_segment_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit (operators/experiments.py
+    fairness_readout) of the 'big spender' classifier
+    (spend ≥ $1.5M in exact cents) against the returner label, per
+    market segment: confusion counts, selection rate, TPR/FPR in ppm
+    and the cross-segment parity / equalized-odds gaps — the model-
+    card readout a segment-gating classifier needs before its cut
+    ships. Per-customer stats from one orders-side aggregate joined
+    to the customer dim; all integer, gap windows over the 5-row
+    segment table (bounded class)."""
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        fairness_readout,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    per_cust = (
+        orders.join(ret, "o_orderkey", "left_semi")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("spend_cents")
+    )
+    base = (
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        .join(per_cust, "o_custkey", "left")
+        .join(spend, "o_custkey", "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("label", F.lit(0)).alias("label"),
+            (F.coalesce("spend_cents", F.lit(0)) >= 150_000_000)
+            .cast("bigint")
+            .alias("pred"),
+        )
+    )
+    return fairness_readout(base, "c_mktsegment", "label", "pred").orderBy(
+        "grp"
+    )
+
+
+ORACLE_SEGMENT_FAIRNESS_AUDIT = """
+WITH ret AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+  WHERE l_returnflag = 'R'),
+pos AS (
+  SELECT DISTINCT o_custkey FROM orders JOIN ret USING (o_orderkey)),
+spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT c.c_mktsegment AS grp,
+         CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label,
+         CASE WHEN COALESCE(s.spend_cents, 0) >= 150000000 THEN 1 ELSE 0 END
+           AS pred
+  FROM customer c
+  LEFT JOIN pos p ON p.o_custkey = c.c_custkey
+  LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+per AS (
+  SELECT grp, count(*) AS n,
+         sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+  FROM base GROUP BY grp),
+rated AS (
+  SELECT grp, n, tp, fp, fn, tn,
+         1000000 * (tp + fp) // n AS selection_ppm,
+         1000000 * tp // nullif(tp + fn, 0) AS tpr_ppm,
+         1000000 * fp // nullif(fp + tn, 0) AS fpr_ppm
+  FROM per)
+SELECT grp,
+       CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(tn AS BIGINT) AS tn,
+       CAST(selection_ppm AS BIGINT) AS selection_ppm,
+       CAST(tpr_ppm AS BIGINT) AS tpr_ppm,
+       CAST(fpr_ppm AS BIGINT) AS fpr_ppm,
+       CAST(max(selection_ppm) OVER () - min(selection_ppm) OVER ()
+            AS BIGINT) AS parity_gap_ppm,
+       CAST(max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS BIGINT)
+         AS eo_tpr_gap_ppm,
+       CAST(max(fpr_ppm) OVER () - min(fpr_ppm) OVER () AS BIGINT)
+         AS eo_fpr_gap_ppm
+FROM rated ORDER BY grp
 """
 
 
@@ -5181,6 +5403,7 @@ QUERIES = {
     "centroid_classify": q_centroid_classify,
     "kmeans_cluster_profile": q_kmeans_cluster_profile,
     "kmeans_balanced_selection": q_kmeans_balanced_selection,
+    "kmeans_silhouette": q_kmeans_silhouette,
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "mmr_diverse_rerank": q_mmr_diverse_rerank,
     "purged_event_split": q_purged_event_split,
@@ -5199,6 +5422,8 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "calibration_ece": q_calibration_ece,
     "rater_agreement_kappa": q_rater_agreement_kappa,
+    "segment_fairness_audit": q_segment_fairness_audit,
+    "source_quantile_normalize": q_source_quantile_normalize,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -5259,6 +5484,7 @@ ORACLES = {
     # are bit-identical on both engines.
     "kmeans_cluster_profile": _kmeans_profile_oracle_sql(),
     "kmeans_balanced_selection": _kmeans_selection_oracle_sql(),
+    "kmeans_silhouette": _kmeans_silhouette_oracle_sql(),
     "hybrid_rrf_search": ORACLE_HYBRID_RRF,
     # 10 greedy MMR rounds unrolled; λ spelled as the same IEEE
     # expressions the operator computes (1.0 − 0.7 ≠ the double 0.3).
@@ -5281,6 +5507,8 @@ ORACLES = {
     "retrieval_eval": ORACLE_RETRIEVAL_EVAL,
     "calibration_ece": ORACLE_CALIBRATION_ECE,
     "rater_agreement_kappa": ORACLE_RATER_AGREEMENT_KAPPA,
+    "segment_fairness_audit": ORACLE_SEGMENT_FAIRNESS_AUDIT,
+    "source_quantile_normalize": ORACLE_SOURCE_QUANTILE_NORMALIZE,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -108,6 +108,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "(the price_drift_by_era class)",
     "purchase_uplift_qini": "cumulative window over the 10-row decile "
     "aggregate (the quality_calibration_curve class)",
+    "segment_fairness_audit": "parity/EO gap windows over the 5-row "
+    "per-segment confusion aggregate (the spend_decile_woe class)",
     "segment_priority_chisq": "expected-count window over the "
     "O(segments × priorities) contingency aggregate",
     "weekday_order_profile": "share window over the 7-row weekday aggregate",

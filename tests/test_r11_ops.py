@@ -452,3 +452,77 @@ def test_cohen_kappa_hand_computed_and_negative(spark):
     # truncation toward zero: -(200*1e6 // 200) = -1000000
     assert m2["kappa_ppm"] == -1000000
     assert m2["po_ppm"] == 0 and m2["pe_ppm"] == 500000
+
+
+def test_fairness_readout_hand_computed_and_degenerate(spark):
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        fairness_readout,
+    )
+
+    rows = (
+        # group A: tp=2 fp=1 fn=1 tn=2  (n=6)
+        [("A", 1, 1)] * 2 + [("A", 0, 1)] + [("A", 1, 0)] + [("A", 0, 0)] * 2
+        # group B: all-negative labels (TPR undefined), fp=1 tn=1
+        + [("B", 0, 1), ("B", 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, label int, pred int")
+    got = {
+        r["grp"]: r.asDict()
+        for r in fairness_readout(df, "grp", "label", "pred").collect()
+    }
+    a, b = got["A"], got["B"]
+    assert (a["tp"], a["fp"], a["fn"], a["tn"]) == (2, 1, 1, 2)
+    assert a["selection_ppm"] == 1000000 * 3 // 6
+    assert a["tpr_ppm"] == 1000000 * 2 // 3
+    assert a["fpr_ppm"] == 1000000 * 1 // 3
+    assert b["tpr_ppm"] is None  # undefined, NOT zero
+    assert b["selection_ppm"] == 500000 and b["fpr_ppm"] == 500000
+    # gaps: selection 500000-500000=0; TPR gap over {A} alone = 0
+    # (B's NULL excluded); FPR gap = |1/3 - 1/2| in ppm
+    assert a["parity_gap_ppm"] == 0 and b["parity_gap_ppm"] == 0
+    assert a["eo_tpr_gap_ppm"] == 0
+    assert a["eo_fpr_gap_ppm"] == 500000 - 333333
+
+
+def test_centroid_silhouette_hand_computed(spark):
+    import pytest as _pytest
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        centroid_silhouette_literal,
+    )
+
+    # dim=2 unit-ish vectors; centroids: c0=(1,0), c1=(0,1)
+    rows = [
+        (1, [1.0, 0.0]),   # own c0 cos=1.0, other c1 cos=0.0 → s=1e6
+        (2, [1.0, 1.0]),   # cos to both = 1/sqrt(2) → rounded tie → s=0
+        (3, [0.0, 2.0]),   # own c1 cos=1.0, other cos=0 → s=1e6
+        (4, [3.0, 1.0]),   # own c0, a=1-0.948683, b=1-0.316228
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, _v array<double>")
+    df = df.withColumn(
+        "_vn",
+        F.sqrt(
+            F.aggregate(
+                F.col("_v"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ),
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in centroid_silhouette_literal(df, cents, 2).collect()
+    }
+    assert got[1]["cluster"] == 0 and got[1]["s_ppm"] == 1000000
+    assert got[2]["s_ppm"] == 0  # rounded tie between the two centroids
+    assert got[2]["cluster"] == 0  # tie goes to the lower cluster id
+    assert got[3]["cluster"] == 1 and got[3]["s_ppm"] == 1000000
+    own, other = got[4]["_cos"], got[4]["_cos2"]
+    import math
+
+    assert got[4]["cluster"] == 0
+    expect = math.floor((own - other) / (1.0 - min(own, other)) * 1e6 + 0.5)
+    assert got[4]["s_ppm"] == expect
+    assert all(-1000000 <= r["s_ppm"] <= 1000000 for r in got.values())
+
+    with _pytest.raises(ValueError):
+        centroid_silhouette_literal(df, [(0, [1.0, 0.0])], 2)

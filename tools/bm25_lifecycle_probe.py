@@ -38,8 +38,19 @@ QMAP = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hr_mdp_stress_sf10"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bm25_index_sf10"
+    # --suffix cK appends the stress generator's per-copy word suffix
+    # to every query term (tools/stress_sweep.py suffixes ALL words),
+    # so the probed queries MATCH real documents at stress scale —
+    # without it the r11 first-week numbers measured full corpus
+    # passes but empty result sets (timing shape right, matches zero).
+    args = [a for a in sys.argv[1:] if not a.startswith("--suffix")]
+    suffix = ""
+    for a in sys.argv[1:]:
+        if a.startswith("--suffix="):
+            suffix = a.split("=", 1)[1]
+    qmap = [(q, [t + suffix for t in ts]) for q, ts in QMAP]
+    sf_dir = args[0] if args else "/tmp/hr_mdp_stress_sf10"
+    out = args[1] if len(args) > 1 else "/tmp/bm25_index_sf10"
     spark = get_spark("bm25_lifecycle_probe")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -48,7 +59,7 @@ def main() -> None:
 
     t0 = time.time()
     one_shot = sorted(
-        tuple(r) for r in bm25_rank_batch(docs, "doc_id", "text", QMAP).collect()
+        tuple(r) for r in bm25_rank_batch(docs, "doc_id", "text", qmap).collect()
     )
     t_one_shot = round(time.time() - t0, 2)
 
@@ -68,7 +79,7 @@ def main() -> None:
             spark.read.parquet(f"{out}/postings.parquet"),
             spark.read.parquet(f"{out}/stats.parquet"),
             "doc_id",
-            QMAP,
+            qmap,
         ).collect()
     )
     t_probe = round(time.time() - t0, 2)
