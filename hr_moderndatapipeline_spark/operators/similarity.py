@@ -1212,3 +1212,75 @@ def centroid_silhouette_literal(
         .withColumn("s_ppm", s_ppm.cast("bigint"))
         .drop("_t2")
     )
+
+
+def cohort_centroid_drift(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-cohort centroid vs the GLOBAL centroid, as cosine ppm —
+    the vector-column drift monitor (the PSI/KS family watches
+    scalars; this watches the embedding space). Per-cohort
+    per-dimension means are exact DECIMAL(28,10) sums (the Lloyd
+    update discipline); the global centroid folds from the SAME
+    per-cohort sums, so the corpus is scanned ONCE and both
+    centroids of a cohort's comparison derive from identical
+    decimal arithmetic. Everything after the (label, dim)-key
+    aggregate runs on #cohorts×dim bounded rows; the cosine is the
+    shared sequential fold, quantized floor(cos·1e6 + 0.5).
+
+    Returns (label, n_vecs, drift_ppm) — drift_ppm = 1e6 means the
+    cohort centroid points exactly along the corpus mean."""
+    per_dim = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,10)")).alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    lab_arr = (
+        per_dim.select(
+            "label",
+            "pos",
+            (F.col("sx").cast("double") / F.col("n")).alias("c"),
+            "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv"),
+        )
+    )
+    glob_arr = (
+        per_dim.groupBy("pos")
+        .agg((F.sum("sx").cast("double") / F.sum("n")).alias("c"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("gv")
+        )
+    )
+    cos = cosine_prenormed(
+        F.col("cv"),
+        F.col("gv"),
+        l2_norm(F.col("cv"), dim),
+        l2_norm(F.col("gv"), dim),
+        dim,
+    )
+    return lab_arr.crossJoin(F.broadcast(glob_arr)).select(
+        "label",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.floor(cos * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("drift_ppm"),
+    )

@@ -2479,6 +2479,59 @@ FROM tot CROSS JOIN pe
 """
 
 
+def q_embedding_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-label cohort centroid
+    (exact DECIMAL(28,10) per-dimension mean — the Lloyd-update
+    discipline) vs the GLOBAL corpus centroid, reported as the
+    cosine between them in ppm. The scalar-drift family (PSI/KS/
+    histogram L1) watches value columns; this is the same monitor
+    for the vector column — a cohort whose centroid swings away from
+    the corpus mean signals an upstream embedding/model change
+    before any scalar does. One posexplode pass + one
+    (label, dim)-key aggregate; the global centroid folds from the
+    SAME per-label DECIMAL sums (exact), so the corpus is scanned
+    once; everything after runs on 10×64 bounded rows, the cosine is
+    the shared sequential fold, floor(·1e6 + 0.5)."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cohort_centroid_drift,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "label", as_double_vec(F.col("embedding")).alias("_v")
+    )
+    return cohort_centroid_drift(emb, "label", "_v", _KM_DIM).orderBy(
+        "label"
+    )
+
+
+def _embedding_cohort_drift_oracle_sql() -> str:
+    fold = _km_fold
+    return f"""
+WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+pl AS (
+  SELECT label, u.r AS pos,
+         CAST(sum(CAST(v[u.r + 1] AS DECIMAL(28,10))) AS DOUBLE)
+           / count(*) AS c,
+         count(*) AS n
+  FROM ev, unnest(range(0, {_KM_DIM})) AS u(r) GROUP BY 1, 2),
+pc AS (SELECT label, max(n) AS n_vecs, list(c ORDER BY pos) AS cv
+       FROM pl GROUP BY 1),
+gl AS (
+  SELECT u.r AS pos,
+         CAST(sum(CAST(v[u.r + 1] AS DECIMAL(28,10))) AS DOUBLE)
+           / count(*) AS c
+  FROM ev, unnest(range(0, {_KM_DIM})) AS u(r) GROUP BY 1),
+gc AS (SELECT list(c ORDER BY pos) AS gv FROM gl)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(floor({fold('p.cv', 'g.gv')}
+                  / (sqrt({fold('p.cv', 'p.cv')})
+                     * sqrt({fold('g.gv', 'g.gv')}))
+                  * 1000000.0 + 0.5) AS BIGINT) AS drift_ppm
+FROM pc p CROSS JOIN gc g ORDER BY label
+"""
+
+
 def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of the integer quality
     score: each document's score becomes its PERCENT RANK within its
@@ -5424,6 +5477,7 @@ QUERIES = {
     "rater_agreement_kappa": q_rater_agreement_kappa,
     "segment_fairness_audit": q_segment_fairness_audit,
     "source_quantile_normalize": q_source_quantile_normalize,
+    "embedding_cohort_drift": q_embedding_cohort_drift,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -5509,6 +5563,7 @@ ORACLES = {
     "rater_agreement_kappa": ORACLE_RATER_AGREEMENT_KAPPA,
     "segment_fairness_audit": ORACLE_SEGMENT_FAIRNESS_AUDIT,
     "source_quantile_normalize": ORACLE_SOURCE_QUANTILE_NORMALIZE,
+    "embedding_cohort_drift": _embedding_cohort_drift_oracle_sql(),
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -56,6 +56,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "ann_bruteforce's 3-query-vector broadcast (both reviewed classes)",
     "hybrid_rrf_search": "bm25_rank's 1-row (N, total-tokens) broadcast "
     "(the bm25_search entry) inside the lexical arm",
+    "embedding_cohort_drift": "10-row label-centroid table × 1-row global "
+    "centroid cross join — both sides bounded aggregates "
+    "(the tfidf_top_terms class)",
     "rater_agreement_kappa": "1-row totals × 1-row pe_num marginal-product "
     "aggregate cross join — both sides single-row by construction "
     "(the tfidf_top_terms class)",

@@ -526,3 +526,32 @@ def test_centroid_silhouette_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         centroid_silhouette_literal(df, [(0, [1.0, 0.0])], 2)
+
+
+def test_cohort_centroid_drift_hand_computed(spark):
+    import math
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        cohort_centroid_drift,
+    )
+
+    # cohort 0: two copies of (1,0); cohort 1: two copies of (0,1)
+    rows = [(0, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [0.0, 1.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "label int, _v array<double>")
+    got = {
+        r["label"]: r.asDict()
+        for r in cohort_centroid_drift(df, "label", "_v", 2).collect()
+    }
+    # global centroid = (0.5, 0.5); cos((1,0),(0.5,0.5)) = 1/sqrt(2)
+    expect = math.floor(
+        (0.5 / (1.0 * math.sqrt(0.5))) * 1e6 + 0.5
+    )
+    assert got[0]["n_vecs"] == 2 and got[0]["drift_ppm"] == expect
+    assert got[1]["drift_ppm"] == expect  # symmetric
+
+    # a single-cohort corpus: centroid IS the global mean -> exactly 1e6
+    one = spark.createDataFrame(
+        [(7, [3.0, 4.0]), (7, [3.0, 4.0])], "label int, _v array<double>"
+    )
+    m = cohort_centroid_drift(one, "label", "_v", 2).collect()[0]
+    assert m["drift_ppm"] == 1000000
