@@ -160,17 +160,21 @@ def label_propagation(
 
     Scale shape per round: one join of the O(V) label table against
     the symmetrized edge list on the vertex key + one (vertex, label)
-    count groupBy + one per-vertex argmax as a second HASH AGGREGATE
-    ``min(struct(-count, label))`` — NOT a rank window: the aggregate
-    gets a map-side partial combine (each mapper ships one candidate
-    per vertex instead of every (vertex, label) count row) and skips
-    the window's per-partition sort. The r11 phase probe
-    (tools/lpa_phase_probe.py, 117.4M edges) showed the per-round
-    count-plus-argmax shuffles dominate LPA wall (~70%), which is
-    what this shape shrinks. All shuffles stay on the vertex key,
-    co-partitioned like ``pagerank``; ``localCheckpoint`` every
-    ``checkpoint_every`` rounds truncates the growing lineage.
-    Returns (vertex, label)."""
+    count groupBy + one per-vertex argmax as a second aggregate
+    ``min(struct(-count, label))`` — NOT a rank window. Measured
+    honestly (SCALING.md r11, 117.4M edges): shuffle volume is
+    IDENTICAL between the two shapes (the partial min cannot combine
+    map-side — the count table is hash-partitioned by
+    (vertex, label), so a vertex's rows rarely share a mapper
+    partition); the win is the reduce side, where the sort-aggregate
+    merges straight to one row per vertex instead of fully sorting
+    every (vertex, label) row, materializing row numbers and
+    filtering — the isolated round-1 argmax ran 32.5s vs the
+    window's 55.4s at the sf10 geometry. End-to-end round walls are
+    dominated by the edge-sized count groupBy either way. All
+    shuffles stay on the vertex key, co-partitioned like
+    ``pagerank``; ``localCheckpoint`` every ``checkpoint_every``
+    rounds truncates the growing lineage. Returns (vertex, label)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     sym = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -196,9 +200,10 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # argmax by (count desc, label asc) == lexicographic min of
-        # (-count, label): a partially-combinable hash aggregate,
-        # exactly equivalent to the former row_number()==1 window
-        # (pinned vs the Python reference in tests/test_property_r9.py)
+        # (-count, label): exactly equivalent to the former
+        # row_number()==1 window (pinned vs the Python reference in
+        # tests/test_property_r9.py); see docstring for the measured
+        # reduce-side win and the shuffle-volume non-claim
         mode = (
             nb.groupBy("vertex")
             .agg(

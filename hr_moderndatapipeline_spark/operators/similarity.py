@@ -1232,8 +1232,30 @@ def cohort_centroid_drift(
     shared sequential fold, quantized floor(cos·1e6 + 0.5).
 
     Returns (label, n_vecs, drift_ppm) — drift_ppm = 1e6 means the
-    cohort centroid points exactly along the corpus mean."""
-    per_dim = (
+    cohort centroid points exactly along the corpus mean.
+
+    One-shot face of the publish/merge/probe lifecycle:
+    state extraction + readout (``cohort_centroid_state`` /
+    ``cohort_drift_from_state``), so the incremental path is
+    bit-identical by construction."""
+    return cohort_drift_from_state(
+        cohort_centroid_state(df, label_col, vec_col), dim
+    )
+
+
+def cohort_centroid_state(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """The PUBLISHABLE sufficient statistics behind
+    ``cohort_centroid_drift``: (label, pos, sx, n) — exact
+    DECIMAL(28,10) per-dimension sums and counts. Because the state
+    is pure sums, it is MERGEABLE: yesterday's published state plus
+    today's batch state equals the full-corpus state exactly
+    (decimal addition is associative), so the drift monitor never
+    rescans history — the bm25_index / minhash_index lifecycle
+    discipline applied to monitoring. Bounded output:
+    #cohorts × dim rows."""
+    return (
         df.select(
             F.col(label_col).alias("label"),
             F.posexplode(F.col(vec_col)).alias("pos", "x"),
@@ -1244,8 +1266,30 @@ def cohort_centroid_drift(
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+def cohort_centroid_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two published centroid states into one:
+    merge(state(x), state(y)) == state(x ∪ y) EXACTLY (decimal sums
+    add; counts add) — property-pinned in tests/test_r11_ops.py.
+    Runs entirely on the bounded #cohorts × dim state rows."""
+    return (
+        a.unionByName(b)
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("sx").cast("decimal(28,10)").alias("sx"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def cohort_drift_from_state(state: DataFrame, dim: int) -> DataFrame:
+    """The ``cohort_centroid_drift`` readout from a published (or
+    merged) state instead of raw vectors — bit-identical to the
+    one-shot face by construction (same decimal sums, same mean and
+    fold expressions; pinned in tests/test_r11_ops.py)."""
     lab_arr = (
-        per_dim.select(
+        state.select(
             "label",
             "pos",
             (F.col("sx").cast("double") / F.col("n")).alias("c"),
@@ -1261,7 +1305,7 @@ def cohort_centroid_drift(
         )
     )
     glob_arr = (
-        per_dim.groupBy("pos")
+        state.groupBy("pos")
         .agg((F.sum("sx").cast("double") / F.sum("n")).alias("c"))
         .agg(
             F.transform(

@@ -555,3 +555,48 @@ def test_cohort_centroid_drift_hand_computed(spark):
     )
     m = cohort_centroid_drift(one, "label", "_v", 2).collect()[0]
     assert m["drift_ppm"] == 1000000
+
+
+def test_cohort_centroid_merge_law(spark):
+    """merge(state(a), state(b)) == state(a ∪ b) exactly, and the
+    drift readout from the merged state equals the one-shot face."""
+    import random
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        cohort_centroid_drift,
+        cohort_centroid_merge,
+        cohort_centroid_state,
+        cohort_drift_from_state,
+    )
+
+    rng = random.Random(411)
+    rows = [
+        (i % 3, [round(rng.uniform(-1, 1), 3) for _ in range(4)])
+        for i in range(60)
+    ]
+    schema = "label int, _v array<double>"
+    full = spark.createDataFrame(rows, schema)
+    a = spark.createDataFrame(rows[:37], schema)
+    b = spark.createDataFrame(rows[37:], schema)
+
+    state_full = {
+        (r["label"], r["pos"]): (str(r["sx"]), r["n"])
+        for r in cohort_centroid_state(full, "label", "_v").collect()
+    }
+    merged_df = cohort_centroid_merge(
+        cohort_centroid_state(a, "label", "_v"),
+        cohort_centroid_state(b, "label", "_v"),
+    )
+    state_merged = {
+        (r["label"], r["pos"]): (str(r["sx"]), r["n"])
+        for r in merged_df.collect()
+    }
+    assert state_merged == state_full  # exact decimal equality
+
+    one_shot = sorted(
+        tuple(r) for r in cohort_centroid_drift(full, "label", "_v", 4).collect()
+    )
+    from_state = sorted(
+        tuple(r) for r in cohort_drift_from_state(merged_df, 4).collect()
+    )
+    assert from_state == one_shot
