@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "kmeans_silhouette",          # simplified-silhouette k readout (r11)
     "source_quantile_normalize",  # cross-source percent-rank remap (r11)
     "embedding_cohort_drift",     # vector-space cohort drift monitor (r11)
+    "embedding_drift_merged",     # publish/merge lifecycle face (r11)
+    "order_priority_ate",         # post-stratified ATE readout (r11)
     "hybrid_rrf_multi_search",    # batched hybrid RRF: 2 passes for 3 queries (r10)
     "conversion_hazard_curve",    # Nelson-Aalen cumulative hazard fold (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed

@@ -640,3 +640,77 @@ def fairness_readout(
         gap("tpr_ppm").alias("eo_tpr_gap_ppm"),
         gap("fpr_ppm").alias("eo_fpr_gap_ppm"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Post-stratified average-treatment-effect readout (the standard
+    covariate-adjustment companion to CUPED/DiD): per-stratum
+    treated-vs-control mean difference, then the n-weighted average
+    across strata — removes confounding from any categorical
+    covariate the assignment correlates with.
+
+    Exactness: per-stratum sums are exact BIGINT; the mean diff is
+    quantized ONCE per stratum as
+    ``diff_micro = (sum1·n0 − sum0·n1)·1e6 DIV (n1·n0)`` with the
+    products in DECIMAL(38,0) (sum·n crosses 2^63 at 100 TB row
+    counts — the rank_sum_auc lesson applied up front), and the
+    overall readout is the pure-integer
+    ``ate_micro = Σ n_s·diff_micro_s DIV Σ n_s`` over strata with
+    BOTH arms present (single-arm strata report NULL diff and are
+    excluded — post-stratification's standard positivity handling,
+    never conflated with a zero effect). Quantization error is
+    bounded by 1 micro-unit per stratum and identical on every
+    engine. Truncation toward zero on both engines (sign-split CASE
+    in the oracle — diffs can be negative).
+
+    Scale shape: ONE map-side-combined groupBy on the stratum key;
+    the ATE fold is a window over the O(#strata) aggregate (the
+    bounded-aggregate window class). Returns per-stratum rows with
+    the shared ate_micro on each."""
+    from pyspark.sql import Window
+
+    t = F.col(treat_col).cast("bigint")
+    v = F.col(value_col).cast("bigint")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(t).cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - t).cast("bigint").alias("n0"),
+        F.sum(F.when(t == 1, v).otherwise(0)).cast("bigint").alias("sum1"),
+        F.sum(F.when(t == 0, v).otherwise(0)).cast("bigint").alias("sum0"),
+    )
+    diff = per.withColumn(
+        "diff_micro",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n0 > 0 THEN"
+            " CAST((CAST(sum1 AS DECIMAL(38,0)) * n0"
+            "       - CAST(sum0 AS DECIMAL(38,0)) * n1) * 1000000"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)"
+            " END"
+        ),
+    )
+    w = Window.partitionBy()
+    both = F.when(F.col("diff_micro").isNotNull(), F.col("n")).otherwise(0)
+    contrib = F.when(
+        F.col("diff_micro").isNotNull(),
+        F.col("n").cast("decimal(38,0)") * F.col("diff_micro"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    return diff.withColumn(
+        "_cn", F.sum(contrib).over(w).cast("decimal(38,0)")
+    ).withColumn("_nn", F.sum(both).over(w).cast("decimal(38,0)")).select(
+        "stratum",
+        "n",
+        "n1",
+        "n0",
+        "sum1",
+        "sum0",
+        "diff_micro",
+        F.expr(
+            "CAST(CASE WHEN _nn = 0 THEN 0 WHEN _cn >= 0 THEN _cn DIV _nn"
+            " ELSE -((-_cn) DIV _nn) END AS BIGINT)"
+        ).alias("ate_micro"),
+    )

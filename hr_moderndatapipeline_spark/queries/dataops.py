@@ -2532,6 +2532,107 @@ FROM pc p CROSS JOIN gc g ORDER BY label
 """
 
 
+def q_order_priority_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified ATE readout (operators/experiments.py
+    stratified_ate): even/odd custkey as the randomized assignment
+    analog, order value in exact cents as the outcome, order priority
+    as the stratification covariate — per-stratum treated-vs-control
+    diff and the n-weighted ATE, all integer micro-cents with the
+    DECIMAL(38,0) product discipline (sum·n crosses 2^63 at 100 TB).
+    One stratum-key groupBy; the ATE fold runs over the 5-row
+    stratum aggregate (bounded class)."""
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        stratified_ate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("o_custkey") % 2 == 0).cast("bigint").alias("treat"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    return stratified_ate(orders, "stratum", "treat", "cents").orderBy(
+        "stratum"
+    )
+
+
+ORACLE_ORDER_PRIORITY_ATE = """
+WITH base AS (
+  SELECT o_orderpriority AS stratum,
+         CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS treat,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders),
+per AS (
+  SELECT stratum, count(*) AS n,
+         sum(treat) AS n1, sum(1 - treat) AS n0,
+         sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS sum1,
+         sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS sum0
+  FROM base GROUP BY stratum),
+diff AS (
+  SELECT *,
+         CASE WHEN n1 > 0 AND n0 > 0 THEN
+           CAST(CASE WHEN CAST(sum1 AS HUGEINT) * n0
+                          - CAST(sum0 AS HUGEINT) * n1 >= 0 THEN
+                  (CAST(sum1 AS HUGEINT) * n0
+                   - CAST(sum0 AS HUGEINT) * n1) * 1000000
+                    // (CAST(n1 AS HUGEINT) * n0)
+                ELSE
+                  -(((CAST(sum0 AS HUGEINT) * n1
+                      - CAST(sum1 AS HUGEINT) * n0) * 1000000)
+                    // (CAST(n1 AS HUGEINT) * n0))
+                END AS BIGINT)
+         END AS diff_micro
+  FROM per),
+tot AS (
+  SELECT sum(CASE WHEN diff_micro IS NOT NULL
+                  THEN CAST(n AS HUGEINT) * diff_micro ELSE 0 END) AS cn,
+         sum(CASE WHEN diff_micro IS NOT NULL THEN n ELSE 0 END) AS nn
+  FROM diff)
+SELECT stratum,
+       CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+       CAST(n0 AS BIGINT) AS n0, CAST(sum1 AS BIGINT) AS sum1,
+       CAST(sum0 AS BIGINT) AS sum0,
+       CAST(diff_micro AS BIGINT) AS diff_micro,
+       CAST(CASE WHEN nn = 0 THEN 0
+                 WHEN cn >= 0 THEN cn // nn
+                 ELSE -((-cn) // nn) END AS BIGINT) AS ate_micro
+FROM diff CROSS JOIN tot
+ORDER BY stratum
+"""
+
+
+def q_embedding_drift_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor's PUBLISH/MERGE lifecycle, driver-visible:
+    the corpus is split into two batches (vec_id parity — the
+    yesterday/today shape), each batch's centroid STATE is extracted
+    independently (operators/similarity.py cohort_centroid_state),
+    the states are MERGED (pure decimal-sum fold), and the readout
+    runs from the merged state. The oracle is the ONE-SHOT drift SQL
+    — the merge law merge(state(a), state(b)) == state(a ∪ b) makes
+    them equal exactly, so the driver's hash compare IS the law check
+    at corpus scale (the bm25_index_probe discipline)."""
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        cohort_centroid_merge,
+        cohort_centroid_state,
+        cohort_drift_from_state,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("_v")
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    merged = cohort_centroid_merge(
+        cohort_centroid_state(a, "label", "_v"),
+        cohort_centroid_state(b, "label", "_v"),
+    )
+    return cohort_drift_from_state(merged, _KM_DIM).orderBy("label")
+
+
 def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of the integer quality
     score: each document's score becomes its PERCENT RANK within its
@@ -5478,6 +5579,8 @@ QUERIES = {
     "segment_fairness_audit": q_segment_fairness_audit,
     "source_quantile_normalize": q_source_quantile_normalize,
     "embedding_cohort_drift": q_embedding_cohort_drift,
+    "embedding_drift_merged": q_embedding_drift_merged,
+    "order_priority_ate": q_order_priority_ate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -5564,6 +5667,8 @@ ORACLES = {
     "segment_fairness_audit": ORACLE_SEGMENT_FAIRNESS_AUDIT,
     "source_quantile_normalize": ORACLE_SOURCE_QUANTILE_NORMALIZE,
     "embedding_cohort_drift": _embedding_cohort_drift_oracle_sql(),
+    "embedding_drift_merged": _embedding_cohort_drift_oracle_sql(),
+    "order_priority_ate": ORACLE_ORDER_PRIORITY_ATE,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -59,6 +59,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "embedding_cohort_drift": "10-row label-centroid table × 1-row global "
     "centroid cross join — both sides bounded aggregates "
     "(the tfidf_top_terms class)",
+    "embedding_drift_merged": "the same bounded centroid × global cross "
+    "join as embedding_cohort_drift (merged-state face)",
     "rater_agreement_kappa": "1-row totals × 1-row pe_num marginal-product "
     "aggregate cross join — both sides single-row by construction "
     "(the tfidf_top_terms class)",
@@ -106,6 +108,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "domain_mix_weights": "share window over the O(#domains) aggregate",
     "dsir_importance_weights": "log-ratio window over the fixed 4096-bucket "
     "hashed-unigram aggregate",
+    "order_priority_ate": "ATE fold window over the 5-row per-stratum "
+    "aggregate (the spend_decile_woe class)",
     "price_drift_by_era": "histogram L1 over the fixed 64-bin aggregate",
     "price_psi_by_era": "PSI terms over the fixed 64-bin aggregate "
     "(the price_drift_by_era class)",

@@ -600,3 +600,48 @@ def test_cohort_centroid_merge_law(spark):
         tuple(r) for r in cohort_drift_from_state(merged_df, 4).collect()
     )
     assert from_state == one_shot
+
+
+def test_stratified_ate_hand_computed(spark):
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        stratified_ate,
+    )
+
+    rows = [
+        # stratum A: treat mean 30, ctrl mean 10 -> diff 20e6 micro
+        ("A", 1, 20), ("A", 1, 40), ("A", 0, 10),
+        # stratum B: treat mean 5, ctrl mean 8 -> diff -3e6 micro
+        ("B", 1, 5), ("B", 0, 8),
+        # stratum C: control-only -> NULL diff, excluded from ATE
+        ("C", 0, 100), ("C", 0, 200),
+    ]
+    df = spark.createDataFrame(rows, "stratum string, treat int, v int")
+    got = {
+        r["stratum"]: r.asDict()
+        for r in stratified_ate(df, "stratum", "treat", "v").collect()
+    }
+    a, b, c = got["A"], got["B"], got["C"]
+    assert (a["n"], a["n1"], a["n0"], a["sum1"], a["sum0"]) == (3, 2, 1, 60, 10)
+    assert a["diff_micro"] == 20_000_000
+    # negative diff truncates toward zero identically on both engines
+    assert b["diff_micro"] == -3_000_000
+    assert c["diff_micro"] is None
+    # ATE over A (n=3) and B (n=2): (3*20e6 + 2*(-3e6)) DIV 5
+    expect = (3 * 20_000_000 + 2 * -3_000_000) // 5
+    assert a["ate_micro"] == b["ate_micro"] == c["ate_micro"] == expect
+
+
+def test_stratified_ate_negative_total_truncates_toward_zero(spark):
+    from hr_moderndatapipeline_spark.operators.experiments import (
+        stratified_ate,
+    )
+
+    # one stratum, negative effect with a non-exact division:
+    # diff = (0*2 - 5*1)*1e6 DIV 2 = -2500000; ate over n=3 strata rows
+    rows = [("X", 1, 0), ("X", 0, 2), ("X", 0, 3)]
+    df = spark.createDataFrame(rows, "stratum string, treat int, v int")
+    m = stratified_ate(df, "stratum", "treat", "v").collect()[0].asDict()
+    # sum1=0 n1=1, sum0=5 n0=2 -> (0*2 - 5*1)*1e6 DIV 2 = -2500000
+    assert m["diff_micro"] == -2_500_000
+    # cn = 3 * -2500000 = -7500000, nn = 3 -> trunc(-2500000)
+    assert m["ate_micro"] == -2_500_000
