@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "embedding_cohort_drift",     # vector-space cohort drift monitor (r11)
     "embedding_drift_merged",     # publish/merge lifecycle face (r11)
     "order_priority_ate",         # post-stratified ATE readout (r11)
+    "quality_gate_pr_curve",      # gate-threshold PR/F1 calibration (r11)
     "hybrid_rrf_multi_search",    # batched hybrid RRF: 2 passes for 3 queries (r10)
     "conversion_hazard_curve",    # Nelson-Aalen cumulative hazard fold (r10)
     # streaming lifecycles stay OFF the bench list (checkpointed

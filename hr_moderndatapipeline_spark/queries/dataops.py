@@ -2532,6 +2532,88 @@ FROM pc p CROSS JOIN gc g ORDER BY label
 """
 
 
+def q_quality_gate_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold-calibration curve for the integer
+    quality gate: for every candidate cut t over the 0–10 score
+    ("keep docs with q10 ≥ t"), the exact tp/fp/fn and
+    precision/recall/F1 ppm against the src0 target label — the
+    table a curation team reads to PICK the gate threshold (AUC says
+    the ranking is good; this says where to cut). One (score)-key
+    groupBy over the corpus; cumulative tp/fp via windows over the
+    ≤11-row score aggregate (schema-bounded class — the score range
+    is fixed by the rule list, not the data)."""
+    from pyspark.sql import Window as W
+
+    scored = _docs(spark, sf_dir).select(
+        _q10_expr().alias("q10"),
+        (F.col("source") == "src0").cast("bigint").alias("is_target"),
+    )
+    per = scored.groupBy("q10").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_target").cast("bigint").alias("n_pos"),
+    )
+    wdesc = W.partitionBy().orderBy(F.col("q10").desc())
+    wall = W.partitionBy()
+    cum = per.select(
+        F.col("q10").alias("threshold"),
+        F.sum("n_pos").over(wdesc).cast("bigint").alias("tp"),
+        (F.sum("n").over(wdesc) - F.sum("n_pos").over(wdesc))
+        .cast("bigint")
+        .alias("fp"),
+        (F.sum("n_pos").over(wall) - F.sum("n_pos").over(wdesc))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST(1000000 * tp DIV nullif(tp + fp, 0) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(1000000 * tp DIV nullif(tp + fn, 0) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "CAST(2000000 * tp DIV nullif(2 * tp + fp + fn, 0) AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).orderBy("threshold")
+
+
+ORACLE_QUALITY_GATE_PR_CURVE = f"""
+WITH scored AS (
+  SELECT {_Q10_CASE_SQL} AS q10,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_target
+  FROM documents),
+per AS (
+  SELECT q10, count(*) AS n, sum(is_target) AS n_pos
+  FROM scored GROUP BY q10),
+cum AS (
+  SELECT q10 AS threshold,
+         sum(n_pos) OVER (ORDER BY q10 DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tp,
+         sum(n) OVER (ORDER BY q10 DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sum(n_pos) OVER (ORDER BY q10 DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS fp,
+         sum(n_pos) OVER () - sum(n_pos) OVER (ORDER BY q10 DESC
+                                               ROWS BETWEEN UNBOUNDED
+                                               PRECEDING AND CURRENT ROW)
+           AS fn
+  FROM per)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(1000000 * tp // nullif(tp + fp, 0) AS BIGINT) AS precision_ppm,
+       CAST(1000000 * tp // nullif(tp + fn, 0) AS BIGINT) AS recall_ppm,
+       CAST(2000000 * tp // nullif(2 * tp + fp + fn, 0) AS BIGINT) AS f1_ppm
+FROM cum ORDER BY threshold
+"""
+
+
 def q_order_priority_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-stratified ATE readout (operators/experiments.py
     stratified_ate): even/odd custkey as the randomized assignment
@@ -5581,6 +5663,7 @@ QUERIES = {
     "embedding_cohort_drift": q_embedding_cohort_drift,
     "embedding_drift_merged": q_embedding_drift_merged,
     "order_priority_ate": q_order_priority_ate,
+    "quality_gate_pr_curve": q_quality_gate_pr_curve,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "corpus_curation": q_corpus_curation,
@@ -5669,6 +5752,7 @@ ORACLES = {
     "embedding_cohort_drift": _embedding_cohort_drift_oracle_sql(),
     "embedding_drift_merged": _embedding_cohort_drift_oracle_sql(),
     "order_priority_ate": ORACLE_ORDER_PRIORITY_ATE,
+    "quality_gate_pr_curve": ORACLE_QUALITY_GATE_PR_CURVE,
     "tfidf_top_terms": ORACLE_TFIDF,
     "vocab_top_terms": ORACLE_VOCAB,
     "corpus_curation": ORACLE_CORPUS_CURATION,

@@ -113,6 +113,9 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "price_drift_by_era": "histogram L1 over the fixed 64-bin aggregate",
     "price_psi_by_era": "PSI terms over the fixed 64-bin aggregate "
     "(the price_drift_by_era class)",
+    "quality_gate_pr_curve": "cumulative tp/fp windows over the ≤11-row "
+    "score aggregate (score range fixed by the rule list — the "
+    "spend_decile_woe class)",
     "purchase_uplift_qini": "cumulative window over the 10-row decile "
     "aggregate (the quality_calibration_curve class)",
     "segment_fairness_audit": "parity/EO gap windows over the 5-row "
