@@ -56,3 +56,35 @@ def executed_metrics(df: DataFrame) -> dict:
         "shuffle_records": int(acc.get("shuffleRecordsWritten", 0)),
         "spill_bytes": int(acc.get("spillSize", 0)),
     }
+
+
+def files_read(df: DataFrame) -> int:
+    """Total files actually opened by every file scan in the EXECUTED
+    plan (FileSourceScanExec's ``numFiles`` SQLMetric, summed; call
+    after an action). This is the RUNTIME face of a pruning claim:
+    "``_t IN (...)`` prunes the partitioned index" is a plan-text
+    assertion until the scan's file count says so — the footer-
+    verification discipline (test_zorder/test_fileindex) applied to
+    any partitioned publish."""
+
+    def walk(node, acc: list) -> None:
+        m = node.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numFiles":
+                acc.append(int(kv._2().value()))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        if "QueryStage" in node.nodeName():
+            walk(node.plan(), acc)
+
+    top = df._jdf.queryExecution().executedPlan()
+    try:
+        plan = top.executedPlan()
+    except Exception:  # noqa: BLE001 — non-AQE plan
+        plan = top
+    acc: list = []
+    walk(plan, acc)
+    return sum(acc)

@@ -424,8 +424,12 @@ def calibration_ece(
 
     Input: integer scores in parts-per-million (0..1e6 — the caller
     quantizes, keeping the canon engine-exact) and 0/1 labels.
-    bin b covers [b/B, (b+1)/B) with the top edge closed:
-    ``least(score_ppm * B DIV 1e6, B-1)``.
+    bin b covers [b/B, (b+1)/B) with BOTH edges clamped:
+    ``greatest(least(score_ppm * B DIV 1e6, B-1), 0)`` — a
+    contract-breaching negative score_ppm lands in bin 0 rather
+    than minting a phantom negative-bin row that would skew the
+    ECE denominator (the top edge was always clamped; the bottom
+    clamp mirrors it).
 
     Exactness: per-bin accuracy and confidence are integer ppm floor
     divisions of BIGINT sums; the per-bin ECE contribution
@@ -442,9 +446,12 @@ def calibration_ece(
     """
     from pyspark.sql import Window
 
-    b = F.least(
-        F.expr(f"CAST({score_ppm_col} AS BIGINT) * {bins} DIV 1000000"),
-        F.lit(bins - 1),
+    b = F.greatest(
+        F.least(
+            F.expr(f"CAST({score_ppm_col} AS BIGINT) * {bins} DIV 1000000"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
     ).cast("bigint")
     per = (
         df.select(

@@ -790,13 +790,18 @@ def _round_half_up(x: float, digits: int) -> float:
     value, so ``Decimal(repr(x))`` sees the same digits. (Caveat:
     pre-JDK-19 ``Double.toString`` is unique-but-not-always-shortest;
     a divergence needs a value whose two representations straddle a
-    HALF_UP boundary at digit d — not observed in any pinned corpus,
-    and only tie ADJUDICATION ever consults this kernel.)"""
+    HALF_UP boundary at digit d — swept in
+    tests/test_r12_ops.py::test_round_half_up_matches_jvm: 7k+
+    boundary-engineered doubles, zero digit-string divergences. The
+    ONE real divergence the sweep found was the ZERO SIGN: Java
+    BigDecimal has no negative zero, so tiny negatives round to
+    +0.0 on the JVM while Decimal.quantize preserves the sign —
+    normalized below with ``+ 0.0``.)"""
     import decimal
 
     if not math.isfinite(x):
         return x
-    return float(
+    return 0.0 + float(
         decimal.Decimal(repr(x)).quantize(
             decimal.Decimal(1).scaleb(-digits),
             rounding=decimal.ROUND_HALF_UP,
@@ -1165,8 +1170,13 @@ def centroid_silhouette_literal(
     (d = 1 − cos): a = distance to the OWN (nearest) centroid,
     b = distance to the best OTHER centroid,
     s = (b − a) / max(a, b) = (own_cos − other_cos) /
-    (1 − least(own_cos, other_cos)), in [−1, 1] — the k-selection
-    readout for the Lloyd family (``kmeans_train``).
+    (1 − least(own_cos, other_cos)). Because "own" is defined as
+    the NEAREST centroid here (assignment and silhouette share one
+    scan), own_cos ≥ other_cos always, so s ∈ [0, 1] — this
+    simplified form can show "well separated" (→1) vs "on the
+    boundary" (→0) but never the negative "mis-assigned" band of
+    the classic pairwise silhouette. The k-selection readout for
+    the Lloyd family (``kmeans_train``).
 
     Same scan shape as ``centroid_assign_literal``: k sequential-fold
     rounded cosines per row, zero shuffle; the top-2 fall out of one
@@ -1272,12 +1282,18 @@ def cohort_centroid_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two published centroid states into one:
     merge(state(x), state(y)) == state(x ∪ y) EXACTLY (decimal sums
     add; counts add) — property-pinned in tests/test_r11_ops.py.
-    Runs entirely on the bounded #cohorts × dim state rows."""
+    Runs entirely on the bounded #cohorts × dim state rows.
+
+    The merged sum stays DECIMAL(38,10) — the same type
+    ``cohort_centroid_state``'s aggregate produces — so merged and
+    one-shot states share overflow headroom; a narrowing cast to
+    (28,10) would silently NULL a merged cohort whose per-dimension
+    sum exceeds 28 digits while the one-shot face still worked."""
     return (
         a.unionByName(b)
         .groupBy("label", "pos")
         .agg(
-            F.sum("sx").cast("decimal(28,10)").alias("sx"),
+            F.sum("sx").cast("decimal(38,10)").alias("sx"),
             F.sum("n").cast("bigint").alias("n"),
         )
     )

@@ -4538,20 +4538,60 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     never data). Readout: the community-size histogram."""
     from hr_moderndatapipeline_spark.operators.graph import label_propagation
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = orders.join(
-        li, orders["o_orderkey"] == li["l_orderkey"]
-    ).select(
-        (F.col("o_custkey") * 2).cast("bigint").alias("src"),
-        (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
-    )
-    labels = label_propagation(edges, iterations=5)
+    labels = label_propagation(_cust_supp_edges(spark, sf_dir), iterations=5)
+    return _community_size_histogram(labels)
+
+
+def _community_size_histogram(labels: DataFrame) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cs"))
     return sizes.groupBy(F.col("cs").cast("bigint").alias("community_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.sum("cs").cast("bigint").alias("n_members"),
     )
+
+
+def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+    )
+
+
+def q_communities_from_published_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PUBLISHED-EDGE face of ``customer_supplier_communities``
+    (VERDICT r11 #1 — the bm25_index lifecycle discipline applied to
+    the graph family): ``publish_edges`` materializes the symmetrized
+    customer–supplier edge list ONCE as plain parquet, then LPA runs
+    from the stored table (``label_propagation_from_published``) —
+    skipping the orders ⋈ lineitem → distinct → union-reverse →
+    distinct build every repeated graph query otherwise repays
+    (measured at the sf10 geometry, tools/edge_publish_probe.py:
+    publish 66.4s once, per-query prep 49.4s → 25.6s, amortizes
+    after ~3 queries; plain parquet on purpose — the bucketed
+    posture was measured a mirage, see publish_edges docstring).
+
+    Same readout and same fixed 5-round depth as the inline face, so
+    the SAME unrolled-CTE oracle (``_lpa_oracle_sql``) adjudicates
+    it: the driver's hash compare IS the publish-lifecycle
+    equivalence check at corpus scale. Labels equality vs the inline
+    face is additionally pinned in tests/test_r12_ops.py."""
+    from hr_moderndatapipeline_spark.functions.workdirs import process_workdir
+    from hr_moderndatapipeline_spark.operators.graph import (
+        label_propagation_from_published,
+        publish_edges,
+    )
+
+    root = process_workdir(spark, "hr_mdp_edges", sf_dir)
+    path = f"{root}/cust_supp_sym"
+    publish_edges(_cust_supp_edges(spark, sf_dir), path)
+    labels = label_propagation_from_published(spark, path, iterations=5)
+    return _community_size_histogram(labels)
 
 
 def _lpa_oracle_sql(iterations: int = 5) -> str:
@@ -5597,6 +5637,7 @@ QUERIES = {
     "dictionary_encode_digest": q_dictionary_encode_digest,
     "event_type_pagerank": q_event_type_pagerank,
     "customer_supplier_communities": q_customer_supplier_communities,
+    "communities_published_edges": q_communities_from_published_edges,
     "pq_probe_topk": q_pq_probe_topk,
     "ivfpq_probe_topk": q_ivfpq_probe_topk,
     "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
@@ -5783,6 +5824,10 @@ ORACLES = {
     # sides quantize to integer ppb (round-7 candidate 3, done early).
     "event_type_pagerank": _pagerank_oracle_sql(),
     "customer_supplier_communities": _lpa_oracle_sql(),
+    # the published-edge face is semantics-preserving by construction,
+    # so the SAME unrolled-CTE oracle adjudicates it — the driver's
+    # hash compare is the publish-lifecycle equivalence check
+    "communities_published_edges": _lpa_oracle_sql(),
     "duplicate_ngram_spans": ORACLE_DUP_NGRAM_SPANS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_probe_dedup": ORACLE_PARAGRAPH_PROBE,

@@ -522,7 +522,9 @@ def test_centroid_silhouette_hand_computed(spark):
     assert got[4]["cluster"] == 0
     expect = math.floor((own - other) / (1.0 - min(own, other)) * 1e6 + 0.5)
     assert got[4]["s_ppm"] == expect
-    assert all(-1000000 <= r["s_ppm"] <= 1000000 for r in got.values())
+    # nearest-centroid simplified silhouette: own_cos >= other_cos
+    # always, so the range is [0, 1e6] — never negative (ADVICE r12)
+    assert all(0 <= r["s_ppm"] <= 1000000 for r in got.values())
 
     with _pytest.raises(ValueError):
         centroid_silhouette_literal(df, [(0, [1.0, 0.0])], 2)

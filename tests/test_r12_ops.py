@@ -1,0 +1,284 @@
+"""Round-12 operator pins: the edge-publish lifecycle (VERDICT r11
+#1) and LPA early-stop (VERDICT r11 #6).
+
+Equality discipline: both new faces must be BIT-IDENTICAL to the
+existing fixed faces — publish/load is semantics-preserving
+materialization, and early-stop only skips rounds that are provably
+the identity (a synchronous fixed point).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from hr_moderndatapipeline_spark.operators.graph import (
+    label_propagation,
+    label_propagation_from_published,
+    load_published_edges,
+    publish_edges,
+    symmetrize_edges,
+)
+
+
+def _edges(spark, seed=12, n=120):
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(0, 30) * 2, rng.randrange(0, 12) * 2 + 1)
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+
+def test_publish_edges_is_symmetrized_distinct(spark, tmp_path):
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (3, 4)], "src bigint, dst bigint"
+    )
+    path = str(tmp_path / "sym")
+    publish_edges(e, path)
+    got = sorted(tuple(r) for r in load_published_edges(spark, path).collect())
+    assert got == [(1, 2), (2, 1), (3, 4), (4, 3)]
+    # and it equals the shared symmetrize face exactly
+    inline = sorted(tuple(r) for r in symmetrize_edges(e).collect())
+    assert got == inline
+
+
+def test_lpa_from_published_equals_inline(spark, tmp_path):
+    """The published-table face and the inline face are the same pure
+    integer function of the edge set — exact (vertex, label) equality,
+    the pin behind communities_published_edges sharing the inline
+    query's unrolled-CTE oracle."""
+    e = _edges(spark)
+    path = str(tmp_path / "pub")
+    publish_edges(e, path)
+    for rounds in (1, 5):
+        inline = sorted(
+            tuple(r)
+            for r in label_propagation(e, iterations=rounds).collect()
+        )
+        published = sorted(
+            tuple(r)
+            for r in label_propagation_from_published(
+                spark, path, iterations=rounds
+            ).collect()
+        )
+        assert published == inline and len(inline) > 0
+
+
+def _count_checkpoints(monkeypatch, spark):
+    """Patch localCheckpoint on the CONCRETE DataFrame class (pyspark
+    4 instances are pyspark.sql.classic.dataframe.DataFrame; patching
+    the abstract pyspark.sql.DataFrame never intercepts)."""
+    calls = {"n": 0}
+    cls = type(spark.range(1))
+    orig = cls.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", counting)
+    return calls
+
+
+def test_lpa_early_stop_identical_and_skips_dead_rounds(spark, monkeypatch):
+    """Triangle graph converges to the all-min label in 3 synchronous
+    rounds; afterwards every round is the identity. early_stop=True
+    must (a) return exactly the fixed-count result and (b) actually
+    stop — observed via the per-round checkpoint count staying far
+    below the requested 40 rounds."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+    )
+    fixed = sorted(
+        tuple(r) for r in label_propagation(e, iterations=40).collect()
+    )
+    calls = _count_checkpoints(monkeypatch, spark)
+    early = sorted(
+        tuple(r)
+        for r in label_propagation(e, iterations=40, early_stop=True).collect()
+    )
+    assert early == fixed == [(1, 1), (2, 1), (3, 1)]
+    # 1 sym checkpoint + one per executed round; convergence detection
+    # needs the first all-identity round, so ~5 — never the 40 asked for
+    assert calls["n"] <= 8, f"early stop did not stop: {calls['n']} checkpoints"
+
+
+def test_lpa_early_stop_never_fires_on_oscillation(spark, monkeypatch):
+    """The documented bipartite hazard: an isolated edge's two
+    vertices swap labels every round, so _changed never reaches 0 —
+    early_stop must run the full fixed count and return the identical
+    (phase-dependent) result as the fixed face."""
+    e = spark.createDataFrame([(10, 11)], "src bigint, dst bigint")
+    for rounds in (4, 5):
+        fixed = sorted(
+            tuple(r)
+            for r in label_propagation(e, iterations=rounds).collect()
+        )
+        calls = _count_checkpoints(monkeypatch, spark)
+        early = sorted(
+            tuple(r)
+            for r in label_propagation(
+                e, iterations=rounds, early_stop=True
+            ).collect()
+        )
+        assert early == fixed
+        # sym checkpoint + one per round: it ran every round
+        assert calls["n"] == rounds + 1
+        monkeypatch.undo()
+
+
+def test_lpa_early_stop_isolated_vertexless_graph(spark):
+    """Empty edge set: both faces return empty, early_stop exits on
+    the first (vacuously unchanged) round without error."""
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert label_propagation(e, iterations=3).count() == 0
+    assert label_propagation(e, iterations=3, early_stop=True).count() == 0
+
+
+def test_bm25_probe_prunes_published_term_partitions(spark, tmp_path):
+    """Plan-gate for the bm25_probe pruning claim (VERDICT r11 #4):
+    the 13× probe win rests on '_t IN (...)' becoming PARTITION
+    pruning on a term-partitioned published index. Pin BOTH faces of
+    that mechanism so a future change that silently rescans all
+    postings fails CI:
+
+    - plan text: the probe's scan carries a PartitionFilters entry
+      on _t (not a post-scan Filter),
+    - runtime: the scan's numFiles SQLMetric counts ONLY the queried
+      terms' partitions (+ the 1 stats file), while the published
+      index holds one file per vocabulary term.
+    """
+    from hr_moderndatapipeline_spark.functions.execmetrics import files_read
+    from hr_moderndatapipeline_spark.operators.text import (
+        bm25_index,
+        bm25_probe,
+    )
+
+    # 30 docs over a 40-term vocabulary — every term appears
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{rng.randrange(40)}" for _ in range(25))
+             + " " + f"t{i % 40}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    postings, stats = bm25_index(docs, "doc_id", "text")
+    # one file per term directory: hash-cluster by _t before the
+    # partitioned write (the publish recipe the operator documents)
+    (
+        postings.repartition("_t")
+        .write.partitionBy("_t")
+        .mode("overwrite")
+        .parquet(str(tmp_path / "postings"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stats"))
+
+    stored_p = spark.read.parquet(str(tmp_path / "postings"))
+    stored_s = spark.read.parquet(str(tmp_path / "stats"))
+    # negative control: an unpruned pass opens every term partition
+    stored_p.collect()
+    total_files = files_read(stored_p)
+    assert total_files >= 40, f"expected ≥40 published files, saw {total_files}"
+
+    qmap = [("q0", ["t1", "t2"]), ("q1", ["t3"])]
+    probe = bm25_probe(stored_p, stored_s, "doc_id", qmap)
+    rows = probe.collect()
+    assert rows, "probe returned nothing — fixture broken"
+
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf_lines = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "_t" in l and " IN " in l.upper()
+    ]
+    assert pf_lines, f"no _t IN partition filter in probe scan:\n{plan[:2000]}"
+
+    n_read = files_read(probe)
+    # the probe scans the postings TWICE (df recompute + scoring),
+    # each pruned to the 3 queried term partitions, + 1 stats file
+    # = 7; anything near total_files means the probe rescanned the
+    # index
+    assert n_read <= 7, (
+        f"probe opened {n_read} files — pruning lost "
+        f"(index holds {total_files})"
+    )
+
+
+def test_round_half_up_matches_jvm_at_half_up_boundaries(spark):
+    """VERDICT r11 #5 (the _round_half_up portability watch item):
+    the kernel equates Python ``repr(x)`` with Java
+    ``Double.toString(x)`` shortest-roundtrip digits. Sweep doubles
+    ENGINEERED to sit on/next to the .5e-6 HALF_UP boundaries (the
+    only place the two algorithms could disagree at digit 6) plus a
+    deterministic random band, and compare bit-for-bit against the
+    JVM's ``F.round(double, 6)`` in one literal-DataFrame round trip
+    — turning the docstring's 'not observed in any pinned corpus'
+    into a tested claim."""
+    import math
+    import struct
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    def bits(f: float) -> int:
+        return struct.unpack("<q", struct.pack("<d", f))[0]
+
+    xs: list[float] = []
+    # exact .5 boundaries at digit 6 and their ±3-ulp neighborhoods,
+    # across the cosine range and a few magnitudes beyond
+    rng = random.Random(1206)
+    for _ in range(800):
+        n = rng.randrange(-2_000_000, 2_000_000)
+        base = (n + 0.5) / 1e6
+        x = base
+        xs.append(x)
+        up, dn = x, x
+        for _ in range(3):
+            up = math.nextafter(up, math.inf)
+            dn = math.nextafter(dn, -math.inf)
+            xs.extend((up, dn))
+    # random band including subnormal-ish tiny and larger magnitudes
+    for _ in range(1500):
+        xs.append(rng.uniform(-1.0, 1.0))
+        xs.append(rng.uniform(-1e3, 1e3) * 10 ** rng.randrange(-12, 3))
+    xs.extend([0.0, -0.0, 1.0, -1.0, 0.9999995, -0.9999995, 5e-7, -5e-7])
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = df.select(
+        F.col("x"), F.round(F.col("x"), 6).alias("r")
+    ).collect()
+    diverged = [
+        (r["x"], r["r"], _round_half_up(r["x"], 6))
+        for r in got
+        if bits(r["r"]) != bits(_round_half_up(r["x"], 6))
+    ]
+    assert not diverged, (
+        f"{len(diverged)} divergences, first 5: {diverged[:5]}"
+    )
+
+
+def test_communities_published_query_matches_inline_query(spark):
+    """Driver-surface pin at sf0.001: the published-edge query's
+    histogram equals the inline query's histogram row for row."""
+    from hr_moderndatapipeline_spark.queries.dataops import (
+        q_communities_from_published_edges,
+        q_customer_supplier_communities,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inline = sorted(
+        tuple(r) for r in q_customer_supplier_communities(spark, sf).collect()
+    )
+    pub = sorted(
+        tuple(r)
+        for r in q_communities_from_published_edges(spark, sf).collect()
+    )
+    assert pub == inline and len(inline) > 0

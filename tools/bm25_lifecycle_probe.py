@@ -43,7 +43,12 @@ def main() -> None:
     # so the probed queries MATCH real documents at stress scale —
     # without it the r11 first-week numbers measured full corpus
     # passes but empty result sets (timing shape right, matches zero).
-    args = [a for a in sys.argv[1:] if not a.startswith("--suffix")]
+    # Only the '--suffix=VALUE' form is accepted: a space-separated
+    # '--suffix c0' would filter the flag but leave 'c0' positional,
+    # silently running unsuffixed against the wrong sf_dir (ADVICE r12).
+    if any(a == "--suffix" for a in sys.argv[1:]):
+        raise SystemExit("use --suffix=VALUE (space-separated form rejected)")
+    args = [a for a in sys.argv[1:] if not a.startswith("--suffix=")]
     suffix = ""
     for a in sys.argv[1:]:
         if a.startswith("--suffix="):
