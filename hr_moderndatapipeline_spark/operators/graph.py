@@ -45,13 +45,26 @@ def publish_edges(
     edges: DataFrame, path: str, src: str = "src", dst: str = "dst"
 ) -> None:
     """Materialize the symmetrized edge list ONCE as plain parquet —
-    the amortization face of the graph family (VERDICT r11 #1,
-    measured in tools/edge_publish_probe.py at the sf10 geometry:
-    publish 66.4s, then every graph query drops 49.4s → 25.6s, so
-    the publish amortizes after ~3 queries over the same
-    relationship).
+    the published face of the graph family (VERDICT r11 #1).
 
-    Plain parquet ON PURPOSE: the probe measured the bucketed
+    MEASURED HONESTLY (r12 correction, SCALING.md): the r11 probe's
+    "49.4s inline → 25.6s published (1.9×)" was an order-of-
+    measurement artifact — inline ran first on a COLD page cache,
+    published after two warming passes, in one process. Fresh-JVM
+    A/B reps (tools/edge_lifecycle_probe.py --prep-only, 3×) put the
+    faces at PARITY at the sf10 geometry (inline 22–24s vs published
+    26–29s): both pay the same dominant repartition(dst) + eager
+    checkpoint of the 117M-edge list, and the orders ⋈ lineitem
+    build the publish skips is cheap on a warm 32-core host. The
+    lifecycle's value is architectural, not a measured local win:
+    graph queries decouple from the upstream fact tables (schema
+    changes, retention, access control), many consumers share one
+    canonical edge relation, and at cluster scale the published
+    2-column table replaces two wide fact scans + a join whose cost
+    is storage-bound rather than CPU-bound. Claims beyond that are
+    not supported by local measurement.
+
+    Plain parquet ON PURPOSE: the r11 probe measured the bucketed
     posture a MIRAGE for the iterative shape — the query planner
     disables the bucketed scan inside the label join and
     ``localCheckpoint`` strips the clustering anyway, so bucketing's
@@ -262,17 +275,42 @@ def label_propagation_from_published(
 ) -> DataFrame:
     """``label_propagation`` from a ``publish_edges`` table: skips
     the per-query symmetrize build (orders ⋈ lineitem → distinct →
-    union-reverse → distinct at the sf10 geometry) and pays only the
-    read + repartition("dst") + checkpoint — the probe's posture 2,
-    25.6s vs 49.4s inline per query. Bit-identical to the inline
-    face by construction (same edge set, same rounds body;
-    equality-pinned in tests/test_r12_ops.py)."""
+    union-reverse → distinct) and pays only the read +
+    repartition("dst") + checkpoint. Wall-clock at the sf10 geometry
+    is at PARITY with the inline face on a warm host (both dominated
+    by the shared 117M-edge repartition+checkpoint — see
+    publish_edges docstring for the r12 measurement correction); the
+    win is decoupling and upstream-scan avoidance at cluster scale.
+    Bit-identical to the inline face by construction (same edge set,
+    same rounds body; equality-pinned in tests/test_r12_ops.py)."""
     sym = (
         load_published_edges(spark, path)
         .repartition("dst")
         .localCheckpoint(eager=True)
     )
     return _lpa_rounds(sym, iterations, checkpoint_every, early_stop)
+
+
+def pagerank_from_published(
+    spark: SparkSession,
+    path: str,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Undirected PageRank from a ``publish_edges`` table — the
+    symmetrized rows ARE the both-direction edge list an undirected
+    random walk needs, and they're already distinct, so ``pagerank``
+    consumes the scan directly (its own ``.distinct()`` is a no-op
+    reduce over unique rows). Equality vs the inline build is pinned
+    in tests/test_r12_ops.py; ppb quantization is the caller's
+    concern, exactly as with ``pagerank``."""
+    return pagerank(
+        load_published_edges(spark, path),
+        damping=damping,
+        iterations=iterations,
+        checkpoint_every=checkpoint_every,
+    )
 
 
 def _lpa_rounds(

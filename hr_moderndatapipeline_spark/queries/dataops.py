@@ -4568,13 +4568,13 @@ def q_communities_from_published_edges(
     (VERDICT r11 #1 — the bm25_index lifecycle discipline applied to
     the graph family): ``publish_edges`` materializes the symmetrized
     customer–supplier edge list ONCE as plain parquet, then LPA runs
-    from the stored table (``label_propagation_from_published``) —
-    skipping the orders ⋈ lineitem → distinct → union-reverse →
-    distinct build every repeated graph query otherwise repays
-    (measured at the sf10 geometry, tools/edge_publish_probe.py:
-    publish 66.4s once, per-query prep 49.4s → 25.6s, amortizes
-    after ~3 queries; plain parquet on purpose — the bucketed
-    posture was measured a mirage, see publish_edges docstring).
+    from the stored table (``label_propagation_from_published``),
+    decoupling every repeated graph query from the orders ⋈ lineitem
+    build. NOTE the r12 measurement correction (publish_edges
+    docstring / SCALING.md): per-query wall at the sf10 geometry is
+    at PARITY with the inline face on this host — the value is
+    architectural (shared canonical edge relation, upstream-scan
+    avoidance at cluster scale), not a measured local speedup.
 
     Same readout and same fixed 5-round depth as the inline face, so
     the SAME unrolled-CTE oracle (``_lpa_oracle_sql``) adjudicates

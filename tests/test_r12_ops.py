@@ -211,6 +211,42 @@ def test_bm25_probe_prunes_published_term_partitions(spark, tmp_path):
     )
 
 
+def test_pagerank_from_published_equals_inline(spark, tmp_path):
+    """Undirected PageRank over the published symmetrized table is
+    bit-identical to pagerank() over the symmetrized edge list built
+    inline — the published rows are already the both-direction
+    distinct edge set, so the two faces run the same power
+    iteration over the same relation."""
+    from hr_moderndatapipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_from_published,
+    )
+
+    e = _edges(spark, seed=77, n=80)
+    path = str(tmp_path / "pr")
+    publish_edges(e, path)
+    inline = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(symmetrize_edges(e), iterations=6).collect()
+    }
+    published = {
+        r["vertex"]: r["rank"]
+        for r in pagerank_from_published(spark, path, iterations=6).collect()
+    }
+    assert set(inline) == set(published)
+    # same per-vertex contribution multisets -> same double folds
+    diffs = [v for v in inline if inline[v] != published[v]]
+    # the contribution sum order inside a vertex's aggregate is not
+    # deterministic across partitionings, so allow ulp-level noise
+    # but require ppb-quantized equality (the driver discipline)
+    import math
+
+    assert all(
+        math.floor(inline[v] * 1e9 + 0.5) == math.floor(published[v] * 1e9 + 0.5)
+        for v in inline
+    ), f"ppb divergence on {len(diffs)} vertices"
+
+
 def test_round_half_up_matches_jvm_at_half_up_boundaries(spark):
     """VERDICT r11 #5 (the _round_half_up portability watch item):
     the kernel equates Python ``repr(x)`` with Java

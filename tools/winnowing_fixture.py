@@ -94,6 +94,7 @@ def pairs_with_cap(fps, max_df: int, min_shared: int):
 
 def main() -> None:
     n = 2000
+    analytic = "--analytic-uncapped" in sys.argv[1:]
     for arg in sys.argv[1:]:
         if arg.startswith("--n="):
             n = int(arg.split("=", 1)[1])
@@ -113,6 +114,32 @@ def main() -> None:
     }
     out = {"n_docs": n, "n_planted_pairs": n_planted, "cohort": cohort}
     for tag, cap in (("cap8", 8), ("uncapped", n + cohort + 10)):
+        if tag == "uncapped" and analytic:
+            # At stress N the uncapped join is unmaterializable BY
+            # DESIGN (N=500k boilerplate alone is ~1.25e11 candidate
+            # rows). Its candidate count is exactly Σ_fp C(df, 2) —
+            # computed from the df histogram in one aggregate, no
+            # join. This is the fanout the cap exists to bound.
+            t0 = time.time()
+            row = (
+                fps.groupBy("fp_hash")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .agg(
+                    F.sum(
+                        F.col("_df").cast("decimal(38,0)")
+                        * (F.col("_df") - 1)
+                        / 2
+                    ).alias("cand")
+                )
+                .first()
+            )
+            out[tag] = {
+                "candidate_rows_analytic": int(row["cand"]),
+                "sec": round(time.time() - t0, 2),
+                "note": "computed from df histogram; join not materialized",
+            }
+            print(f"{tag}: {json.dumps(out[tag])}", flush=True)
+            continue
         t0 = time.time()
         pairs, cand = pairs_with_cap(fps, cap, min_shared)
         got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
