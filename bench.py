@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "weighted_order_sample",      # integer-exact A-Res weighted top-n (r9)
     "purchase_attribution",       # first/last/linear multi-touch credit (r9)
     "customer_supplier_communities",  # deterministic sync LPA, 5 rounds (r9/r10)
+    "communities_published_edges",  # LPA from the published edge table (r12)
     "signup_conversion_survival",  # grouped Kaplan-Meier cohort curves (r9)
     "xml_roundtrip",              # native XML source/sink identity (r9)
     "ivfpq_rerank_topk",          # two-stage ANN: ADC shortlist + exact re-rank (r9)
