@@ -54,11 +54,13 @@ BENCH_QUERIES = [
     "event_hourly_window",        # time-window agg
     "dedup_exact",                # exact dedup
     "minhash_dedup_pairs",        # MinHash+LSH near-dup (portable hash family)
+    "minhash_probe_pairs",        # MinHash index/probe lifecycle (r12)
     "simhash_near_pairs",         # SimHash near-dup (portable 62-bit sign sums)
     "jaccard_pairs_by_source",    # blocked Jaccard verify
     "ann_bruteforce_topk",        # exact cosine top-k
     "ann_lsh_topk",               # LSH ANN
     "ann_ivf_topk",               # IVF ANN
+    "ann_recall_eval",            # recall@10 of IVF+LSH vs brute force (r12)
     "pq_probe_topk",              # product-quantization ADC scan
     "gold_summary_sql",           # SQL model DAG
     "debezium_unwrap",            # CDC envelope handling

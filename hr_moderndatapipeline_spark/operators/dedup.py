@@ -575,6 +575,95 @@ def simhash_portable_near_pairs(
 _BAND_FOLD_MULT = 1_000_003
 
 
+def _portable_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _shh) — distinct portable shingle-hash set per doc, the
+    shared substrate of the one-shot, index, and probe faces of the
+    portable MinHash family. Pinned (two consumers: signatures and
+    the Jaccard verify join would otherwise re-run the most
+    expensive map stage twice). Short docs are dropped on the RAW
+    word count BEFORE hashing — the equivalent late filter
+    `size(_shh) > 0` is a performance trap: Catalyst pushes the
+    predicate through the projection by SUBSTITUTING the whole
+    shingle-hash expression into it, so the pipeline's most
+    expensive expression runs twice per row (measured 0.9s → 52s at
+    sf0.1 for the hash stage). Shingle hashing is two-stage for
+    speed (per-word char fold materialized once, shingles combine n
+    word hashes) — see minhash_dedup_pairs_portable's docstring for
+    the measured 2.7× and the element_at-capture trap."""
+    # Expressions are built as SQL strings (one server-side parse per
+    # F.expr) rather than nested Column ops: the Column form costs one
+    # py4j round-trip per node — ~1s of DRIVER time per call for this
+    # tree, tripled across the probe lifecycle's corpus+batch builds
+    # (measured; execution identical, the parsed tree is the same).
+    wh = (
+        f"transform(split({text_col}, ' '), "
+        f"w -> aggregate(transform(sequence(1, length(w)), "
+        f"i -> cast(ascii(substr(w, i, 1)) as bigint)), "
+        f"cast(0 as bigint), (acc, ch) -> (acc * 31 + ch) % {_P}))"
+    )
+    hashed_words = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    ).select(F.col(id_col), F.expr(wh).alias("_wh"))
+    sh = "element_at(_wh, i)"
+    for j in range(1, shingle_n):
+        sh = f"pmod({sh} * {_BAND_FOLD_MULT} + element_at(_wh, i + {j}), {_P})"
+    prepped = hashed_words.select(
+        F.col(id_col),
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, size(_wh) - {shingle_n - 1}), i -> {sh}))"
+        ).alias("_shh"),
+    )
+    from pyspark import StorageLevel
+
+    return pin(
+        prepped, tag="minhash_portable", storage_level=StorageLevel.MEMORY_AND_DISK
+    )
+
+
+def _portable_bucket_rows(
+    prepped: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, bucket) — MinHash signature + banded LSH bucket
+    rows over the portable hash family: k affine-mod-P permutations
+    folded per band with ``acc*1000003 + m mod P``. Uncapped — the
+    hot-bucket cap is a UNION-level decision (one-shot caps over the
+    whole corpus; the probe reconstructs the corpus∪batch count), so
+    it lives with the callers."""
+    rows_per_band = num_hashes // bands
+    # SQL-string expressions for the same py4j-round-trip reason as
+    # _portable_shingle_sets (64 aggs + 16 band folds as Column ops
+    # cost ~1.5s of driver time per call)
+    aggs = [
+        F.expr(
+            f"min(pmod(_mh_h * {_MIX_A + j} + {_MIX_C * (j + 1)}, {_P}))"
+        ).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    sig = (
+        prepped.select(id_col, F.explode(F.col("_shh")).alias("_mh_h"))
+        .groupBy(id_col)
+        .agg(*aggs)
+    )
+    band_structs = []
+    for b in range(bands):
+        bucket = "cast(0 as bigint)"
+        for r in range(rows_per_band):
+            bucket = (
+                f"pmod({bucket} * {_BAND_FOLD_MULT}"
+                f" + _m{b * rows_per_band + r}, {_P})"
+            )
+        band_structs.append(
+            f"struct(cast({b} as bigint) as band_idx, {bucket} as bucket)"
+        )
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb"),
+    ).select(id_col, "bb.band_idx", "bb.bucket")
+
+
 def minhash_dedup_pairs_portable(
     df: DataFrame,
     id_col: str,
@@ -618,64 +707,8 @@ def minhash_dedup_pairs_portable(
     identically."""
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    rows_per_band = num_hashes // bands
-    # Short docs are dropped on the RAW word count, before any
-    # hashing: the equivalent late filter `size(_shh) > 0` is a
-    # performance trap — Catalyst pushes the predicate through the
-    # projection by SUBSTITUTING the whole shingle-hash expression
-    # into it, so the pipeline's most expensive expression runs twice
-    # per row (measured 0.9s → 52s at sf0.1 for the hash stage).
-    hashed_words = df.filter(
-        F.size(F.split(F.col(text_col), " ")) >= shingle_n
-    ).select(
-        F.col(id_col),
-        F.transform(
-            F.split(F.col(text_col), " "), lambda w: poly_token_hash(w)
-        ).alias("_wh"),
-    )
-    whc = F.col("_wh")
-    idx = F.sequence(F.lit(1), F.size(whc) - (shingle_n - 1))
-
-    def _shingle_hash(i: Column) -> Column:
-        s = F.element_at(whc, i)
-        for j in range(1, shingle_n):
-            s = F.pmod(
-                s * F.lit(_BAND_FOLD_MULT) + F.element_at(whc, i + j), F.lit(_P)
-            )
-        return s
-
-    prepped = hashed_words.select(
-        F.col(id_col),
-        F.array_distinct(F.transform(idx, _shingle_hash)).alias("_shh"),
-    )
-    from pyspark import StorageLevel
-
-    prepped = pin(
-        prepped, tag="minhash_portable", storage_level=StorageLevel.MEMORY_AND_DISK
-    )
-    h = F.col("_mh_h")
-    aggs = [
-        F.min(_mix_mod(h, j)).alias(f"_m{j}") for j in range(num_hashes)
-    ]
-    sig = (
-        prepped.select(id_col, F.explode(F.col("_shh")).alias("_mh_h"))
-        .groupBy(id_col)
-        .agg(*aggs)
-    )
-    band_structs = []
-    for b in range(bands):
-        bucket: Column = F.lit(0).cast("long")
-        for r in range(rows_per_band):
-            bucket = F.pmod(
-                bucket * F.lit(_BAND_FOLD_MULT) + F.col(f"_m{b * rows_per_band + r}"),
-                F.lit(_P),
-            )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), bucket.alias("bucket"))
-        )
-    bucketed = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band_idx", "bb.bucket")
+    prepped = _portable_shingle_sets(df, id_col, text_col, shingle_n)
+    bucketed = _portable_bucket_rows(prepped, id_col, num_hashes, bands)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -695,6 +728,166 @@ def minhash_dedup_pairs_portable(
     )
     sa = prepped.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_shh").alias("_shh_a"))
     sb = prepped.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_shh").alias("_shh_b"))
+    return (
+        cands.join(sa, f"{id_col}_a")
+        .join(sb, f"{id_col}_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_shh_a", "_shh_b")).cast("double")
+            / F.size(F.array_union("_shh_a", "_shh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+
+
+def minhash_index_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Publishable MinHash-LSH index over the PORTABLE hash family,
+    as TWO tables: narrow bucket rows ``(id, band_idx, bucket)`` —
+    publish partitioned by band/bucket prefix — and the id-keyed
+    shingle-set table ``(id, _shh)`` the Jaccard verify reads.
+    Unlike `minhash_index` (xxhash64 scale path), the set is NOT
+    carried on every band row: one-table locality costs ``bands``×
+    the set storage at publish time AND a corpus-sized wide join to
+    build (in-query at sf0.1 the joined form materialized ~1.3 GiB
+    of cache for a 5k-doc corpus; local warm walls were parity —
+    the split's case is the publish-time economics, which dominate
+    at corpus scale). The sets table is written once, and the probe
+    fetches only MATCHED ids' sets through an id-keyed join, so
+    probe-side work scales with collisions, not corpus. Every hash
+    is restatable in ANSI SQL, so the probe face is oracle-checkable
+    end to end."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    prepped = _portable_shingle_sets(df, id_col, text_col, shingle_n)
+    bucketed = _portable_bucket_rows(prepped, id_col, num_hashes, bands)
+    return bucketed, prepped.select(id_col, "_shh")
+
+
+def minhash_probe_portable(
+    new_docs: DataFrame,
+    index_buckets: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Probe an incremental batch against a published
+    ``minhash_index_portable`` (bucket rows + id-keyed sets):
+    shingle/sign ONLY the batch, join its bucket rows against stored
+    index buckets, verify exact shingle-set Jaccard against the sets
+    of MATCHED corpus ids only. Work scales with the batch and the
+    collided buckets; the corpus is never re-read or re-hashed.
+
+    Equivalence law (pinned in tests/test_r12_ops.py): equals
+    ``minhash_dedup_pairs_portable(corpus ∪ batch)`` restricted to
+    pairs involving ≥1 batch doc — including batch↔batch pairs, and
+    including the hot-bucket cap, whose threshold the one-shot
+    applies to the UNION's bucket population: the probe reconstructs
+    that exact count from corpus index rows + batch bucket rows, so
+    a bucket pushed over the cap BY THE BATCH is excluded on both
+    faces identically. Ids must be disjoint between corpus and batch
+    (same-id rows are excluded like `minhash_probe`'s self-matches).
+
+    Output (id_a, id_b, jaccard) with a < b — the one-shot's
+    orientation, so the driver oracle is the one-shot SQL plus a
+    batch-membership restriction."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    from pyspark import StorageLevel
+
+    prepped_b = _portable_shingle_sets(new_docs, id_col, text_col, shingle_n)
+    # the batch's bucket rows feed the union cap count, the cross
+    # join, and the batch↔batch self-join — without a pin the 64-agg
+    # signature stage would re-run per consumer. O(bands·|batch|)
+    # narrow rows: the incremental unit, always pinnable.
+    bucketed_b = pin(
+        _portable_bucket_rows(prepped_b, id_col, num_hashes, bands),
+        tag="minhash_probe_batch",
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+    # one tagged union, ONE (band,bucket) exchange: the window cap and
+    # both candidate joins all derive from it, so the join sides reuse
+    # the cap's exchange instead of re-shuffling three times (the
+    # one-shot's own plan shape; a groupBy-count + three cap joins
+    # measured 2.5× slower on this stage at sf0.1). The cap threshold
+    # applies to the corpus∪batch population — the one-shot law. At a
+    # true incremental deployment the per-bucket corpus counts are a
+    # by-product of the index build: publish them next to the index
+    # and the cap check costs O(batch buckets) instead of this
+    # corpus-wide narrow-row shuffle.
+    all_rows = (
+        index_buckets.select(id_col, "band_idx", "bucket")
+        .withColumn("_is_batch", F.lit(False))
+        .unionByName(bucketed_b.withColumn("_is_batch", F.lit(True)))
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "bucket")
+        all_rows = (
+            all_rows.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    bat = all_rows.filter(F.col("_is_batch")).select(
+        F.col(id_col).alias("_bid"), "band_idx", "bucket"
+    )
+    cor = all_rows.filter(~F.col("_is_batch")).select(
+        F.col(id_col).alias("_cid"), "band_idx", "bucket"
+    )
+    cross = (
+        bat.join(cor, ["band_idx", "bucket"])
+        .filter(F.col("_bid") != F.col("_cid"))
+        .select(
+            F.least("_bid", "_cid").alias(f"{id_col}_a"),
+            F.greatest("_bid", "_cid").alias(f"{id_col}_b"),
+        )
+    )
+    bb = (
+        bat.join(
+            bat.select(F.col("_bid").alias("_bid2"), "band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+        .filter(F.col("_bid") < F.col("_bid2"))
+        .select(
+            F.col("_bid").alias(f"{id_col}_a"), F.col("_bid2").alias(f"{id_col}_b")
+        )
+    )
+    # the candidate set feeds THREE consumers (the verify join, the
+    # matched-id projection, and through it the corpus-set fetch);
+    # unpinned, the whole bucket-join subtree would re-execute for
+    # each — pin it (post-LSH candidates are orders of magnitude
+    # smaller than the corpus; the dedup_clusters sizing argument)
+    cands = pin(
+        cross.unionByName(bb).distinct(),
+        tag="minhash_probe_cands",
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+    # shingle sets: batch side from the pinned batch prep; corpus side
+    # from matched index rows only (one row per doc — _shh is repeated
+    # identically on all of a doc's band rows)
+    matched = cands.select(F.col(f"{id_col}_a").alias(id_col)).unionByName(
+        cands.select(F.col(f"{id_col}_b").alias(id_col))
+    ).distinct()
+    corpus_sets = index_sets.join(matched, id_col, "left_semi").select(
+        id_col, "_shh"
+    )
+    # disjoint-ids contract + both inputs unique per id ⇒ plain union
+    sets = prepped_b.unionByName(corpus_sets)
+    sa = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_shh").alias("_shh_a"))
+    sb = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_shh").alias("_shh_b"))
     return (
         cands.join(sa, f"{id_col}_a")
         .join(sb, f"{id_col}_b")

@@ -455,6 +455,60 @@ WHERE CAST(i.ic AS DOUBLE) / CAST(sa.n + sb.n - i.ic AS DOUBLE) >= 0.8
 """
 
 
+def q_minhash_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental face of ``minhash_dedup_pairs`` (operators/dedup.py
+    minhash_index_portable / minhash_probe_portable): the corpus is
+    indexed ONCE — (id, band, bucket, shingle-set) rows, publishable
+    partitioned by (band, bucket) — then the re-crawl batch (doc_id
+    + 1e6, same texts) is shingled/signed alone and probes the
+    stored buckets; exact Jaccard verification runs off matched
+    index rows, never re-reading the corpus. Equals the one-shot
+    pair query over corpus ∪ batch restricted to batch-involving
+    pairs, INCLUDING the union-population hot-bucket cap (law pinned
+    in tests/test_r12_ops.py); the oracle is that restriction. The
+    in-query index build is the toy-scale compromise — at corpus
+    scale the index is published once and probe work scales with
+    the batch's collided buckets (the bm25_index_probe /
+    winnowing_probe_pairs discipline)."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_index_portable,
+        minhash_probe_portable,
+    )
+
+    from hr_moderndatapipeline_spark.cache import pin
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # the incremental-crawl shape: the batch is a 20% slice of the
+    # doc population (re-crawled under shifted ids), not a second
+    # full corpus — probe work must scale with the batch
+    batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    # at corpus scale both index tables are PUBLISHED parquet and each
+    # probe consumer re-reads them column-pruned; in-query the pin
+    # plays that role — without it the corpus' 64-agg signature stage
+    # re-runs for the cap count and the bucket join (the sets table
+    # rides the shingle-set pin inside minhash_index_portable).
+    idx_buckets, idx_sets = minhash_index_portable(
+        docs, "doc_id", "text", shingle_n=3
+    )
+    idx_buckets = pin(idx_buckets, tag="minhash_probe_idx")
+    return minhash_probe_portable(
+        batch, idx_buckets, idx_sets, "doc_id", "text", shingle_n=3
+    )
+
+
+# the one-shot pair SQL with the 20%-slice batch as the second
+# corpus half, restricted to pairs involving a batch doc (batch ids
+# are the +1e6 range; doc_id_b = max of the pair, so b >= 1e6 ⟺ at
+# least one batch member)
+ORACLE_MINHASH_PROBE_PAIRS = ORACLE_MINHASH_DEDUP_PAIRS.replace(
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents),",
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+    " WHERE doc_id % 5 = 0),",
+).replace(">= 0.8", ">= 0.8 AND c.db >= 1000000")
+
+
 # ── SimHash near-dup (portable 62-bit signatures, oracle-backed) ──
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,6 +828,67 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored_idx = spark.read.parquet(f"{root}/index")
     queries = _ann_queries(emb)
     return ivf_probe(queries, stored_idx, stored_cb, "vec_id", "embedding", k=10, dim=64)
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two approximate ANN faces against exact
+    brute-force ground truth, per query — the readout that decides
+    which index a deployment can afford (the retrieval_eval
+    discipline applied to the ANN family). All three legs are the
+    existing deterministic driver queries, so the eval itself adds
+    only output-sized work: top-10 lists are joined on
+    (q_id, c_id) — 10 rows per query per leg — and the per-query hit
+    counts are exact integers (recall_ppm = hits·1e5 for k=10), so
+    the whole comparison is oracle-checkable where the IVF/LSH
+    results alone already are. At 100 TB the eval cost is the cost
+    of the three searches; the comparison is free."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("_hit")
+    )
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("_hit")
+    )
+
+    def _hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            bf.join(approx, ["q_id", "c_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("bigint")
+                .alias(f"hits_{name}")
+            )
+            .withColumn(
+                f"recall_{name}_ppm",
+                (F.col(f"hits_{name}") * 100000).cast("bigint"),
+            )
+        )
+
+    return _hits(ivf, "ivf").join(_hits(lsh, "lsh"), "q_id")
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the three existing ANN oracles into the recall
+    readout — WITH-in-subquery keeps each leg's SQL verbatim, so a
+    fix to a leg's oracle propagates here automatically."""
+    return f"""
+WITH bf AS (SELECT q_id, c_id FROM ({_ANN_ORACLE_FOLD})),
+ivf AS (SELECT q_id, c_id FROM ({ORACLE_ANN_IVF})),
+lsh AS (SELECT q_id, c_id FROM ({_lsh_oracle_sql()})),
+h_ivf AS (
+  SELECT b.q_id, count(i.c_id) AS hits_ivf,
+         count(i.c_id) * 100000 AS recall_ivf_ppm
+  FROM bf b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.c_id = b.c_id
+  GROUP BY b.q_id),
+h_lsh AS (
+  SELECT b.q_id, count(l.c_id) AS hits_lsh,
+         count(l.c_id) * 100000 AS recall_lsh_ppm
+  FROM bf b LEFT JOIN lsh l ON l.q_id = b.q_id AND l.c_id = b.c_id
+  GROUP BY b.q_id)
+SELECT h_ivf.q_id AS q_id, hits_ivf, recall_ivf_ppm, hits_lsh, recall_lsh_ppm
+FROM h_ivf JOIN h_lsh ON h_lsh.q_id = h_ivf.q_id
+"""
 
 
 # ── embedding-cosine near-dup pairs within label blocks ──
@@ -5658,11 +5773,13 @@ QUERIES = {
     "dedup_keep_best_survivors": q_dedup_keep_best_survivors,
     "leakage_safe_split": q_leakage_safe_split,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "minhash_probe_pairs": q_minhash_probe_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lsh_probe_topk": q_lsh_probe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall_eval": q_ann_recall_eval,
     "ivf_probe_topk": q_ivf_probe_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "token_stats": q_token_stats,
@@ -5816,6 +5933,7 @@ ORACLES = {
     # VERDICT r6 task #2): the untrained-codebook IVF lifecycle is
     # plain SQL on both engines.
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_recall_eval": _ann_recall_oracle(),
     # identical parameters ⇒ identical result to ann_ivf_topk (the
     # parquet round trip of f64 arrays is exact); the persisted
     # index/probe split is the thing under test
@@ -5844,6 +5962,7 @@ ORACLES = {
     # hot-bucket caps, Hamming/Jaccard verify).
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "minhash_dedup_pairs": ORACLE_MINHASH_DEDUP_PAIRS,
+    "minhash_probe_pairs": ORACLE_MINHASH_PROBE_PAIRS,
     # whole ANN family oracle-backed since r8 (pq/ivfpq joined
     # ann_ivf/ivf_probe): portable seed hash + sequential folds.
     "pq_probe_topk": ORACLE_PQ_PROBE,

@@ -78,6 +78,21 @@ def get_spark(
         # so plan skeletons are unchanged.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20m")
+        # Without this, every shuffle UNDER a persist() boundary runs
+        # at the static 512-partition initial count — AQE won't
+        # re-plan inside a cached plan if that could change its output
+        # partitioning, and the pinned index/probe lifecycles put
+        # groupBy/join shuffles under pins. r12 A/B evidence: MinHash
+        # probe driver query execution 17.2s → 9.1s (bench-warm 14.0s
+        # → ~6s), asof_purchase_state 1.21s → 0.64s, 21-query anchor
+        # subset 18.2s → 15.7s; identical results, ZERO plan
+        # fingerprint changes, and run-to-run deltas on cache-free
+        # queries sat inside host noise in both directions — the conf
+        # is mechanically inert for uncached plans.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -318,3 +318,150 @@ def test_communities_published_query_matches_inline_query(spark):
         for r in q_communities_from_published_edges(spark, sf).collect()
     )
     assert pub == inline and len(inline) > 0
+
+
+# ── MinHash index/probe lifecycle (portable face, round-12) ──
+
+
+def _mh_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+_LOREM = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def _mh_one_shot_restricted(corpus, batch, batch_min_id, **kw):
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_dedup_pairs_portable,
+    )
+
+    one = minhash_dedup_pairs_portable(
+        corpus.unionByName(batch), "doc_id", "text", **kw
+    )
+    # a < b and batch ids sit above batch_min_id ⇒ b in batch means
+    # the pair involves >=1 batch doc ONLY when ids are stratified;
+    # for mixed-id fixtures restrict on either side explicitly
+    return one.filter(
+        (F.col("doc_id_a") >= batch_min_id) | (F.col("doc_id_b") >= batch_min_id)
+    )
+
+
+def _mh_probe(corpus, batch, **kw):
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_index_portable,
+        minhash_probe_portable,
+    )
+
+    idx_buckets, idx_sets = minhash_index_portable(corpus, "doc_id", "text")
+    return minhash_probe_portable(
+        batch, idx_buckets, idx_sets, "doc_id", "text", **kw
+    )
+
+
+def test_minhash_probe_equals_one_shot_restricted(spark):
+    """The lifecycle law: probe(index(corpus), batch) is BIT-identical
+    to the one-shot portable pair query over corpus ∪ batch
+    restricted to batch-involving pairs — including batch↔batch
+    pairs (docs 101/102 match each other but nothing in the
+    corpus)."""
+    corpus = _mh_docs(
+        spark,
+        [(1, _LOREM), (2, _LOREM + " omega"), (3, "one two three four five " * 4)],
+    )
+    batch = _mh_docs(
+        spark,
+        [
+            (101, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"),
+            (102, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"),
+            (103, _LOREM),
+        ],
+    )
+    got = sorted(tuple(r) for r in _mh_probe(corpus, batch).collect())
+    want = sorted(
+        tuple(r)
+        for r in _mh_one_shot_restricted(corpus, batch, 100).collect()
+    )
+    assert got == want and len(got) >= 3
+    # batch↔batch pair present, corpus↔corpus pair (1,2) absent
+    ids = {(a, b) for a, b, _ in got}
+    assert (101, 102) in ids and (1, 2) not in ids and (1, 103) in ids
+
+
+def test_minhash_probe_union_cap_matches_one_shot(spark):
+    """The hot-bucket cap is a UNION-population decision: 3 corpus
+    copies are under max_bucket=4 alone, but the 2 batch copies push
+    the bucket to 5 — BOTH faces must drop it (the probe
+    reconstructs the corpus∪batch count from index rows + batch
+    rows). With the cap lifted both faces emit all crossing
+    pairs."""
+    corpus = _mh_docs(spark, [(i, _LOREM) for i in (1, 2, 3)])
+    batch = _mh_docs(spark, [(101, _LOREM), (102, _LOREM)])
+    capped = sorted(
+        tuple(r) for r in _mh_probe(corpus, batch, max_bucket=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _mh_one_shot_restricted(
+            corpus, batch, 100, max_bucket=4
+        ).collect()
+    )
+    assert capped == want == []
+    uncapped = sorted(
+        tuple(r) for r in _mh_probe(corpus, batch, max_bucket=None).collect()
+    )
+    want_un = sorted(
+        tuple(r)
+        for r in _mh_one_shot_restricted(
+            corpus, batch, 100, max_bucket=None
+        ).collect()
+    )
+    assert uncapped == want_un and len(uncapped) == 7  # C(5,2) minus (1,2),(1,3),(2,3)
+
+
+def test_minhash_probe_disjoint_batch_empty(spark):
+    """A batch sharing no shingles with the corpus (and internally
+    unique) probes to an empty pair set — and short batch docs
+    (< shingle_n words) are dropped, not errored."""
+    corpus = _mh_docs(spark, [(1, _LOREM), (2, _LOREM + " omega")])
+    batch = _mh_docs(
+        spark,
+        [(101, "aa bb cc dd ee ff gg hh ii jj"), (102, "tiny doc")],
+    )
+    assert _mh_probe(corpus, batch).count() == 0
+
+
+# ── ANN recall evaluation (round-12) ──
+
+
+def test_ann_recall_eval_consistency(spark):
+    """The eval must report exactly |bf ∩ approx| per query for every
+    brute-force query id, with recall_ppm = hits·1e5 (k=10) — checked
+    against an independent Python recomputation from the two leg
+    queries' own results."""
+    import collections
+
+    from hr_moderndatapipeline_spark.queries.dataops import (
+        q_ann_bruteforce_topk,
+        q_ann_ivf_topk,
+        q_ann_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    res = {r["q_id"]: r for r in q_ann_recall_eval(spark, sf).collect()}
+    bf = [
+        (r["q_id"], r["c_id"]) for r in q_ann_bruteforce_topk(spark, sf).collect()
+    ]
+    ivf = {(r["q_id"], r["c_id"]) for r in q_ann_ivf_topk(spark, sf).collect()}
+    qids = {q for q, _ in bf}
+    assert set(res) == qids and len(qids) > 0
+    want = collections.Counter(q for q, c in bf if (q, c) in ivf)
+    for q in qids:
+        r = res[q]
+        assert r["hits_ivf"] == want.get(q, 0)
+        assert 0 <= r["hits_ivf"] <= 10
+        assert r["recall_ivf_ppm"] == r["hits_ivf"] * 100000
+        assert 0 <= r["hits_lsh"] <= 10
+        assert r["recall_lsh_ppm"] == r["hits_lsh"] * 100000
