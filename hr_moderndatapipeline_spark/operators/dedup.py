@@ -771,6 +771,20 @@ def minhash_index_portable(
     return bucketed, prepped.select(id_col, "_shh")
 
 
+def minhash_bucket_counts(index_buckets: DataFrame) -> DataFrame:
+    """(band_idx, bucket, n) — per-bucket corpus population, an
+    index-build by-product a deployment publishes NEXT TO the index:
+    with it, ``minhash_probe_portable``'s union hot-bucket cap check
+    joins the batch's O(batch·bands) bucket counts against this
+    O(#buckets) table instead of re-counting the corpus' bucket rows
+    per probe (the corpus-wide narrow-row shuffle the window path
+    pays). Republish incrementally by adding each absorbed batch's
+    counts (elementwise sum — the histogram_build merge law)."""
+    return index_buckets.groupBy("band_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def minhash_probe_portable(
     new_docs: DataFrame,
     index_buckets: DataFrame,
@@ -782,6 +796,7 @@ def minhash_probe_portable(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     max_bucket: int | None = 1000,
+    index_bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Probe an incremental batch against a published
     ``minhash_index_portable`` (bucket rows + id-keyed sets):
@@ -817,36 +832,64 @@ def minhash_probe_portable(
         tag="minhash_probe_batch",
         storage_level=StorageLevel.MEMORY_AND_DISK,
     )
-    # one tagged union, ONE (band,bucket) exchange: the window cap and
-    # both candidate joins all derive from it, so the join sides reuse
-    # the cap's exchange instead of re-shuffling three times (the
-    # one-shot's own plan shape; a groupBy-count + three cap joins
-    # measured 2.5× slower on this stage at sf0.1). The cap threshold
-    # applies to the corpus∪batch population — the one-shot law. At a
-    # true incremental deployment the per-bucket corpus counts are a
-    # by-product of the index build: publish them next to the index
-    # and the cap check costs O(batch buckets) instead of this
-    # corpus-wide narrow-row shuffle.
-    all_rows = (
-        index_buckets.select(id_col, "band_idx", "bucket")
-        .withColumn("_is_batch", F.lit(False))
-        .unionByName(bucketed_b.withColumn("_is_batch", F.lit(True)))
-    )
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "bucket")
-        all_rows = (
-            all_rows.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
+    # The cap threshold applies to the corpus∪batch population — the
+    # one-shot law. Two equivalent plans (equality pinned):
+    #
+    # - counts path (``index_bucket_counts`` published, the true
+    #   incremental deployment): total per batch-touched bucket =
+    #   batch count + published corpus count, so the cap check costs
+    #   O(batch buckets) and the corpus' bucket rows are touched only
+    #   through the candidate join. Buckets the batch does NOT touch
+    #   produce no probe pairs regardless of hotness, so restricting
+    #   the check to batch-touched buckets is exact.
+    # - window path (no counts published): one tagged union, ONE
+    #   (band,bucket) exchange that the window cap and both candidate
+    #   joins all derive from, so the join sides reuse the cap's
+    #   exchange instead of re-shuffling three times (the one-shot's
+    #   own plan shape; a groupBy-count + three cap joins measured
+    #   2.5× slower on this stage at sf0.1) — at the price of a
+    #   corpus-wide narrow-row shuffle per probe.
+    if max_bucket is not None and index_bucket_counts is not None:
+        batch_counts = bucketed_b.groupBy("band_idx", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
         )
-    bat = all_rows.filter(F.col("_is_batch")).select(
-        F.col(id_col).alias("_bid"), "band_idx", "bucket"
-    )
-    cor = all_rows.filter(~F.col("_is_batch")).select(
-        F.col(id_col).alias("_cid"), "band_idx", "bucket"
-    )
+        ok = (
+            batch_counts.join(
+                index_bucket_counts, ["band_idx", "bucket"], "left"
+            )
+            .filter(
+                F.col("_bn") + F.coalesce(F.col("n"), F.lit(0)) <= max_bucket
+            )
+            .select("band_idx", "bucket")
+        )
+        bat = (
+            bucketed_b.join(ok, ["band_idx", "bucket"])
+            .select(F.col(id_col).alias("_bid"), "band_idx", "bucket")
+        )
+        cor = index_buckets.select(
+            F.col(id_col).alias("_cid"), "band_idx", "bucket"
+        )
+    else:
+        all_rows = (
+            index_buckets.select(id_col, "band_idx", "bucket")
+            .withColumn("_is_batch", F.lit(False))
+            .unionByName(bucketed_b.withColumn("_is_batch", F.lit(True)))
+        )
+        if max_bucket is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band_idx", "bucket")
+            all_rows = (
+                all_rows.withColumn("_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("_n") <= max_bucket)
+                .drop("_n")
+            )
+        bat = all_rows.filter(F.col("_is_batch")).select(
+            F.col(id_col).alias("_bid"), "band_idx", "bucket"
+        )
+        cor = all_rows.filter(~F.col("_is_batch")).select(
+            F.col(id_col).alias("_cid"), "band_idx", "bucket"
+        )
     cross = (
         bat.join(cor, ["band_idx", "bucket"])
         .filter(F.col("_bid") != F.col("_cid"))

@@ -465,3 +465,50 @@ def test_ann_recall_eval_consistency(spark):
         assert r["recall_ivf_ppm"] == r["hits_ivf"] * 100000
         assert 0 <= r["hits_lsh"] <= 10
         assert r["recall_lsh_ppm"] == r["hits_lsh"] * 100000
+
+
+def test_minhash_probe_counts_path_matches_window_path(spark):
+    """The published-bucket-counts cap path (the true incremental
+    deployment) must equal both the window path and the one-shot
+    restriction — including on the cap fixture where the batch
+    pushes a bucket over the threshold (corpus count 3 + batch count
+    2 > 4) and on an ordinary mixed fixture."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_bucket_counts,
+        minhash_index_portable,
+        minhash_probe_portable,
+    )
+
+    def probe_counts(corpus, batch, **kw):
+        ib, iss = minhash_index_portable(corpus, "doc_id", "text")
+        counts = minhash_bucket_counts(ib)
+        return minhash_probe_portable(
+            batch, ib, iss, "doc_id", "text",
+            index_bucket_counts=counts, **kw
+        )
+
+    corpus = _mh_docs(
+        spark,
+        [(1, _LOREM), (2, _LOREM + " omega"), (3, "one two three four five " * 4)],
+    )
+    batch = _mh_docs(
+        spark,
+        [
+            (101, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"),
+            (102, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"),
+            (103, _LOREM),
+        ],
+    )
+    got = sorted(tuple(r) for r in probe_counts(corpus, batch).collect())
+    want = sorted(
+        tuple(r) for r in _mh_one_shot_restricted(corpus, batch, 100).collect()
+    )
+    assert got == want and len(got) >= 3
+
+    hot_corpus = _mh_docs(spark, [(i, _LOREM) for i in (1, 2, 3)])
+    hot_batch = _mh_docs(spark, [(101, _LOREM), (102, _LOREM)])
+    capped = sorted(
+        tuple(r)
+        for r in probe_counts(hot_corpus, hot_batch, max_bucket=4).collect()
+    )
+    assert capped == []  # batch pushed the bucket over the union cap

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hr_moderndatapipeline_spark import get_spark  # noqa: E402
 from hr_moderndatapipeline_spark.operators.dedup import (  # noqa: E402
+    minhash_bucket_counts,
     minhash_dedup_pairs_portable,
     minhash_index_portable,
     minhash_probe_portable,
@@ -73,6 +74,10 @@ def main() -> None:
     # prunes the probe's bucket join reads (the bm25 postings recipe)
     buckets.sort("band_idx", "bucket").write.parquet(f"{out}/buckets.parquet")
     sets.write.parquet(f"{out}/sets.parquet")
+    # the counts by-product (cap check becomes O(batch buckets))
+    minhash_bucket_counts(
+        spark.read.parquet(f"{out}/buckets.parquet")
+    ).write.parquet(f"{out}/counts.parquet")
     t_build = round(time.time() - t0, 2)
 
     t0 = time.time()
@@ -89,6 +94,22 @@ def main() -> None:
     )
     t_probe = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    probed_counts = sorted(
+        tuple(r)
+        for r in minhash_probe_portable(
+            batch,
+            spark.read.parquet(f"{out}/buckets.parquet"),
+            spark.read.parquet(f"{out}/sets.parquet"),
+            "doc_id",
+            "text",
+            shingle_n=3,
+            index_bucket_counts=spark.read.parquet(f"{out}/counts.parquet"),
+        ).collect()
+    )
+    t_probe_counts = round(time.time() - t0, 2)
+    assert probed_counts == one_shot, "counts-path law violated at stress scale"
+
     assert probed == one_shot, (
         f"lifecycle law violated at stress scale: "
         f"{len(probed)} probe vs {len(one_shot)} one-shot pairs"
@@ -101,6 +122,7 @@ def main() -> None:
         "one_shot_sec": t_one_shot,
         "index_build_publish_sec": t_build,
         "probe_sec": t_probe,
+        "probe_counts_path_sec": t_probe_counts,
         "breakeven_batches": round(
             t_build / max(t_one_shot - t_probe, 1e-9), 1
         ),
