@@ -74,6 +74,11 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "conversion_survival_curve (log-rank face, identical subjects)",
     "conversion_hazard_curve": "same 1-row horizon broadcast as "
     "conversion_survival_curve (Nelson–Aalen face, identical subjects)",
+    "ann_recall_eval": "composes the ann_bruteforce_topk and ann_lsh/"
+    "ann_ivf legs verbatim, inheriting their reviewed bounded crosses "
+    "(fixed query batch broadcast against one corpus scan; 16-centroid "
+    "cell scoring); the eval's own joins are equi-joins on (q_id, c_id) "
+    "over the k-row result lists",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 
