@@ -944,6 +944,89 @@ def minhash_probe_portable(
     )
 
 
+def minhash_probe_then_absorb(
+    spark,
+    batch_docs: DataFrame,
+    index_root: str,
+    id_col: str,
+    text_col: str,
+    batch_tag: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> None:
+    """One incremental-crawl step of streaming corpus dedup: probe
+    the published index at ``index_root`` (every ``buckets/*`` and
+    ``sets/*`` sub-publish so far), WRITE the found pairs, then
+    absorb the batch — append its bucket rows and shingle sets as a
+    new sub-publish so later crawls dedup against it too. The
+    per-tag ``mode("overwrite")`` writes make a replayed micro-batch
+    (checkpoint recovery re-delivers the same batch_id) idempotent:
+    it rewrites the same three directories with the same content —
+    the crash-replay discipline of plans/txn.py without a commit
+    protocol, because the tag IS the commit id.
+
+    Ordering: pairs are materialized BEFORE the absorb writes — a
+    lazy pairs frame read after absorb would see the batch's own
+    rows in the index and double-count batch↔batch pairs.
+
+    Law (pinned in tests/test_r12_ops.py): after absorbing crawls
+    B1..Bn in ANY order, the union of written pairs equals the
+    one-shot pair query over corpus ∪ B1 ∪ … ∪ Bn restricted to
+    pairs involving ≥1 crawled doc — each pair is discovered exactly
+    once, when its second member arrives. Exact for
+    ``max_bucket=None`` (the default here); with a cap the exclusion
+    is by bucket population AT ARRIVAL TIME, not the final union —
+    document that choice if you enable it.
+
+    At 100 TB each sub-publish is one batch's worth of files; compact
+    periodically (the file-manifest machinery) and, for the
+    counts-path cap, merge each batch's bucket counts into the
+    published counts table (elementwise sum — the histogram merge
+    law)."""
+    # exclude this batch's OWN sub-publish from the probe's read: on
+    # a checkpoint replay the tag already exists, and probing one's
+    # own absorbed rows both violates the disjoint-ids contract
+    # (duplicate set rows for the batch ids) and would double the
+    # batch↔batch pairs — the replay must see exactly the pre-state
+    def _published(kind: str) -> DataFrame:
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{index_root}/{kind}"
+        )
+        return (
+            df.withColumn("_pub_path", F.col("_metadata.file_path"))
+            .filter(~F.col("_pub_path").contains(f"/{batch_tag}/"))
+            .drop("_pub_path")
+        )
+
+    pairs = minhash_probe_portable(
+        batch_docs,
+        _published("buckets"),
+        _published("sets"),
+        id_col,
+        text_col,
+        shingle_n,
+        num_hashes,
+        bands,
+        jaccard_threshold,
+        max_bucket,
+    )
+    pairs.write.mode("overwrite").parquet(f"{index_root}/pairs/{batch_tag}")
+    nb, ns = minhash_index_portable(
+        batch_docs, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    nb.write.mode("overwrite").parquet(f"{index_root}/buckets/{batch_tag}")
+    ns.write.mode("overwrite").parquet(f"{index_root}/sets/{batch_tag}")
+    # the probe/index faces pin per call; a long-lived stream must
+    # not accrete one cache per micro-batch
+    from hr_moderndatapipeline_spark.cache import release_pins
+
+    for tag in ("minhash_portable", "minhash_probe_batch", "minhash_probe_cands"):
+        release_pins(spark, tag=tag)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str,

@@ -644,8 +644,91 @@ def q_streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental corpus dedup against the published
+    MinHash index (operators/dedup.py minhash_probe_then_absorb):
+    the corpus is indexed ONCE as the first sub-publish, then two
+    re-crawl batches (10% doc slices under shifted ids) arrive as
+    JSON-lines files through a checkpointed foreachBatch stream —
+    each micro-batch probes everything published so far, writes its
+    pairs, and absorbs itself so the later crawl dedups against the
+    earlier one too. Per-tag overwrite writes make checkpoint
+    replays idempotent (the tag is the commit id). Returns
+    (n_pairs, n_new_docs_matched, n_exact_dups) over the
+    accumulated pair table. Rows-only: streaming execution is not
+    ANSI-SQL; the accumulation law (union of per-batch pairs ==
+    one-shot over corpus ∪ all crawls restricted to crawl-involving
+    pairs, in ANY arrival order) is pinned in
+    tests/test_r12_ops.py."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_index_portable,
+        minhash_probe_then_absorb,
+    )
+
+    wd = _workdir(spark, sf_dir, "mhprobe")
+    root = f"{wd}/index"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cb, cs = minhash_index_portable(docs, "doc_id", "text", shingle_n=3)
+    cb.write.mode("overwrite").parquet(f"{root}/buckets/corpus")
+    cs.write.mode("overwrite").parquet(f"{root}/sets/corpus")
+
+    src = f"{wd}/src"
+    for i, mod in enumerate((0, 5)):
+        crawl = docs.filter(F.col("doc_id") % 10 == mod).select(
+            F.to_json(
+                F.struct(
+                    (F.col("doc_id") + (i + 1) * 1_000_000).alias("doc_id"),
+                    "text",
+                )
+            ).alias("value")
+        )
+        crawl.coalesce(1).write.mode("append").text(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = file_json_stream(spark, src, max_files_per_trigger=1)
+    parsed = stream.select(
+        F.from_json(F.col("value"), schema).alias("d")
+    ).select("d.doc_id", "d.text")
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        minhash_probe_then_absorb(
+            spark,
+            batch_df,
+            root,
+            "doc_id",
+            "text",
+            batch_tag=f"b{batch_id}",
+            shingle_n=3,
+        )
+
+    q = (
+        parsed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", f"{wd}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    pairs = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{root}/pairs"
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_id_b").cast("bigint").alias("n_new_docs_matched"),
+        F.sum((F.col("jaccard") >= 1.0).cast("bigint")).alias("n_exact_dups"),
+    )
+
+
 QUERIES = {
     "streaming_custom_source": q_streaming_custom_source,
+    "streaming_minhash_probe": q_streaming_minhash_probe,
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_session_windows_append": q_streaming_session_windows_append,
     "streaming_dlq_roundtrip": q_streaming_dlq_roundtrip,

@@ -512,3 +512,83 @@ def test_minhash_probe_counts_path_matches_window_path(spark):
         for r in probe_counts(hot_corpus, hot_batch, max_bucket=4).collect()
     )
     assert capped == []  # batch pushed the bucket over the union cap
+
+
+def test_minhash_probe_then_absorb_accumulation_law(spark, tmp_path):
+    """Streaming incremental dedup law: after probe-then-absorb of
+    crawls B1, B2 (in either order), the union of written pairs
+    equals the one-shot portable pair query over corpus ∪ B1 ∪ B2
+    restricted to crawl-involving pairs — each pair discovered
+    exactly once, when its second member arrives."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_index_portable,
+        minhash_probe_then_absorb,
+    )
+
+    corpus = _mh_docs(
+        spark,
+        [(1, _LOREM), (2, "one two three four five " * 4)],
+    )
+    b1 = _mh_docs(spark, [(101, _LOREM), (102, "aa bb cc dd ee ff gg hh")])
+    b2 = _mh_docs(
+        spark,
+        [(201, _LOREM + " omega"), (202, "aa bb cc dd ee ff gg hh")],
+    )
+
+    for order, tag in ((["x", (b1, "b1"), (b2, "b2")], "fwd"),
+                       (["x", (b2, "b2"), (b1, "b1")], "rev")):
+        root = str(tmp_path / f"idx_{tag}")
+        cb, cs = minhash_index_portable(corpus, "doc_id", "text")
+        cb.write.mode("overwrite").parquet(f"{root}/buckets/corpus")
+        cs.write.mode("overwrite").parquet(f"{root}/sets/corpus")
+        for batch, btag in order[1:]:
+            minhash_probe_then_absorb(
+                spark, batch, root, "doc_id", "text", batch_tag=btag
+            )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{root}/pairs")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _mh_one_shot_restricted(
+                corpus, b1.unionByName(b2), 100, max_bucket=None
+            ).collect()
+        )
+        assert got == want and len(got) >= 3, (tag, got, want)
+        # the cross-crawl pair (102, 202) must be present: discovered
+        # by whichever of the two arrived second
+        ids = {(a, b) for a, b, _ in got}
+        assert (102, 202) in ids and (101, 201) in ids
+
+
+def test_minhash_probe_then_absorb_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same tag, same rows — checkpoint
+    recovery) rewrites the same directories and leaves the
+    accumulated pair table unchanged."""
+    from hr_moderndatapipeline_spark.operators.dedup import (
+        minhash_index_portable,
+        minhash_probe_then_absorb,
+    )
+
+    corpus = _mh_docs(spark, [(1, _LOREM)])
+    b1 = _mh_docs(spark, [(101, _LOREM)])
+    root = str(tmp_path / "idx")
+    cb, cs = minhash_index_portable(corpus, "doc_id", "text")
+    cb.write.mode("overwrite").parquet(f"{root}/buckets/corpus")
+    cs.write.mode("overwrite").parquet(f"{root}/sets/corpus")
+    minhash_probe_then_absorb(spark, b1, root, "doc_id", "text", batch_tag="b1")
+    once = sorted(
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{root}/pairs").collect()
+    )
+    minhash_probe_then_absorb(spark, b1, root, "doc_id", "text", batch_tag="b1")
+    twice = sorted(
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{root}/pairs").collect()
+    )
+    assert once == twice == [(1, 101, 1.0)]
