@@ -39,9 +39,6 @@ from hr_moderndatapipeline_spark.operators.dedup import (  # noqa: E402
     minhash_probe_portable,
 )
 
-SHIFT = 1_000_000_000
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hr_mdp_stress_sf1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/minhash_index_probe"
@@ -50,8 +47,15 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    # the shift MUST clear the corpus id range (the probe's
+    # disjoint-ids contract): the stress generator offsets copies by
+    # 1e7, so a fixed 1e9 shift collides from copy 100 upward — at
+    # sf30 corpus doc 1_000_000_000 (copy 100's base doc 0) aliased
+    # the shifted batch doc 0 and broke BOTH law faces. Derive it.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    shift = max_id + 1_000_000
     batch = docs.filter(F.col("doc_id") % batch_mod == 0).withColumn(
-        "doc_id", F.col("doc_id") + SHIFT
+        "doc_id", F.col("doc_id") + shift
     )
     n_docs = docs.count()  # warm the scan so the one-shot isn't billed IO
     n_batch = batch.count()
@@ -62,7 +66,7 @@ def main() -> None:
         for r in minhash_dedup_pairs_portable(
             docs.unionByName(batch), "doc_id", "text", shingle_n=3
         )
-        .filter(F.col("doc_id_b") >= SHIFT)
+        .filter(F.col("doc_id_b") >= shift)
         .collect()
     )
     t_one_shot = round(time.time() - t0, 2)
