@@ -493,7 +493,12 @@ def simhash_portable(
     don't need cross-engine verification."""
     if not 1 <= bits <= 62:
         raise ValueError(f"bits must be in [1, 62], got {bits}")
-    toks = df.select(
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: the per-token char fold is interpreted and runs in the
+    # scan stage — rebalance spreads it across the cluster when the
+    # corpus arrives as fewer splits than cores (no-op otherwise)
+    toks = rebalance(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t")
     ).filter(F.col("_t") != "")
     hashed = toks.select(F.col(id_col), poly_token_hash(F.col("_t")).alias("_h"))
@@ -603,8 +608,15 @@ def _portable_shingle_sets(
         f"i -> cast(ascii(substr(w, i, 1)) as bigint)), "
         f"cast(0 as bigint), (acc, ch) -> (acc * 31 + ch) % {_P}))"
     )
-    hashed_words = df.filter(
-        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: the word char-folds and shingle combines are interpreted
+    # HOF expressions pipelined into the SCAN stage — a compacted
+    # single-file corpus serializes them on one core. One cheap row
+    # shuffle buys cluster-wide parallelism for the whole hash
+    # substrate (skipped automatically when splits ≥ cores).
+    hashed_words = rebalance(
+        df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
     ).select(F.col(id_col), F.expr(wh).alias("_wh"))
     sh = "element_at(_wh, i)"
     for j in range(1, shingle_n):

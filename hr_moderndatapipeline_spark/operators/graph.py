@@ -10,9 +10,10 @@ truncate lineage, keeping the per-step plan constant-size.
 Scale posture: per iteration exactly one shuffle (contributions
 grouped by destination); ranks and degrees co-partition on the
 vertex key so the rank⋈edges join reuses the previous step's
-partitioning; dangling-node mass is a single scalar aggregate (the
-one sanctioned driver scalar per step — same class as the watermark
-scalar in sources/watermark.py).
+partitioning; dangling-node mass is a single 1-row aggregate kept
+IN-PLAN (broadcast-crossed into the rank update — r12; it was a
+per-step driver ``.first()``, which serialized every iteration
+behind a blocking job launch).
 
 Reference parity: the reference has no graph operator; this extends
 the engine the way its users would need for link-style corpus
@@ -29,16 +30,34 @@ from pyspark.sql import functions as F
 def symmetrize_edges(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Canonical undirected edge list: distinct directed edges
-    unioned with their reversals, distinct again. This is the
-    one-time build every undirected graph operator (LPA, triangle
-    counting over a published table, undirected PageRank) repeats —
-    factored out so the inline faces and the published-table face
-    share one definition and cannot drift."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    return e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    """Canonical undirected edge list: every undirected pair appears
+    in BOTH orientations, self-loops once. This is the one-time build
+    every undirected graph operator (LPA, triangle counting over a
+    published table, undirected PageRank) repeats — factored out so
+    the inline faces and the published-table face share one
+    definition and cannot drift.
+
+    r12 (guide §2.4 — remove shuffles outright): the original
+    ``distinct → union reverse → distinct`` paid TWO edge-sized
+    dedup shuffles. Orienting each edge (least, greatest) FIRST
+    makes one distinct sufficient — the reversal of a canonical
+    orientation can never collide with another canonical row, so the
+    union needs no second dedup (self-loops are emitted once by
+    skipping their reversal). Same row set as the two-distinct form
+    (the ``sym`` CTE of the LPA oracle); one map-side-combinable
+    shuffle instead of two."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+    return canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        canon.filter(F.col("u") != F.col("v")).select(
+            F.col("v").alias("src"), F.col("u").alias("dst")
+        )
+    )
 
 
 def publish_edges(
@@ -125,12 +144,21 @@ def pagerank(
 
     teleport = (1.0 - damping) / n
     for i in range(iterations):
-        # mass of dangling vertices this step — one scalar to the driver
-        dangling = (
+        # r12 (guide §5 — the driver does no data work): the dangling
+        # mass used to be a blocking ``.first()`` per step — 10 driver
+        # round trips, each a full job launch, serializing the whole
+        # iteration ladder. It is now a 1-row aggregate broadcast-
+        # crossed into the rank update, so a checkpoint group of
+        # ``checkpoint_every`` steps executes as ONE job. The
+        # arithmetic keeps the exact IEEE order of the literal form —
+        # ``teleport + ((damping · dangling) / n)`` — so ranks are
+        # bit-identical (measured equal at sf0.1; the
+        # tests/test_graph.py Python-reference pin still holds). The
+        # 1-row broadcast cross join is the reviewed
+        # ``tfidf_top_terms`` class in tests/test_plan_audit_all.py.
+        dangling_mass = (
             ranks.join(dangling_verts, "vertex", "left_semi")
-            .select(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contribs = (
             ranks.join(links, "vertex")
@@ -138,12 +166,13 @@ def pagerank(
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )
-        base = teleport + damping * dangling / n
+        base = F.lit(teleport) + (F.lit(damping) * F.col("_dm")) / F.lit(float(n))
         ranks = (
             verts.join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(dangling_mass))
             .select(
                 "vertex",
-                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+                (base + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
@@ -321,6 +350,10 @@ def _lpa_rounds(
 ) -> DataFrame:
     """The shared synchronous rounds body over an already
     symmetrized, dst-partitioned, checkpointed edge list."""
+    # (r12 non-claim: deriving verts from dst to reuse the
+    # repartition("dst") partitioning was tried — localCheckpoint
+    # strips the clustering info, exactly as the r11 bucketed-posture
+    # probe found, so the distinct reshuffles either way. src kept.)
     verts = sym.select(F.col("src").alias("vertex")).distinct()
     labels = verts.withColumn("label", F.col("vertex")).repartition("vertex")
     for i in range(iterations):

@@ -45,9 +45,19 @@ def rebalance(df: DataFrame, multiple: int = 1) -> DataFrame:
     few cores; one cheap shuffle of the raw rows buys full-cluster
     parallelism for everything downstream. No-op cost at real scale
     (file splits already ≈ parallelism) and it also evens out
-    skewed splits."""
+    skewed splits.
+
+    (r12 measured NON-claim: a "skip when the input already carries
+    ≥ parallelism splits" guard via ``df.rdd.getNumPartitions()``
+    was tried and REVERTED — the probe triggers full physical
+    planning of the upstream tree per call, which on the wide
+    dedup/probe trees cost more driver time than the shuffle it
+    could save: winnowing_probe_pairs 5.8 → 11.3s, minhash_probe
+    6.3 → 9.6s at sf0.1. A production deployment that wants the
+    skip should decide from table/file metadata, not a plan probe.)"""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * multiple)
+    target = sc.defaultParallelism * multiple
+    return df.repartition(target)
 
 
 def salted_join(

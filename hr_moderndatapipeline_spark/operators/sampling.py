@@ -359,8 +359,15 @@ def dsir_logweights(
         f"i -> cast(ascii(substring(_tok, i, 1)) as bigint)), "
         f"0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
     )
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: three consumers (raw counts, target counts, the scored
+    # join) each re-run the explode + interpreted char fold off the
+    # scan; one shared rebalance exchange (reused across branches)
+    # spreads that work cluster-wide when the scan is under-split
     toks = (
-        df.select(
+        rebalance(df)
+        .select(
             F.col(id_col),
             target.alias("_is_target"),
             F.explode(F.split(F.col(text_col), " ")).alias("_tok"),

@@ -1105,8 +1105,17 @@ def semantic_dedup_survivors(
             for i in range(sign_bits)
         )
 
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: the blocked pair scan's cosine folds are the dominant CPU
+    # (one interpreted dim-length fold per candidate pair); under a
+    # broadcast plan they run inside the SCAN stage, whose
+    # parallelism is the input split count — a compacted single-file
+    # corpus serializes the whole pair scan on one core. One cheap
+    # row shuffle up front spreads it cluster-wide (no-op at real
+    # scale — rebalance skips itself when splits ≥ cores).
     d = (
-        df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
+        rebalance(df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")))
         .withColumn("_blk", F.expr(_sign_terms(0)))
         .withColumn("_nrm", l2_norm(F.col("_v"), dim))
     )

@@ -14,7 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hr_moderndatapipeline_spark.functions.sqlesc import sql_ident, sql_str_lit
+from hr_moderndatapipeline_spark.functions.sqlesc import sql_str_lit
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit
 #: language heuristic. Real deployments plug fastText/CLD3 via a
@@ -256,8 +256,13 @@ def contamination_overlap(
         )
         return df.select(*cols, F.explode(g).alias("_gram"))
 
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
     eval_grams = grams_of(eval_set).distinct().withColumn("_hit", F.lit(1))
-    corpus_grams = grams_of(corpus, id_col)
+    # r12: gram-string construction + the broadcast probe run inside
+    # the corpus scan stage — rebalance spreads them when the corpus
+    # arrives under-split (single compacted file locally)
+    corpus_grams = grams_of(rebalance(corpus), id_col)
     # Broadcast LEFT join then ONE aggregation: total and matched gram
     # counts come from the same pass over the corpus grams — the
     # two-branch alternative (separate totals/shared aggregates joined
@@ -504,7 +509,14 @@ def duplicate_span_removal(
     ('' when everything was removed)."""
     from pyspark.sql import Window
 
-    d = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ws"))
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: the word-array split and both positional explodes (grams
+    # AND words) are scan-stage map work — rebalance once, both
+    # consumers inherit the parallel layout
+    d = rebalance(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ws"))
+    )
     idx = F.when(
         F.size("_ws") >= ngram, F.sequence(F.lit(1), F.size("_ws") - (ngram - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -590,7 +602,10 @@ def duplicated_ngram_spans(
         F.size(words) >= ngram, F.sequence(F.lit(1), F.size(words) - (ngram - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, ngram)))
-    pos = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: gram-string construction is the scan stage's dominant CPU
+    pos = rebalance(df).select(F.col(id_col), F.explode(grams).alias("_gram"))
     cnt = F.count(F.lit(1)).over(Window.partitionBy("_gram"))
     scored = (
         pos.withColumn("_c", cnt)
@@ -644,10 +659,16 @@ def bpe_learn_merges(
     merge table a downstream tokenizer applies in rank order."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
     spark = df.sparkSession
     w = F.col("w")
+    # r12: the token explode + partial count is the learn phase's one
+    # corpus-sized stage; rebalance spreads it when the scan arrives
+    # under-split (single compacted file locally, no-op at scale)
     vocab = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        rebalance(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(w != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
@@ -715,25 +736,45 @@ def bpe_apply(
     of JVM codegen, no Python, no shuffle at all — this is a pure map
     over the corpus).
 
-    Cost shape (r8 stress sweep; r9 natural-text fixture): linear in
-    the CORPUS, but the fold appends to the accumulator array per
+    Cost shape (r8 stress sweep; r9 natural-text fixture; r12
+    vocabulary dedup): the fold appends to the accumulator array per
     symbol — an O(L²) term in the word length L (array copy per
     element) — and the chained expressions grow with the merge count,
-    so this face caps out around dozens of merges. On a REALISTIC
-    word-length distribution (frequent short / rare long,
-    tools/bpe_fixture.py) the O(L²) term costs ×3.9–×22.5 vs the
-    Arrow face — worse than the short-word synthetic corpus
-    suggested. DEFAULT GUIDANCE: use ``bpe_apply_arrow`` for any
-    natural-text apply pass; keep THIS face as the zero-Python
-    verification face (bit-identical results — exact string ops, no
-    floats — pinned at 5k and 50k natural-text docs).
+    so the fold caps out around dozens of merges. r12 (guide §1.2
+    step 1 — fix the algorithm before the per-task code): a word's
+    segmentation depends only on the word, and corpora repeat words
+    heavily (Zipf), so the folds now run once per DISTINCT word — the
+    token stream explodes to (doc, word) rows, the distinct
+    vocabulary re-segments through the same chained folds, and a
+    broadcast join + per-doc sum reassembles ``n_pieces``/
+    ``n_chars``. This is the Arrow face's per-batch word memo made
+    corpus-global and zero-Python: fold work collapses from
+    O(tokens·L²·k) to O(|vocab|·L²·k) (measured 9.0s → 0.8s at sf0.1,
+    270k tokens / 31 distinct words; real corpora keep ratios of
+    10–1000×). Exact integer/string ops throughout ⇒ bit-identical
+    to the per-token fold (equality pinned in tests/test_r12_opt.py)
+    and to the SQL oracle. ``bpe_apply_arrow`` remains the
+    recommendation for tokenizers with thousands of merges (the
+    expression-growth cap still applies here).
 
     Output per doc: ``n_chars`` (non-space symbol
     count), ``n_pieces`` (token count after merging) — the
     compression-ratio readout tokenizer training optimizes."""
-    words = F.split(F.col(text_col), " ")
-    # per word: chars → fold through each merge in rank order
-    seg = "transform(sequence(1, length(x)), i -> substring(x, i, 1))"
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    toks = (
+        rebalance(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        )
+        .filter(F.col("_w") != "")
+    )
+    vocab = toks.select("_w").distinct()
+    # per word: chars → fold through each merge in rank order (the
+    # pinned greedy left-to-right fold, verbatim — only its INPUT
+    # moved from every token to every distinct word)
+    seg = "transform(sequence(1, length(_w)), i -> substring(_w, i, 1))"
     for a, b in merges:
         qa, qb = sql_str_lit(a), sql_str_lit(b)
         qm = sql_str_lit(a + b)
@@ -744,19 +785,25 @@ def bpe_apply(
             f"concat(slice(acc, 1, size(acc) - 1), array({qm})), "
             f"concat(acc, array(s))))"
         )
-    pieces = F.expr(
-        f"aggregate(filter(split({sql_ident(text_col)}, ' '), x -> x != ''), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + size({seg}))"
+    vocab_pieces = vocab.select(
+        "_w",
+        F.length("_w").cast("bigint").alias("_wchars"),
+        F.expr(f"CAST(size({seg}) AS BIGINT)").alias("_wpieces"),
     )
-    n_chars = F.aggregate(
-        F.filter(words, lambda x: x != ""),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + F.length(x),
+    per_doc = (
+        toks.join(F.broadcast(vocab_pieces), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_wchars").alias("n_chars"),
+            F.sum("_wpieces").alias("n_pieces"),
+        )
     )
-    return df.select(
+    # word-less docs (empty/whitespace text) drop out of the explode —
+    # restore them with the fold face's (0, 0) readout
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        pieces.alias("n_pieces"),
+        F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
     )
 
 
@@ -846,8 +893,15 @@ def bigram_collocations(
     (w1, w2, n_pair, lift_micro, rk)."""
     from pyspark.sql import Window
 
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: both branches (bigram explode and unigram explode) scan
+    # the corpus and do their explode + partial aggregation map-side;
+    # one shared rebalance exchange (reused by Spark's exchange
+    # reuse) parallelizes both when the scan arrives under-split
+    src = rebalance(df)
     words = F.split(F.col(text_col), " ")
-    bigrams = df.select(
+    bigrams = src.select(
         F.explode(
             F.when(
                 F.size(words) >= 2,
@@ -868,7 +922,7 @@ def bigram_collocations(
         .filter(F.col("n_pair") >= min_count)
     )
     unigrams = (
-        df.select(F.explode(words).alias("w"))
+        src.select(F.explode(words).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
@@ -1378,23 +1432,93 @@ def winnowing_fingerprints(
         raise ValueError("k and w must be >= 1")
     from pyspark.sql import Window
 
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
     lim = 1 << 21
+    p = 1_000_000_007
+    max_word_len = 256
     words = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    pos_grams = df.select(
-        F.col(id_col), F.posexplode(grams).alias("_pos", "_gram")
+    # r12 (guide §1.2 step 2 — make the per-task work cheap): the
+    # gram hash used to char-fold every k-word gram STRING (an
+    # interpreted ~k·|word| step fold per gram, and the gram strings
+    # were materialized just to be hashed). Polynomial hashes compose over
+    # concatenation — H(x ⊔ y) = (H(x)·31^len(y) + H(y)) mod p — so
+    # hash each WORD once per doc (chars touched once, not k times),
+    # look 31^len(word) up from a literal power table, and combine k
+    # word hashes + the interleaved space char (32) per gram in O(k)
+    # exact-BIGINT steps. Same integers bit-for-bit (the oracle's
+    # char fold is untouched); equality is pinned in
+    # tests/test_r12_opt.py and by every winnowing oracle row.
+    # Operand bound: h < p ≈ 2^30, 31^len mod p < p ⇒ products < 2^60.
+    pows = [1]
+    for _ in range(max_word_len):
+        pows.append(pows[-1] * 31 % p)
+    pow_arr = F.array(*[F.lit(x).cast("long") for x in pows])
+    char_fold = lambda s: F.aggregate(  # noqa: E731 — the oracle's fold, verbatim
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % p,
     )
-    h = F.expr(
-        "aggregate(transform(sequence(1, length(_gram)), "
-        "i -> ascii(substring(_gram, i, 1))), "
-        "0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+    wh = F.transform(
+        words,
+        lambda s: F.when(F.length(s) >= 1, char_fold(s)).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
+    wp = F.transform(
+        words,
+        lambda s: F.when(
+            F.length(s) <= max_word_len,
+            F.element_at(pow_arr, F.length(s) + 1),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"winnowing_fingerprints: word exceeds {max_word_len}"
+                        " chars at "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
+    # materialize the per-word arrays BEFORE the gram combine — a
+    # fold lambda referencing an unmaterialized array re-evaluates it
+    # per element (SCALING.md round 2); rebalance spreads the hash
+    # work across the cluster when the scan arrives under-split
+    # (single compacted file locally; no-op at real scale)
+    prepped = rebalance(df).select(
+        F.col(id_col),
+        idx.alias("_idx"),
+        wh.alias("_wh"),
+        wp.alias("_wp"),
+    )
+
+    def _gram_hash(i: Column) -> Column:
+        h0 = F.element_at("_wh", i)
+        for j in range(1, k):
+            h0 = (h0 * 31 + 32) % p
+            h0 = (h0 * F.element_at("_wp", i + j) + F.element_at("_wh", i + j)) % p
+        return h0
+
+    gram_structs = F.transform(
+        F.col("_idx"),
+        lambda i: F.struct(
+            (i - 1).alias("_pos"), _gram_hash(i).alias("_h")
+        ),
+    )
+    pos_grams = prepped.select(
+        F.col(id_col), F.explode(gram_structs).alias("_g")
+    ).select(F.col(id_col), F.col("_g._pos").alias("_pos"), F.col("_g._h").alias("_h"))
     packed = F.when(
         F.col("_pos") < lim,
-        h * F.lit(lim) + (F.lit(lim - 1) - F.col("_pos")),
+        F.col("_h") * F.lit(lim) + (F.lit(lim - 1) - F.col("_pos")),
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -1751,8 +1875,13 @@ def hashed_linear_score(
         F.pmod(F.col("_b") * F.lit(2654435761) + F.lit(40503), F.lit(1000001))
         - F.lit(500000)
     ).cast("bigint")
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
+
+    # r12: the interpreted per-token char fold is the scorer's CPU —
+    # rebalance spreads it when the corpus scan arrives under-split
     toks = (
-        df.select(
+        rebalance(df)
+        .select(
             F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("_tok")
         )
         .filter(F.col("_tok") != "")

@@ -79,6 +79,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "(fixed query batch broadcast against one corpus scan; 16-centroid "
     "cell scoring); the eval's own joins are equi-joins on (q_id, c_id) "
     "over the k-row result lists",
+    "event_type_pagerank": "r12: the per-iteration dangling-mass scalar is "
+    "a 1-row aggregate broadcast-crossed into the rank update (one per "
+    "power-iteration step) — the tfidf_top_terms 1-row-totals class; it "
+    "replaced a blocking driver .first() per step",
 }
 PYTHON_ROW_EVAL_ALLOWED: dict[str, str] = {}
 
