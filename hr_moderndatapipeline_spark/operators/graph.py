@@ -223,7 +223,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 4,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     early_stop: bool = False,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (community
@@ -262,6 +262,17 @@ def label_propagation(
     ``pagerank``; ``localCheckpoint`` every ``checkpoint_every``
     rounds truncates the growing lineage. Returns (vertex, label).
 
+    ``checkpoint_every`` defaults to 1 since r12 (measured): an
+    uncheckpointed round's label table is consumed TWICE by the next
+    round (the neighbor join and the coalesce join), so ``2`` made
+    every other round's edge-sized count groupBy — the dominant
+    per-round cost — execute twice. Per-round checkpointing
+    materializes only the O(V) label table and removes the
+    recompute: 7.9s → 4.8s at sf0.1, 21.3s → 14.1s at the sf1
+    stress geometry (the win GROWS with scale — the recomputed
+    groupBy is O(E)). This is the trade ``early_stop`` already made
+    for the same reason; results are unchanged by construction.
+
     ``early_stop`` (VERDICT r11 #6): the sf10 phase probe showed
     rounds get CHEAPER as labels converge (23s → 11s by round 5) but
     a converged graph still pays for every remaining fixed round.
@@ -299,7 +310,7 @@ def label_propagation_from_published(
     spark: SparkSession,
     path: str,
     iterations: int = 4,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     early_stop: bool = False,
 ) -> DataFrame:
     """``label_propagation`` from a ``publish_edges`` table: skips

@@ -844,28 +844,40 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the three searches; the comparison is free."""
     bf = q_ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
     ivf = q_ann_ivf_topk(spark, sf_dir).select(
-        "q_id", "c_id", F.lit(1).alias("_hit")
+        "q_id", "c_id", F.lit(1).alias("_hit_ivf")
     )
     lsh = q_ann_lsh_topk(spark, sf_dir).select(
-        "q_id", "c_id", F.lit(1).alias("_hit")
+        "q_id", "c_id", F.lit(1).alias("_hit_lsh")
     )
-
-    def _hits(approx: DataFrame, name: str) -> DataFrame:
-        return (
-            bf.join(approx, ["q_id", "c_id"], "left")
-            .groupBy("q_id")
-            .agg(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                .cast("bigint")
-                .alias(f"hits_{name}")
-            )
-            .withColumn(
-                f"recall_{name}_ppm",
-                (F.col(f"hits_{name}") * 100000).cast("bigint"),
-            )
+    # r12 (guide §1.2 — don't compute things twice): the original
+    # two-branch shape (_hits(ivf) ⋈ _hits(lsh)) referenced ``bf``
+    # from BOTH branches, so the exact brute-force leg — the most
+    # expensive of the three searches — executed twice. Both approx
+    # legs now left-join onto ONE bf scan and a single q_id aggregate
+    # emits both hit counts. (q_id, c_id) is unique within every
+    # top-10 leg, so the chained left joins cannot fan out and the
+    # counts are identical to the two-branch form (oracle unchanged
+    # and green).
+    return (
+        bf.join(ivf, ["q_id", "c_id"], "left")
+        .join(lsh, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit_ivf"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits_ivf"),
+            F.sum(F.coalesce(F.col("_hit_lsh"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits_lsh"),
         )
-
-    return _hits(ivf, "ivf").join(_hits(lsh, "lsh"), "q_id")
+        .select(
+            "q_id",
+            "hits_ivf",
+            (F.col("hits_ivf") * 100000).cast("bigint").alias("recall_ivf_ppm"),
+            "hits_lsh",
+            (F.col("hits_lsh") * 100000).cast("bigint").alias("recall_lsh_ppm"),
+        )
+    )
 
 
 def _ann_recall_oracle() -> str:
