@@ -5631,9 +5631,14 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic gram) and collected as ONE driver scalar (the
     watermark-class sanctioned movement); both engines re-derive the
     same phrase from the same census."""
+    from hr_moderndatapipeline_spark.operators.relational import rebalance
     from hr_moderndatapipeline_spark.operators.text import phrase_search
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # r12: the census gram explode AND the operator's three per-word
+    # posting scans all pipeline into the single-split corpus scan —
+    # one shared rebalance exchange (reused across every consumer)
+    # parallelizes all four passes
+    docs = rebalance(_docs(spark, sf_dir).select("doc_id", "text"))
     words = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
