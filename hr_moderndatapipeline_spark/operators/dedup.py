@@ -612,9 +612,11 @@ def _portable_shingle_sets(
 
     # r12: the word char-folds and shingle combines are interpreted
     # HOF expressions pipelined into the SCAN stage — a compacted
-    # single-file corpus serializes them on one core. One cheap row
-    # shuffle buys cluster-wide parallelism for the whole hash
-    # substrate (skipped automatically when splits ≥ cores).
+    # single-file corpus serializes them on one core. One
+    # unconditional row shuffle buys cluster-wide parallelism for
+    # the whole hash substrate; deployments whose input splits
+    # already ≈ parallelism turn it off via
+    # spark.hr_mdp.rebalance.mode (see the rebalance docstring).
     hashed_words = rebalance(
         df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
     ).select(F.col(id_col), F.expr(wh).alias("_wh"))

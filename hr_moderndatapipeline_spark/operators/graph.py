@@ -45,9 +45,17 @@ def symmetrize_edges(
     union needs no second dedup (self-loops are emitted once by
     skipping their reversal). Same row set as the two-distinct form
     (the ``sym`` CTE of the LPA oracle); one map-side-combinable
-    shuffle instead of two."""
+    shuffle instead of two.
+
+    NULL endpoints are dropped explicitly (ADVICE r12): under the
+    pre-r12 two-distinct form an edge (NULL, x) survived as two rows
+    that never matched any equi-join — behaviorally absent — whereas
+    least/greatest canonicalization would collapse it into a
+    spurious (x, x) self-loop that DOES join. The filter restores
+    the never-joins behavior as an explicit contract."""
     canon = (
-        edges.select(
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
@@ -244,34 +252,28 @@ def label_propagation(
     deterministic one — the asynchronous variant's result depends on
     visit order.
 
-    Scale shape per round: one join of the O(V) label table against
-    the symmetrized edge list on the vertex key + one (vertex, label)
-    count groupBy + one per-vertex argmax as a second aggregate
-    ``min(struct(-count, label))`` — NOT a rank window. Measured
-    honestly (SCALING.md r11, 117.4M edges): shuffle volume is
-    IDENTICAL between the two shapes (the partial min cannot combine
-    map-side — the count table is hash-partitioned by
-    (vertex, label), so a vertex's rows rarely share a mapper
-    partition); the win is the reduce side, where the sort-aggregate
-    merges straight to one row per vertex instead of fully sorting
-    every (vertex, label) row, materializing row numbers and
-    filtering — the isolated round-1 argmax ran 32.5s vs the
-    window's 55.4s at the sf10 geometry. End-to-end round walls are
-    dominated by the edge-sized count groupBy either way. All
-    shuffles stay on the vertex key, co-partitioned like
-    ``pagerank``; ``localCheckpoint`` every ``checkpoint_every``
-    rounds truncates the growing lineage. Returns (vertex, label).
+    Scale shape per round (r13 — see ``_lpa_rounds``): one join of
+    the O(V) label table against the symmetrized edge list on the
+    vertex key + ONE per-vertex deterministic-mode aggregate
+    (``F.mode(label, deterministic=True)`` — most frequent value,
+    ties to the LOWEST, i.e. exactly the (count desc, label asc)
+    argmax; equality pinned against the former two-step
+    count-then-min-struct form and the Python reference). Mode's
+    hash-map buffer partial-merges map-side, so the round's one real
+    shuffle carries per-mapper (vertex → count-map) partials instead
+    of every (vertex, label) row — NOT a rank window and NOT a
+    two-shuffle aggregate pair (the r11 window→aggregate history is
+    in SCALING.md; r13 collapsed the remaining pair). All shuffles
+    stay on the vertex key, co-partitioned like ``pagerank``;
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    the growing lineage. Returns (vertex, label).
 
-    ``checkpoint_every`` defaults to 1 since r12 (measured): an
-    uncheckpointed round's label table is consumed TWICE by the next
-    round (the neighbor join and the coalesce join), so ``2`` made
-    every other round's edge-sized count groupBy — the dominant
-    per-round cost — execute twice. Per-round checkpointing
-    materializes only the O(V) label table and removes the
-    recompute: 7.9s → 4.8s at sf0.1, 21.3s → 14.1s at the sf1
-    stress geometry (the win GROWS with scale — the recomputed
-    groupBy is O(E)). This is the trade ``early_stop`` already made
-    for the same reason; results are unchanged by construction.
+    ``checkpoint_every`` defaults to 1: with the r13 round body the
+    label table is consumed once per round, so the r12
+    double-consumption rationale is gone; per-round checkpoints are
+    kept because each round's mode shuffle then runs as its own
+    AQE-sized stage over materialized O(V) blocks (measured — see
+    OPTIMIZATION_r13.md).
 
     ``early_stop`` (VERDICT r11 #6): the sf10 phase probe showed
     rounds get CHEAPER as labels converge (23s → 11s by round 5) but
@@ -360,7 +362,41 @@ def _lpa_rounds(
     early_stop: bool = False,
 ) -> DataFrame:
     """The shared synchronous rounds body over an already
-    symmetrized, dst-partitioned, checkpointed edge list."""
+    symmetrized, dst-partitioned, checkpointed edge list.
+
+    r13 round-body restructure (guide §2.4 — remove shuffles
+    outright), two exact rewrites:
+
+    - The two-step argmax (``groupBy(src, label).count`` →
+      ``groupBy(src).min(struct(-c, label))``) is now ONE
+      ``groupBy(src).agg(F.mode(label, deterministic=True))``
+      aggregate: Spark's deterministic mode returns the most
+      frequent value with ties broken by the LOWEST value — exactly
+      the (count desc, label asc) rule (equality re-verified against
+      the two-step form on the cust-supp graph and randomized
+      multigraphs, tests/test_r13_opt.py; the Python-reference pin
+      in tests/test_property_r9.py still adjudicates). Mode is a
+      hash-map-buffered aggregate, so it partial-merges map-side and
+      the per-round shuffle carries one (vertex → label-count map)
+      partial per mapper instead of every (vertex, label, c) row —
+      one exchange per round where the two-step form paid two.
+    - The per-round ``labels ⋈ mode`` coalesce join is DEAD LOGIC on
+      a symmetrized substrate: both endpoints of every edge appear
+      as ``src``, so the vertex universe (``sym.src`` distinct) is
+      exactly the mode output's key set and the left-join's
+      isolated-vertex fallback can never fire. The fixed-count face
+      now uses the mode output AS the next label table, removing an
+      O(V) join + shuffle per round. (The ``early_stop`` face keeps
+      the join — it is what carries the ``_changed`` flag.)
+
+    With the join gone, an uncheckpointed round's label table is
+    consumed exactly ONCE by the next round, so the r12 rationale
+    for ``checkpoint_every=1`` (double consumption re-executing the
+    edge-sized groupBy) no longer applies to the fixed-count face;
+    the default stays 1 because per-round checkpoints also keep each
+    round's shuffle a separate AQE-sized stage (measured flat vs 2/5
+    at sf0.1 — the checkpointed O(V) label write is noise next to
+    the O(E) mode aggregate)."""
     # (r12 non-claim: deriving verts from dst to reuse the
     # repartition("dst") partitioning was tried — localCheckpoint
     # strips the clustering info, exactly as the r11 bucketed-posture
@@ -368,32 +404,15 @@ def _lpa_rounds(
     verts = sym.select(F.col("src").alias("vertex")).distinct()
     labels = verts.withColumn("label", F.col("vertex")).repartition("vertex")
     for i in range(iterations):
-        nb = (
+        mode = (
             sym.join(
                 labels.select(
                     F.col("vertex").alias("dst"), F.col("label")
                 ),
                 "dst",
             )
-            .groupBy(F.col("src").alias("vertex"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # argmax by (count desc, label asc) == lexicographic min of
-        # (-count, label): exactly equivalent to the former
-        # row_number()==1 window (pinned vs the Python reference in
-        # tests/test_property_r9.py); see docstring for the measured
-        # reduce-side win and the shuffle-volume non-claim
-        mode = (
-            nb.groupBy("vertex")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c")).alias("_negc"),
-                        F.col("label").alias("_l"),
-                    )
-                ).alias("_best")
-            )
-            .select("vertex", F.col("_best._l").alias("_new"))
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.mode("label", True).alias("_new"))
         )
         if early_stop:
             updated = labels.join(mode, "vertex", "left").select(
@@ -410,10 +429,7 @@ def _lpa_rounds(
             if (updated.agg(F.max("_changed")).first()[0] or 0) == 0:
                 return labels
         else:
-            labels = labels.join(mode, "vertex", "left").select(
-                "vertex",
-                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
-            )
+            labels = mode.select("vertex", F.col("_new").alias("label"))
             if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
                 labels = labels.localCheckpoint(eager=True)
     return labels

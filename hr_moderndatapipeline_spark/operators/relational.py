@@ -38,25 +38,55 @@ def _cols(cols: Sequence[str | Column]) -> list[Column]:
 
 
 def rebalance(df: DataFrame, multiple: int = 1) -> DataFrame:
-    """Round-robin repartition to cluster parallelism — use before
-    CPU-heavy map stages (hashing, signature folds, Pandas UDFs).
-    A small/compacted parquet file scans as a handful of input
-    splits, which would serialize the expensive per-row compute on a
-    few cores; one cheap shuffle of the raw rows buys full-cluster
-    parallelism for everything downstream. No-op cost at real scale
-    (file splits already ≈ parallelism) and it also evens out
-    skewed splits.
+    """Spread rows before CPU-heavy map stages (hashing, signature
+    folds, Pandas UDFs). A small/compacted parquet file scans as a
+    handful of input splits, which would serialize the expensive
+    per-row compute on a few cores; one shuffle of the raw rows buys
+    full-cluster parallelism for everything downstream. The shuffle
+    is UNCONDITIONAL — this call always adds a full exchange of its
+    input rows; the "skip when already parallel" decision belongs to
+    the deployment (see modes below), not to a plan probe.
 
-    (r12 measured NON-claim: a "skip when the input already carries
-    ≥ parallelism splits" guard via ``df.rdd.getNumPartitions()``
-    was tried and REVERTED — the probe triggers full physical
-    planning of the upstream tree per call, which on the wide
-    dedup/probe trees cost more driver time than the shuffle it
-    could save: winnowing_probe_pairs 5.8 → 11.3s, minhash_probe
-    6.3 → 9.6s at sf0.1. A production deployment that wants the
-    skip should decide from table/file metadata, not a plan probe.)"""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * multiple
+    Mode is conf-selected (``spark.hr_mdp.rebalance.mode``) because
+    no single physical form is right at every scale (VERDICT r12):
+
+    - ``cores`` (default): ``repartition(defaultParallelism ×
+      multiple)`` — the right form when per-row CPU, not bytes, is
+      the bottleneck and the input carries fewer splits than cores
+      (exactly the bench geometry: KB-scale corpus files carrying
+      seconds of interpreted-fold CPU; byte-based AQE sizing would
+      coalesce them back to one partition). At cluster scale a
+      numbered repartition CAPS the stage at core count (~50 GB
+      partitions on a 2,000-core / 100 TB job — the §5 spill shape),
+      which is why production overrides the mode.
+    - ``aqe``: ``df.hint("REBALANCE")`` — the
+      REBALANCE_PARTITIONS_BY_NONE exchange AQE owns end to end: it
+      derives the partition count from data size
+      (``advisoryPartitionSizeInBytes``), splits oversized
+      partitions, and never caps a big stage at a constant. The
+      production setting for data-dominated scales, where bytes are
+      a sane proxy for work. (Measured at sf0.1: AQE coalesces the
+      tiny corpus exchanges to 1-2 partitions and the interpreted
+      folds re-serialize — see OPTIMIZATION_r13.md — hence not the
+      local default.)
+    - ``none``: pass-through, for inputs whose split count already
+      ≈ parallelism (e.g. reading a well-laid-out 100 TB table whose
+      scan stage IS the parallelism).
+
+    (r12 measured NON-claim, still honored: a "skip when the input
+    already carries ≥ parallelism splits" guard via
+    ``df.rdd.getNumPartitions()`` was tried and REVERTED — the probe
+    triggers full physical planning of the upstream tree per call,
+    which on the wide dedup/probe trees cost more driver time than
+    the shuffle it could save: winnowing_probe_pairs 5.8 → 11.3s,
+    minhash_probe 6.3 → 9.6s at sf0.1.)"""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.hr_mdp.rebalance.mode", "cores")
+    if mode == "none":
+        return df
+    if mode == "aqe":
+        return df.hint("REBALANCE")
+    target = spark.sparkContext.defaultParallelism * multiple
     return df.repartition(target)
 
 

@@ -1112,8 +1112,10 @@ def semantic_dedup_survivors(
     # broadcast plan they run inside the SCAN stage, whose
     # parallelism is the input split count — a compacted single-file
     # corpus serializes the whole pair scan on one core. One cheap
-    # row shuffle up front spreads it cluster-wide (no-op at real
-    # scale — rebalance skips itself when splits ≥ cores).
+    # row shuffle up front spreads it cluster-wide. The shuffle is
+    # unconditional; scale deployments pick the AQE-owned or
+    # pass-through mode via spark.hr_mdp.rebalance.mode (see the
+    # rebalance docstring).
     d = (
         rebalance(df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")))
         .withColumn("_blk", F.expr(_sign_terms(0)))

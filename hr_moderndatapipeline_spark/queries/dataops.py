@@ -1279,24 +1279,82 @@ def _kmeans_oracle_with(k: int = _KM_K, iterations: int = _KM_ITER) -> str:
     return "\n".join(parts)
 
 
+# ── shared k-means model (r13, VERDICT r12 #4) ──
+# Three queries (cluster_profile, balanced_selection, silhouette)
+# consume the SAME trained Lloyd model (identical corpus, k,
+# iterations, seeds). At 100 TB you train ONCE and every readout
+# shares the model — the _DEDUP_MEMO economics applied to the
+# k-means family. The memo is (session, sf_dir)-keyed like
+# _DEDUP_MEMO, but the trained centroids are DRIVER-side scalars a
+# clearCache() cannot invalidate, so the memo ANCHORS them to the
+# persisted double-vec frame the training consumed: when the anchor
+# is no longer cached (bench.py clearCache()s between every timed
+# run), the memo drops itself and the next query RETRAINS inside its
+# own timed region — every bench/oracle invocation still computes
+# from the parquet inputs (the round rule), while a long-lived
+# multi-query session (the driver's correctness sweep, a notebook)
+# trains once. The persisted vec frame is also an intra-query win:
+# the seed scan aside, each Lloyd round's assignment scan and the
+# final readout scan all reuse the cached double vecs via Spark's
+# plan-fragment cache matching instead of re-reading parquet and
+# re-deriving the array<double> per pass.
+
+_KM_MEMO: dict = {}
+
+
+def release_kmeans_memo() -> None:
+    """Unpersist and forget the memoized k-means substrate — the
+    ``release_dedup_memo`` contract for the k-means family."""
+    for vecs, _cents in _KM_MEMO.values():
+        try:
+            vecs.unpersist()
+        except Exception:  # noqa: BLE001 — dead-session frames just drop
+            pass
+    _KM_MEMO.clear()
+
+
+def _km_model(spark: SparkSession, sf_dir: str):
+    """The trained (vecs, centroids) pair for the family's fixed
+    hyperparameters, memoized per (session, sf_dir) with the
+    cache-anchored invalidation described above."""
+    from pyspark import StorageLevel
+
+    from hr_moderndatapipeline_spark.operators.similarity import (
+        as_double_vec,
+        kmeans_train,
+        l2_norm,
+    )
+
+    key = (sf_dir, _memo_token(spark))
+    hit = _KM_MEMO.get(key)
+    if hit is not None:
+        vecs, cents = hit
+        lvl = vecs.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return vecs, cents
+        _KM_MEMO.pop(key, None)  # cache cleared → retrain in-region
+    emb = _emb(spark, sf_dir)
+    vecs = (
+        emb.select(F.col("vec_id"), as_double_vec(F.col("embedding")).alias("_v"))
+        .withColumn("_vn", l2_norm(F.col("_v"), _KM_DIM))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cents = kmeans_train(
+        emb, "vec_id", "embedding", dim=_KM_DIM, k=_KM_K, iterations=_KM_ITER
+    )
+    _KM_MEMO[key] = (vecs, cents)
+    return vecs, cents
+
+
 def _km_assigned(spark: SparkSession, sf_dir: str):
     """Train ``kmeans_train`` (k=8, 2 Lloyd rounds) and return the
     final literal-centroid assignment frame (vec_id, _v, _vn,
     cluster, _cos) — shared by the profile and selection queries."""
     from hr_moderndatapipeline_spark.operators.similarity import (
-        as_double_vec,
         centroid_assign_arrow,
-        kmeans_train,
-        l2_norm,
     )
 
-    emb = _emb(spark, sf_dir)
-    cents = kmeans_train(
-        emb, "vec_id", "embedding", dim=_KM_DIM, k=_KM_K, iterations=_KM_ITER
-    )
-    vecs = emb.select(
-        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("_v")
-    ).withColumn("_vn", l2_norm(F.col("_v"), _KM_DIM))
+    vecs, cents = _km_model(spark, sf_dir)
     # Arrow assignment kernel (VERDICT r10 #1) — test-pinned
     # bit-identical to centroid_assign_literal, the oracle-restatable
     # verification face (tests/test_r11_ops.py).
@@ -1401,19 +1459,10 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped sums are engine-exact integers. Oracle extends the
     materialized Lloyd CTEs with a best-other-centroid join."""
     from hr_moderndatapipeline_spark.operators.similarity import (
-        as_double_vec,
         centroid_silhouette_literal,
-        kmeans_train,
-        l2_norm,
     )
 
-    emb = _emb(spark, sf_dir)
-    cents = kmeans_train(
-        emb, "vec_id", "embedding", dim=_KM_DIM, k=_KM_K, iterations=_KM_ITER
-    )
-    vecs = emb.select(
-        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("_v")
-    ).withColumn("_vn", l2_norm(F.col("_v"), _KM_DIM))
+    vecs, cents = _km_model(spark, sf_dir)
     sil = centroid_silhouette_literal(vecs, cents, _KM_DIM)
     return sil.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
@@ -5634,10 +5683,14 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hr_moderndatapipeline_spark.operators.relational import rebalance
     from hr_moderndatapipeline_spark.operators.text import phrase_search
 
-    # r12: the census gram explode AND the operator's three per-word
-    # posting scans all pipeline into the single-split corpus scan —
-    # one shared rebalance exchange (reused across every consumer)
-    # parallelizes all four passes
+    # r12/r13: the census gram explode and the operator's tokenize
+    # pass both pipeline into the single-split corpus scan, so each
+    # gets a rebalance exchange for parallelism (the r12 claim that
+    # one exchange is REUSED across consumers was wrong — consumer
+    # pruning makes the subtrees non-identical; corrected in VERDICT
+    # r12). Since r13 the operator tokenizes ONCE into a
+    # localCheckpointed posting sliver, so the corpus is scanned
+    # twice total (census + tokenize), not four times.
     docs = rebalance(_docs(spark, sf_dir).select("doc_id", "text"))
     words = F.split(F.col("text"), " ")
     idx = F.when(
