@@ -149,6 +149,20 @@ def pagerank(
     dangling_verts = verts.join(
         out_deg.select(F.col("src").alias("vertex")), "vertex", "left_anti"
     ).localCheckpoint(eager=True)
+    # r13: when the graph has NO dangling vertices (one cheap
+    # isEmpty over the checkpointed set — true for the event-type
+    # transition graph and any strongly-out-connected graph), the
+    # per-step mass is the empty-set aggregate, exactly
+    # coalesce(sum over ∅, 0.0) = 0.0, so the whole semi-join +
+    # 1-row aggregate + broadcast cross join is replaced by a
+    # LITERAL 0.0 in the same expression slot — bit-identical
+    # (teleport + (damping·0.0)/n ≡ teleport; verified ranks equal
+    # bitwise at sf0.1 and pinned by the Python-reference test).
+    # This also removes the second consumer of each step's rank
+    # subtree, so a checkpoint group's plan grows linearly in
+    # ``checkpoint_every`` instead of doubling per step: measured
+    # 2.59s → 2.18s on event_type_pagerank at sf0.1.
+    has_dangling = not dangling_verts.isEmpty()
 
     teleport = (1.0 - damping) / n
     for i in range(iterations):
@@ -156,32 +170,33 @@ def pagerank(
         # mass used to be a blocking ``.first()`` per step — 10 driver
         # round trips, each a full job launch, serializing the whole
         # iteration ladder. It is now a 1-row aggregate broadcast-
-        # crossed into the rank update, so a checkpoint group of
-        # ``checkpoint_every`` steps executes as ONE job. The
+        # crossed into the rank update (or the literal 0.0 when the
+        # dangling set is empty — r13 above), so a checkpoint group
+        # of ``checkpoint_every`` steps executes as ONE job. The
         # arithmetic keeps the exact IEEE order of the literal form —
         # ``teleport + ((damping · dangling) / n)`` — so ranks are
         # bit-identical (measured equal at sf0.1; the
         # tests/test_graph.py Python-reference pin still holds). The
         # 1-row broadcast cross join is the reviewed
         # ``tfidf_top_terms`` class in tests/test_plan_audit_all.py.
-        dangling_mass = (
-            ranks.join(dangling_verts, "vertex", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-        )
         contribs = (
             ranks.join(links, "vertex")
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )
-        base = F.lit(teleport) + (F.lit(damping) * F.col("_dm")) / F.lit(float(n))
-        ranks = (
-            verts.join(contribs, "vertex", "left")
-            .crossJoin(F.broadcast(dangling_mass))
-            .select(
-                "vertex",
-                (base + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        dm = F.col("_dm") if has_dangling else F.lit(0.0)
+        base = F.lit(teleport) + (F.lit(damping) * dm) / F.lit(float(n))
+        updated = verts.join(contribs, "vertex", "left")
+        if has_dangling:
+            dangling_mass = (
+                ranks.join(dangling_verts, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+            updated = updated.crossJoin(F.broadcast(dangling_mass))
+        ranks = updated.select(
+            "vertex",
+            (base + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
@@ -231,7 +246,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 4,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     early_stop: bool = False,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (community
@@ -268,12 +283,14 @@ def label_propagation(
     ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
     the growing lineage. Returns (vertex, label).
 
-    ``checkpoint_every`` defaults to 1: with the r13 round body the
-    label table is consumed once per round, so the r12
-    double-consumption rationale is gone; per-round checkpoints are
-    kept because each round's mode shuffle then runs as its own
-    AQE-sized stage over materialized O(V) blocks (measured — see
-    OPTIMIZATION_r13.md).
+    ``checkpoint_every`` defaults to 4 (r13): with the r13 round
+    body the label table is consumed ONCE per round, so the r12
+    per-round-checkpoint rationale (an uncheckpointed round's table
+    consumed twice re-executed the edge-sized groupBy) is gone, and
+    the eager per-round barrier became pure cost — measured at
+    sf0.1, 5 rounds: ck=1 3.98s, ck=2 3.75s, ck=5 3.23s. The
+    default stays a finite cadence (not "never") so deep iteration
+    counts still truncate lineage before plan depth hurts.
 
     ``early_stop`` (VERDICT r11 #6): the sf10 phase probe showed
     rounds get CHEAPER as labels converge (23s → 11s by round 5) but
@@ -312,7 +329,7 @@ def label_propagation_from_published(
     spark: SparkSession,
     path: str,
     iterations: int = 4,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     early_stop: bool = False,
 ) -> DataFrame:
     """``label_propagation`` from a ``publish_edges`` table: skips
@@ -392,11 +409,11 @@ def _lpa_rounds(
     With the join gone, an uncheckpointed round's label table is
     consumed exactly ONCE by the next round, so the r12 rationale
     for ``checkpoint_every=1`` (double consumption re-executing the
-    edge-sized groupBy) no longer applies to the fixed-count face;
-    the default stays 1 because per-round checkpoints also keep each
-    round's shuffle a separate AQE-sized stage (measured flat vs 2/5
-    at sf0.1 — the checkpointed O(V) label write is noise next to
-    the O(E) mode aggregate)."""
+    edge-sized groupBy) no longer applies to the fixed-count face —
+    and the per-round eager barrier turned into pure cost: measured
+    at sf0.1 (5 rounds) ck=1 3.98s, ck=2 3.75s, ck=5 3.23s, hence
+    the default moved to 4 (a finite cadence so deep ladders still
+    truncate lineage)."""
     # (r12 non-claim: deriving verts from dst to reuse the
     # repartition("dst") partitioning was tried — localCheckpoint
     # strips the clustering info, exactly as the r11 bucketed-posture

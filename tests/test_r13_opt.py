@@ -121,6 +121,23 @@ def test_symmetrize_null_endpoints_drop(spark):
     assert rows == {(1, 2), (2, 1)}
 
 
+def test_pagerank_no_dangling_elision_matches_reference(spark):
+    """On a graph with NO dangling vertices, pagerank elides the
+    per-step dangling-mass machinery (literal 0.0 in the same
+    expression slot); ranks must equal the Python power iteration —
+    the r13 graph.py branch the dangling-graph pins can't reach."""
+    from tests.test_graph import _py_pagerank
+    from hr_moderndatapipeline_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"), ("a", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    want = _py_pagerank(edges, iterations=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
 def test_kmeans_memo_invalidates_on_clear_cache(spark):
     """The shared k-means model memo must NOT survive
     spark.catalog.clearCache(): the bench clears caches between timed
