@@ -267,19 +267,17 @@ def label_propagation(
     deterministic one — the asynchronous variant's result depends on
     visit order.
 
-    Scale shape per round (r13 — see ``_lpa_rounds``): one join of
-    the O(V) label table against the symmetrized edge list on the
-    vertex key + ONE per-vertex deterministic-mode aggregate
-    (``F.mode(label, deterministic=True)`` — most frequent value,
-    ties to the LOWEST, i.e. exactly the (count desc, label asc)
-    argmax; equality pinned against the former two-step
-    count-then-min-struct form and the Python reference). Mode's
-    hash-map buffer partial-merges map-side, so the round's one real
-    shuffle carries per-mapper (vertex → count-map) partials instead
-    of every (vertex, label) row — NOT a rank window and NOT a
-    two-shuffle aggregate pair (the r11 window→aggregate history is
-    in SCALING.md; r13 collapsed the remaining pair). All shuffles
-    stay on the vertex key, co-partitioned like ``pagerank``;
+    Scale shape per round: one join of the O(V) label table against
+    the symmetrized edge list on the vertex key + one
+    (vertex, label) count groupBy + one per-vertex argmax as a
+    second aggregate ``min(struct(-count, label))`` — NOT a rank
+    window (SCALING.md r11) and deliberately NOT a single
+    deterministic-mode aggregate (bit-identical but 20%+ slower at
+    the sf1 stress geometry — the r13 measured non-claim in
+    ``_lpa_rounds``). Since r13 the round's output feeds the next
+    round DIRECTLY — the per-round coalesce join was dead logic on a
+    symmetrized substrate (see ``_lpa_rounds``). All shuffles stay
+    on the vertex key, co-partitioned like ``pagerank``;
     ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
     the growing lineage. Returns (vertex, label).
 
@@ -382,38 +380,41 @@ def _lpa_rounds(
     symmetrized, dst-partitioned, checkpointed edge list.
 
     r13 round-body restructure (guide §2.4 — remove shuffles
-    outright), two exact rewrites:
+    outright):
 
-    - The two-step argmax (``groupBy(src, label).count`` →
-      ``groupBy(src).min(struct(-c, label))``) is now ONE
-      ``groupBy(src).agg(F.mode(label, deterministic=True))``
-      aggregate: Spark's deterministic mode returns the most
-      frequent value with ties broken by the LOWEST value — exactly
-      the (count desc, label asc) rule (equality re-verified against
-      the two-step form on the cust-supp graph and randomized
-      multigraphs, tests/test_r13_opt.py; the Python-reference pin
-      in tests/test_property_r9.py still adjudicates). Mode is a
-      hash-map-buffered aggregate, so it partial-merges map-side and
-      the per-round shuffle carries one (vertex → label-count map)
-      partial per mapper instead of every (vertex, label, c) row —
-      one exchange per round where the two-step form paid two.
-    - The per-round ``labels ⋈ mode`` coalesce join is DEAD LOGIC on
-      a symmetrized substrate: both endpoints of every edge appear
-      as ``src``, so the vertex universe (``sym.src`` distinct) is
-      exactly the mode output's key set and the left-join's
-      isolated-vertex fallback can never fire. The fixed-count face
-      now uses the mode output AS the next label table, removing an
-      O(V) join + shuffle per round. (The ``early_stop`` face keeps
-      the join — it is what carries the ``_changed`` flag.)
+    - The per-round ``labels ⋈ mode`` coalesce left-join is DEAD
+      LOGIC on a symmetrized substrate: both endpoints of every edge
+      appear as ``src``, so the vertex universe (``sym.src``
+      distinct) is exactly the argmax output's key set and the
+      left-join's isolated-vertex fallback can never fire
+      (pinned: tests/test_r13_opt.py). The fixed-count face now uses
+      the argmax output AS the next label table, removing an O(V)
+      join + shuffle per round. (The ``early_stop`` face keeps the
+      join — it is what carries the ``_changed`` flag.)
+    - With the join gone, an uncheckpointed round's label table is
+      consumed exactly ONCE by the next round, so the r12 rationale
+      for ``checkpoint_every=1`` (double consumption re-executing
+      the edge-sized groupBy) is obsolete and the per-round eager
+      barrier turned into pure cost: measured at sf0.1 (5 rounds)
+      ck=1 3.98s / ck=2 3.75s / ck=5 3.23s, hence the default moved
+      to 4 (a finite cadence so deep ladders still truncate
+      lineage).
 
-    With the join gone, an uncheckpointed round's label table is
-    consumed exactly ONCE by the next round, so the r12 rationale
-    for ``checkpoint_every=1`` (double consumption re-executing the
-    edge-sized groupBy) no longer applies to the fixed-count face —
-    and the per-round eager barrier turned into pure cost: measured
-    at sf0.1 (5 rounds) ck=1 3.98s, ck=2 3.75s, ck=5 3.23s, hence
-    the default moved to 4 (a finite cadence so deep ladders still
-    truncate lineage)."""
+    MEASURED NON-CLAIM (r13, kept so it isn't re-chased): replacing
+    the two-step argmax with ONE
+    ``groupBy(src).agg(F.mode(label, deterministic=True))``
+    aggregate is bit-identical (deterministic mode ties to the
+    LOWEST value == the (count desc, label asc) rule; equality pin
+    retained in tests/test_r13_opt.py) and measured FASTER at sf0.1
+    (5.24s vs 5.6s query wall) — but 20%+ SLOWER at the sf1 stress
+    geometry (12.1s vs 9.8s for the rounds): mode is a
+    TypedImperativeAggregate whose ObjectHashAggregate falls back to
+    sort-based aggregation past
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``
+    (default 128) distinct keys per partition, and raising the
+    threshold to cover V is far worse still (22.2s — per-key label
+    hash maps). The two codegen hash aggregates win at scale, so
+    they stay."""
     # (r12 non-claim: deriving verts from dst to reuse the
     # repartition("dst") partitioning was tried — localCheckpoint
     # strips the clustering info, exactly as the r11 bucketed-posture
@@ -421,15 +422,31 @@ def _lpa_rounds(
     verts = sym.select(F.col("src").alias("vertex")).distinct()
     labels = verts.withColumn("label", F.col("vertex")).repartition("vertex")
     for i in range(iterations):
-        mode = (
+        nb = (
             sym.join(
                 labels.select(
                     F.col("vertex").alias("dst"), F.col("label")
                 ),
                 "dst",
             )
-            .groupBy(F.col("src").alias("vertex"))
-            .agg(F.mode("label", True).alias("_new"))
+            .groupBy(F.col("src").alias("vertex"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc) == lexicographic min of
+        # (-count, label) — two codegen hash aggregates (see the
+        # docstring's mode-aggregate non-claim; pinned vs the Python
+        # reference in tests/test_property_r9.py)
+        mode = (
+            nb.groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("_negc"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_best")
+            )
+            .select("vertex", F.col("_best._l").alias("_new"))
         )
         if early_stop:
             updated = labels.join(mode, "vertex", "left").select(

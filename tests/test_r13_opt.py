@@ -29,7 +29,7 @@ from hr_moderndatapipeline_spark.operators.text import winnowing_fingerprints
 from tests.test_r12_opt import _ref_winnowing
 
 
-def _two_step_rounds(sym, iterations):
+def _pre_r13_rounds(sym, iterations):
     """The pre-r13 _lpa_rounds body, verbatim: (vertex, label) count
     groupBy → min(struct(-c, label)) argmax → coalesce left join."""
     verts = sym.select(F.col("src").alias("vertex")).distinct()
@@ -56,10 +56,32 @@ def _two_step_rounds(sym, iterations):
     return labels
 
 
-def test_lpa_mode_aggregate_matches_two_step_argmax(spark):
-    """Deterministic-mode rounds == the former two-aggregate rounds
-    on randomized multigraphs (dense/sparse, self-loops, duplicate
-    edges, tie-heavy label counts) across several depths."""
+def _mode_rounds(sym, iterations):
+    """The r13 MEASURED NON-CLAIM face: one deterministic-mode
+    aggregate per round (bit-identical, slower at sf1 — see the
+    _lpa_rounds docstring)."""
+    labels = (
+        sym.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .repartition("vertex")
+    )
+    for _ in range(iterations):
+        labels = (
+            sym.join(labels.select(F.col("vertex").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.mode("label", True).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def test_lpa_round_faces_agree(spark):
+    """The shipped r13 rounds (two-step argmax, NO coalesce join) ==
+    the pre-r13 body == the deterministic-mode face, on randomized
+    multigraphs (dense/sparse, self-loops, duplicate edges,
+    tie-heavy label counts) across several depths. The mode face is
+    the documented non-claim: equal, not shipped (slower at sf1)."""
     rng = random.Random(13)
     for trial in range(5):
         n = rng.choice([30, 80, 150])
@@ -69,8 +91,10 @@ def test_lpa_mode_aggregate_matches_two_step_argmax(spark):
         iters = rng.choice([1, 2, 4, 7])
         sym = symmetrize_edges(df).repartition("dst").localCheckpoint(eager=True)
         got = {tuple(r) for r in _lpa_rounds(sym, iters, 1).collect()}
-        want = {tuple(r) for r in _two_step_rounds(sym, iters).collect()}
+        want = {tuple(r) for r in _pre_r13_rounds(sym, iters).collect()}
         assert got == want, f"trial {trial}: {len(got ^ want)} rows differ"
+        md = {tuple(r) for r in _mode_rounds(sym, iters).collect()}
+        assert md == want, f"trial {trial}: mode face differs"
 
 
 def test_lpa_mode_covers_whole_vertex_universe(spark):
