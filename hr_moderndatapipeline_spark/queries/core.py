@@ -1999,25 +1999,24 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no parent — left anti join, distinct-parent-key side broadcast
     when small). One summary row per edge.
 
-    r13 (guide §6 scan reduction / §2.3 aggregate-before-shuffle):
-    lineitem was scanned THREE times — once per FK edge. A child
-    table carrying several edges now audits them from ONE scan: its
-    tagged (edge, key) pairs explode from the single pass and
-    pre-aggregate map-side into (edge, key, cnt), so the one real
-    shuffle carries distinct keys, not child rows, and the distinct
-    counts fall out as plain group counts (no countDistinct Expand);
-    the tagged distinct parent-key sets union into one relation, one
-    LEFT join on (edge, key) marks orphan-ness, and a per-edge
-    aggregate emits the same measures (n_child_rows = sum of cnt;
-    n_child_keys counts non-NULL-key groups — countDistinct excluded
-    NULLs, so the NULL-key group is excluded here too). Single-edge
-    children keep the r8 one-leg join+agg form: those legs are
-    independent parallel subtrees of the union, and the measured
-    all-edges-tall variant was SLOWER locally (2.38s vs 2.16s hybrid
-    vs 2.47s old at sf0.1 — the full fuse serializes the four cheap
-    legs behind two shuffle barriers for no additional scan savings).
-    Same 7 rows, same values; the driver's hash gate is
-    order-insensitive."""
+    r13 MEASURED NON-CLAIM (VERDICT r12 #6 investigated and
+    refuted): fusing lineitem's three FK edges into ONE scan — tagged
+    (edge, key) explode → map-side (edge, key, cnt) pre-aggregate →
+    one LEFT join against the unioned tagged parent-key sets → one
+    per-edge aggregate — is result-identical (ALL-EQUAL verified at
+    sf0.1/sf1/sf3) and wins at the bench scale (2.47 → 2.16s
+    same-session A/B), but the trend INVERTS with data: parity at
+    sf1 (3.00 vs 3.13) and 1.4× SLOWER at sf3 (5.16 vs 7.25,
+    alternating min-of-3). The tall shape trades the three page-
+    cached fact scans (cheap here, and each leg an independent
+    parallel subtree with a BROADCAST parent join that never
+    shuffles lineitem) for one serialized chain whose (edge, key)
+    groupBy genuinely shuffles the 3×-exploded fact rows — the
+    shuffle grows with data while the scans it saves are the cheap
+    term in the measurable range. The per-edge broadcast-join legs
+    stay; a deployment whose fact-table SCAN dominates (cold object
+    store, no page cache) should revisit the fused form — both
+    variants live in the r13 A/B record (OPTIMIZATION_r13.md)."""
     edges = [
         ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
          "customer", "c_custkey"),
@@ -2034,85 +2033,37 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
          "region", "r_regionkey"),
     ]
-    from functools import reduce
-
-    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
+    out = None
     for name, child, ck, parent, pk in edges:
-        by_child.setdefault(child, []).append((name, ck, parent, pk))
-    parts = []
-    for child, specs in by_child.items():
-        if len(specs) == 1:
-            name, ck, parent, pk = specs[0]
-            c = _t(spark, sf_dir, child).select(F.col(ck).alias("_k"))
-            p = (
-                _t(spark, sf_dir, parent)
-                .select(F.col(pk).alias("_k"))
-                .distinct()
-                .withColumn("_hit", F.lit(1))
-            )
-            # one LEFT join + one aggregate: orphan-ness is the null
-            # marker, so rows/keys/orphans fold into a single pass
-            parts.append(
-                c.join(p, "_k", "left").agg(
-                    F.lit(name).alias("fk_edge"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
-                    F.countDistinct("_k").cast("bigint").alias("n_child_keys"),
-                    F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
-                    .cast("bigint")
-                    .alias("n_orphan_rows"),
-                    F.countDistinct(F.when(F.col("_hit").isNull(), F.col("_k")))
-                    .cast("bigint")
-                    .alias("n_orphan_keys"),
-                )
-            )
-            continue
-        tagged = F.array(
-            *[
-                F.struct(
-                    F.lit(name).alias("_e"),
-                    F.col(ck).cast("bigint").alias("_k"),
-                )
-                for name, ck, _parent, _pk in specs
-            ]
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("_k"))
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
-        child_keys = (
-            _t(spark, sf_dir, child)
-            .select(F.explode(tagged).alias("_x"))
-            .select(F.col("_x._e").alias("_e"), F.col("_x._k").alias("_k"))
-            .groupBy("_e", "_k")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-        )
-        parent_keys = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                _t(spark, sf_dir, parent)
-                .select(
-                    F.lit(name).alias("_e"),
-                    F.col(pk).cast("bigint").alias("_k"),
-                )
-                .distinct()
-                .withColumn("_hit", F.lit(1))
-                for name, _ck, parent, pk in specs
-            ],
-        )
-        joined = child_keys.join(parent_keys, ["_e", "_k"], "left")
-        parts.append(
-            joined.groupBy(F.col("_e").alias("fk_edge")).agg(
-                F.sum("_cnt").cast("bigint").alias("n_child_rows"),
-                F.count(F.when(F.col("_k").isNotNull(), 1))
-                .cast("bigint")
-                .alias("n_child_keys"),
-                F.sum(F.when(F.col("_hit").isNull(), F.col("_cnt")).otherwise(0))
+        # one LEFT join + one aggregate per edge: orphan-ness is the
+        # null marker, so rows/keys/orphans all fold into a single
+        # pass (no 1-row cross join - the plan audit's nested-loop
+        # sweep stays clean by construction)
+        leg = (
+            c.join(p, "_k", "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+                F.countDistinct("_k").cast("bigint").alias("n_child_keys"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_orphan_rows"),
-                F.count(
-                    F.when(F.col("_hit").isNull() & F.col("_k").isNotNull(), 1)
+                F.countDistinct(
+                    F.when(F.col("_hit").isNull(), F.col("_k"))
                 )
                 .cast("bigint")
                 .alias("n_orphan_keys"),
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        out = leg if out is None else out.unionByName(leg)
+    return out
 
 
 ORACLE_FK_INTEGRITY = """
